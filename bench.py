@@ -1,0 +1,61 @@
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default sf0.1) and print ONE JSON line with per-query wall times.
+
+Each query is forced end-to-end with the noop sink (computes every output
+column, no driver collect, no disk write) — the closest local analogue of a
+full cluster materialization. The first query's time includes JVM/codegen
+warmup; a throwaway warmup action runs first so per-query numbers are
+comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
+    get_spark,
+)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches
+    force(spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1000))
+
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""SparkSession builder tuned for the engine.
+
+Defaults target the sandbox (local[N], single JVM) but every knob is chosen
+for how it behaves on a 1000-executor cluster at 100 TB:
+
+* **AQE on** — runtime coalescing of shuffle partitions, skew-join splitting
+  and dynamic broadcast conversion replace hand-tuned partition counts.
+* **UTC session timezone** — pins timestamp semantics so results are
+  identical across engines (the DuckDB oracle reads naive parquet instants).
+* **Arrow on** — any unavoidable Pandas UDF moves data in columnar batches,
+  never row-at-a-time pickling.
+* ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; at scale
+  set it ≈ 2-3× total cores and let AQE coalesce down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "snowflake-to-iceberg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
