@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
     operators as ops,
 )
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
+    hashing as H,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions.vectors import (
+    duck_cosine,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    dedup as dd,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    similarity as sim,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    text as tx,
+)
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
     ts_ms,
 )
@@ -203,6 +218,76 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.session_stats(events, "user_id", EVENTS_SORT, EVENTS_KEY, 1800)
 
 
+# ---------------------------------------------------------------------------
+# north-star extension queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+#: queries with no SQL-expressible oracle (approximate-by-design); the
+#: driver records a rows-only check and pytest covers them with
+#: recall-vs-exact property tests.
+NO_ORACLE = ("q_similarity_lsh",)
+
+PROBE_IDS = list(range(10))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via hash group-by, keeping min doc_id."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.topk_cosine_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5
+    )
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold calibrated to the fixture (max within-label cosine ≈ 0.51,
+    # no planted semantic dups): 0.45 yields a non-empty, value-checked
+    # result; production near-dup would use the 0.9 default.
+    return sim.neardup_embedding_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_topk_cosine(
+        load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -216,6 +301,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partitioned_layout": q_partitioned_layout,
         "q_shard_fanout_topn": q_shard_fanout_topn,
         "q_session_window": q_session_window,
+        "q_dedup_exact": q_dedup_exact,
+        "q_token_count": q_token_count,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_topk_cosine": q_topk_cosine,
+        "q_neardup_embedding": q_neardup_embedding,
+        "q_similarity_lsh": q_similarity_lsh,
     }
 
 
@@ -225,7 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q_distinct_shards": """
             SELECT DISTINCT 'c_mktsegment' AS shard_col,
                    CAST(c_mktsegment AS VARCHAR) AS shard_value
@@ -326,5 +423,191 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) // 1000 AS start_ms,
                    max(epoch_us(ts)) // 1000 AS end_ms
             FROM sess GROUP BY user_id, session_id
+        """,
+    }
+    out.update(_extension_oracles())
+    return out
+
+
+def _extension_oracles() -> dict[str, str]:
+    """Oracles for the dedup/similarity/text queries, generated from the
+    same constants (stopword lists, minhash coefficients, md5-h32) as the
+    Spark operators — one source of truth, bit-identical values."""
+    toks = H.duck_tokens("text")
+    sh3 = H.duck_shingles(toks, 3)
+    langs = sorted(tx.STOPWORDS)
+
+    def lit(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    score_cols = ", ".join(
+        f"len(list_intersect(list_distinct({toks}), {lit(tx.STOPWORDS[lang])}))"
+        f"::INT AS score_{lang}"
+        for lang in langs
+    )
+    pred = "CASE"
+    for lang in langs:
+        cond = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        pred += f" WHEN {cond} THEN '{lang}'"
+    pred += " ELSE 'und' END"
+
+    en = lit(tx.STOPWORDS["en"])
+    simhash_bits = 32
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(simhash_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(simhash_bits)
+    )
+    cos = duck_cosine("pe", "ce", 64)
+    paircos = duck_cosine("ea", "eb", 64)
+
+    return {
+        "q_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_token_count": f"""
+            SELECT doc_id,
+                   len({toks})::INT AS n_tokens,
+                   len(list_distinct({toks}))::INT AS n_uniq_tokens,
+                   round(len(list_distinct({toks})) / len({toks}), 4)
+                       AS uniq_ratio
+            FROM documents
+        """,
+        "q_text_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   round(avg(len({toks})), 4) AS avg_tokens,
+                   sum(len({toks}))::BIGINT AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "q_lang_id": f"""
+            SELECT doc_id, lang, {', '.join('score_' + l for l in langs)},
+                   {pred} AS predicted_lang
+            FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+        """,
+        "q_quality_score": f"""
+            SELECT doc_id, lang, n_tokens, uniq_ratio, stopword_ratio,
+                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                         + 0.3 * uniq_ratio + 0.3 * stopword_ratio, 6)
+                       AS quality
+            FROM (
+                SELECT doc_id, lang,
+                       len({toks})::INT AS n_tokens,
+                       round(len(list_distinct({toks})) / len({toks}), 4)
+                           AS uniq_ratio,
+                       round(len(list_filter({toks},
+                                 t -> list_contains({en}, t)))
+                             / len({toks}), 4) AS stopword_ratio
+                FROM documents
+            )
+        """,
+        "q_doc_fingerprint": f"""
+            SELECT doc_id,
+                   array_to_string(
+                       list_sort(list_transform({sh3},
+                           s -> {H.duck_h32('s')}))[1:4], '-') AS fingerprint
+            FROM documents
+        """,
+        "q_dedup_ngram_jaccard": f"""
+            WITH sized AS (
+                SELECT doc_id, sh, len(sh) AS n_sh
+                FROM (SELECT doc_id, {sh3} AS sh FROM documents)
+            ), inv AS (
+                SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized
+            ), kept AS (
+                SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 100
+            ), inv2 AS (
+                SELECT inv.* FROM inv JOIN kept USING (shingle)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+                FROM inv2 a JOIN inv2 b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common / (n_a + n_b - n_common), 4) AS jaccard
+            FROM pairs
+            WHERE round(n_common / (n_a + n_b - n_common), 4) >= 0.2
+        """,
+        "q_dedup_minhash_lsh": f"""
+            WITH sigs AS (
+                SELECT doc_id, {H.duck_minhash('hs')} AS mh
+                FROM (SELECT doc_id,
+                             list_transform({sh3}, s -> {H.duck_h32('s')}) AS hs
+                      FROM documents)
+            ), bands AS (
+                SELECT doc_id, mh,
+                       unnest(list_transform(generate_series(0, {H.LSH_BANDS - 1}),
+                           b -> b::VARCHAR || ':' ||
+                                array_to_string(mh[b * {H.LSH_ROWS} + 1 :
+                                                   b * {H.LSH_ROWS} + {H.LSH_ROWS}], '-')
+                       )) AS band_key
+                FROM sigs
+            ), kept AS (
+                SELECT band_key FROM bands GROUP BY band_key HAVING count(*) <= 50
+            ), b2 AS (
+                SELECT bands.* FROM bands JOIN kept USING (band_key)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.mh AS mh_a, b.mh AS mh_b
+                FROM b2 a JOIN b2 b
+                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(generate_series(1, {H.MINHASH_K}),
+                             i -> mh_a[i] = mh_b[i])) / {H.MINHASH_K}, 4)
+                       AS est_jaccard
+            FROM cand
+            WHERE round(len(list_filter(generate_series(1, {H.MINHASH_K}),
+                            i -> mh_a[i] = mh_b[i])) / {H.MINHASH_K}, 4) >= 0.25
+        """,
+        "q_dedup_simhash": f"""
+            SELECT doc_id, ({sig})::BIGINT AS simhash
+            FROM (
+                SELECT doc_id, {sums}
+                FROM (SELECT doc_id, {H.duck_h32('token')} AS h
+                      FROM (SELECT doc_id,
+                                   unnest(list_distinct({toks})) AS token
+                            FROM documents))
+                GROUP BY doc_id
+            )
+        """,
+        "q_topk_cosine": f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), scored AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                       round({cos}, 4) AS sim
+                FROM (SELECT vec_id, emb AS pe FROM e WHERE vec_id < 10) p
+                JOIN (SELECT vec_id, emb AS ce FROM e) c
+                  ON c.vec_id <> p.vec_id
+            )
+            SELECT probe_id, neighbor_id, sim, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "q_neardup_embedding": f"""
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                FROM embeddings
+            )
+            SELECT vec_a, vec_b, label, sim FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       a.label AS label,
+                       round({paircos}, 4) AS sim
+                FROM (SELECT vec_id, label, emb AS ea FROM e) a
+                JOIN (SELECT vec_id, label AS lb, emb AS eb FROM e) b
+                  ON a.label = b.lb AND a.vec_id < b.vec_id
+            ) WHERE sim >= 0.45
         """,
     }

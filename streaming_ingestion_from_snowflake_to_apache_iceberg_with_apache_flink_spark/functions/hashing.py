@@ -1,0 +1,93 @@
+"""Portable deterministic hashing — the backbone of the dedup suite.
+
+Every hash here is defined so that Spark and DuckDB compute *identical*
+values, which lets MinHash / SimHash / fingerprint queries be checked
+against a SQL oracle exactly, not just statistically:
+
+    h32(s) = int(md5(s)[0:8], 16)        (32-bit, from the md5 hex prefix)
+
+Spark:   cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)
+DuckDB:  ('0x' || substr(md5(s), 1, 8))::BIGINT
+
+In production the faster ``xxhash64`` builtin is the better choice (one JVM
+intrinsic vs md5); the md5 form is the cross-engine-verifiable one and both
+are JVM-side Catalyst expressions — no Python per row. MinHash parameters
+(k, the affine constants, the Mersenne-ish prime) live here so the Spark
+operator and the oracle SQL generator share one source of truth.
+"""
+
+from __future__ import annotations
+
+#: number of MinHash functions and LSH banding layout (bands × rows = k)
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+#: prime > 2^32 for the affine permutations h_j(x) = (a_j * x + b_j) mod p
+MINHASH_P = 4_294_967_311
+
+
+def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Fixed affine coefficients (a_j odd, b_j) — deterministic, shared by
+    the Spark expression and the DuckDB oracle."""
+    return [(2 * j + 3, (1_000_003 * (j + 1)) % MINHASH_P) for j in range(k)]
+
+
+# -- Spark SQL expression fragments (used via F.expr / selectExpr) ----------
+
+
+def spark_h32(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)"
+
+
+def spark_tokens(col: str) -> str:
+    """Whitespace tokenization; identical to the DuckDB regexp split."""
+    return f"split(trim({col}), '\\\\s+')"
+
+
+def spark_shingles(tokens_expr: str, n: int) -> str:
+    """Distinct word n-gram shingles of a token array."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tokens_expr}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({tokens_expr}, i, {n}))))"
+    )
+
+
+def spark_minhash(hashes_expr: str) -> str:
+    """Array of MINHASH_K minimum affine-permuted hashes over an existing
+    bigint hash array (hash each shingle once, permute k times)."""
+    parts = ", ".join(
+        f"array_min(transform({hashes_expr}, "
+        f"h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+        for a, b in minhash_coeffs()
+    )
+    return f"array({parts})"
+
+
+# -- DuckDB oracle fragments ------------------------------------------------
+
+
+def duck_h32(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def duck_tokens(col: str) -> str:
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+def duck_shingles(tokens_expr: str, n: int) -> str:
+    grams = " || ' ' || ".join(f"({tokens_expr})[i + {d}]" for d in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 1)), "
+        f"i -> {grams}))"
+    )
+
+
+def duck_minhash(hashes_expr: str) -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs()
+    )
+    return f"[{parts}]"

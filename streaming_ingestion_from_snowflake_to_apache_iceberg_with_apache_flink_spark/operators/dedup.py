@@ -1,0 +1,184 @@
+"""Deduplication suite for training-data pipelines.
+
+Five escalating strategies over ``documents(doc_id, text, ...)``:
+
+1. ``exact_dedup`` — group-by-content hash; keeps the smallest doc_id.
+2. ``ngram_jaccard_pairs`` — *exact* near-dup pairs via an inverted shingle
+   index (the verification baseline for the approximate methods).
+3. ``minhash_lsh_pairs`` — MinHash signatures + LSH banding; the 100 TB
+   path: candidate generation is a band-bucket self-join, never O(N²).
+4. ``simhash`` — 32-bit per-doc SimHash signature (Hamming-proximity dedup).
+5. embedding near-dup — semantic near-dup via cosine, in
+   ``operators.similarity`` (shares the vector kernels).
+
+Scale notes (the part that matters at 100 TB):
+* the inverted-index join explodes docs → shingles and self-joins on the
+  shingle; ubiquitous shingles (df > ``max_shingle_df``) are dropped first —
+  the classic stop-shingle cut that keeps the join from quadratic blowup on
+  boilerplate, and it is part of the declared semantics so the oracle
+  mirrors it;
+* MinHash banding shuffles each doc exactly ``LSH_BANDS`` times on narrow
+  (band, key) rows; bucket sizes are data-bounded the same way via
+  ``max_bucket``;
+* every hash is the portable md5-based h32 (functions.hashing), so both
+  approximate methods are *exactly* reproduced by the DuckDB oracle —
+  signatures, bands, candidate pairs, and estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+_TOKENS = H.spark_tokens("text")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate removal on text content, keeping min doc_id.
+
+    Implemented as a min-aggregation on the content (hash group-by shape):
+    one partial-agg shuffle on the 32-char md5, no window sort needed.
+    """
+    return (
+        documents.withColumn("__h", F.md5(F.col("text")))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Exploded inverted index: (shingle, doc_id), distinct shingles/doc."""
+    sh = H.spark_shingles(_TOKENS, n)
+    return documents.selectExpr("doc_id", f"explode({sh}) as shingle")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via inverted-index self-join.
+
+    J(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-gram shingle
+    sets; only pairs sharing ≥1 (non-ubiquitous) shingle are candidates.
+    """
+    sh = H.spark_shingles(_TOKENS, n)
+    # persist the per-doc shingle sets (one narrow row per doc): everything
+    # downstream — posting lists, df counts, both self-join sides — derives
+    # from this cache with a cheap explode instead of re-tokenizing (at
+    # scale this is the "write the inverted index once" step)
+    docs = (
+        documents.selectExpr("doc_id", f"{sh} as shingles")
+        .selectExpr("doc_id", "shingles", "size(shingles) as n_sh")
+        .persist()
+    )
+    inv = docs.selectExpr("doc_id", "n_sh", "explode(shingles) as shingle")
+    # stop-shingle cut: drop shingles present in too many docs
+    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    inv = inv.join(
+        df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"), "shingle"
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.selectExpr(
+        "doc_a",
+        "doc_b",
+        "cast(round(n_common / (n_a + n_b - n_common), 4) as double) as jaccard",
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash signature array (MINHASH_K values) per document.
+
+    Each shingle is md5-hashed once; the k permutations are cheap affine
+    maps over that hash array."""
+    sh = H.spark_shingles(_TOKENS, n)
+    hashed = documents.selectExpr(
+        "doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as hs"
+    )
+    return hashed.selectExpr("doc_id", f"{H.spark_minhash('hs')} as mh")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.25,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding over MinHash signatures.
+
+    Bands of LSH_ROWS rows are concatenated into bucket keys; docs sharing
+    any band bucket are candidates; the estimated Jaccard is the fraction
+    of agreeing signature positions. Oversized buckets (> ``max_bucket``,
+    i.e. degenerate boilerplate clusters) are dropped — declared semantics,
+    mirrored in the oracle.
+    """
+    # persist signatures (one 16-long array per doc — tiny): the expensive
+    # md5 permutation work runs once; banding/joins derive from the cache
+    sigs = minhash_signatures(documents, n).persist()
+    bands = sigs.selectExpr(
+        "doc_id",
+        "mh",
+        f"explode(transform(sequence(0, {H.LSH_BANDS - 1}), "
+        f"b -> concat(b, ':', array_join(slice(mh, b * {H.LSH_ROWS} + 1, {H.LSH_ROWS}), '-'))"
+        ")) as band_key",
+    )
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    bands = bands.join(
+        sizes.filter(F.col("bs") <= max_bucket).select("band_key"), "band_key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        f"cast(round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))"
+        f" / {H.MINHASH_K}, 4) as double)"
+    )
+    return cand.selectExpr("doc_a", "doc_b", f"{est} as est_jaccard").filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document over distinct tokens.
+
+    bit_i(doc) = 1 iff Σ_tokens (±1 by bit i of h32(token)) > 0. Built as
+    ``bits`` conditional sums over the exploded token relation — one
+    partial-agg shuffle, fully codegen'd, and portable to the oracle.
+    """
+    tok = documents.selectExpr(
+        "doc_id", f"explode(array_distinct({_TOKENS})) as token"
+    ).selectExpr("doc_id", f"{H.spark_h32('token')} as h")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sig = " + ".join(
+        f"(case when b{i} > 0 then cast({1 << i} as bigint) else 0L end)"
+        for i in range(bits)
+    )
+    return sums.selectExpr("doc_id", f"cast({sig} as bigint) as simhash")

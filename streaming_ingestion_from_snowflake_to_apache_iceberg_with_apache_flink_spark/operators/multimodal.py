@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages — the one place in this engine where Python in the
+hot path is the right call, because media codecs are native libraries, not
+Catalyst expressions.
+
+The Spark-side plumbing here (schemas, batch iteration, output contract,
+partition sizing) is real and tested; the codec itself is stubbed because no
+image/audio library ships in this container:
+
+* ``decode_media(..., fake=True)`` — deterministic fake "decoder" (content
+  length/checksum-derived features) so pipelines are end-to-end testable;
+* ``decode_media(..., fake=False)`` — raises NotImplementedError at the
+  point where PIL/ffmpeg would be invoked.
+
+Scale notes: media rows are large and skew-prone — repartition by a size
+bucket before the decode stage so one executor doesn't absorb all 4K video
+(``repartition_for_media``), keep ``maxRecordsPerBatch`` small (binary blobs
+blow up Arrow batches), and project metadata-only columns *before* decode so
+pruning drops the bytes wherever the stage doesn't need them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical media-table schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def repartition_for_media(df: DataFrame, partitions: int) -> DataFrame:
+    """Spread large blobs evenly: salt by content length bucket so a few
+    huge files don't land on one executor."""
+    return df.repartition(
+        partitions, F.pmod(F.xxhash64(F.col("media_id"), F.length("content")), F.lit(partitions))
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = True, feature_dim: int = 8) -> DataFrame:
+    """Arrow-batched decode/feature-extract stage over ``mapInPandas``.
+
+    With ``fake=True`` emits deterministic per-blob features (byte-sum
+    checksum + length-derived vector) so the distributed plumbing is fully
+    exercised; with ``fake=False`` raises where the real codec would run.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg, not present in "
+                    "this container; run with fake=True for the plumbing path"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "checksum": pdf["content"]
+                    .map(lambda b: sum(b) % 1_000_000_007)
+                    .astype("int64"),
+                    "feature": pdf["content"].map(
+                        lambda b: [
+                            float(len(b) % (i + 2)) for i in range(feature_dim)
+                        ]
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp, bytes kept
+    opaque. The explode is Catalyst-side; the (stubbed) per-frame decode
+    would chain a ``decode_media`` stage after it."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+        "content",
+    )

@@ -1,0 +1,122 @@
+"""Text analysis for training-data pipelines: token counting, per-language
+corpus stats, language ID, quality scoring, and document fingerprinting.
+
+All operators are single-pass Catalyst projections/aggregations over the
+``documents`` table — no Python in the hot path, so at 100 TB each is one
+parquet scan (+ one partial-agg shuffle where grouped). Each has an exact
+DuckDB oracle twin in ``__spark_entry__`` built from the same expression
+generators (functions.hashing), so "heuristic" does not mean "unchecked".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deterministic and mirrored into the oracle SQL; real corpora
+#: would load fastText-style profiles, but the *plan shape* (array_intersect
+#: against broadcast literal arrays) is the production one.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "est", "que"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他", "这", "就"),
+}
+
+_TOKENS = H.spark_tokens("text")
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace + distinct token counts per document."""
+    return documents.selectExpr(
+        "doc_id",
+        f"size({_TOKENS}) as n_tokens",
+        f"size(array_distinct({_TOKENS})) as n_uniq_tokens",
+        f"cast(round(size(array_distinct({_TOKENS})) / size({_TOKENS}), 4) as double)"
+        " as uniq_ratio",
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus stats (the q_text_stats contract)."""
+    toks = documents.selectExpr("lang", "n_chars", f"size({_TOKENS}) as n_tokens")
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def lang_scores(documents: DataFrame) -> DataFrame:
+    """Stopword-hit score per candidate language (distinct-token hits)."""
+    cols = ["doc_id", "lang"]
+    for lang, words in STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"size(array_intersect(array_distinct({_TOKENS}), array({lit})))"
+            f" as score_{lang}"
+        )
+    return documents.selectExpr(*cols)
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Predicted language = argmax stopword score, ties broken by language
+    code order (deterministic)."""
+    scored = lang_scores(documents)
+    langs = sorted(STOPWORDS)
+    pred = "CASE"
+    for lang in langs:
+        others = [f"score_{o}" for o in langs if o != lang]
+        cond = " AND ".join(f"score_{lang} >= {o}" for o in others)
+        pred += f" WHEN {cond} THEN '{lang}'"
+    pred += " ELSE 'und' END"
+    return scored.selectExpr(
+        "doc_id", "lang", *[f"score_{lang}" for lang in langs], f"{pred} as predicted_lang"
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / stopword-ratio / repetition quality heuristic, 0..1-ish.
+
+    quality = 0.4·min(tokens/100, 1) + 0.3·uniq_ratio + 0.3·stopword_ratio
+    (the classic Gopher/C4-style shape: enough length, lexical diversity,
+    enough function words).
+    """
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return documents.selectExpr(
+        "doc_id",
+        "lang",
+        f"size({_TOKENS}) as n_tokens",
+        f"cast(round(size(array_distinct({_TOKENS})) / size({_TOKENS}), 4) as double)"
+        " as uniq_ratio",
+        f"cast(round(size(filter({_TOKENS}, t -> t in ({en}))) / size({_TOKENS}), 4)"
+        " as double) as stopword_ratio",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "uniq_ratio",
+        "stopword_ratio",
+        # the weighted sum of 4-decimal ratios is an exact multiple of 1e-5,
+        # so rounding at 4 decimals would sit on the half-way boundary and
+        # flip between engines; 6 decimals is boundary-free.
+        "cast(round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * uniq_ratio"
+        " + 0.3 * stopword_ratio, 6) as double) as quality",
+    )
+
+
+def fingerprint(documents: DataFrame, n: int = 3, keep: int = 4) -> DataFrame:
+    """Min-k document fingerprint: the ``keep`` smallest portable 32-bit
+    hashes of the distinct word ``n``-gram shingles (winnowing-style
+    content signature; stable under small edits)."""
+    sh = H.spark_shingles(_TOKENS, n)
+    hashes = f"array_sort(transform({sh}, s -> {H.spark_h32('s')}))"
+    return documents.selectExpr(
+        "doc_id",
+        f"array_join(slice({hashes}, 1, {keep}), '-') as fingerprint",
+    )

@@ -1,0 +1,229 @@
+"""Property tests from SURVEY.md §5.3 plus checks for the approximate
+operators that have no SQL oracle (LSH similarity, SimHash proximity) and
+the multimodal plumbing."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+    operators as ops,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+    IcebergSinkConfig,
+    UnsupportedOperationError,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    dedup as dd,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    multimodal as mm,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    similarity as sim,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
+    cast_projection,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+    load_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- pagination properties (§2.2 hazards) -----------------------------------
+
+
+def test_pages_cover_shard_exactly_once(spark):
+    orders = load_table(spark, SF, "orders")
+    shard = ops.shard_filter(orders, "o_orderpriority", "1-URGENT")
+    total = shard.count()
+    size = 50
+    n_pages = -(-total // size)
+    un = ops.pages_union(
+        orders, "o_orderpriority", "1-URGENT", "o_orderdate", "o_orderkey", size, n_pages
+    ).drop("rn")
+    assert un.count() == total
+    assert un.select("o_orderkey").distinct().count() == total
+
+
+def test_page_deterministic(spark):
+    orders = load_table(spark, SF, "orders")
+    p1 = ops.page(orders, "o_orderpriority", "1-URGENT", "o_orderdate", "o_orderkey", 10, 20)
+    p2 = ops.page(orders, "o_orderpriority", "1-URGENT", "o_orderdate", "o_orderkey", 10, 20)
+    k1 = [r.o_orderkey for r in p1.orderBy("rn").collect()]
+    k2 = [r.o_orderkey for r in p2.orderBy("rn").collect()]
+    assert k1 == k2 and len(k1) == 20
+
+
+def test_highwater_baseline_plus_increment_is_total(spark):
+    events = load_table(spark, SF, "events")
+    baseline = events.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    inc = ops.highwater_increment(events, baseline, "event_type", "ts")
+    assert baseline.count() + inc.count() == events.count()
+    # disjoint
+    assert baseline.select("event_id").intersect(inc.select("event_id")).count() == 0
+
+
+# -- merge/upsert properties ------------------------------------------------
+
+
+def test_merge_upsert_idempotent(spark):
+    events = load_table(spark, SF, "events")
+    once = ops.merge_upsert(events, ["event_id"], "ts", ["user_id", "value"])
+    twice = ops.merge_upsert(once, ["event_id"], "ts", ["user_id", "value"])
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_merge_upsert_replay_safe(spark):
+    """Re-ingesting an old page after upsert yields the same table."""
+    events = load_table(spark, SF, "events")
+    merged = ops.merge_upsert(events, ["event_id"], "ts", ["user_id", "value"])
+    old_page = events.limit(50)
+    replayed = ops.merge_upsert(
+        merged.unionByName(old_page), ["event_id"], "ts", ["user_id", "value"]
+    )
+    assert replayed.exceptAll(merged).count() == 0
+    assert merged.exceptAll(replayed).count() == 0
+
+
+def test_new_shard_discovery(spark):
+    current = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], ["shard_value"]
+    )
+    known = spark.createDataFrame([("a",), ("b",)], ["shard_value"])
+    new = ops.new_shards(current, known)
+    assert [r.shard_value for r in new.collect()] == ["c"]
+
+
+# -- config / schema guards -------------------------------------------------
+
+
+def test_sink_mode_validation():
+    with pytest.raises(UnsupportedOperationError):
+        IcebergSinkConfig(operation="replace")
+    with pytest.raises(ValueError):
+        IcebergSinkConfig(
+            operation="upsert", partition_fields=("p",), upsert_fields=("k",)
+        )
+
+
+def test_cast_projection_rejects_non_whitelisted(spark):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, [1, 2])], ["a", "b"])
+    bad = T.StructType([T.StructField("b", T.ArrayType(T.IntegerType()))])
+    with pytest.raises(UnsupportedOperationError):
+        cast_projection(df, bad)
+
+
+# -- dedup on planted duplicates --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest tonight while stars shine bright above"
+    )
+    near = base.replace("dark forest", "cold forest")  # 1-word edit
+    other = "completely different content about spark shuffles and joins here now"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),          # exact dup of 1
+        (3, near, "en", "s", len(near)),          # near dup of 1
+        (4, other, "en", "s", len(other)),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_exact_dedup_planted(spark, planted):
+    out = {r.doc_id: r.n_copies for r in dd.exact_dedup(planted).collect()}
+    assert out[1] == 2 and 2 not in out and out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, planted):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dd.ngram_jaccard_pairs(planted).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(spark, planted):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in dd.minhash_lsh_pairs(planted).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.25
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_proximity(spark, planted):
+    sh = {r.doc_id: r.simhash for r in dd.simhash(planted).collect()}
+    assert sh[1] == sh[2]  # identical text → identical signature
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+# -- similarity: LSH recall vs exact baseline -------------------------------
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    probes = list(range(10))
+    exact = sim.topk_cosine_bruteforce(emb, probes, k=5).collect()
+    approx = sim.lsh_topk_cosine(emb, probes, k=5).collect()
+    exact_set = {(r.probe_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 hyperplanes ⇒ each probe scans ~1/16 of the corpus; same-bucket
+    # neighbors are cosine-correlated so recall must beat random (~6%).
+    assert recall >= 0.3, f"LSH recall {recall} too low"
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNG" + b"a" * 100), ("image/png", 10, 10, None)),
+        (2, "video", bytearray(b"\x00\x00ftyp" + b"b" * 500), ("video/mp4", 64, 48, 3500)),
+        (3, "audio", bytearray(b"RIFF" + b"c" * 50), ("audio/wav", None, None, 2000)),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_media_fake(spark, media):
+    out = mm.decode_media(media, fake=True).collect()
+    assert {r.media_id for r in out} == {1, 2, 3}
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].n_bytes == 104
+    assert len(by_id[2].feature) == 8
+    assert by_id[3].checksum == sum(b"RIFF" + b"c" * 50) % 1_000_000_007
+
+
+def test_decode_media_real_path_is_stubbed(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|not present"):
+        mm.decode_media(media, fake=False).collect()
+
+
+def test_frame_sample(spark, media):
+    frames = mm.frame_sample(media, every_ms=1000).collect()
+    assert {r.frame_ts_ms for r in frames} == {0, 1000, 2000, 3000}
+    assert all(r.media_id == 2 for r in frames)
+
+
+def test_repartition_for_media(spark, media):
+    df = mm.repartition_for_media(media, 4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 3
