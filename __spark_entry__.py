@@ -230,6 +230,16 @@ NO_ORACLE = ("q_similarity_lsh",)
 PROBE_IDS = list(range(10))
 
 
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (1h) counts+sums per event_type — batch
+    twin of the streaming windowed aggregation (streaming/windows.py)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via hash group-by, keeping min doc_id."""
     return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -301,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partitioned_layout": q_partitioned_layout,
         "q_shard_fanout_topn": q_shard_fanout_topn,
         "q_session_window": q_session_window,
+        "q_tumbling_window": q_tumbling_window,
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
         "q_text_stats": q_text_stats,
@@ -467,6 +478,13 @@ def _extension_oracles() -> dict[str, str]:
     paircos = duck_cosine("ea", "eb", 64)
 
     return {
+        "q_tumbling_window": """
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "q_dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)

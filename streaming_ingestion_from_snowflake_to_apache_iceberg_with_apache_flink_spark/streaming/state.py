@@ -1,0 +1,69 @@
+"""Per-key stateful streaming: the reference's offset state machine as
+``applyInPandasWithState`` (SURVEY.md §1.4: the Spark analogue of Flink's
+keyed ``ValueState`` + timers, ``SnowflakeProcessFunction.java:21-23,46-85``).
+
+The control-table design in ``streaming.ingest`` is the default path (plain
+DataFrames, restart-safe, inspectable). This module is the in-stream
+alternative: state lives in the streaming checkpoint, one group per shard,
+exactly like the reference's keyed operator. Used when the offset decision
+must happen inside the stream (e.g. per-shard rate limiting) rather than
+between micro-batches.
+
+Group-state semantics mirrored from the reference:
+* first record for a key bootstraps state (offset=0) — O4;
+* every batch advances the offset by the rows seen — O7;
+* state never resets (the reference's reset branch is dead code,
+  ``SnowflakeProcessFunction.java:113-115``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType([T.StructField("offset", T.LongType())])
+
+PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_value", T.StringType()),
+        T.StructField("batch_rows", T.LongType()),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+
+def _track(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    offset = state.get[0] if state.exists else 0  # O4 bootstrap
+    rows = 0
+    for pdf in pdfs:
+        rows += len(pdf)
+    offset += rows  # O7: monotone advance, never reset
+    state.update((offset,))
+    yield pd.DataFrame(
+        {"shard_value": [key[0]], "batch_rows": [rows], "offset": [offset]}
+    )
+
+
+def track_offsets(stream: DataFrame, shard_column: str) -> DataFrame:
+    """Per-shard running row offsets over a (streaming) DataFrame.
+
+    Each micro-batch emits one progress row per shard with the advanced
+    offset — the keyed-state core of the reference job, minus the JDBC
+    side effect (which lives in the cycle engine where it belongs: I/O in
+    stateful streaming operators pins connections inside executors).
+    """
+    return stream.groupBy(shard_column).applyInPandasWithState(
+        _track,
+        outputStructType=PROGRESS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

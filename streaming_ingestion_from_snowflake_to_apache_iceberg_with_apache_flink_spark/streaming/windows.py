@@ -1,0 +1,93 @@
+"""Event-time windowing — the streaming semantics the reference lacks but
+the category implies (SURVEY.md §2.3: watermarks, tumbling/sliding/session
+windows, late data; the reference has only processing-time timers,
+``SnowflakeProcessFunction.java:61,78``).
+
+Every operator takes either a batch or a streaming DataFrame — the plan is
+identical; on a stream the watermark bounds state. Batch-checkable twins
+(tumbling counts, sessionization via lag+cumsum in ``operators.sessions``)
+carry the oracle checks; the streaming forms are exercised end-to-end in
+tests via file streams + ``availableNow``.
+
+Scale notes: windowed aggregation shuffles on (key, window) — partial
+aggregation happens map-side, and the watermark is what lets Spark drop
+window state; an unbounded-lateness stream at 100 TB/day otherwise grows
+state forever. Sliding windows multiply rows by windows-per-event at the
+*aggregation* level (not storage); keep slide ≥ length/4 in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(events: DataFrame, ts_column: str, delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound: rows later than max(event time) - delay are dropped
+    from stateful operators (streaming only; a no-op plan node in batch)."""
+    return events.withWatermark(ts_column, delay)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_column: str = "ts",
+    key: str = "event_type",
+    length: str = "1 hour",
+) -> DataFrame:
+    """Per-key tumbling-window count + sum(value); window start as epoch-ms
+    so the result is oracle-comparable (DuckDB: date_trunc/time_bucket)."""
+    return (
+        events.groupBy(key, F.window(ts_column, length).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            key,
+            (F.unix_micros(F.col("w.start")) / F.lit(1000)).cast("long").alias("window_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    ts_column: str = "ts",
+    key: str = "event_type",
+    length: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Per-key sliding-window average of ``value``."""
+    return (
+        events.groupBy(key, F.window(ts_column, length, slide).alias("w"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            (F.unix_micros(F.col("w.start")) / F.lit(1000)).cast("long").alias("window_start_ms"),
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_column: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Native gap-based session windows (``F.session_window``). Semantics
+    match the batch lag+cumsum form in ``operators.sessions`` (same gap
+    closure rule: a new session starts when the inter-event gap exceeds
+    ``gap``)."""
+    return (
+        events.groupBy(key, F.session_window(ts_column, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            (F.unix_micros(F.col("w.start")) / F.lit(1000)).cast("long").alias("start_ms"),
+            (F.unix_micros(F.col("w.end")) / F.lit(1000)).cast("long").alias("end_ms"),
+            "n_events",
+        )
+    )

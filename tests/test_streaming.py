@@ -1,0 +1,163 @@
+"""Streaming semantics: windowed aggregation equivalence batch↔stream,
+watermark late-data handling, and the applyInPandasWithState offset
+machine (SURVEY.md M3)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+    session_stats,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+    load_table,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+    track_offsets,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+    session_windows,
+    sliding_avg,
+    tumbling_counts,
+    with_watermark,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark, tmp_path, n_files=2):
+    """Events split across n parquet files → n micro-batches with
+    maxFilesPerTrigger=1."""
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "stream_src")
+    for i in range(n_files):
+        events.filter(F.col("event_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    schema = events.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path),
+        events,
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    stream, events = _events_stream(spark, tmp_path)
+    agg = tumbling_counts(with_watermark(stream, "ts", "1 hour"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.window_start_ms): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    want = {
+        (r.event_type, r.window_start_ms): (r.n_events, r.sum_value)
+        for r in tumbling_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    events = load_table(spark, SF, "events")
+    total = events.count()
+    sliding = sliding_avg(events)  # 1h windows, 30min slide
+    assert sliding.agg(F.sum("n_events")).head()[0] == 2 * total
+
+
+def test_session_window_native_matches_batch_sessionization(spark):
+    """F.session_window and the lag+cumsum batch form agree on session
+    count and per-session event totals for every user."""
+    events = load_table(spark, SF, "events")
+    native = session_windows(events, gap="30 minutes")
+    batch = session_stats(events, "user_id", "ts", "event_id", 1800)
+
+    def per_user(df, c):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.user_id, []).append(r[c])
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert per_user(native, "n_events") == per_user(batch, "n_events")
+
+
+def test_watermark_drops_late_row_into_finalized_window(spark, tmp_path):
+    """The guaranteed watermark semantic: once a window is finalized and
+    emitted (append mode), a late row for it is dropped — the window is
+    never re-emitted or re-counted. (Drops for windows that never had
+    state are best-effort in Spark and not asserted.)"""
+    schema = "k string, ts string"
+    b0 = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:05:00"),
+         ("a", "2024-01-01 12:00:00")],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("value", F.lit(1.0))
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01 12:05:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("value", F.lit(1.0))
+    late = spark.createDataFrame(
+        [("a", "2024-01-01 10:30:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("value", F.lit(1.0))
+    path = str(tmp_path / "late_src")
+    # three micro-batches: b0 seeds the 10:00 window and advances event
+    # time; b1 lets the (post-b0) watermark finalize + evict the window;
+    # the late row then arrives after eviction
+    b0.coalesce(1).write.parquet(path + "/f0")
+    b1.coalesce(1).write.parquet(path + "/f1")
+    late.coalesce(1).write.parquet(path + "/f2")
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    agg = tumbling_counts(with_watermark(stream, "ts", "10 minutes"), key="k")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")  # emits only watermark-finalized windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_out").collect()
+    # the 10:00 window was finalized after file 0 (watermark 11:50) with
+    # exactly 2 events; the late 10:30 row in file 1 must not re-open it
+    ten_oclock = [r for r in rows if r.window_start_ms == 1704103200000]
+    assert len(ten_oclock) == 1 and ten_oclock[0].n_events == 2
+
+
+def test_apply_in_pandas_with_state_offsets(spark, tmp_path):
+    stream, events = _events_stream(spark, tmp_path, n_files=2)
+    prog = track_offsets(stream, "event_type")
+    q = (
+        prog.writeStream.format("memory")
+        .queryName("offsets_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted offset per shard == total rows per shard (O7 monotone)
+    final = {}
+    for r in spark.sql("select * from offsets_out").collect():
+        final[r.shard_value] = max(final.get(r.shard_value, 0), r.offset)
+    want = {
+        r.event_type: r.n for r in events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert final == want
