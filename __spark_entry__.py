@@ -30,6 +30,9 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
     dedup as dd,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    relational as rel,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
     similarity as sim,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
@@ -230,6 +233,35 @@ NO_ORACLE = ("q_similarity_lsh",)
 PROBE_IDS = list(range(10))
 
 
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment: orders ⋈ broadcast(customer⋈nation⋈region),
+    revenue per (region, segment) — the join/agg category the reference
+    lacks (SURVEY.md §2.3)."""
+    return rel.enrich_orders(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.priority_rollup(load_table(spark, sf_dir, "orders"))
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over the volume fixture (bench headline)."""
+    return rel.lineitem_pricing(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.global_topk(load_table(spark, sf_dir, "orders"), k=25)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.segment_counts_setops(load_table(spark, sf_dir, "customer"))
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window (1h) counts+sums per event_type — batch
     twin of the streaming windowed aggregation (streaming/windows.py)."""
@@ -311,6 +343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partitioned_layout": q_partitioned_layout,
         "q_shard_fanout_topn": q_shard_fanout_topn,
         "q_session_window": q_session_window,
+        "q_join_enrich": q_join_enrich,
+        "q_rollup": q_rollup,
+        "q_lineitem_pricing": q_lineitem_pricing,
+        "q_global_topk": q_global_topk,
+        "q_set_ops": q_set_ops,
         "q_tumbling_window": q_tumbling_window,
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
@@ -478,6 +515,53 @@ def _extension_oracles() -> dict[str, str]:
     paircos = duck_cosine("ea", "eb", 64)
 
     return {
+        "q_join_enrich": """
+            SELECT r.r_name AS region, c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "q_rollup": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "q_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "q_global_topk": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 25
+        """,
+        "q_set_ops": """
+            WITH both_seg AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+                WHERE c_mktsegment = 'AUTOMOBILE'
+                UNION ALL
+                SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT * FROM both_seg
+            EXCEPT ALL
+            SELECT * FROM both_seg WHERE c_acctbal < 0
+        """,
         "q_tumbling_window": """
             SELECT event_type,
                    epoch_ms(date_trunc('hour', ts)) AS window_start_ms,

@@ -1,0 +1,101 @@
+"""Relational extensions beyond the reference's surface (SURVEY.md §2.3-2.5:
+joins, aggregation, rollup, set ops, global top-k — absent in the reference,
+provided by our engine as first-class operators).
+
+Scale notes:
+* ``enrich_orders`` — star-schema enrichment: every dimension side is
+  broadcast (region 5 / nation 25 / customer ~150k rows at sf1), so the
+  fact scan joins map-side with zero fact shuffles; the aggregation is the
+  only exchange. This is the canonical 100 TB join shape.
+* ``priority_rollup`` — ``rollup`` computes all grouping sets in one pass
+  with partial aggregation; no N-pass unions.
+* ``lineitem_pricing`` — the TPC-H Q1 shape over the volume fixture: a
+  single scan + partial agg; entirely whole-stage-codegen'd.
+* ``global_topk`` — ``orderBy().limit()`` compiles to
+  TakeOrderedAndProject: each partition keeps k rows, the driver merges —
+  never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_orders(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Revenue by region/market segment: fact ⋈ broadcast dims."""
+    dims = (
+        customer.select("c_custkey", "c_nationkey", "c_mktsegment")
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "c_mktsegment", F.col("r_name").alias("region"))
+    )
+    return (
+        orders.join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("region", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def priority_rollup(orders: DataFrame) -> DataFrame:
+    """Order counts/revenue by (priority, status) with rollup subtotals;
+    NULL grouping slots are labeled 'ALL' so the result is a plain table."""
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def lineitem_pricing(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary per (returnflag, linestatus)."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def global_topk(orders: DataFrame, k: int = 25) -> DataFrame:
+    """Global top-k by total price (deterministic tiebreak on key) —
+    TakeOrderedAndProject, not a full sort."""
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def segment_counts_setops(customer: DataFrame) -> DataFrame:
+    """Set-operation demo: customers in AUTOMOBILE ∪ BUILDING segments minus
+    those with negative balance, via unionByName/exceptAll semantics."""
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    bldg = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    both = auto.unionByName(bldg)
+    negative = both.filter(F.col("c_acctbal") < 0)
+    return both.exceptAll(negative).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
