@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.partitioning import spread
 
 _TOKENS = H.spark_tokens("text")
 
@@ -72,7 +73,7 @@ def ngram_jaccard_pairs(
     # from this cache with a cheap explode instead of re-tokenizing (at
     # scale this is the "write the inverted index once" step)
     docs = (
-        documents.selectExpr("doc_id", f"{sh} as shingles")
+        spread(documents).selectExpr("doc_id", f"{sh} as shingles")
         .selectExpr("doc_id", "shingles", "size(shingles) as n_sh")
         .persist()
     )
@@ -106,7 +107,7 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     Each shingle is md5-hashed once; the k permutations are cheap affine
     maps over that hash array."""
     sh = H.spark_shingles(_TOKENS, n)
-    hashed = documents.selectExpr(
+    hashed = spread(documents).selectExpr(
         "doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as hs"
     )
     return hashed.selectExpr("doc_id", f"{H.spark_minhash('hs')} as mh")
@@ -167,7 +168,7 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     ``bits`` conditional sums over the exploded token relation — one
     partial-agg shuffle, fully codegen'd, and portable to the oracle.
     """
-    tok = documents.selectExpr(
+    tok = spread(documents).selectExpr(
         "doc_id", f"explode(array_distinct({_TOKENS})) as token"
     ).selectExpr("doc_id", f"{H.spark_h32('token')} as h")
     aggs = [

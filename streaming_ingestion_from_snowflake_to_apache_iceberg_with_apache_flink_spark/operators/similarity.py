@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..functions.vectors import cosine, dot, norm, to_double
 
 
@@ -47,7 +48,7 @@ def topk_cosine_bruteforce(
     probes = _with_norm(
         embeddings.filter(F.col("vec_id").isin(probe_ids)), "probe_id", "pe"
     )
-    corpus = _with_norm(embeddings, "neighbor_id", "ce")
+    corpus = _with_norm(spread(embeddings), "neighbor_id", "ce")
     scored = (
         F.broadcast(probes)
         .join(corpus, F.col("probe_id") != F.col("neighbor_id"))
@@ -76,7 +77,7 @@ def neardup_embedding_pairs(
     vector and the normed relation is persisted so the self-join does not
     recompute the cast/norm subtree on both sides.
     """
-    e = embeddings.select(
+    e = spread(embeddings).select(
         "vec_id",
         "label",
         to_double("embedding").alias("e"),
@@ -141,7 +142,7 @@ def lsh_topk_cosine(
     near neighbor most plausibly flips), trading (planes+1)× candidates for
     much higher recall — still a bounded bucket join, never O(N²)."""
     e = (
-        embeddings.select(
+        spread(embeddings).select(
             F.col("vec_id"),
             to_double("embedding").alias("e"),
             norm(to_double("embedding")).alias("n"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.partitioning import spread
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deterministic and mirrored into the oracle SQL; real corpora
@@ -116,7 +117,7 @@ def fingerprint(documents: DataFrame, n: int = 3, keep: int = 4) -> DataFrame:
     content signature; stable under small edits)."""
     sh = H.spark_shingles(_TOKENS, n)
     hashes = f"array_sort(transform({sh}, s -> {H.spark_h32('s')}))"
-    return documents.selectExpr(
+    return spread(documents).selectExpr(
         "doc_id",
         f"array_join(slice({hashes}, 1, {keep}), '-') as fingerprint",
     )
