@@ -309,6 +309,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 3 near-dup pairs over the 60-bit SimHash, candidates via
+    the 4×15-bit banding self-join (Manku et al. WWW'07 layout)."""
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_cosine_bruteforce(
         load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5
@@ -358,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_topk_cosine": q_topk_cosine,
         "q_neardup_embedding": q_neardup_embedding,
         "q_similarity_lsh": q_similarity_lsh,
@@ -680,6 +687,38 @@ def _extension_oracles() -> dict[str, str]:
                             FROM documents))
                 GROUP BY doc_id
             )
+        """,
+        "q_dedup_simhash_pairs": f"""
+            WITH sigs AS (
+                SELECT doc_id, ({H.duck_simhash_sig()})::BIGINT AS simhash
+                FROM (
+                    SELECT doc_id, {H.duck_simhash_sums()}
+                    FROM (SELECT doc_id,
+                                 {H.duck_h32('token')} AS hl,
+                                 {H.duck_h32("'x:' || token")} AS hh
+                          FROM (SELECT doc_id,
+                                       unnest(list_distinct({toks})) AS token
+                                FROM documents))
+                    GROUP BY doc_id
+                )
+            ), bands AS (
+                SELECT doc_id, simhash,
+                       unnest({H.duck_simhash_bands()}) AS band_key
+                FROM sigs
+            ), kept AS (
+                SELECT band_key FROM bands GROUP BY band_key
+                HAVING count(*) <= 200
+            ), b2 AS (
+                SELECT bands.* FROM bands JOIN kept USING (band_key)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.simhash AS sh_a, b.simhash AS sh_b
+                FROM b2 a JOIN b2 b
+                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   bit_count(xor(sh_a, sh_b))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         """,
         "q_topk_cosine": f"""
             WITH e AS (

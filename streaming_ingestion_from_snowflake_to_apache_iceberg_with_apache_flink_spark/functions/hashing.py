@@ -26,6 +26,15 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 #: prime > 2^32 for the affine permutations h_j(x) = (a_j * x + b_j) mod p
 MINHASH_P = 4_294_967_311
 
+#: SimHash pair-matching layout (Manku et al., WWW'07, scaled to 60 bits so
+#: the signature stays inside a signed 64-bit integer in both engines): the
+#: signature is two salted 30-bit halves; 4 bands × 15 bits guarantee every
+#: pair within Hamming distance ≤ SIMHASH_BANDS-1 = 3 shares ≥ 1 band key.
+SIMHASH_BITS = 60
+SIMHASH_HALF = 30
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
 
 def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
     """Fixed affine coefficients (a_j odd, b_j) — deterministic, shared by
@@ -62,6 +71,60 @@ def spark_minhash(hashes_expr: str) -> str:
         for a, b in minhash_coeffs()
     )
     return f"array({parts})"
+
+
+def _simhash_sums(shift_fmt: str, lo: str, hi: str) -> list[str]:
+    """±1 bit-vote partial sums b0..b59 over per-token hash columns ``lo``
+    (bits 0-29) and ``hi`` (bits 30-59). ``shift_fmt`` is the dialect's
+    right-shift template with {e} and {i} slots."""
+    return [
+        "sum(CASE WHEN ("
+        + shift_fmt.format(e=(lo if i < SIMHASH_HALF else hi), i=i % SIMHASH_HALF)
+        + f") & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    ]
+
+
+def spark_simhash_sums(lo: str = "hl", hi: str = "hh") -> list[str]:
+    return _simhash_sums("shiftright({e}, {i})", lo, hi)
+
+
+def duck_simhash_sums(lo: str = "hl", hi: str = "hh") -> str:
+    return ", ".join(_simhash_sums("({e} >> {i})", lo, hi))
+
+
+def spark_simhash_sig() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN cast({1 << i} as bigint) ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+
+
+def duck_simhash_sig() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+
+
+def spark_simhash_bands(sig: str = "simhash") -> str:
+    """Array of SIMHASH_BANDS band-key strings for the banding self-join."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keys = ", ".join(
+        f"concat('{b}:', cast(shiftright({sig}, {b * SIMHASH_BAND_BITS}) & {mask}"
+        " as string))"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"array({keys})"
+
+
+def duck_simhash_bands(sig: str = "simhash") -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keys = ", ".join(
+        f"'{b}:' || (({sig} >> {b * SIMHASH_BAND_BITS}) & {mask})::VARCHAR"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"[{keys}]"
 
 
 # -- DuckDB oracle fragments ------------------------------------------------

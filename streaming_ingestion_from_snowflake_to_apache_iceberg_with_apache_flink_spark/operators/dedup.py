@@ -183,3 +183,64 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
         for i in range(bits)
     )
     return sums.selectExpr("doc_id", f"cast({sig} as bigint) as simhash")
+
+
+def simhash_wide(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per document (two salted 30-bit halves, so the
+    signature fits a signed 64-bit integer in both engines).
+
+    Wider than :func:`simhash` so Hamming proximity is a usable near-dup
+    signal (32 bits saturates on corpora with heavy token overlap); the
+    width/banding layout is the Manku et al. WWW'07 design scaled to 60.
+    """
+    salted = "concat('x:', token)"
+    tok = spread(documents).selectExpr(
+        "doc_id", f"explode(array_distinct({_TOKENS})) as token"
+    ).selectExpr(
+        "doc_id",
+        f"{H.spark_h32('token')} as hl",
+        f"{H.spark_h32(salted)} as hh",
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[F.expr(frag) for frag in H.spark_simhash_sums()]
+    )
+    return sums.selectExpr(
+        "doc_id", f"cast({H.spark_simhash_sig()} as bigint) as simhash"
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Hamming-proximity near-dup pairs over the 60-bit SimHash.
+
+    Candidate generation is the banding self-join: 4 bands × 15 bits, so any
+    pair within Hamming ≤ 3 agrees on ≥ 1 band (pigeonhole) — candidate
+    recall is exact, never O(N²). Oversized band buckets (> ``max_bucket``,
+    degenerate boilerplate clusters) are dropped — declared semantics,
+    mirrored in the oracle. Exact Hamming distance reranks candidates.
+    """
+    sigs = simhash_wide(documents).persist()
+    bands = sigs.selectExpr(
+        "doc_id", "simhash", f"explode({H.spark_simhash_bands()}) as band_key"
+    )
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    bands = bands.join(
+        sizes.filter(F.col("bs") <= max_bucket).select("band_key"), "band_key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.selectExpr(
+        "doc_a", "doc_b", "cast(bit_count(sh_a ^ sh_b) as int) as hamming"
+    ).filter(F.col("hamming") <= max_hamming)

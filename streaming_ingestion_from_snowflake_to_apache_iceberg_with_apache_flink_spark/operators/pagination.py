@@ -64,10 +64,26 @@ def pages_union(
 ) -> DataFrame:
     """O6+O7 completeness: the union of successive pages. With the total
     order, ``⋃_{i<n} page(i)`` == the first ``n*size`` rows of the shard —
-    the pagination-completeness property as a single plan (the rn-range
-    predicates union into one range; Catalyst sees through it)."""
+    the pagination-completeness property as a single plan.
+
+    The ranking runs ONCE over the pre-filtered shard and the first
+    ``n*size`` ranked rows are cached; each page is then a cheap rn-range
+    filter over the cache. Without this, every union branch would recompute
+    the scan + window sort (n× the work — the plan-reuse analogue of the
+    reference re-running ``ORDER BY`` per page,
+    SnowflakeProcessFunction.java:93-94)."""
+    base = (
+        ranked(
+            df.filter(F.col(shard_column) == F.lit(shard_value)),
+            shard_column,
+            sort_column,
+            tiebreaker,
+        )
+        .filter(F.col("rn") <= size * n_pages)
+        .persist()
+    )
     parts = [
-        page(df, shard_column, shard_value, sort_column, tiebreaker, i * size, size)
+        base.filter(F.col("rn").between(i * size + 1, (i + 1) * size))
         for i in range(n_pages)
     ]
     out = parts[0]
