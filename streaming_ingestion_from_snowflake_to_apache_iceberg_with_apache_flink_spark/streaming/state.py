@@ -26,6 +26,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 STATE_SCHEMA = T.StructType([T.StructField("offset", T.LongType())])
 
@@ -49,6 +53,58 @@ def _track(
     state.update((offset,))
     yield pd.DataFrame(
         {"shard_value": [key[0]], "batch_rows": [rows], "offset": [offset]}
+    )
+
+
+class OffsetProcessor(StatefulProcessor):
+    """The same offset machine on the Spark 4 ``transformWithState`` API.
+
+    Differences from ``applyInPandasWithState`` that matter operationally:
+    state is schema-evolvable and per-state-variable (``getValueState``),
+    timers are first-class (the natural home for the reference's per-key
+    processing-time timer, ``SnowflakeProcessFunction.java:76-85``), and the
+    backing store is RocksDB — at 1000 executors that means state scales
+    past executor heap. Requires the RocksDB state store provider conf
+    (see ``track_offsets_tws``).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._offset = handle.getValueState("offset", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        offset = self._offset.get()[0] if self._offset.exists() else 0  # O4
+        n = sum(len(pdf) for pdf in rows)
+        offset += n  # O7: monotone advance, never reset
+        self._offset.update((offset,))
+        yield pd.DataFrame(
+            {"shard_value": [key[0]], "batch_rows": [n], "offset": [offset]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def track_offsets_tws(stream: DataFrame, shard_column: str) -> DataFrame:
+    """``track_offsets`` on ``transformWithStateInPandas``.
+
+    Needs the ``protobuf`` package at runtime (the TWS Python worker's
+    control channel; absent in this sandbox, so the test is skip-gated —
+    ``applyInPandasWithState``/``track_offsets`` is the tested path here).
+    The session must run the RocksDB state store provider::
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    """
+    return stream.groupBy(shard_column).transformWithStateInPandas(
+        OffsetProcessor(),
+        outputStructType=PROGRESS_SCHEMA,
+        outputMode="update",
+        timeMode="none",
     )
 
 

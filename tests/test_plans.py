@@ -67,6 +67,38 @@ def test_session_stats_reuses_exchange(spark):
     assert count_exchanges(df) <= 2
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key at the same bucket count must
+    SortMergeJoin with ZERO Exchange nodes — the write-once-shuffle-never
+    layout sinks/bucketed.py promises (auto-broadcast disabled so a small
+    fixture can't hide the shuffle behind a broadcast)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    write_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice")
+                   .withColumnRenamed("o_custkey", "c_custkey"),
+                   "b_orders", "c_custkey", 8)
+    write_bucketed(customer.select("c_custkey", "c_mktsegment"),
+                   "b_customer", "c_custkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_orders", "b_customer", "c_custkey")
+        assert count_exchanges(joined) == 0
+        expected = (
+            orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_whole_stage_codegen_covers_cast_projection(spark):
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.staging import (
         snowflake_like_typed,

@@ -20,6 +20,7 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
     track_offsets,
+    track_offsets_tws,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
     session_windows,
@@ -140,12 +141,12 @@ def test_watermark_drops_late_row_into_finalized_window(spark, tmp_path):
     assert len(ten_oclock) == 1 and ten_oclock[0].n_events == 2
 
 
-def test_apply_in_pandas_with_state_offsets(spark, tmp_path):
+def _run_offset_tracker(spark, tmp_path, tracker, sink_name):
     stream, events = _events_stream(spark, tmp_path, n_files=2)
-    prog = track_offsets(stream, "event_type")
+    prog = tracker(stream, "event_type")
     q = (
         prog.writeStream.format("memory")
-        .queryName("offsets_out")
+        .queryName(sink_name)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
@@ -153,7 +154,7 @@ def test_apply_in_pandas_with_state_offsets(spark, tmp_path):
     q.awaitTermination(120)
     # last emitted offset per shard == total rows per shard (O7 monotone)
     final = {}
-    for r in spark.sql("select * from offsets_out").collect():
+    for r in spark.sql(f"select * from {sink_name}").collect():
         final[r.shard_value] = max(final.get(r.shard_value, 0), r.offset)
     want = {
         r.event_type: r.n for r in events.groupBy("event_type").agg(
@@ -161,3 +162,40 @@ def test_apply_in_pandas_with_state_offsets(spark, tmp_path):
         ).collect()
     }
     assert final == want
+
+
+def test_apply_in_pandas_with_state_offsets(spark, tmp_path):
+    _run_offset_tracker(spark, tmp_path, track_offsets, "offsets_out")
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas drives its Python worker over a protobuf
+    channel; without the protobuf package the worker cannot start."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package for its "
+    "state-server channel; unavailable in this sandbox",
+)
+def test_transform_with_state_offsets(spark, tmp_path):
+    """The same O4/O7 semantics on the Spark 4 transformWithState API
+    (RocksDB-backed state — the 100 TB state path)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_offset_tracker(spark, tmp_path, track_offsets_tws, "offsets_tws_out")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
