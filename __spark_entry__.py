@@ -336,6 +336,14 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with deterministic seed centroids — approximate by cell
+    restriction yet exactly oracle-checkable (deterministic assignment)."""
+    return sim.ivf_topk_cosine(
+        load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -368,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_cosine": q_topk_cosine,
         "q_neardup_embedding": q_neardup_embedding,
         "q_similarity_lsh": q_similarity_lsh,
+        "q_similarity_ivf": q_similarity_ivf,
     }
 
 
@@ -735,6 +744,37 @@ def _extension_oracles() -> dict[str, str]:
                     PARTITION BY probe_id
                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
                 FROM scored
+            ) WHERE rank <= 5
+        """,
+        "q_similarity_ivf": f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), seeds AS (
+                SELECT vec_id AS seed_id, emb AS se FROM e WHERE vec_id < 16
+            ), scored AS (
+                SELECT e.vec_id, e.emb, seed_id,
+                       round({duck_cosine('emb', 'se', 64)}, 4) AS csim
+                FROM e CROSS JOIN seeds
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, seed_id) AS crn
+                FROM scored
+            ), assign AS (
+                SELECT vec_id, seed_id AS cell, emb FROM ranked WHERE crn = 1
+            ), pcells AS (
+                SELECT vec_id AS probe_id, seed_id AS cell, emb AS pemb
+                FROM ranked WHERE vec_id < 10 AND crn <= 2
+            ), rer AS (
+                SELECT p.probe_id, a.vec_id AS neighbor_id,
+                       round({duck_cosine('p.pemb', 'a.emb', 64)}, 4) AS sim
+                FROM pcells p JOIN assign a USING (cell)
+                WHERE a.vec_id <> p.probe_id
+            )
+            SELECT probe_id, neighbor_id, sim, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+                FROM rer
             ) WHERE rank <= 5
         """,
         "q_neardup_embedding": f"""

@@ -102,6 +102,74 @@ def neardup_embedding_pairs(
     )
 
 
+def ivf_topk_cosine(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into ``n_cells``
+    inverted lists by nearest centroid; each probe searches only its
+    ``n_probe_cells`` closest cells with an exact cosine rerank.
+
+    Centroids here are *deterministic seed vectors* (the ``n_cells`` lowest
+    ``vec_id`` rows) instead of trained k-means means, which makes the whole
+    query value-checkable against the SQL oracle — the plan shape (broadcast
+    centroid table → argmax assignment → cell-restricted candidate join) is
+    byte-for-byte the production IVF one; swapping in trained centroids
+    changes only the seed relation. Scale: assignment is one N×K broadcast
+    join (no shuffle of the corpus); the candidate join touches
+    N·n_probe_cells/n_cells rows per probe, never O(N²).
+    """
+    e = spread(embeddings).select(
+        "vec_id",
+        to_double("embedding").alias("e"),
+        norm(to_double("embedding")).alias("n"),
+    ).persist()
+    seeds = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("e").alias("se"),
+        F.col("n").alias("sn"),
+    )
+    scored = e.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "e",
+        "n",
+        "seed_id",
+        _sim_prenorm(F.col("e"), F.col("se"), F.col("n"), F.col("sn")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("seed_id").asc()
+    )
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", F.col("seed_id").alias("cell"), "e", "n"
+    )
+    pcells = (
+        ranked.filter(F.col("vec_id").isin(probe_ids))
+        .filter(F.col("crn") <= n_probe_cells)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("seed_id").alias("cell"),
+            F.col("e").alias("pe"),
+            F.col("n").alias("pn"),
+        )
+    )
+    cand = F.broadcast(pcells).join(
+        assign, on="cell"
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    rer = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _sim_prenorm(F.col("pe"), F.col("e"), F.col("pn"), F.col("n")).alias("sim"),
+    )
+    wk = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rer.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
 def _plane_component(p: int, d: int) -> int:
     """Deterministic ±1 hyperplane components via the portable h32."""
     import hashlib

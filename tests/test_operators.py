@@ -190,6 +190,40 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"LSH recall {recall} too low"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    probes = list(range(10))
+    exact = sim.topk_cosine_bruteforce(emb, probes, k=5).collect()
+    approx = sim.ivf_topk_cosine(emb, probes, k=5).collect()
+    exact_set = {(r.probe_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 2 of 16 cells probed ⇒ ~1/8 of the corpus scanned; nearest-cell
+    # membership is cosine-correlated so recall must beat random (~12%).
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+    # every probe still returns a full top-k
+    assert len(approx) == len(probes) * 5
+
+
+def test_simhash_pairs_exact_recall(spark):
+    """The 4×15-bit banding must surface EVERY pair within Hamming ≤ 3
+    (pigeonhole guarantee) when no bucket overflows — cross-checked against
+    a brute-force pair scan of the signatures."""
+    docs = load_table(spark, SF, "documents")
+    sigs = {r.doc_id: r.simhash for r in dd.simhash_wide(docs).collect()}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in dd.simhash_pairs(docs, max_bucket=10**9).collect()
+    }
+    assert banded == brute
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 
