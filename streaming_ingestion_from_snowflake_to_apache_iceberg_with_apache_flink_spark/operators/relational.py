@@ -89,6 +89,41 @@ def global_topk(orders: DataFrame, k: int = 25) -> DataFrame:
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key over ``salt`` reducers.
+
+    Left rows get a deterministic salt in ``0..salt-1`` (hash of the whole
+    row, so a hot key's rows spread evenly); right rows are replicated once
+    per salt value; the join runs on ``(key, salt)``, so one hot key's work
+    lands on ``salt`` tasks instead of one straggler. Result set identical
+    to ``left.join(right, on, how)``.
+
+    When to reach for this at 100 TB: AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) already rescues sort-merge joins at
+    runtime and is the default answer; explicit salting is for the cases
+    AQE can't touch — aggregation-before-join pipelines, bucketed tables
+    (where AQE won't re-split a co-located join), or a known pathological
+    key where replicating the small side ``salt``× is cheaper than a
+    runtime re-plan. Supported ``how``: inner/left (right-side replication
+    preserves those semantics).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_left.join(salted_right, on=[on, "__salt"], how=how).drop("__salt")
+
+
 def segment_counts_setops(customer: DataFrame) -> DataFrame:
     """Set-operation demo: customers in AUTOMOBILE ∪ BUILDING segments minus
     those with negative balance, via unionByName/exceptAll semantics."""

@@ -26,6 +26,9 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
     multimodal as mm,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    relational as rel,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
     similarity as sim,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
@@ -222,6 +225,28 @@ def test_simhash_pairs_exact_recall(spark):
         for r in dd.simhash_pairs(docs, max_bucket=10**9).collect()
     }
     assert banded == brute
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be invisible in the result set: same rows as the plain
+    join for inner AND left (including unmatched left rows)."""
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    # poke a hole so the left join has unmatched rows
+    cust_holed = cust.filter(F.col("o_custkey") % 7 != 0)
+    for how in ("inner", "left"):
+        plain = orders.join(cust_holed, "o_custkey", how)
+        salted = rel.salted_join(
+            orders, cust_holed, "o_custkey", salt=4, how=how
+        ).select(*plain.columns)
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+    with pytest.raises(ValueError):
+        rel.salted_join(orders, cust, "o_custkey", how="full")
 
 
 # -- multimodal plumbing ----------------------------------------------------
