@@ -245,6 +245,25 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (hot keys spread over 8 reducers);
+    result must be identical to the plain join the oracle runs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        rel.salted_join(orders, cust, "o_custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.priority_rollup(load_table(spark, sf_dir, "orders"))
 
@@ -358,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_fanout_topn": q_shard_fanout_topn,
         "q_session_window": q_session_window,
         "q_join_enrich": q_join_enrich,
+        "q_salted_join": q_salted_join,
         "q_rollup": q_rollup,
         "q_lineitem_pricing": q_lineitem_pricing,
         "q_global_topk": q_global_topk,
@@ -541,6 +561,12 @@ def _extension_oracles() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
         """,
+        "q_salted_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
         "q_rollup": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                    coalesce(o_orderstatus, 'ALL') AS status,
@@ -635,7 +661,9 @@ def _extension_oracles() -> dict[str, str]:
         "q_dedup_ngram_jaccard": f"""
             WITH sized AS (
                 SELECT doc_id, sh, len(sh) AS n_sh
-                FROM (SELECT doc_id, {sh3} AS sh FROM documents)
+                FROM (SELECT doc_id,
+                             list_transform({sh3}, s -> {H.duck_h32('s')}) AS sh
+                      FROM documents)
             ), inv AS (
                 SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized
             ), kept AS (

@@ -66,14 +66,21 @@ def ngram_jaccard_pairs(
 
     J(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-gram shingle
     sets; only pairs sharing ≥1 (non-ubiquitous) shingle are candidates.
+
+    The posting lists carry the 8-byte h32 of each shingle, not the ~n-word
+    string — the self-join shuffles a fixed-width bigint key (declared
+    semantics: Jaccard over hashed shingles; the oracle computes the same
+    h32, so any collision affects both engines identically).
     """
     sh = H.spark_shingles(_TOKENS, n)
-    # persist the per-doc shingle sets (one narrow row per doc): everything
-    # downstream — posting lists, df counts, both self-join sides — derives
-    # from this cache with a cheap explode instead of re-tokenizing (at
-    # scale this is the "write the inverted index once" step)
+    # persist the per-doc hashed-shingle sets (one narrow row per doc):
+    # everything downstream — posting lists, df counts, both self-join
+    # sides — derives from this cache with a cheap explode instead of
+    # re-tokenizing (at scale this is the "write the inverted index once"
+    # step)
     docs = (
-        spread(documents).selectExpr("doc_id", f"{sh} as shingles")
+        spread(documents)
+        .selectExpr("doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as shingles")
         .selectExpr("doc_id", "shingles", "size(shingles) as n_sh")
         .persist()
     )
