@@ -304,6 +304,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter/digit/punct token classes)."""
+    return tx.token_classes(load_table(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(load_table(spark, sf_dir, "documents"))
 
@@ -386,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
         "q_text_stats": q_text_stats,
+        "q_token_classes": q_token_classes,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -629,6 +635,16 @@ def _extension_oracles() -> dict[str, str]:
                    round(avg(len({toks})), 4) AS avg_tokens,
                    sum(len({toks}))::BIGINT AS total_tokens
             FROM documents GROUP BY lang
+        """,
+        "q_token_classes": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{tx.BPE_ISH}'))::INT
+                       AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+'))::INT AS n_words,
+                   len(regexp_extract_all(text, '[0-9]+'))::INT AS n_numbers,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::INT
+                       AS n_punct
+            FROM documents
         """,
         "q_lang_id": f"""
             SELECT doc_id, lang, {', '.join('score_' + l for l in langs)},

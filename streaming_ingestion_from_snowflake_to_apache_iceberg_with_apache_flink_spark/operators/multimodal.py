@@ -106,6 +106,43 @@ def decode_media(df: DataFrame, fake: bool = True, feature_dim: int = 8) -> Data
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched image-resize stage (same mapInPandas contract as
+    ``decode_media``): output keeps the MEDIA_SCHEMA shape with the meta
+    rewritten to the target dimensions. ``fake=True`` emits a deterministic
+    stand-in payload (length scaled by the pixel ratio) so batch shape,
+    schema, and partitioning are exercised end-to-end; ``fake=False``
+    raises where PIL would run. Non-image rows pass through untouched.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resizing requires PIL, not present in this "
+                    "container; run with fake=True for the plumbing path"
+                )
+
+            def _one(row: pd.Series) -> pd.Series:
+                if row["kind"] != "image":
+                    return row
+                meta = dict(row["meta"])
+                old_px = (meta.get("width") or 1) * (meta.get("height") or 1)
+                ratio = (width * height) / max(old_px, 1)
+                n = max(1, int(len(row["content"]) * min(ratio, 1.0)))
+                row = row.copy()
+                row["content"] = bytes(row["content"])[:n]
+                meta["width"], meta["height"] = width, height
+                row["meta"] = meta
+                return row
+
+            yield pdf.apply(_one, axis=1)
+
+    return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per sampled timestamp, bytes kept
     opaque. The explode is Catalyst-side; the (stubbed) per-frame decode

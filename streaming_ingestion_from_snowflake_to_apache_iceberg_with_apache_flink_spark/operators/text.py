@@ -42,6 +42,36 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization pattern (the GPT-2-style split reduced to the
+#: regex subset Java regex and RE2 treat identically): letter runs, digit
+#: runs, and single non-alphanumeric marks each become one token.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_classes(documents: DataFrame) -> DataFrame:
+    """Per-document BPE-ish token counts by class (letters/digits/punct).
+
+    Whitespace counting (``token_count``) approximates words; this is the
+    pre-tokenizer a BPE vocabulary would consume, so its count tracks LLM
+    token budgets far more closely. One Catalyst projection, no UDF."""
+    text = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+"), F.lit(0))).alias(
+            "n_words"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(r"[0-9]+"), F.lit(0))).alias(
+            "n_numbers"
+        ),
+        F.size(
+            F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).alias("n_punct"),
+    )
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-language corpus stats (the q_text_stats contract)."""
     toks = documents.selectExpr("lang", "n_chars", f"size({_TOKENS}) as n_tokens")

@@ -276,6 +276,18 @@ def test_decode_media_real_path_is_stubbed(spark, media):
         mm.decode_media(media, fake=False).collect()
 
 
+def test_resize_images_fake(spark, media):
+    out = {r.media_id: r for r in mm.resize_images(media, 5, 5, fake=True).collect()}
+    assert len(out) == 3
+    # image meta rewritten to target dims, payload shrunk by pixel ratio
+    assert (out[1].meta.width, out[1].meta.height) == (5, 5)
+    assert len(out[1].content) == 26  # 104 bytes × (25/100 px ratio)
+    # non-image rows untouched
+    assert out[3].meta.duration_ms == 2000 and len(out[3].content) == 54
+    with pytest.raises(Exception, match="NotImplementedError|not present"):
+        mm.resize_images(media, 5, 5, fake=False).collect()
+
+
 def test_frame_sample(spark, media):
     frames = mm.frame_sample(media, every_ms=1000).collect()
     assert {r.frame_ts_ms for r in frames} == {0, 1000, 2000, 3000}
