@@ -273,6 +273,23 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.lineitem_pricing(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → agg → top-k."""
+    out = rel.shipping_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    return out.select(
+        "l_orderkey", ts_ms("o_orderdate").alias("o_orderdate_ms"), "revenue"
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (rows unbounded preceding)."""
+    return rel.running_revenue(load_table(spark, sf_dir, "orders"))
+
+
 def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.global_topk(load_table(spark, sf_dir, "orders"), k=25)
 
@@ -385,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_rollup": q_rollup,
         "q_lineitem_pricing": q_lineitem_pricing,
+        "q_shipping_priority": q_shipping_priority,
+        "q_running_total": q_running_total,
         "q_global_topk": q_global_topk,
         "q_set_ops": q_set_ops,
         "q_tumbling_window": q_tumbling_window,
@@ -591,6 +610,29 @@ def _extension_oracles() -> dict[str, str]:
                    round(avg(l_discount), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY 1, 2
+        """,
+        "q_shipping_priority": """
+            SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN (
+                SELECT o_orderkey, o_orderdate FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1998-06-01'
+            ) o ON l_orderkey = o_orderkey
+            WHERE l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q_running_total": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+            FROM orders
         """,
         "q_global_topk": """
             SELECT o_orderkey, o_totalprice, o_orderpriority

@@ -89,6 +89,62 @@ def global_topk(orders: DataFrame, k: int = 25) -> DataFrame:
     )
 
 
+def shipping_priority(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k open-order revenue for one market segment.
+
+    Plan at scale: both filters reach their parquet scans (segment on
+    customer, the date range split across orders/lineitem), the filtered
+    customer key-list broadcasts into orders, and only the surviving
+    orderkeys shuffle into the lineitem aggregation; the final top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    open_orders = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(open_orders, lineitem["l_orderkey"] == open_orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def running_revenue(orders: DataFrame) -> DataFrame:
+    """Cumulative revenue per priority in (orderdate, orderkey) order —
+    the rows-unbounded-preceding window-frame shape. One shuffle on the
+    priority key; the running sum is a sequential frame scan per
+    partition (cents-exact after round(2), so cross-engine stable)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

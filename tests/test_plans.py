@@ -67,6 +67,29 @@ def test_session_stats_reuses_exchange(spark):
     assert count_exchanges(df) <= 2
 
 
+def test_shipping_priority_plan_shape(spark):
+    """Q3 shape: date predicates reach both fact scans, the filtered
+    customer side broadcasts, and the top-k is TakeOrderedAndProject —
+    never a global sort."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        shipping_priority,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = shipping_priority(
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "lineitem"),
+    )
+    plan = formatted_plan(df)
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "l_shipdate")
+    assert_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan and "Sort [revenue" not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key at the same bucket count must
     SortMergeJoin with ZERO Exchange nodes — the write-once-shuffle-never
