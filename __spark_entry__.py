@@ -790,7 +790,7 @@ def _extension_oracles() -> dict[str, str]:
                     SELECT doc_id, {H.duck_simhash_sums()}
                     FROM (SELECT doc_id,
                                  {H.duck_h32('token')} AS hl,
-                                 {H.duck_h32("'x:' || token")} AS hh
+                                 {H.duck_h32b('token')} AS hh
                           FROM (SELECT doc_id,
                                        unnest(list_distinct({toks})) AS token
                                 FROM documents))

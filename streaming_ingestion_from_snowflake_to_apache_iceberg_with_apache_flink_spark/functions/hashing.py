@@ -49,6 +49,12 @@ def spark_h32(expr: str) -> str:
     return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)"
 
 
+def spark_h32b(expr: str) -> str:
+    """Second independent 32-bit hash from the SAME md5 (hex chars 9-16) —
+    two hash values for one digest computation."""
+    return f"cast(conv(substring(md5({expr}), 9, 8), 16, 10) as bigint)"
+
+
 def spark_tokens(col: str) -> str:
     """Whitespace tokenization; identical to the DuckDB regexp split."""
     return f"split(trim({col}), '\\\\s+')"
@@ -132,6 +138,10 @@ def duck_simhash_bands(sig: str = "simhash") -> str:
 
 def duck_h32(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def duck_h32b(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 9, 8))::BIGINT)"
 
 
 def duck_tokens(col: str) -> str:

@@ -199,14 +199,16 @@ def simhash_wide(documents: DataFrame) -> DataFrame:
     Wider than :func:`simhash` so Hamming proximity is a usable near-dup
     signal (32 bits saturates on corpora with heavy token overlap); the
     width/banding layout is the Manku et al. WWW'07 design scaled to 60.
+    Both halves come from ONE md5 per token (hex chars 1-8 / 9-16) — the
+    digest is the per-token cost, so this is half the hashing work of two
+    salted calls.
     """
-    salted = "concat('x:', token)"
     tok = spread(documents).selectExpr(
         "doc_id", f"explode(array_distinct({_TOKENS})) as token"
     ).selectExpr(
         "doc_id",
         f"{H.spark_h32('token')} as hl",
-        f"{H.spark_h32(salted)} as hh",
+        f"{H.spark_h32b('token')} as hh",
     )
     sums = tok.groupBy("doc_id").agg(
         *[F.expr(frag) for frag in H.spark_simhash_sums()]
