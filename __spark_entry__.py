@@ -268,6 +268,20 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.priority_rollup(load_table(spark, sf_dir, "orders"))
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.cube_summary(load_table(spark, sf_dir, "orders"))
+
+
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag/lead/ntile in one windowed pass."""
+    return rel.window_battery(load_table(spark, sf_dir, "orders"))
+
+
+def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string/date/math/JSON scalar functions, one codegen'd projection."""
+    return rel.scalar_battery(load_table(spark, sf_dir, "events"))
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape over the volume fixture (bench headline)."""
     return rel.lineitem_pricing(load_table(spark, sf_dir, "lineitem"))
@@ -401,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_enrich": q_join_enrich,
         "q_salted_join": q_salted_join,
         "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_window_battery": q_window_battery,
+        "q_scalar_battery": q_scalar_battery,
         "q_lineitem_pricing": q_lineitem_pricing,
         "q_shipping_priority": q_shipping_priority,
         "q_running_total": q_running_total,
@@ -599,6 +616,39 @@ def _extension_oracles() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "q_cube": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "q_window_battery": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(rank() OVER tied AS INT) AS rnk,
+                   CAST(dense_rank() OVER tied AS INT) AS drnk,
+                   round(lag(o_totalprice) OVER total, 2) AS prev_price,
+                   round(lead(o_totalprice) OVER total, 2) AS next_price,
+                   CAST(ntile(4) OVER total AS INT) AS quartile
+            FROM orders
+            WINDOW tied AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+                   total AS (PARTITION BY o_orderpriority
+                             ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q_scalar_battery": """
+            SELECT event_id,
+                   upper(event_type) AS ev_upper,
+                   substring(event_type, 1, 3) AS ev_pre,
+                   length(props)::INT AS props_len,
+                   json_extract_string(props, '$.k')::INT AS k,
+                   year(ts)::INT AS y, month(ts)::INT AS m,
+                   day(ts)::INT AS d, hour(ts)::INT AS h,
+                   round(sqrt(abs(value)), 4) AS sqrt_abs_value,
+                   floor(value)::BIGINT AS floor_value,
+                   (event_id % 7) AS id_mod7
+            FROM events
         """,
         "q_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -89,6 +89,66 @@ def global_topk(orders: DataFrame, k: int = 25) -> DataFrame:
     )
 
 
+def window_battery(orders: DataFrame) -> DataFrame:
+    """The window-function surface in one pass: rank/dense_rank over the
+    (tied) date order, lag/lead/ntile over the total order. Both specs
+    share one partitioning, so Catalyst plans a single exchange on the
+    priority key and two in-partition sorts."""
+    from pyspark.sql import Window
+
+    tied = Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderdate").asc())
+    total = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(tied).alias("rnk"),
+        F.dense_rank().over(tied).alias("drnk"),
+        F.round(F.lag("o_totalprice").over(total), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(total), 2).alias("next_price"),
+        F.ntile(4).over(total).alias("quartile"),
+    )
+
+
+def cube_summary(orders: DataFrame) -> DataFrame:
+    """CUBE over (priority, status): all four grouping sets in one partial-
+    aggregated pass (rollup's big sibling; NULL slots labeled 'ALL')."""
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def scalar_battery(events: DataFrame) -> DataFrame:
+    """The scalar-function surface (string/date/math/JSON) as one
+    projection — every expression a JVM builtin inside whole-stage
+    codegen, each with an exact DuckDB twin."""
+    return events.select(
+        "event_id",
+        F.upper("event_type").alias("ev_upper"),
+        F.substring("event_type", 1, 3).alias("ev_pre"),
+        F.length("props").alias("props_len"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.round(F.sqrt(F.abs("value")), 4).alias("sqrt_abs_value"),
+        F.floor("value").cast("bigint").alias("floor_value"),
+        F.pmod("event_id", F.lit(7)).alias("id_mod7"),
+    )
+
+
 def shipping_priority(
     orders: DataFrame,
     customer: DataFrame,
