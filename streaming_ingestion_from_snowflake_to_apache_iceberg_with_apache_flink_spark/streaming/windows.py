@@ -71,6 +71,29 @@ def sliding_avg(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_column: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-arrival wins per key, with state bounded
+    by the watermark (``dropDuplicatesWithinWatermark``) — duplicates
+    arriving within ``delay`` of the original are guaranteed dropped, and
+    key state older than the watermark is evicted instead of growing
+    forever. This is the stream-native face of ``operators.dedup``: at
+    100 TB/day an unbounded ``dropDuplicates`` would accumulate every key
+    ever seen; the watermark bound is what makes exactly-once-per-key
+    sustainable. On a batch DataFrame Spark rejects the within-watermark
+    form, so this falls back to plain ``dropDuplicates`` (same result on
+    finite input)."""
+    keys = keys or ["event_id"]
+    wm = events.withWatermark(ts_column, delay)
+    if events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def session_windows(
     events: DataFrame,
     ts_column: str = "ts",

@@ -25,6 +25,7 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
     session_windows,
     sliding_avg,
+    stream_dedup,
     tumbling_counts,
     with_watermark,
 )
@@ -139,6 +140,35 @@ def test_watermark_drops_late_row_into_finalized_window(spark, tmp_path):
     # exactly 2 events; the late 10:30 row in file 1 must not re-open it
     ten_oclock = [r for r in rows if r.window_start_ms == 1704103200000]
     assert len(ten_oclock) == 1 and ten_oclock[0].n_events == 2
+
+
+def test_stream_dedup_drops_within_watermark_duplicates(spark, tmp_path):
+    """Duplicate event_ids arriving in a later micro-batch (within the
+    watermark delay) must be dropped; every original key survives once."""
+    events = load_table(spark, SF, "events").select("event_id", "ts", "event_type")
+    path = str(tmp_path / "dedup_src")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    events.coalesce(1).write.parquet(path + "/f0")
+    half.coalesce(1).write.parquet(path + "/f1")  # replayed duplicates
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        stream_dedup(stream, ["event_id"], delay="3650 days")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.event_id for r in spark.sql("select event_id from dedup_out").collect()]
+    assert sorted(got) == sorted(r.event_id for r in events.collect())
+    # batch fallback: same distinct key set
+    assert stream_dedup(events, ["event_id"]).count() == len(got)
 
 
 def _run_offset_tracker(spark, tmp_path, tracker, sink_name):
