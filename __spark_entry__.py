@@ -225,10 +225,10 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # north-star extension queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
 
-#: queries with no SQL-expressible oracle (approximate-by-design); the
-#: driver records a rows-only check and pytest covers them with
-#: recall-vs-exact property tests.
-NO_ORACLE = ("q_similarity_lsh",)
+#: queries with no SQL-expressible oracle; empty — even the approximate
+#: operators (LSH / IVF) are deterministic given their seeded constants,
+#: so their oracles replay the same plane/centroid math in SQL.
+NO_ORACLE: tuple[str, ...] = ()
 
 PROBE_IDS = list(range(10))
 
@@ -555,6 +555,53 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _lsh_oracle(dim: int = 64, planes: int = 4, k: int = 5) -> str:
+    """Exact oracle for the random-hyperplane LSH top-k: the ±1 plane
+    components are md5-derived constants (similarity._plane_component), so
+    the oracle embeds the same literal arrays and replays bucketing,
+    multi-probe flips, candidate dedup, and the rerank — bit-identical
+    folds, value-checkable despite being 'approximate'."""
+    projs = []
+    for p in range(planes):
+        comps = ", ".join(
+            str(float(sim._plane_component(p, d))) for d in range(dim)
+        )
+        projs.append(
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> emb[i] * ([{comps}])[i]), (acc, x) -> acc + x)"
+        )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, proj in enumerate(projs)
+    )
+    flips = ", ".join(f"xor(pb, {1 << p})" for p in range(planes))
+    cos = duck_cosine("pe", "emb", dim)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), b AS (
+            SELECT vec_id, emb, {bucket} AS bucket FROM e
+        ), pflip AS (
+            SELECT probe_id, pe,
+                   unnest([pb, {flips}]) AS pbucket
+            FROM (SELECT vec_id AS probe_id, emb AS pe, bucket AS pb
+                  FROM b WHERE vec_id < 10)
+        ), cand AS (
+            SELECT DISTINCT probe_id, b.vec_id AS neighbor_id, pe, emb
+            FROM pflip JOIN b
+              ON b.bucket = pflip.pbucket AND b.vec_id <> pflip.probe_id
+        ), rer AS (
+            SELECT probe_id, neighbor_id, round({cos}, 4) AS sim FROM cand
+        )
+        SELECT probe_id, neighbor_id, sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY probe_id
+                ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+            FROM rer
+        ) WHERE rank <= {k}
+    """
+
+
 def _extension_oracles() -> dict[str, str]:
     """Oracles for the dedup/similarity/text queries, generated from the
     same constants (stopword lists, minhash coefficients, md5-h32) as the
@@ -833,6 +880,7 @@ def _extension_oracles() -> dict[str, str]:
                 GROUP BY doc_id
             )
         """,
+        "q_similarity_lsh": _lsh_oracle(),
         "q_dedup_simhash_pairs": f"""
             WITH sigs AS (
                 SELECT doc_id, ({H.duck_simhash_sig()})::BIGINT AS simhash
