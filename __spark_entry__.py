@@ -327,6 +327,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: exact + near-dup greedy earliest-wins."""
+    return dd.dedup_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension broadcast join (TPC-H Q9 family shape)."""
+    return rel.part_type_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_count(load_table(spark, sf_dir, "documents"))
 
@@ -425,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_tumbling_window": q_tumbling_window,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_corpus": q_dedup_corpus,
+        "q_part_type_revenue": q_part_type_revenue,
         "q_token_count": q_token_count,
         "q_text_stats": q_text_stats,
         "q_token_classes": q_token_classes,
@@ -759,6 +776,46 @@ def _extension_oracles() -> dict[str, str]:
         "q_dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "q_dedup_corpus": f"""
+            WITH survivors AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ), sized AS (
+                SELECT doc_id, sh, len(sh) AS n_sh
+                FROM (SELECT doc_id,
+                             list_transform({sh3}, s -> {H.duck_h32('s')}) AS sh
+                      FROM documents)
+            ), inv AS (
+                SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized
+            ), kept AS (
+                SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 100
+            ), inv2 AS (
+                SELECT inv.* FROM inv JOIN kept USING (shingle)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+                FROM inv2 a JOIN inv2 b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ), near AS (
+                SELECT doc_a, doc_b FROM pairs
+                WHERE round(n_common / (n_a + n_b - n_common), 4) >= 0.2
+            ), losers AS (
+                SELECT DISTINCT doc_b AS doc_id
+                FROM near JOIN survivors ON near.doc_a = survivors.doc_id
+            )
+            SELECT doc_id FROM survivors
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "q_part_type_revenue": """
+            SELECT p_type AS part_type, n_name AS supp_nation,
+                   count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
         """,
         "q_token_count": f"""
             SELECT doc_id,

@@ -168,6 +168,34 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_corpus(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """The end-to-end corpus-dedup policy: drop exact duplicates (keep min
+    doc_id per content hash), then drop the HIGHER doc_id of every near-dup
+    pair (greedy earliest-wins — the standard C4/Gopher-style cut). Emits
+    the surviving doc_ids.
+
+    At scale this is: one content-hash agg + the inverted-index near-dup
+    join + one anti-join — all key-partitioned shuffles, no O(N²) stage.
+    """
+    survivors_exact = exact_dedup(documents).select("doc_id")
+    pairs = ngram_jaccard_pairs(documents, n, threshold, max_shingle_df)
+    # a doc dies if it is the higher id of any near-dup pair whose lower id
+    # survived exact dedup (pairs among exact-dup losers are already gone)
+    losers = (
+        pairs.join(
+            survivors_exact.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return survivors_exact.join(losers, "doc_id", "left_anti")
+
+
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash per document over distinct tokens.
 

@@ -89,6 +89,40 @@ def global_topk(orders: DataFrame, k: int = 25) -> DataFrame:
     )
 
 
+def part_type_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Revenue by (part type, supplier nation): the multi-dimension join
+    shape (TPC-H Q5/Q9 family). Every dimension broadcasts — part,
+    supplier, and nation are all orders-of-magnitude smaller than the
+    fact — so the lineitem scan joins map-side and the single exchange is
+    the final aggregation."""
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("p_type").alias("part_type"), F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 def window_battery(orders: DataFrame) -> DataFrame:
     """The window-function surface in one pass: rank/dense_rank over the
     (tied) date order, lag/lead/ntile over the total order. Both specs
