@@ -153,6 +153,13 @@ def test_exact_dedup_planted(spark, planted):
     assert out[1] == 2 and 2 not in out and out[3] == 1 and out[4] == 1
 
 
+def test_dedup_corpus_policy(spark, planted):
+    """doc 2 dies to exact dedup, doc 3 dies as the higher near-dup of the
+    surviving doc 1, doc 4 survives untouched."""
+    survivors = {r.doc_id for r in dd.dedup_corpus(planted).collect()}
+    assert survivors == {1, 4}
+
+
 def test_ngram_jaccard_finds_near_dup(spark, planted):
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dd.ngram_jaccard_pairs(planted).collect()}
     assert pairs[(1, 2)] == 1.0
