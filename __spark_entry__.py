@@ -781,10 +781,11 @@ def _extension_oracles() -> dict[str, str]:
             WITH survivors AS (
                 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
             ), sized AS (
-                SELECT doc_id, sh, len(sh) AS n_sh
+                SELECT d.doc_id, sh, len(sh) AS n_sh
                 FROM (SELECT doc_id,
                              list_transform({sh3}, s -> {H.duck_h32('s')}) AS sh
-                      FROM documents)
+                      FROM documents) d
+                JOIN survivors USING (doc_id)
             ), inv AS (
                 SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized
             ), kept AS (
@@ -797,12 +798,9 @@ def _extension_oracles() -> dict[str, str]:
                 FROM inv2 a JOIN inv2 b
                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2, 3, 4
-            ), near AS (
-                SELECT doc_a, doc_b FROM pairs
-                WHERE round(n_common / (n_a + n_b - n_common), 4) >= 0.2
             ), losers AS (
-                SELECT DISTINCT doc_b AS doc_id
-                FROM near JOIN survivors ON near.doc_a = survivors.doc_id
+                SELECT DISTINCT doc_b AS doc_id FROM pairs
+                WHERE round(n_common / (n_a + n_b - n_common), 4) >= 0.2
             )
             SELECT doc_id FROM survivors
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
@@ -838,7 +836,7 @@ def _extension_oracles() -> dict[str, str]:
                        AS n_bpe_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+'))::INT AS n_words,
                    len(regexp_extract_all(text, '[0-9]+'))::INT AS n_numbers,
-                   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::INT
+                   len(regexp_extract_all(text, '{tx.NONWORD}'))::INT
                        AS n_punct
             FROM documents
         """,

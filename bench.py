@@ -37,7 +37,9 @@ def main() -> None:
     force(spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1000))
 
     # best-of-2 per query: the second run reuses JVM JIT + codegen caches,
-    # so the min is the steady-state number (single runs vary ±20% locally)
+    # so the min is the steady-state number (single runs vary ±20% locally).
+    # clearCache between runs: operators persist intermediates, and leaked
+    # cache entries from earlier queries would distort later measurements.
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         best = float("inf")
@@ -45,6 +47,7 @@ def main() -> None:
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
         times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the input has fewer partitions than the
     session's default parallelism (compute-heavy per-row work downstream
-    should never be bottlenecked on file count)."""
+    should never be bottlenecked on file count). Streaming DataFrames pass
+    through untouched: micro-batch sizing is the trigger's job, and
+    ``df.rdd`` is undefined on a stream."""
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     target = partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -120,6 +120,35 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     return hashed.selectExpr("doc_id", f"{H.spark_minhash('hs')} as mh")
 
 
+def _banded_candidates(
+    bands: DataFrame, max_bucket: int, carry: list[str]
+) -> DataFrame:
+    """Shared LSH-banding candidate generation: drop oversized buckets
+    (> ``max_bucket``), self-join on the band key with ``doc_a < doc_b``,
+    and dedup pairs. ``bands`` must have (doc_id, band_key, *carry);
+    carried columns come out as ``<name>_a`` / ``<name>_b``. Used by both
+    MinHash and SimHash pair generation — one implementation of the
+    bucket-cut and pair-dedup semantics."""
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    kept = bands.join(
+        sizes.filter(F.col("bs") <= max_bucket).select("band_key"), "band_key"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    sel = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
+    for c in carry:
+        sel.append(F.col(f"a.{c}").alias(f"{c}_a"))
+        sel.append(F.col(f"b.{c}").alias(f"{c}_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(*sel)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -144,21 +173,7 @@ def minhash_lsh_pairs(
         f"b -> concat(b, ':', array_join(slice(mh, b * {H.LSH_ROWS} + 1, {H.LSH_ROWS}), '-'))"
         ")) as band_key",
     )
-    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
-    bands = bands.join(
-        sizes.filter(F.col("bs") <= max_bucket).select("band_key"), "band_key"
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.mh").alias("mh_a"),
-            F.col("b.mh").alias("mh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _banded_candidates(bands, max_bucket, carry=["mh"])
     est = (
         f"cast(round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))"
         f" / {H.MINHASH_K}, 4) as double)"
@@ -181,18 +196,17 @@ def dedup_corpus(
 
     At scale this is: one content-hash agg + the inverted-index near-dup
     join + one anti-join — all key-partitioned shuffles, no O(N²) stage.
+
+    The near-dup index is built over the exact-deduped corpus, not the raw
+    one: exact-copy multiplicity would otherwise inflate shingle document
+    frequencies toward the ``max_shingle_df`` stop-cut (suppressing true
+    near-dup pairs) and waste the self-join on jaccard=1.0 copy pairs.
     """
     survivors_exact = exact_dedup(documents).select("doc_id")
-    pairs = ngram_jaccard_pairs(documents, n, threshold, max_shingle_df)
-    # a doc dies if it is the higher id of any near-dup pair whose lower id
-    # survived exact dedup (pairs among exact-dup losers are already gone)
-    losers = (
-        pairs.join(
-            survivors_exact.withColumnRenamed("doc_id", "doc_a"), "doc_a"
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    deduped = documents.join(survivors_exact, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(deduped, n, threshold, max_shingle_df)
+    # a doc dies if it is the higher id of any near-dup pair
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return survivors_exact.join(losers, "doc_id", "left_anti")
 
 
@@ -263,21 +277,9 @@ def simhash_pairs(
     bands = sigs.selectExpr(
         "doc_id", "simhash", f"explode({H.spark_simhash_bands()}) as band_key"
     )
-    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
-    bands = bands.join(
-        sizes.filter(F.col("bs") <= max_bucket).select("band_key"), "band_key"
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _banded_candidates(bands, max_bucket, carry=["simhash"])
     return cand.selectExpr(
-        "doc_a", "doc_b", "cast(bit_count(sh_a ^ sh_b) as int) as hamming"
+        "doc_a",
+        "doc_b",
+        "cast(bit_count(simhash_a ^ simhash_b) as int) as hamming",
     ).filter(F.col("hamming") <= max_hamming)

@@ -126,7 +126,13 @@ def resize_images(
                 )
 
             def _one(row: pd.Series) -> pd.Series:
-                if row["kind"] != "image":
+                # pass through non-images and rows with nothing to resize
+                # (MEDIA_SCHEMA allows NULL content/meta)
+                if (
+                    row["kind"] != "image"
+                    or row["content"] is None
+                    or row["meta"] is None
+                ):
                     return row
                 meta = dict(row["meta"])
                 old_px = (meta.get("width") or 1) * (meta.get("height") or 1)

@@ -179,7 +179,9 @@ def scalar_battery(events: DataFrame) -> DataFrame:
         F.hour("ts").alias("h"),
         F.round(F.sqrt(F.abs("value")), 4).alias("sqrt_abs_value"),
         F.floor("value").cast("bigint").alias("floor_value"),
-        F.pmod("event_id", F.lit(7)).alias("id_mod7"),
+        # % (remainder), not pmod: the oracle's % is remainder semantics,
+        # and they diverge on negative inputs
+        F.expr("event_id % 7").alias("id_mod7"),
     )
 
 
@@ -248,11 +250,13 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: spread each hot key over ``salt`` reducers.
 
-    Left rows get a deterministic salt in ``0..salt-1`` (hash of the whole
-    row, so a hot key's rows spread evenly); right rows are replicated once
-    per salt value; the join runs on ``(key, salt)``, so one hot key's work
-    lands on ``salt`` tasks instead of one straggler. Result set identical
-    to ``left.join(right, on, how)``.
+    Left rows get a salt in ``0..salt-1`` from their physical position
+    (``monotonically_increasing_id``) — positional, not content-derived, so
+    even a hot key whose rows are byte-identical still spreads across all
+    ``salt`` reducers. Right rows are replicated once per salt value; the
+    join runs on ``(key, salt)``, so one hot key's work lands on ``salt``
+    tasks instead of one straggler. Result set identical to
+    ``left.join(right, on, how)`` (the salt never changes match outcomes).
 
     When to reach for this at 100 TB: AQE's skew-join split
     (``spark.sql.adaptive.skewJoin``) already rescues sort-merge joins at
@@ -266,7 +270,7 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salted_left = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
     )
     salted_right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

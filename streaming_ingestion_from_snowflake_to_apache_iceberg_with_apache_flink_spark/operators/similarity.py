@@ -10,8 +10,11 @@
 * ``lsh_topk_cosine`` — the 100 TB path: random-hyperplane LSH. Bucket =
   sign bits of projections onto ``planes`` pseudo-random ±1 hyperplanes
   (md5-derived, fully deterministic); candidates = bucket collisions;
-  exact cosine rerank inside the bucket. Approximate by design → checked
-  by recall-vs-bruteforce property tests, not a value oracle.
+  exact cosine rerank inside the bucket. Approximate w.r.t. brute force
+  (recall property-tested) yet value-checked exactly: the seeded planes
+  make it deterministic, and the oracle replays them as literal arrays.
+* ``ivf_topk_cosine`` — IVF-flat with deterministic seed centroids; same
+  story: approximate by cell restriction, exact against its oracle.
 """
 
 from __future__ import annotations

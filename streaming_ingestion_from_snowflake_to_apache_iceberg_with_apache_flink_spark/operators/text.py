@@ -42,10 +42,18 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Explicit whitespace class shared by both engines. Java's ``\s`` includes
+#: vertical tab (\x0B) while RE2's does not — spelling the class out is the
+#: only way the pattern means the same thing in Spark and DuckDB.
+WS = r" \t\n\x0B\f\r"
+
+#: Non-alphanumeric single-mark class (punct) on the shared WS definition.
+NONWORD = rf"[^A-Za-z0-9{WS}]"
+
 #: BPE-ish pre-tokenization pattern (the GPT-2-style split reduced to the
 #: regex subset Java regex and RE2 treat identically): letter runs, digit
 #: runs, and single non-alphanumeric marks each become one token.
-BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH = rf"[A-Za-z]+|[0-9]+|{NONWORD}"
 
 
 def token_classes(documents: DataFrame) -> DataFrame:
@@ -66,9 +74,9 @@ def token_classes(documents: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(text, F.lit(r"[0-9]+"), F.lit(0))).alias(
             "n_numbers"
         ),
-        F.size(
-            F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
-        ).alias("n_punct"),
+        F.size(F.regexp_extract_all(text, F.lit(NONWORD), F.lit(0))).alias(
+            "n_punct"
+        ),
     )
 
 
