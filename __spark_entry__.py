@@ -36,6 +36,9 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
     similarity as sim,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    temporal as tp,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
     text as tx,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
@@ -414,6 +417,83 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.temporal.asof_join): each click attaches the
+    most recent purchase at-or-before it by the same user. Union +
+    running-last — one shuffle on user_id, no inequality join. DuckDB twin
+    is a literal ASOF LEFT JOIN. Purchases are pre-deduped at identical
+    (user_id, ts) so tie resolution is deterministic on both sides."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = tp.asof_join(
+        clicks,
+        purch,
+        "user_id",
+        "ts",
+        "purchase_ts",
+        ["purchase_id", "purchase_value", "purchase_ts"],
+        how="left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_ms("ts").alias("ts_ms"),
+        "value",
+        "purchase_id",
+        "purchase_value",
+        ts_ms("purchase_ts").alias("purchase_ts_ms"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators.temporal.interval_join): error↔click pairs
+    by the same user within ±1 hour — Flink intervalJoin semantics as a
+    bucketed equi-join (no nested-loop product)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = tp.interval_join(
+        errors, clicks, "user_id", "error_ts", "click_ts", -3_600_000, 3_600_000
+    )
+    return joined.select(
+        "user_id",
+        "error_id",
+        "click_id",
+        ts_ms("error_ts").alias("error_ts_ms"),
+        ts_ms("click_ts").alias("click_ts_ms"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -456,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_embedding": q_neardup_embedding,
         "q_similarity_lsh": q_similarity_lsh,
         "q_similarity_ivf": q_similarity_ivf,
+        "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
     }
 
 
@@ -566,6 +648,32 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts)) // 1000 AS start_ms,
                    max(epoch_us(ts)) // 1000 AS end_ms
             FROM sess GROUP BY user_id, session_id
+        """,
+        "q_asof_join": """
+            WITH purch AS (
+                SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                       value AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) = 1
+            ), clicks AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms, c.value,
+                   p.purchase_id, p.purchase_value,
+                   epoch_ms(p.purchase_ts) AS purchase_ts_ms
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+        """,
+        "q_interval_join": """
+            SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+                   epoch_ms(e.ts) AS error_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                                    AND epoch_us(e.ts) + 3600000000
         """,
     }
     out.update(_extension_oracles())

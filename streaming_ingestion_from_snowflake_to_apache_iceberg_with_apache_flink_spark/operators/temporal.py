@@ -1,0 +1,157 @@
+"""Temporal joins: as-of and interval join.
+
+The reference's engine family (Flink) ships both as first-class stream
+operators; the reference job itself uses neither (SURVEY.md §2.1 "not
+present"), but the category implies them and any time-series workload over
+``events`` needs them. Both are expressed so the *only* exchange is a hash
+shuffle on the join key — never an inequality sort-merge join and never a
+nested-loop product.
+
+Scale notes:
+* ``asof_join`` — the union + running-``last(ignorenulls)`` formulation:
+  tag both inputs, union them, and let one window pass per key carry the
+  most recent right-side payload forward onto each left row. One shuffle
+  on the key, a per-partition sort, and a sequential scan; state is O(1)
+  per key (the current last right row). This is the distributed analogue
+  of ``pandas.merge_asof`` and scales linearly where a naive
+  ``l.ts >= r.ts`` join degenerates to a per-key cross product.
+* ``interval_join`` — Flink-style ``l.ts + lower <= r.ts <= l.ts + upper``
+  (DataStream interval join semantics), rewritten as an equi-join: time is
+  quantized into buckets at least as wide as the interval span, the left
+  side explodes to the (≤ 2) buckets its window can touch, and the exact
+  predicate filters the bucket collisions. Catalyst sees a plain equi-join
+  on (key, bucket) → shuffle or broadcast hash join, AQE-splittable, no
+  BroadcastNestedLoopJoin. All arithmetic is integer microseconds
+  (``unix_micros``), so boundaries are exact and oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _keys(on: str | list[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "left",
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the closest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp, per key.
+
+    ``right_cols`` are the right-side payload columns to attach; they must
+    not collide with left column names. Ties at identical (key, ts) are
+    inclusive (the right row is visible to the left row); if several right
+    rows share one (key, ts), which payload wins is tie-ambiguous — pre-dedup
+    the right side for full determinism. ``how='left'`` keeps unmatched left
+    rows with NULL payload; ``'inner'`` drops them.
+    """
+    keys = _keys(on)
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    left_payload = [c for c in left.columns if c not in keys]
+    lschema = dict(left.dtypes)
+    # the whole right payload travels as ONE nullable struct: it is non-null
+    # exactly on right rows, so last(ignorenulls) carries the latest right
+    # ROW — including any legitimately-NULL payload fields inside it
+    rstruct = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
+    rstruct_type = right.select(rstruct).schema["__r"].dataType.simpleString()
+    tagged_left = left.select(
+        *keys,
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__side"),
+        *left_payload,
+        F.lit(None).cast(rstruct_type).alias("__r"),
+    )
+    tagged_right = right.select(
+        *keys,
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(lschema[c]).alias(c) for c in left_payload],
+        rstruct,
+    )
+    # backward: scan time ascending, right-before-left at ties, so "last
+    # seen right" == latest right.ts <= left.ts. forward: scan descending.
+    if direction == "backward":
+        order = [F.col("__ats").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__ats").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_left.unionByName(tagged_right).select(
+        *keys,
+        "__side",
+        *left_payload,
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *keys,
+        *left_payload,
+        *[F.col("__r").getField(c).alias(c) for c in right_cols],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+) -> DataFrame:
+    """All (left, right) pairs with equal keys and
+    ``left.ts + lower_ms <= right.ts <= left.ts + upper_ms`` (bounds
+    inclusive, Flink DataStream ``intervalJoin`` semantics).
+
+    Returns left columns + right columns (minus the right key columns);
+    non-key column names must not collide — alias before calling.
+    """
+    keys = _keys(on)
+    if lower_ms > upper_ms:
+        raise ValueError(f"lower_ms {lower_ms} > upper_ms {upper_ms}")
+    clash = (set(right.columns) - set(keys)) & set(left.columns)
+    if clash:
+        raise ValueError(f"column collision (alias before joining): {sorted(clash)}")
+    lower_us, upper_us = lower_ms * 1000, upper_ms * 1000
+    # bucket width >= window span => each left window touches <= 2 buckets
+    bucket_us = max(upper_us - lower_us, 1)
+    l_us, r_us = F.unix_micros(F.col(left_ts)), F.unix_micros(F.col(right_ts))
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((l_us + F.lit(lower_us)) / F.lit(bucket_us)),
+                    F.floor((l_us + F.lit(upper_us)) / F.lit(bucket_us)),
+                )
+            )
+        ),
+    )
+    rb = right.withColumn("__bucket", F.floor(r_us / F.lit(bucket_us)))
+    joined = lb.join(rb, on=[*keys, "__bucket"]).filter(
+        F.unix_micros(F.col(right_ts)).between(
+            F.unix_micros(F.col(left_ts)) + F.lit(lower_us),
+            F.unix_micros(F.col(left_ts)) + F.lit(upper_us),
+        )
+    )
+    return joined.drop("__bucket")

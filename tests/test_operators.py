@@ -305,3 +305,135 @@ def test_repartition_for_media(spark, media):
     df = mm.repartition_for_media(media, 4)
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 3
+
+
+# -- temporal joins ---------------------------------------------------------
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def temporal_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "l1"),
+            (1, _ts("2024-01-01 12:00:00"), "l2"),
+            (1, _ts("2024-01-01 09:00:00"), "l0"),  # before any right row
+            (2, _ts("2024-01-01 10:30:00"), "l3"),
+            (3, _ts("2024-01-01 10:00:00"), "l4"),  # key absent on right
+        ],
+        "k int, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100, 1.0),
+            (1, _ts("2024-01-01 10:00:00"), 101, None),  # tie ts + NULL payload
+            (1, _ts("2024-01-01 11:00:00"), 102, 3.0),
+            (2, _ts("2024-01-01 10:30:00"), 200, 4.0),
+        ],
+        "k int, rts timestamp, rid int, rv double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, temporal_frames):
+    """Most recent right at-or-before, ties inclusive, NULL payload carried
+    as NULL (not the older non-null row), unmatched rows NULL on left join."""
+    left, right = temporal_frames
+    out = {
+        r["lbl"]: (r["rid"], r["rv"])
+        for r in ops.temporal.asof_join(
+            left, right, "k", "ts", "rts", ["rid", "rv"], how="left"
+        ).collect()
+    }
+    assert out == {
+        "l0": (None, None),
+        "l1": (101, None),  # tie at 10:00 matches; its NULL rv stays NULL
+        "l2": (102, 3.0),
+        "l3": (200, 4.0),
+        "l4": (None, None),
+    }
+
+
+def test_asof_inner_drops_unmatched(spark, temporal_frames):
+    left, right = temporal_frames
+    got = {
+        r["lbl"]
+        for r in ops.temporal.asof_join(
+            left, right, "k", "ts", "rts", ["rid"], how="inner"
+        ).collect()
+    }
+    assert got == {"l1", "l2", "l3"}
+
+
+def test_asof_forward(spark, temporal_frames):
+    left, right = temporal_frames
+    out = {
+        r["lbl"]: r["rid"]
+        for r in ops.temporal.asof_join(
+            left, right, "k", "ts", "rts", ["rid"], direction="forward"
+        ).collect()
+    }
+    assert out == {"l0": 100, "l1": 101, "l2": None, "l3": 200, "l4": None}
+
+
+def test_asof_rejects_collisions_and_bad_args(spark, temporal_frames):
+    left, right = temporal_frames
+    with pytest.raises(ValueError):
+        ops.temporal.asof_join(left, left, "k", "ts", "ts", ["lbl"])
+    with pytest.raises(ValueError):
+        ops.temporal.asof_join(left, right, "k", "ts", "rts", ["rid"], how="full")
+    with pytest.raises(ValueError):
+        ops.temporal.asof_join(
+            left, right, "k", "ts", "rts", ["rid"], direction="nearest"
+        )
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed interval join == naive inequality join, including boundary
+    rows exactly on lower/upper (bounds are inclusive)."""
+    ev = load_table(spark, SF, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets"), F.col("event_id").alias("eid")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    got = ops.temporal.interval_join(
+        errors, clicks, "user_id", "ets", "cts", -3_600_000, 3_600_000
+    )
+    naive = errors.join(clicks, "user_id").filter(
+        F.unix_micros("cts").between(
+            F.unix_micros("ets") - 3_600_000_000,
+            F.unix_micros("ets") + 3_600_000_000,
+        )
+    )
+    a = {(r["eid"], r["cid"]) for r in got.collect()}
+    b = {(r["eid"], r["cid"]) for r in naive.collect()}
+    assert a == b and a
+
+
+def test_interval_join_boundary_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "L")], "k int, lts timestamp, l string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), "lo_edge"),
+            (1, _ts("2024-01-01 11:00:00"), "hi_edge"),
+            (1, _ts("2024-01-01 08:59:59.999999"), "below"),
+            (1, _ts("2024-01-01 11:00:00.000001"), "above"),
+        ],
+        "k int, rts timestamp, r string",
+    )
+    got = {
+        r["r"]
+        for r in ops.temporal.interval_join(
+            left, right, "k", "lts", "rts", -3_600_000, 3_600_000
+        ).collect()
+    }
+    assert got == {"lo_edge", "hi_edge"}
