@@ -494,6 +494,24 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (text.vocab): top-100 tokens by frequency —
+    explode + one partial-agg shuffle + TakeOrderedAndProject."""
+    return tx.vocab(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact group percentiles (relational.group_percentiles): interpolated
+    p50/p95/p99, same (n-1)*q formula as DuckDB quantile_cont."""
+    return rel.group_percentiles(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (similarity.label_centroids):
+    posexplode + map-side partial avg per (label, dim)."""
+    return sim.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -538,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivf": q_similarity_ivf,
         "q_asof_join": q_asof_join,
         "q_interval_join": q_interval_join,
+        "q_vocab_topk": q_vocab_topk,
+        "q_percentiles": q_percentiles,
+        "q_label_centroids": q_label_centroids,
     }
 
 
@@ -674,6 +695,49 @@ def oracle_sql() -> dict[str, str]:
              AND e.event_type = 'error' AND c.event_type = 'click'
              AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
                                     AND epoch_us(e.ts) + 3600000000
+        """,
+        "q_vocab_topk": f"""
+            WITH tok AS (
+                SELECT unnest({H.duck_tokens('lower(text)')}) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS freq FROM tok
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 100
+        """,
+        "q_percentiles": """
+            WITH r AS (
+                SELECT l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   max(CASE WHEN rn = CAST(floor((n-1)*0.5) AS BIGINT) + 1
+                            THEN l_extendedprice END) AS p50,
+                   max(CASE WHEN rn = CAST(floor((n-1)*0.95) AS BIGINT) + 1
+                            THEN l_extendedprice END) AS p95,
+                   max(CASE WHEN rn = CAST(floor((n-1)*0.99) AS BIGINT) + 1
+                            THEN l_extendedprice END) AS p99,
+                   max(n) AS n_lines
+            FROM r GROUP BY l_returnflag
+        """,
+        "q_label_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       unnest(list_transform(
+                           generate_series(1, len(embedding)),
+                           i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE}
+                       )) AS u
+                FROM embeddings
+            )
+            SELECT label, CAST(u.dim AS INT) AS dim,
+                   round(avg(u.x), 4) + 0.0 AS centroid,
+                   count(*) AS n_vectors
+            FROM ex GROUP BY label, u.dim
         """,
     }
     out.update(_extension_oracles())

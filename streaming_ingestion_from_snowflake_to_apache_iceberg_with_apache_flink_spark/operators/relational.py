@@ -288,3 +288,43 @@ def segment_counts_setops(customer: DataFrame) -> DataFrame:
     return both.exceptAll(negative).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+
+
+def group_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact per-group discrete percentiles (p50/p95/p99 of extended price
+    per return flag): rank-selection at index ``floor((n-1)*q)`` — the
+    picked values are actual data values, so there is no interpolation
+    arithmetic and no rounding-boundary hazard; the oracle runs the
+    byte-identical formula. (Interpolating percentiles of cent-priced data
+    lands exactly on half-cent rounding boundaries, where Spark's and
+    DuckDB's independently-computed doubles disagree — rank selection
+    sidesteps the whole class.)
+
+    Scale note: the window sort puts each group on one reducer — fine for
+    low-cardinality groups like this; for high-cardinality or skewed
+    groups at 100 TB switch to ``approx_percentile`` (t-digest, mergeable
+    partial state, bounded memory) and a tolerance check instead of a
+    value-exact oracle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    def pick(q: float, name: str):
+        idx = F.floor((F.col("n") - 1) * F.lit(q)).cast("long") + 1
+        return F.max(
+            F.when(F.col("rn") == idx, F.col("l_extendedprice"))
+        ).alias(name)
+
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.5, "p50"),
+        pick(0.95, "p95"),
+        pick(0.99, "p99"),
+        F.max("n").alias("n_lines"),
+    )

@@ -254,3 +254,28 @@ def lsh_topk_cosine(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label,
+    dimension) — cluster statistics for embedding-space corpus analysis
+    (and the building block ``ivf_topk_cosine``'s trained-centroid
+    variant would use).
+
+    Shape at scale: ``posexplode`` multiplies rows by the dimension count
+    but the groupBy(label, dim) aggregation is map-side partial — only
+    (labels × dims) partial sums cross the shuffle, independent of corpus
+    size. No driver-side collect, no UDF.
+    """
+    return (
+        embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            # + 0.0 normalizes IEEE -0.0 to +0.0 (Spark's round drops the
+            # sign of negative zero, DuckDB's keeps it)
+            (F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

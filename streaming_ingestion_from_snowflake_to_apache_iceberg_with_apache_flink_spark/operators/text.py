@@ -159,3 +159,24 @@ def fingerprint(documents: DataFrame, n: int = 3, keep: int = 4) -> DataFrame:
         "doc_id",
         f"array_join(slice({hashes}, 1, {keep}), '-') as fingerprint",
     )
+
+
+def vocab(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-``k`` lowercased whitespace tokens by
+    frequency (ties broken lexically) — the first step of any tokenizer /
+    BPE training run over a corpus.
+
+    Scale shape: explode → groupBy is ONE shuffle with map-side partial
+    counts (token cardinality, not row count, crosses the wire); the
+    top-k is TakeOrderedAndProject — each partition keeps k rows and the
+    driver merges, never a global sort.
+    """
+    toks = F.expr(H.spark_tokens("lower(text)"))
+    return (
+        documents.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )

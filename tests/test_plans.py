@@ -20,6 +20,7 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
     assert_whole_stage_codegen,
     assert_window_group_limit,
     count_exchanges,
+    formatted_plan,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
     load_table,
@@ -128,3 +129,50 @@ def test_whole_stage_codegen_covers_cast_projection(spark):
     )
 
     assert_whole_stage_codegen(snowflake_like_typed(load_table(spark, SF, "orders")))
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+running-last as-of join must cost exactly one Exchange
+    (the hash partition on the key) — no inequality join node at all."""
+    ev = load_table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    df = ops.temporal.asof_join(clicks, purch, "user_id", "ts", "pts", ["pid"])
+    assert count_exchanges(df) == 1
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_is_hash_join(spark):
+    """The bucketed interval join must plan as a hash equi-join on
+    (key, bucket) — never BroadcastNestedLoopJoin / CartesianProduct."""
+    ev = load_table(spark, SF, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets"), F.col("event_id").alias("eid")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    df = ops.temporal.interval_join(
+        errors, clicks, "user_id", "ets", "cts", -3_600_000, 3_600_000
+    )
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_vocab_single_shuffle_topk(spark):
+    """vocab = one partial-agg shuffle + TakeOrderedAndProject (no global
+    sort node)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    df = tx.vocab(load_table(spark, SF, "documents"), k=100)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 1
