@@ -494,6 +494,23 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((priority),(status)) in one Expand + partial-agg
+    pass (relational.priority_status_slices)."""
+    return rel.priority_status_slices(load_table(spark, sf_dir, "orders"))
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline (operators.curation): lang-ID +
+    quality gate + exact/near-dup removal → surviving docs with stats.
+    Oracle = the SAME stages' oracle SQL composed, by construction."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (text.vocab): top-100 tokens by frequency —
     explode + one partial-agg shuffle + TakeOrderedAndProject."""
@@ -559,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": q_vocab_topk,
         "q_percentiles": q_percentiles,
         "q_label_centroids": q_label_centroids,
+        "q_grouping_sets": q_grouping_sets,
+        "q_corpus_curation": q_corpus_curation,
     }
 
 
@@ -739,6 +758,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_vectors
             FROM ex GROUP BY label, u.dim
         """,
+        "q_grouping_sets": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   CAST(grouping(o_orderpriority, o_orderstatus) AS INT)
+                       AS slice_id,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """,
     }
     out.update(_extension_oracles())
     return out
@@ -828,7 +857,7 @@ def _extension_oracles() -> dict[str, str]:
     cos = duck_cosine("pe", "ce", 64)
     paircos = duck_cosine("ea", "eb", 64)
 
-    return {
+    out = {
         "q_join_enrich": """
             SELECT r.r_name AS region, c.c_mktsegment,
                    count(*) AS n_orders,
@@ -1203,3 +1232,15 @@ def _extension_oracles() -> dict[str, str]:
             ) WHERE sim >= 0.45
         """,
     }
+    # the curation capstone composes the SAME oracle SQL of its stages —
+    # consistency by construction (a doc survives iff it survives
+    # dedup_corpus, clears the quality gate, and is predicted 'en')
+    out["q_corpus_curation"] = f"""
+        SELECT s.doc_id, l.predicted_lang, q.n_tokens, q.uniq_ratio,
+               q.quality
+        FROM ({out['q_dedup_corpus']}) s
+        JOIN ({out['q_quality_score']}) q USING (doc_id)
+        JOIN ({out['q_lang_id']}) l USING (doc_id)
+        WHERE q.quality >= 0.38 AND l.predicted_lang IN ('en')
+    """
+    return out

@@ -1,4 +1,4 @@
-from . import dedup, multimodal, similarity, temporal, text
+from . import curation, dedup, multimodal, similarity, temporal, text
 from .merge import merge_upsert, overwrite_partition
 from .pagination import highwater_increment, page, pages_union, ranked
 from .sessions import session_stats, sessionize

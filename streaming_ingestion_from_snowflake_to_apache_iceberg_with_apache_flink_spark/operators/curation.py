@@ -1,0 +1,55 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+This is the query a user of this engine actually runs over a raw crawl:
+language-ID → quality gate → exact + near-dup removal → per-doc token
+stats for the survivors. Every stage is one of the engine's own operators
+(operators.text, operators.dedup), composed as DataFrames — so the whole
+pipeline is a single Catalyst plan, and the oracle SQL composes the same
+stages' oracle queries verbatim.
+
+Scale shape: the dedup leg (content-hash agg + inverted-index join) is the
+heavy path and is bounded as documented in operators.dedup; the text legs
+are pure per-row projections fused into the scans; the final assembly is
+doc_id-keyed equi-joins — every shuffle is on the doc key, no broadcast of
+anything corpus-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_corpus
+from .text import lang_id, quality_score
+
+
+def curate_corpus(
+    documents: DataFrame,
+    quality_min: float = 0.38,
+    langs: Sequence[str] = ("en",),
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Surviving doc_ids with language, quality, and token stats.
+
+    A document survives iff it (a) survives ``dedup_corpus`` (exact dups
+    and the higher id of every near-dup pair die), (b) scores at least
+    ``quality_min``, and (c) its predicted language is in ``langs``.
+    """
+    survivors = dedup_corpus(documents, n, threshold, max_shingle_df)
+    quality = quality_score(documents).select(
+        "doc_id", "n_tokens", "uniq_ratio", "quality"
+    )
+    lang = lang_id(documents).select("doc_id", "predicted_lang")
+    return (
+        survivors.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality") >= quality_min)
+            & F.col("predicted_lang").isin(*langs)
+        )
+        .select("doc_id", "predicted_lang", "n_tokens", "uniq_ratio", "quality")
+    )

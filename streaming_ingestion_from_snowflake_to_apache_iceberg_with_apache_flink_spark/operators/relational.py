@@ -328,3 +328,24 @@ def group_percentiles(lineitem: DataFrame) -> DataFrame:
         pick(0.99, "p99"),
         F.max("n").alias("n_lines"),
     )
+
+
+def priority_status_slices(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube: the two one-dimension slices
+    ((priority), (status)) in ONE pass — Catalyst expands grouping sets
+    into a single Expand + partial-agg plan, not N unioned scans. The
+    grouping_id distinguishes which slice a row belongs to."""
+    spark = orders.sparkSession
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT)
+                   AS slice_id,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """,
+        o=orders,
+    )

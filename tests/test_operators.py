@@ -437,3 +437,28 @@ def test_interval_join_boundary_inclusive(spark):
         ).collect()
     }
     assert got == {"lo_edge", "hi_edge"}
+
+
+# -- curation capstone ------------------------------------------------------
+
+
+def test_curate_corpus_policy(spark, planted):
+    """Composes the planted-dedup policy with lang/quality gates: docs 2
+    (exact dup) and 3 (near dup) die to dedup; survivors are filtered by
+    predicted language and quality floor."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(planted, quality_min=0.0, langs=("en",)).collect()
+    }
+    assert set(out) == {1, 4}
+    assert all(r.predicted_lang == "en" for r in out.values())
+    # a prohibitive quality floor empties the corpus but keeps the schema
+    strict = curate_corpus(planted, quality_min=2.0)
+    assert strict.count() == 0
+    assert strict.columns == [
+        "doc_id", "predicted_lang", "n_tokens", "uniq_ratio", "quality",
+    ]

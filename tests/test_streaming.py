@@ -229,3 +229,50 @@ def test_transform_with_state_offsets(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked, cross-micro-batch state)
+    produces exactly the batch temporal.interval_join result."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        temporal as tp,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    stream, events = _events_stream(spark, tmp_path, n_files=3)
+
+    def split(df):
+        errors = df.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("ts").alias("ets"), F.col("event_id").alias("eid")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+        return errors, clicks
+
+    s_err, s_clk = split(stream)
+    joined = stream_interval_join(
+        s_err, s_clk, "user_id", "ets", "cts", -3_600_000, 3_600_000,
+        delay="40 days",  # fixture spans 30 days; nothing may be dropped
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.eid, r.cid) for r in spark.sql("select * from ivj_out").collect()
+    }
+    b_err, b_clk = split(events)
+    want = {
+        (r.eid, r.cid)
+        for r in tp.interval_join(
+            b_err, b_clk, "user_id", "ets", "cts", -3_600_000, 3_600_000
+        ).collect()
+    }
+    assert got == want and got
