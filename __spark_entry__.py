@@ -33,6 +33,9 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
     relational as rel,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+    sampling as smp,
+)
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
     similarity as sim,
 )
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
@@ -494,6 +497,20 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.hash_split):
+    membership is a pure function of the doc key — stable across runs,
+    partitionings, and engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return smp.hash_split(docs, "doc_id")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% downsample by key hash (sampling.hash_sample)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return smp.hash_sample(docs, "doc_id", 0.1)
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((priority),(status)) in one Expand + partial-agg
     pass (relational.priority_status_slices)."""
@@ -578,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_centroids": q_label_centroids,
         "q_grouping_sets": q_grouping_sets,
         "q_corpus_curation": q_corpus_curation,
+        "q_hash_split": q_hash_split,
+        "q_hash_sample": q_hash_sample,
     }
 
 
@@ -757,6 +776,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(u.x), 4) + 0.0 AS centroid,
                    count(*) AS n_vectors
             FROM ex GROUP BY label, u.dim
+        """,
+        "q_hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {smp.duck_bucket_expr('doc_id')} < 9000
+                            THEN 'train'
+                        WHEN {smp.duck_bucket_expr('doc_id')} < 9500
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q_hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {smp.duck_bucket_expr('doc_id')} < 1000
         """,
         "q_grouping_sets": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -1,0 +1,80 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+``df.sample()`` is seeded-random per partition — fine for exploration,
+wrong for reproducible train/val/test membership (a repartition changes
+the sample, and no other engine can replay it). The operators here derive
+membership from a CONTENT hash of a key column, so:
+
+* membership is a pure function of the row key — stable across runs,
+  partitionings, engines (the oracle replays the same md5-h32 buckets);
+* splits are disjoint and exhaustive by construction (one bucket value
+  maps to exactly one split);
+* it's a narrow map over the scan — no shuffle, no state, embarrassingly
+  parallel at any scale.
+
+The salt parameter decorrelates different splits over the same corpus
+(e.g. a 1% eval carve-out this month vs a fresh one next month).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+#: bucket resolution: split fractions are exact multiples of 1/10000
+BUCKETS = 10_000
+
+
+def _bucket_expr(key_col: str, salt: str) -> str:
+    """Deterministic bucket in [0, BUCKETS): portable md5-h32 of the
+    salted, stringified key — identical in Spark and DuckDB."""
+    keyed = f"concat('{salt}', ':', cast({key_col} as string))"
+    return f"pmod({H.spark_h32(keyed)}, {BUCKETS})"
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign each row a split label from the hash of ``key_col``.
+
+    ``splits`` maps label → fraction (must sum to 1 within 1/BUCKETS);
+    labels are assigned in the given order over contiguous bucket ranges,
+    so growing one split keeps the others' membership stable when it is
+    the LAST entry.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    fracs = list(splits.values())
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1.0 / BUCKETS:
+        raise ValueError(f"split fractions must be >=0 and sum to 1: {splits}")
+    bucket = _bucket_expr(key_col, salt)
+    expr = "CASE"
+    hi = 0
+    labels = list(splits)
+    for i, (label, frac) in enumerate(splits.items()):
+        hi = BUCKETS if i == len(labels) - 1 else hi + int(round(frac * BUCKETS))
+        expr += f" WHEN {bucket} < {hi} THEN '{label}'"
+    expr += " END"
+    return df.withColumn("split", F.expr(expr))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "v1"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash (reproducible
+    downsampling; same row set on every run and engine)."""
+    if not 0 <= fraction <= 1:
+        raise ValueError(f"fraction must be in [0,1]: {fraction}")
+    cut = int(round(fraction * BUCKETS))
+    return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < {cut}"))
+
+
+def duck_bucket_expr(key_col: str, salt: str = "v1") -> str:
+    """The oracle-side twin of ``_bucket_expr`` (DuckDB SQL fragment)."""
+    keyed = f"concat('{salt}', ':', cast({key_col} as varchar))"
+    # DuckDB % is remainder; h32 is non-negative so it equals pmod here
+    return f"({H.duck_h32(keyed)} % {BUCKETS})"

@@ -462,3 +462,87 @@ def test_curate_corpus_policy(spark, planted):
     assert strict.columns == [
         "doc_id", "predicted_lang", "n_tokens", "uniq_ratio", "quality",
     ]
+
+
+# -- deterministic sampling -------------------------------------------------
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = smp.hash_split(docs, "doc_id")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # membership is partitioning-independent
+    re = {
+        (r.doc_id, r.split)
+        for r in smp.hash_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert re == {(r.doc_id, r.split) for r in rows}
+    # a different salt reassigns some rows
+    other = {
+        (r.doc_id, r.split)
+        for r in smp.hash_split(docs, "doc_id", salt="v2").collect()
+    }
+    assert other != re
+
+
+def test_hash_sample_subset_deterministic(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    s1 = {r.doc_id for r in smp.hash_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {r.doc_id for r in smp.hash_sample(docs, "doc_id", 0.2).collect()}
+    assert s1 == s2
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n  # ~20% of 500
+    # larger fraction strictly extends the smaller one (nested samples)
+    s3 = {r.doc_id for r in smp.hash_sample(docs, "doc_id", 0.5).collect()}
+    assert s1 <= s3
+    with pytest.raises(ValueError):
+        smp.hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        smp.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_property_fractions(spark):
+    """Hypothesis: for arbitrary valid fraction tables, the split is
+    exhaustive (every row labeled) and disjoint (labels from the table)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id").limit(100)
+    docs = docs.persist()
+    docs.count()
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        weights=st.lists(
+            st.integers(min_value=1, max_value=10), min_size=1, max_size=4
+        )
+    )
+    def check(weights):
+        total = sum(weights)
+        splits = {f"s{i}": w / total for i, w in enumerate(weights)}
+        rows = smp.hash_split(docs, "doc_id", splits).collect()
+        assert len(rows) == 100
+        assert all(r.split in splits for r in rows)
+
+    try:
+        check()
+    finally:
+        docs.unpersist()
