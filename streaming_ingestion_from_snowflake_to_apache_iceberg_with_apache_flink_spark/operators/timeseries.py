@@ -1,0 +1,77 @@
+"""Time-series similarity search over the events stream.
+
+PAPERS.md: "Time Series Similarity Search for Streaming Data in
+Distributed Systems" (EDBT 2019) / the top-k similarity-search family —
+re-expressed Spark-first: each user's activity is a sparse integer vector
+of per-day event counts, and similarity is cosine between those vectors.
+
+Why integer count vectors: per-day COUNTS aggregate exactly (no
+floating-point summation order), so dot products and squared norms are
+exact integers and the final cosine is one IEEE division — bit-identical
+in Spark and the DuckDB oracle, no rounding-boundary exposure.
+
+Scale shape: the day-count aggregation is ONE partial-agg shuffle on
+(user, day); the probe user's vector (≤ days rows) broadcasts into the
+corpus side, so the candidate dot-product join never shuffles the corpus;
+norms are a second small partial agg. For many-probe workloads this
+becomes the blocked matrix-product shape of operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: epoch microseconds per day (UTC session pinned by sources.parquet)
+_DAY_US = 86_400_000_000
+
+
+def daily_counts(events: DataFrame) -> DataFrame:
+    """Sparse (user_id, day, c) activity vectors; day = epoch day."""
+    return events.groupBy(
+        "user_id",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def topk_similar_users(
+    events: DataFrame, probe_user: int = 0, k: int = 10
+) -> DataFrame:
+    """Top-k users whose daily-activity vector is most cosine-similar to
+    ``probe_user``'s. Ties break on user_id ascending."""
+    from pyspark.sql import Window
+
+    daily = daily_counts(events)
+    norms = daily.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nsq")
+    )
+    probe = daily.filter(F.col("user_id") == probe_user).select(
+        "day", F.col("c").alias("pc")
+    )
+    probe_norm = norms.filter(F.col("user_id") == probe_user).select(
+        F.col("nsq").alias("pnsq")
+    )
+    dots = (
+        daily.filter(F.col("user_id") != probe_user)
+        .join(F.broadcast(probe), "day")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("pc")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms, "user_id")
+        .crossJoin(F.broadcast(probe_norm))
+        .select(
+            "user_id",
+            (
+                F.col("dot") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("pnsq")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("user_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "cos_sim", "rank")
+    )

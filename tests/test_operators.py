@@ -546,3 +546,42 @@ def test_hash_split_property_fractions(spark):
         check()
     finally:
         docs.unpersist()
+
+
+# -- sentiment + time-series similarity -------------------------------------
+
+
+def test_sentiment_labels(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast fast big slow", "en", "s", 18),   # 3 pos 1 neg
+            (2, "slow small dup", "en", "s", 14),       # 0 pos 3 neg
+            (3, "fast slow", "en", "s", 9),             # tie
+            (4, "join filter merge", "en", "s", 17),    # no lexicon hits
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in tx.sentiment(docs).collect()}
+    assert out[1].label == "pos" and out[1].polarity == 0.5
+    assert out[2].label == "neg" and out[2].polarity == -1.0
+    assert out[3].label == "neutral" and out[3].polarity == 0.0
+    assert out[4].label == "neutral" and out[4].polarity == 0.0
+
+
+def test_ts_similarity_excludes_probe_and_ranks(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        topk_similar_users,
+    )
+
+    events = load_table(spark, SF, "events")
+    out = topk_similar_users(events, probe_user=0, k=5).collect()
+    assert len(out) == 5
+    assert all(r.user_id != 0 for r in out)
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in sims)

@@ -176,3 +176,22 @@ def test_vocab_single_shuffle_topk(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert count_exchanges(df) == 1
+
+
+def test_identity_partition_pruning(spark, tmp_path):
+    """A shard filter over an identity-partitioned table (O11's layout)
+    must prune at the PARTITION level — PartitionFilters carries the
+    predicate and only one directory is scanned, the property that makes
+    per-shard reads O(shard) instead of O(table) at 100 TB."""
+    src = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_part")
+    src.write.partitionBy("o_orderpriority").parquet(path)
+    df = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = formatted_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("o_orderpriority" in ln for ln in pf), pf
+    # the pushed-filters list must NOT need the partition column (it never
+    # reaches row groups; pruning already happened at planning)
+    assert df.count() == src.filter(F.col("o_orderpriority") == "1-URGENT").count()
