@@ -56,6 +56,8 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_smp_duck_bucket = smp.duck_bucket_expr
+
 # Pipeline roles on the fixtures (FIXTURES.md §1): shard column, sort
 # column, upsert equality field per table.
 ORDERS_SHARD, ORDERS_SORT, ORDERS_KEY = "o_orderpriority", "o_orderdate", "o_orderkey"
@@ -497,6 +499,33 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup (text.normalize_text): lower + trim +
+    whitespace collapse, with a changed flag."""
+    return tx.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word bigrams by document frequency (text.bigram_topk)."""
+    return tx.bigram_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine sequence packing (sampling.pack_bins): length-ranked
+    docs dealt into 8 balanced training bins."""
+    tc = tx.token_count(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return smp.pack_bins(tc, n_bins=8)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language carve-out (sampling.stratified_take):
+    the 20 smallest-hash docs per lang."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return smp.stratified_take(docs, "lang", "doc_id", 20)
+
+
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment (text.sentiment): per-doc pos/neg counts, exact
     unrounded polarity, sign label — one codegen'd projection."""
@@ -615,6 +644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": q_hash_sample,
         "q_sentiment": q_sentiment,
         "q_ts_similarity": q_ts_similarity,
+        "q_normalize_text": q_normalize_text,
+        "q_bigram_topk": q_bigram_topk,
+        "q_pack_bins": q_pack_bins,
+        "q_stratified_sample": q_stratified_sample,
     }
 
 
@@ -1311,6 +1344,44 @@ def _extension_oracles() -> dict[str, str]:
             ) WHERE sim >= 0.45
         """,
     }
+    out["q_normalize_text"] = f"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[{tx.WS}]+', ' ', 'g'))
+                   AS norm_text,
+               trim(regexp_replace(lower(text), '[{tx.WS}]+', ' ', 'g'))
+                   <> text AS changed
+        FROM documents
+    """
+    out["q_bigram_topk"] = f"""
+        WITH g AS (
+            SELECT unnest({H.duck_shingles(toks, 2)}) AS ngram FROM documents
+        )
+        SELECT ngram, count(*) AS doc_freq FROM g
+        GROUP BY ngram ORDER BY doc_freq DESC, ngram ASC LIMIT 100
+    """
+    out["q_pack_bins"] = f"""
+        WITH tc AS (
+            SELECT doc_id, len({toks})::INT AS n_tokens FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+                       AS r
+            FROM tc
+        )
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                         ELSE 7 - (r % 8) END AS INT) AS bin
+        FROM r
+    """
+    out["q_stratified_sample"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY {_smp_duck_bucket('doc_id')}, doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """
     pos_lit = lit(tx.POS_WORDS)
     neg_lit = lit(tx.NEG_WORDS)
     out["q_sentiment"] = f"""

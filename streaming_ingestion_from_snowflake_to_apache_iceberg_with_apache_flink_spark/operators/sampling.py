@@ -78,3 +78,51 @@ def duck_bucket_expr(key_col: str, salt: str = "v1") -> str:
     keyed = f"concat('{salt}', ':', cast({key_col} as varchar))"
     # DuckDB % is remainder; h32 is non-negative so it equals pmod here
     return f"({H.duck_h32(keyed)} % {BUCKETS})"
+
+
+def stratified_take(
+    df: DataFrame, stratum_col: str, key_col: str, per_stratum: int, salt: str = "v1"
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``per_stratum`` rows with the
+    smallest salted key hashes in each stratum (a balanced per-language /
+    per-source carve-out that is stable across runs and engines).
+
+    One shuffle on the stratum; Catalyst's WindowGroupLimit truncates to
+    ``per_stratum`` rows per group map-side before the exchange."""
+    from pyspark.sql import Window
+
+    bucket = _bucket_expr(key_col, salt)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.expr(bucket).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= per_stratum)
+        .drop("rn")
+    )
+
+
+def pack_bins(documents_with_len: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Sequence packing: assign length-ranked docs to ``n_bins`` bins in
+    serpentine (boustrophedon) order — the classic balanced-batch
+    approximation of bin packing for training shards (longest docs spread
+    first, direction alternating so totals stay even).
+
+    Needs (doc_id, n_tokens). The global length rank is a single sort;
+    at 100 TB replace with a range-partitioned rank (sort within
+    length-quantile buckets) — the serpentine formula is unchanged.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    r = F.row_number().over(w) - 1
+    fwd = F.pmod(r, F.lit(n_bins))
+    rev = F.lit(n_bins - 1) - fwd
+    direction_fwd = F.pmod(F.floor(r / F.lit(n_bins)), F.lit(2)) == 0
+    return documents_with_len.select(
+        "doc_id",
+        "n_tokens",
+        F.when(direction_fwd, fwd).otherwise(rev).cast("int").alias("bin"),
+    )

@@ -214,3 +214,39 @@ def sentiment(documents: DataFrame) -> DataFrame:
         "CASE WHEN n_pos > n_neg THEN 'pos'"
         " WHEN n_neg > n_pos THEN 'neg' ELSE 'neutral' END as label",
     )
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonical text cleanup: lowercase, trim, collapse whitespace runs
+    to single spaces (the standard pre-dedup normalization pass — exact
+    dedup over normalized text catches case/spacing-only copies). Pure
+    projection; the `changed` flag lets a pipeline count normalization
+    impact without a second diff pass."""
+    # DataFrame-API regexp_replace: the pattern string reaches the regex
+    # engine verbatim (a selectExpr SQL literal would eat the backslashes
+    # in the WS class — '\\f' ⇒ literal 'f' — and corrupt text).
+    # Collapse BEFORE trim: trim strips only ASCII spaces, so collapsing
+    # first turns trailing tab/newline runs into one space trim can see.
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), f"[{WS}]+", " "))
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).cast("boolean").alias("changed"),
+    )
+
+
+def bigram_topk(documents: DataFrame, k: int = 100, n: int = 2) -> DataFrame:
+    """Top-``k`` word n-grams by DOCUMENT frequency (how many docs contain
+    the n-gram at least once — the shingle sets are distinct per doc).
+    Same explode → partial-agg → TakeOrderedAndProject shape as ``vocab``;
+    the n-gram key crossing the shuffle is the portable h32 of the phrase
+    text, so the phrase string itself travels once per doc, not per
+    occurrence."""
+    sh = H.spark_shingles(_TOKENS, n)
+    return (
+        documents.selectExpr(f"explode({sh}) as ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -585,3 +585,68 @@ def test_ts_similarity_excludes_probe_and_ranks(spark):
     sims = [r.cos_sim for r in sorted(out, key=lambda r: r.rank)]
     assert sims == sorted(sims, reverse=True)
     assert all(0.0 <= s <= 1.0 for s in sims)
+
+
+def test_normalize_text_cleans(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  Hello\t WORLD \n", "en", "s", 16),
+            (2, "already clean", "en", "s", 13),
+            (3, "tabs\tand\nnewlines\x0bhere", "en", "s", 22),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in tx.normalize_text(docs).collect()}
+    assert out[1].norm_text == "hello world" and out[1].changed
+    assert out[2].norm_text == "already clean" and not out[2].changed
+    assert out[3].norm_text == "tabs and newlines here" and out[3].changed
+
+
+def test_pack_bins_balanced(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    tc = tx.token_count(load_table(spark, SF, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    out = smp.pack_bins(tc, n_bins=8)
+    assert out.count() == tc.count()  # every doc assigned exactly once
+    totals = {
+        r.bin: r.total
+        for r in out.groupBy("bin").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    assert set(totals) == set(range(8))
+    # serpentine packing keeps bins within a few max-doc-lengths of each other
+    spread_ratio = (max(totals.values()) - min(totals.values())) / max(
+        totals.values()
+    )
+    assert spread_ratio < 0.05, totals
+    with pytest.raises(ValueError):
+        smp.pack_bins(tc, n_bins=0)
+
+
+def test_stratified_take_per_group(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    out = smp.stratified_take(docs, "lang", "doc_id", 10)
+    counts = {r.lang: r.c for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    full = {r.lang: r.c for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for lang, n in full.items():
+        assert counts.get(lang, 0) == min(10, n)
+    # deterministic across partitionings
+    again = {
+        (r.doc_id, r.lang)
+        for r in smp.stratified_take(docs.repartition(5), "lang", "doc_id", 10).collect()
+    }
+    assert again == {(r.doc_id, r.lang) for r in out.collect()}
