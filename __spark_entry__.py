@@ -591,6 +591,55 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per doc (text.tfidf_topk): log-free N/df idf so
+    the score is an exact rational; vocab side broadcast onto tf."""
+    return tx.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (text.repetition_stats): duplicate
+    token / 3-gram fractions per doc, repetitive flag."""
+    return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (text.chunk_documents): 32-token windows every
+    24 tokens, content-checked via the chunk h32."""
+    return tx.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing weights (sampling.temperature_weights):
+    p_l ∝ n_l^0.25 per language — sqrt∘sqrt for cross-engine exactness."""
+    return smp.temperature_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI existence joins (relational.order_coverage):
+    per-segment customers with vs without orders."""
+    return rel.order_coverage(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (similarity.quantize_embeddings): exact
+    integer quantized norms + sequential-fold reconstruction error."""
+    return sim.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding window (streaming.windows.sliding_avg): 1 h
+    windows every 30 min per event_type — batch twin of the streaming
+    hopping aggregation."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        sliding_avg,
+    )
+
+    return sliding_avg(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -648,6 +697,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_topk": q_bigram_topk,
         "q_pack_bins": q_pack_bins,
         "q_stratified_sample": q_stratified_sample,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_repetition": q_repetition,
+        "q_chunk_documents": q_chunk_documents,
+        "q_temperature_sample": q_temperature_sample,
+        "q_order_coverage": q_order_coverage,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_sliding_window": q_sliding_window,
     }
 
 
@@ -1410,5 +1466,106 @@ def _extension_oracles() -> dict[str, str]:
         JOIN ({out['q_quality_score']}) q USING (doc_id)
         JOIN ({out['q_lang_id']}) l USING (doc_id)
         WHERE q.quality >= 0.38 AND l.predicted_lang IN ('en')
+    """
+    out["q_tfidf_topk"] = f"""
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+            GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, token, tf, df, score, rank FROM (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   round(tf.tf * n.n_docs / df.df, 6) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * n.n_docs / df.df, 6) DESC,
+                                tf.token ASC) AS INT) AS rank
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        ) WHERE rank <= 5
+    """
+    rep_grams = (
+        f"list_transform(generate_series(1, greatest(len(t) - 2, 1)), "
+        f"i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])"
+    )
+    out["q_repetition"] = f"""
+        SELECT doc_id,
+               len(t)::INT AS n_tokens,
+               CAST(round((len(t) - len(list_distinct(t))) / len(t), 6)
+                    AS DOUBLE) AS dup_token_ratio,
+               CAST(round((len(g) - len(list_distinct(g))) / len(g), 6)
+                    AS DOUBLE) AS dup_ngram_ratio,
+               (len(t) - len(list_distinct(t))) / len(t) > 0.7 AS repetitive
+        FROM (SELECT doc_id, {toks} AS t, {rep_grams} AS g FROM documents)
+    """
+    out["q_chunk_documents"] = f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS tk FROM documents
+        ), c AS (
+            SELECT doc_id, len(tk) AS n_tokens, tk,
+                   unnest(generate_series(0,
+                       CAST(ceil(len(tk) / 24.0) AS INT) - 1)) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, chunk_id::INT AS chunk_id,
+               (chunk_id * 24)::INT AS start_tok,
+               least(32, n_tokens - chunk_id * 24)::INT AS chunk_len,
+               {H.duck_h32("array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')")}
+                   AS chunk_h32
+        FROM c
+    """
+    out["q_temperature_sample"] = """
+        WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT lang, n_docs,
+               round(sqrt(sqrt(n_docs::DOUBLE)), 6) AS weight,
+               round(sqrt(sqrt(n_docs::DOUBLE))
+                     / sum(sqrt(sqrt(n_docs::DOUBLE))) OVER (), 6) AS p_sample,
+               round(n_docs / sum(n_docs) OVER (), 6) AS p_natural
+        FROM c
+    """
+    out["q_order_coverage"] = """
+        WITH k AS (SELECT DISTINCT o_custkey FROM orders)
+        SELECT c_mktsegment,
+               count(k.o_custkey) AS n_with_orders,
+               count(*) - count(k.o_custkey) AS n_without_orders
+        FROM customer c LEFT JOIN k ON c.c_custkey = k.o_custkey
+        GROUP BY c_mktsegment
+    """
+    out["q_quantize_embeddings"] = """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+        ), qq AS (
+            SELECT vec_id, x,
+                   list_transform(x, v ->
+                       greatest(-127, least(127, floor(v * 127 + 0.5)))) AS q
+            FROM e
+        ), agg AS (
+            SELECT vec_id,
+                   list_reduce(list_transform(q,
+                       v -> CAST(v AS BIGINT) * CAST(v AS BIGINT)),
+                       (a, b) -> a + b) AS qnorm2,
+                   list_reduce(list_transform(generate_series(1, 64),
+                       i -> (x[i] - q[i] / 127.0) * (x[i] - q[i] / 127.0)),
+                       (a, b) -> a + b) AS err,
+                   len(q) AS d
+            FROM qq
+        )
+        SELECT vec_id, qnorm2,
+               round(err, 6) AS sq_err,
+               round(sqrt(err / d), 6) AS rms_err
+        FROM agg
+    """
+    out["q_sliding_window"] = """
+        WITH hop AS (
+            SELECT event_type, value,
+                   ((epoch_ms(ts) // 1800000) - g.i) * 1800000
+                       AS window_start_ms
+            FROM events, generate_series(0, 1) g(i)
+        )
+        SELECT event_type, window_start_ms,
+               round(avg(value), 4) AS avg_value,
+               count(*) AS n_events
+        FROM hop GROUP BY 1, 2
     """
     return out

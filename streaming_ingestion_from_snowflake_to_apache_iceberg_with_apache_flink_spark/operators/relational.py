@@ -349,3 +349,35 @@ def priority_status_slices(orders: DataFrame) -> DataFrame:
         """,
         o=orders,
     )
+
+
+def order_coverage(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-segment customer counts split by order activity, computed with
+    real LEFT SEMI / LEFT ANTI joins (the existence-join operators the
+    reference's dataflow lacks entirely — SURVEY.md §2.3 'Joins: none').
+
+    The build side is the distinct order keys — at 100 TB that distinct is
+    a partial agg and the two existence joins share one exchange of it;
+    semi/anti never materialize order payload columns, so only the key
+    crosses the wire (unlike a left join + null filter, which carries the
+    whole row)."""
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    on = F.col("c_custkey") == F.col("k")
+    w = (
+        customer.join(keys, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    wo = (
+        customer.join(keys, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        w.join(wo, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )

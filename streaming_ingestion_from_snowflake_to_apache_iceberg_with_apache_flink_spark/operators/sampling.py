@@ -126,3 +126,32 @@ def pack_bins(documents_with_len: DataFrame, n_bins: int = 8) -> DataFrame:
         "n_tokens",
         F.when(direction_fwd, fwd).otherwise(rev).cast("int").alias("bin"),
     )
+
+
+def temperature_weights(documents: DataFrame, stratum_col: str = "lang") -> DataFrame:
+    """Temperature-based multinomial rebalancing weights per stratum
+    (mT5/XLM-R style: sample language l with p_l ∝ n_l^α, α<1 upweights
+    low-resource strata). α is fixed at 0.25 = sqrt(sqrt(n)) because IEEE
+    sqrt is correctly rounded in every engine — ``pow(n, 0.3)`` is libm-
+    dependent and would break exact cross-engine checks.
+
+    One partial-agg shuffle to (stratum, n_docs) — a handful of rows — then
+    the normalizing sum is a single-partition window over that tiny frame
+    (never over the corpus)."""
+    counts = documents.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    weight = F.sqrt(F.sqrt(F.col("n_docs").cast("double")))
+    return (
+        counts.withColumn("weight", weight)
+        .select(
+            stratum_col,
+            "n_docs",
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("weight") / F.sum("weight").over(w), 6).alias("p_sample"),
+            F.round(
+                F.col("n_docs") / F.sum(F.col("n_docs")).over(w), 6
+            ).alias("p_natural"),
+        )
+    )

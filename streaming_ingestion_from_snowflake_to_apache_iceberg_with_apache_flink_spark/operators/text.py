@@ -250,3 +250,99 @@ def bigram_topk(documents: DataFrame, k: int = 100, n: int = 2) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (log-free inverse document
+    frequency ``N / df`` so the score is an exact rational — cross-engine
+    value-checkable without trusting two libm ``ln`` implementations).
+
+    Plan shape: one explode feeds BOTH aggregations — tf is a partial-agg
+    groupBy(doc_id, token); df re-aggregates the tf table (already one row
+    per doc×token, so ``count(*)`` IS document frequency) — then the small
+    vocabulary side is broadcast back onto the tf table and the per-doc
+    top-k is a WindowGroupLimit, truncated map-side before the final
+    shuffle. At 100 TB the vocab table stays small relative to the corpus
+    (Heaps' law), so the broadcast holds; if it doesn't, drop the hint and
+    AQE picks a shuffle join."""
+    tf = (
+        documents.selectExpr("doc_id", f"explode({_TOKENS}) as token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+def repetition_stats(documents: DataFrame, n: int = 3, flag_at: float = 0.7) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of tokens
+    that are repeats of an earlier token, and the fraction of word
+    ``n``-grams that are repeats of an earlier n-gram. High values mark
+    boilerplate/spam for a curation gate (Rae et al. 2021 use the same
+    duplicate-line/-ngram fractions). Pure projection — one scan, ratios
+    are exact rationals rounded at 6 (multiples of 1/n_tokens)."""
+    grams = (
+        f"transform(sequence(1, greatest(size({_TOKENS}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({_TOKENS}, i, {n})))"
+    )
+    return documents.selectExpr(
+        "doc_id",
+        f"size({_TOKENS}) as n_tokens",
+        f"cast(round((size({_TOKENS}) - size(array_distinct({_TOKENS})))"
+        f" / size({_TOKENS}), 6) as double) as dup_token_ratio",
+        f"cast(round((size({grams}) - size(array_distinct({grams})))"
+        f" / size({grams}), 6) as double) as dup_ngram_ratio",
+        f"(size({_TOKENS}) - size(array_distinct({_TOKENS})))"
+        f" / size({_TOKENS}) > {flag_at} as repetitive",
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 32, stride: int = 24
+) -> DataFrame:
+    """Token-window chunking for training-sequence construction: each doc
+    yields overlapping windows of ``chunk_tokens`` tokens every ``stride``
+    tokens (stride < chunk_tokens ⇒ context overlap, the usual LM packing
+    prep). Emits the chunk's portable h32 so content — not just shape — is
+    oracle-checked.
+
+    Scale shape: posexplode(sequence) is a generator inside the same stage
+    as the scan (no shuffle at all); output rows ≈ rows × n_tokens/stride.
+    """
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens/stride must be >= 1: {chunk_tokens}/{stride}")
+    n_starts = "cast(ceil(size(tk) / {0}.0) as int)".format(stride)
+    chunk = f"concat_ws(' ', slice(tk, chunk_id * {stride} + 1, {chunk_tokens}))"
+    return (
+        documents.selectExpr("doc_id", f"{_TOKENS} as tk")
+        .selectExpr(
+            "doc_id",
+            "tk",
+            "size(tk) as n_tokens",
+            f"explode(sequence(0, {n_starts} - 1)) as chunk_id",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(chunk_id as int) as chunk_id",
+            f"cast(chunk_id * {stride} as int) as start_tok",
+            f"cast(least({chunk_tokens}, n_tokens - chunk_id * {stride}) as int)"
+            " as chunk_len",
+            H.spark_h32(chunk) + " as chunk_h32",
+        )
+    )

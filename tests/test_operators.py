@@ -650,3 +650,104 @@ def test_stratified_take_per_group(spark):
         for r in smp.stratified_take(docs.repartition(5), "lang", "doc_id", 10).collect()
     }
     assert again == {(r.doc_id, r.lang) for r in out.collect()}
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare", "en", "s", 18),
+            (2, "common filler words", "en", "s", 19),
+            (3, "common other stuff", "en", "s", 18),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = tx.tfidf_topk(docs, k=1).collect()
+    top = {r.doc_id: r.token for r in out}
+    # "rare" (df=1) beats "common" (df=3) in doc 1 despite tf 1 vs 2:
+    # 1*3/1 = 3.0 > 2*3/3 = 2.0
+    assert top[1] == "rare"
+    assert all(r.rank == 1 for r in out)
+
+
+def test_repetition_flags_repeats(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam", "en", "s", 0),
+            (2, "ten totally distinct words appear in this tiny doc here", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in tx.repetition_stats(docs).collect()}
+    assert out[1].repetitive and out[1].dup_token_ratio == 0.9
+    assert not out[2].repetitive and out[2].dup_token_ratio == 0.0
+    assert out[1].dup_ngram_ratio == 0.875  # 8 grams, 1 distinct
+
+
+def test_chunks_cover_every_token_once_at_stride_eq_chunk(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    chunks = tx.chunk_documents(docs, chunk_tokens=32, stride=32)
+    # non-overlapping chunks partition the token range exactly
+    agg = chunks.groupBy("doc_id").agg(
+        F.sum("chunk_len").alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("start_tok") + F.col("chunk_len")).alias("end"),
+    )
+    joined = agg.join(
+        docs.selectExpr("doc_id", "size(split(trim(text), '\\\\s+')) as n_tokens"),
+        "doc_id",
+    )
+    bad = joined.filter(
+        (F.col("covered") != F.col("n_tokens")) | (F.col("end") != F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    with pytest.raises(ValueError):
+        tx.chunk_documents(docs, chunk_tokens=0)
+
+
+def test_temperature_upweights_low_resource(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    out = smp.temperature_weights(load_table(spark, SF, "documents")).collect()
+    assert abs(sum(r.p_sample for r in out) - 1.0) < 1e-4
+    by_n = sorted(out, key=lambda r: r.n_docs)
+    # flattening: smallest stratum gains share, largest loses share
+    assert by_n[0].p_sample > by_n[0].p_natural
+    assert by_n[-1].p_sample < by_n[-1].p_natural
+
+
+def test_order_coverage_partitions_customers(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        relational as rel,
+    )
+
+    customer = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    out = rel.order_coverage(customer, orders).collect()
+    assert sum(r.n_with_orders + r.n_without_orders for r in out) == customer.count()
+    assert sum(r.n_with_orders for r in out) == (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").count()
+    )
+
+
+def test_quantize_bounds_and_error(spark):
+    out = sim.quantize_embeddings(load_table(spark, SF, "embeddings"))
+    rows = out.collect()
+    # q in [-127,127]^64 ⇒ qnorm2 ≤ 64*127²; scalar quantization error per
+    # dim ≤ (1/254)² ⇒ sq_err ≤ 64/254² ≈ 0.000992
+    assert all(0 <= r.qnorm2 <= 64 * 127 * 127 for r in rows)
+    assert all(0.0 <= r.sq_err <= 0.001 for r in rows)
+    assert all(r.rms_err <= 0.004 for r in rows)
