@@ -640,6 +640,25 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_avg(load_table(spark, sf_dir, "events"))
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token sketch (operators.sketch): deterministic
+    approximate count-distinct with an exact oracle — estimate and exact
+    count side by side."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        kmv_distinct_tokens,
+    )
+
+    return kmv_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pairs
+    (dedup.connected_components): iterative hash-min label propagation;
+    oracle = recursive-CTE transitive closure over the same pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.connected_components(dd.ngram_jaccard_pairs(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -704,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_order_coverage": q_order_coverage,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_sliding_window": q_sliding_window,
+        "q_distinct_sketch": q_distinct_sketch,
+        "q_dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1567,5 +1588,30 @@ def _extension_oracles() -> dict[str, str]:
                round(avg(value), 4) AS avg_value,
                count(*) AS n_events
         FROM hop GROUP BY 1, 2
+    """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        duck_kmv_sql,
+    )
+
+    out["q_distinct_sketch"] = duck_kmv_sql()
+    # transitive closure over the SAME pair SQL the Spark query clusters —
+    # components are small, so the closure stays tiny
+    out["q_dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS (
+            {out["q_dedup_ngram_jaccard"]}
+        ), bidir AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        ), comp AS (
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
     """
     return out

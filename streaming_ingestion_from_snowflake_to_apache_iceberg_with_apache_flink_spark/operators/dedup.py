@@ -283,3 +283,67 @@ def simhash_pairs(
         "doc_b",
         "cast(bit_count(simhash_a ^ simhash_b) as int) as hamming",
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of the near-dup pair graph by hash-min label
+    propagation (the Pregel-style algorithm GraphX/GraphFrames use): every
+    node starts labeled with its own id; each round every node takes the
+    min label among itself and its neighbors; fixed point = components,
+    with the min node id as the cluster representative.
+
+    Near-dup dedup needs this because pair-pruning alone over-keeps: if
+    A~B and B~C but A≁C, keep-min-per-pair would keep A and C even though
+    they share a cluster via B — clustering first, then keeping one doc
+    per cluster, is the policy real pipelines (e.g. the C4/Gopher dedup
+    stages) apply.
+
+    The driver loop is bounded by the graph diameter (≤ log rounds for
+    the skewed components real corpora have), and each iteration is a
+    fully distributed join + partial-agg min; only the single `changed`
+    counter ever reaches the driver. Returns (doc_id, cluster_id,
+    cluster_size).
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bidir = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        msgs = bidir.join(labels, bidir["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        new = (
+            msgs.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    bidir.unpersist()
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
+    )

@@ -751,3 +751,27 @@ def test_quantize_bounds_and_error(spark):
     assert all(0 <= r.qnorm2 <= 64 * 127 * 127 for r in rows)
     assert all(0.0 <= r.sq_err <= 0.001 for r in rows)
     assert all(r.rms_err <= 0.004 for r in rows)
+
+
+def test_kmv_sketch_accuracy(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        kmv_distinct_tokens,
+    )
+
+    row = kmv_distinct_tokens(load_table(spark, SF, "documents"), k=64).collect()[0]
+    assert row.k_used == min(64, row.n_exact)
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 13% at k=64; allow 4 sigma
+    assert abs(row.rel_err) < 0.52
+    assert row.n_est > 0
+
+
+def test_connected_components_chains_transitively(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (20, 10)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r for r in dd.connected_components(pairs).collect()}
+    assert {out[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert out[1].cluster_size == 3
+    assert out[7].cluster_id == 7 and out[9].cluster_size == 2
+    assert out[20].cluster_id == 10 and out[10].cluster_id == 10
+    assert set(out) == {1, 2, 3, 7, 9, 10, 20}
