@@ -307,17 +307,21 @@ def connected_components(
     cluster_size).
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    bidir = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
-    )
+    # no distinct(): the min-aggregation is idempotent under duplicate
+    # edges, so deduplicating them would buy nothing for a whole shuffle
+    bidir = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
     labels = (
         bidir.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .persist()
     )
+    # hash-min labels are monotonically non-increasing, so sum(label) is a
+    # strictly decreasing convergence witness — one scalar agg per round
+    # instead of a join against the previous labels
+    prev_sum = None
     for _ in range(max_iter):
         msgs = bidir.join(labels, bidir["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -328,15 +332,12 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     bidir.unpersist()
     from pyspark.sql import Window
 

@@ -195,3 +195,65 @@ def test_identity_partition_pruning(spark, tmp_path):
     # the pushed-filters list must NOT need the partition column (it never
     # reaches row groups; pruning already happened at planning)
     assert df.count() == src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_tfidf_broadcasts_vocab_and_limits_group(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    df = tx.tfidf_topk(load_table(spark, SF, "documents"), k=5)
+    assert_broadcast_join(df)  # vocabulary df-table joined broadcast
+    assert_window_group_limit(df)  # per-doc top-k truncated map-side
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    df = tx.chunk_documents(load_table(spark, SF, "documents"))
+    assert count_exchanges(df) == 0  # generator in the scan stage
+
+
+def test_repetition_stats_no_shuffle_and_pruned(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    df = tx.repetition_stats(load_table(spark, SF, "documents"))
+    assert count_exchanges(df) == 0
+    assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_order_coverage_uses_semi_and_anti(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        relational as rel,
+    )
+
+    df = rel.order_coverage(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "orders")
+    )
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_quantize_no_shuffle(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        similarity as sim,
+    )
+
+    df = sim.quantize_embeddings(load_table(spark, SF, "embeddings"))
+    assert count_exchanges(df) == 0
+
+
+def test_kmv_sketch_is_take_ordered(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        kmv_distinct_tokens,
+    )
+
+    df = kmv_distinct_tokens(load_table(spark, SF, "documents"), k=64)
+    plan = formatted_plan(df)
+    # global k-smallest must be TakeOrderedAndProject, never a full Sort
+    assert "TakeOrderedAndProject" in plan
