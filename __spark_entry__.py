@@ -659,6 +659,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(dd.ngram_jaccard_pairs(docs))
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel view→click→purchase per user
+    (sessions.funnel) — batch twin of Flink CEP followedBy chains."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        funnel,
+    )
+
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle (sessions.retention_cohorts)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM plausibility score per doc (text.unigram_lm_score):
+    integer-sum corpus frequencies, one division at the end."""
+    return tx.unigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment pairs (dedup.containment_pairs):
+    sub-document duplication both directions."""
+    return dd.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -725,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_window": q_sliding_window,
         "q_distinct_sketch": q_distinct_sketch,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_event_funnel": q_event_funnel,
+        "q_retention": q_retention,
+        "q_unigram_lm": q_unigram_lm,
+        "q_dedup_containment": q_dedup_containment,
     }
 
 
@@ -1613,5 +1648,80 @@ def _extension_oracles() -> dict[str, str]:
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
+    """
+    # funnel compares in µs space — the same precision Spark sees after
+    # the ns→µs parquet truncation (load_table), so strict > agrees
+    out["q_event_funnel"] = """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS u FROM events
+        ), s0 AS (
+            SELECT user_id, min(u) AS t0 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s1 AS (
+            SELECT ev.user_id, min(u) AS t1 FROM ev JOIN s0 USING (user_id)
+            WHERE event_type = 'click' AND u > t0 GROUP BY ev.user_id
+        ), s2 AS (
+            SELECT ev.user_id, min(u) AS t2 FROM ev JOIN s1 USING (user_id)
+            WHERE event_type = 'purchase' AND u > t1 GROUP BY ev.user_id
+        )
+        SELECT s0.user_id,
+               t0 // 1000 AS t_view_ms,
+               t1 // 1000 AS t_click_ms,
+               t2 // 1000 AS t_purchase_ms,
+               (1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)::INT
+                   AS stages_completed
+        FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    """
+    out["q_retention"] = """
+        WITH f AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), a AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+            FROM events
+        )
+        SELECT epoch_ms(cohort_day) AS cohort_day_ms,
+               ((epoch_ms(active_day) - epoch_ms(cohort_day)) // 86400000)::INT
+                   AS day_offset,
+               count(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """
+    out["q_unigram_lm"] = f"""
+        WITH occ AS (
+            SELECT doc_id, unnest({toks}) AS token FROM documents
+        ), counts AS (
+            SELECT token, count(*) AS cnt FROM occ GROUP BY token
+        ), total AS (SELECT sum(cnt) AS total_tokens FROM counts)
+        SELECT doc_id, count(*)::INT AS n_tokens,
+               round(sum(cnt) / (count(*) * total_tokens), 6) AS lm_score
+        FROM occ JOIN counts USING (token) CROSS JOIN total
+        GROUP BY doc_id, total_tokens
+    """
+    sh3c = H.duck_shingles(toks, 3)
+    out["q_dedup_containment"] = f"""
+        WITH sized AS (
+            SELECT doc_id, sh, len(sh) AS n_sh
+            FROM (SELECT doc_id,
+                         list_transform({sh3c}, s -> {H.duck_h32("s")}) AS sh
+                  FROM documents)
+        ), inv AS (
+            SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized
+        ), kept AS (
+            SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 100
+        ), inv2 AS (
+            SELECT inv.* FROM inv JOIN kept USING (shingle)
+        ), pairs AS (
+            SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+                   a.n_sh AS n_src, count(*) AS n_common
+            FROM inv2 a JOIN inv2 b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT doc_src, doc_dst,
+               round(n_common / n_src, 4) AS containment
+        FROM pairs
+        WHERE round(n_common / n_src, 4) >= 0.3
     """
     return out

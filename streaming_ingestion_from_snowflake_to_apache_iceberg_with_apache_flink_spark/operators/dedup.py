@@ -348,3 +348,48 @@ def connected_components(
         .over(Window.partitionBy("label"))
         .alias("cluster_size"),
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle containment C(A→B) = |A∩B| / |A| —
+    catches sub-document duplication (quote farms, wrapped copies) that
+    symmetric Jaccard misses, because a small doc fully contained in a big
+    one has high containment but low Jaccard. Same inverted-index
+    candidate generation as ``ngram_jaccard_pairs``; emits BOTH directions
+    of each candidate pair since containment is directional."""
+    sh = H.spark_shingles(_TOKENS, n)
+    docs = (
+        spread(documents)
+        .selectExpr("doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as shingles")
+        .selectExpr("doc_id", "shingles", "size(shingles) as n_sh")
+        .persist()
+    )
+    inv = docs.selectExpr("doc_id", "n_sh", "explode(shingles) as shingle")
+    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    inv = inv.join(
+        df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"), "shingle"
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"),
+            F.col("b.doc_id").alias("doc_dst"),
+            F.col("a.n_sh").alias("n_src"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.selectExpr(
+        "doc_src",
+        "doc_dst",
+        "cast(round(n_common / n_src, 4) as double) as containment",
+    ).filter(F.col("containment") >= threshold)

@@ -57,3 +57,76 @@ def session_stats(
         (F.min(F.unix_micros(F.col(ts_column))) / F.lit(1000)).cast("long").alias("start_ms"),
         (F.max(F.unix_micros(F.col(ts_column))) / F.lit(1000)).cast("long").alias("end_ms"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_column: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Sequential-pattern funnel (the batch twin of Flink CEP's
+    ``A followedBy B followedBy C``): per user, the earliest time each
+    stage was reached STRICTLY AFTER the previous stage — users are
+    counted into stage k only if they did stage k after stage k-1.
+
+    Plan shape: one filtered partial-agg per stage, each joined on the
+    user key; stage k's aggregation input is pre-filtered by stage k-1's
+    time, so the frames shrink monotonically down the funnel. All
+    ``stages`` aggs shuffle on the same key, so Catalyst reuses one
+    exchange partitioning. Emits (user, t_<stage>_ms ... nullable,
+    stages_completed)."""
+    from ..schema import ts_ms
+
+    ts = F.col(ts_column)
+    cur = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy(key)
+        .agg(F.min(ts).alias("t0"))
+    )
+    out_cols = [F.col("t0")]
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.filter(F.col("event_type") == stage)
+            .join(cur.select(key, F.col(f"t{i-1}")), key)
+            .filter(ts > F.col(f"t{i-1}"))
+            .groupBy(key)
+            .agg(F.min(ts).alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, key, "left")
+        out_cols.append(F.col(f"t{i}"))
+    completed = sum(
+        (c.isNotNull().cast("int") for c in out_cols), F.lit(0)
+    )
+    return cur.select(
+        key,
+        *[ts_ms(f"t{i}").alias(f"t_{s}_ms") for i, s in enumerate(stages)],
+        completed.cast("int").alias("stages_completed"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame, ts_column: str = "ts", key: str = "user_id"
+) -> DataFrame:
+    """Daily cohort retention: users grouped by first-activity day, counted
+    on each subsequent active day as (cohort_day, day_offset, n_users) —
+    the classic triangle retention matrix, exact integers throughout.
+
+    Two partial-agg shuffles on the user key (first-day, then distinct
+    active days) + one broadcast of the per-user cohort back onto the
+    activity days; counts shuffle only (cohort, offset) pairs."""
+    day = F.date_trunc("day", F.col(ts_column))
+    first = events.groupBy(key).agg(F.min(day).alias("cohort_day"))
+    active = events.select(key, day.alias("active_day")).distinct()
+    day_ms = lambda c: (F.unix_micros(F.col(c)) / F.lit(1000)).cast("long")  # noqa: E731
+    return (
+        active.join(F.broadcast(first), key)
+        .select(
+            day_ms("cohort_day").alias("cohort_day_ms"),
+            ((day_ms("active_day") - day_ms("cohort_day")) / F.lit(86400000))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day_ms", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

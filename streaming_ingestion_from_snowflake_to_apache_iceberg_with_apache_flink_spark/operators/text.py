@@ -346,3 +346,35 @@ def chunk_documents(
             H.spark_h32(chunk) + " as chunk_h32",
         )
     )
+
+
+def unigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Unigram language-model plausibility score per doc: the mean corpus
+    frequency of the doc's tokens — the cheap LM-based quality signal
+    (docs of globally-rare tokens score low, like a perplexity filter
+    without the model). Exact cross-engine arithmetic: the numerator is an
+    INTEGER sum of corpus counts divided once at the end, never an average
+    of per-token floats (whose summation order would differ by engine).
+
+    Plan: explode → corpus-count partial agg → broadcast the (small,
+    Heaps-law) vocab back onto the token stream → integer sum per doc.
+    """
+    occ = documents.selectExpr("doc_id", f"explode({_TOKENS}) as token")
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    return (
+        occ.join(F.broadcast(counts), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("sum_cnt"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(
+                F.col("sum_cnt") / (F.col("n_tokens") * F.col("total_tokens")), 6
+            ).alias("lm_score"),
+        )
+    )

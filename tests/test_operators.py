@@ -775,3 +775,91 @@ def test_connected_components_chains_transitively(spark):
     assert out[7].cluster_id == 7 and out[9].cluster_size == 2
     assert out[20].cluster_id == 10 and out[10].cluster_id == 10
     assert set(out) == {1, 2, 3, 7, 9, 10, 20}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_requires_stage_order(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        funnel,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 10:05:00", 1, "click"),
+            ("2024-01-01 10:10:00", 1, "purchase"),
+            # user 2: clicked BEFORE first view -> stuck at stage 1
+            ("2024-01-01 09:00:00", 2, "click"),
+            ("2024-01-01 10:00:00", 2, "view"),
+            # user 3: view+purchase but never clicked -> stage 1
+            ("2024-01-01 10:00:00", 3, "view"),
+            ("2024-01-01 11:00:00", 3, "purchase"),
+            # user 4: never viewed -> not in funnel at all
+            ("2024-01-01 10:00:00", 4, "click"),
+        ],
+    )
+    out = {r.user_id: r for r in funnel(ev).collect()}
+    assert out[1].stages_completed == 3
+    assert out[2].stages_completed == 1 and out[2].t_click_ms is None
+    assert out[3].stages_completed == 1
+    assert 4 not in out
+    assert out[1].t_view_ms < out[1].t_click_ms < out[1].t_purchase_ms
+
+
+def test_retention_offsets(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        retention_cohorts,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 23:00:00", 1, "click"),  # same day, same offset 0
+            ("2024-01-03 10:00:00", 1, "view"),   # day 2
+            ("2024-01-02 10:00:00", 2, "view"),   # cohort Jan 2
+            ("2024-01-03 01:00:00", 2, "view"),   # day 1
+        ],
+    )
+    out = {(r.cohort_day_ms, r.day_offset): r.n_users for r in retention_cohorts(ev).collect()}
+    jan1 = 1704067200000
+    day = 86400000
+    assert out[(jan1, 0)] == 1 and out[(jan1, 2)] == 1
+    assert out[(jan1 + day, 0)] == 1 and out[(jan1 + day, 1)] == 1
+    assert (jan1, 1) not in out
+
+
+def test_unigram_lm_rare_tokens_score_low(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common", "en", "s", 0),
+            (2, "common common rareword xyzzy", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r.lm_score for r in tx.unigram_lm_score(docs).collect()}
+    assert out[1] > out[2]
+
+
+def test_containment_catches_subdocument(spark):
+    sub = "alpha beta gamma delta epsilon zeta"
+    big = sub + " eta theta iota kappa lam mu nu xi omicron pi rho sigma tau"
+    docs = spark.createDataFrame(
+        [(1, sub, "en", "s", 0), (2, big, "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {(r.doc_src, r.doc_dst): r.containment for r in dd.containment_pairs(docs).collect()}
+    assert out[(1, 2)] == 1.0        # small doc fully inside big one
+    assert (2, 1) not in out or out[(2, 1)] < 0.3  # reverse is weak
