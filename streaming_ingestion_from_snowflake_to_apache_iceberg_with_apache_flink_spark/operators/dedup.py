@@ -323,13 +323,21 @@ def connected_components(
     # instead of a join against the previous labels
     prev_sum = None
     for _ in range(max_iter):
-        msgs = bidir.join(labels, bidir["a"] == labels["node"]).select(
-            F.col("b").alias("node"), "label"
+        # aggregate the messages alone (small: one row per edge endpoint)
+        # and fold them into the standing labels with a left join + least —
+        # the label table itself never re-shuffles through the union the
+        # naive formulation pays every round
+        msgs = (
+            bidir.join(labels, bidir["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("msg"))
         )
         new = (
-            msgs.union(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("msg", "label")).alias("label"),
+            )
             .persist()
         )
         cur_sum = new.agg(F.sum("label")).collect()[0][0]

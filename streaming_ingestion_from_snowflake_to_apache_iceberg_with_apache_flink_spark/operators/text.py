@@ -239,12 +239,12 @@ def bigram_topk(documents: DataFrame, k: int = 100, n: int = 2) -> DataFrame:
     """Top-``k`` word n-grams by DOCUMENT frequency (how many docs contain
     the n-gram at least once — the shingle sets are distinct per doc).
     Same explode → partial-agg → TakeOrderedAndProject shape as ``vocab``;
-    the n-gram key crossing the shuffle is the portable h32 of the phrase
-    text, so the phrase string itself travels once per doc, not per
-    occurrence."""
-    sh = H.spark_shingles(_TOKENS, n)
+    the shingle sets are distinct per doc, so each phrase string crosses
+    the map-side partial agg once per containing doc."""
+    sh = H.spark_shingles("t", n)
     return (
-        documents.selectExpr(f"explode({sh}) as ngram")
+        documents.selectExpr(f"{_TOKENS} as t")
+        .selectExpr(f"explode({sh}) as ngram")
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
@@ -297,19 +297,36 @@ def repetition_stats(documents: DataFrame, n: int = 3, flag_at: float = 0.7) -> 
     boilerplate/spam for a curation gate (Rae et al. 2021 use the same
     duplicate-line/-ngram fractions). Pure projection — one scan, ratios
     are exact rationals rounded at 6 (multiples of 1/n_tokens)."""
+    # tokenize ONCE, materialize the gram array once — the naive inline
+    # form re-ran split()/transform() per output column (6× the work)
     grams = (
-        f"transform(sequence(1, greatest(size({_TOKENS}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({_TOKENS}, i, {n})))"
+        f"transform(sequence(1, greatest(size(t) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))"
     )
-    return documents.selectExpr(
-        "doc_id",
-        f"size({_TOKENS}) as n_tokens",
-        f"cast(round((size({_TOKENS}) - size(array_distinct({_TOKENS})))"
-        f" / size({_TOKENS}), 6) as double) as dup_token_ratio",
-        f"cast(round((size({grams}) - size(array_distinct({grams})))"
-        f" / size({grams}), 6) as double) as dup_ngram_ratio",
-        f"(size({_TOKENS}) - size(array_distinct({_TOKENS})))"
-        f" / size({_TOKENS}) > {flag_at} as repetitive",
+    return (
+        documents.selectExpr("doc_id", f"{_TOKENS} as t")
+        .selectExpr(
+            "doc_id",
+            "size(t) as n_tokens",
+            "size(array_distinct(t)) as n_uniq",
+            f"{grams} as g",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_uniq",
+            "size(g) as n_g",
+            "size(array_distinct(g)) as n_g_uniq",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "cast(round((n_tokens - n_uniq) / n_tokens, 6) as double)"
+            " as dup_token_ratio",
+            "cast(round((n_g - n_g_uniq) / n_g, 6) as double)"
+            " as dup_ngram_ratio",
+            f"(n_tokens - n_uniq) / n_tokens > {flag_at} as repetitive",
+        )
     )
 
 
