@@ -690,6 +690,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with a declared value domain (relational.user_event_pivot):
+    per-user event-type count matrix in one shuffle."""
+    return rel.user_event_pivot(load_table(spark, sf_dir, "events"))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order totals (relational.price_histogram)."""
+    return rel.price_histogram(load_table(spark, sf_dir, "orders"))
+
+
+def q_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates per priority (relational.distinct_aggs)."""
+    return rel.distinct_aggs(load_table(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -760,6 +776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": q_retention,
         "q_unigram_lm": q_unigram_lm,
         "q_dedup_containment": q_dedup_containment,
+        "q_pivot": q_pivot,
+        "q_histogram": q_histogram,
+        "q_distinct_aggs": q_distinct_aggs,
     }
 
 
@@ -1723,5 +1742,32 @@ def _extension_oracles() -> dict[str, str]:
                round(n_common / n_src, 4) AS containment
         FROM pairs
         WHERE round(n_common / n_src, 4) >= 0.3
+    """
+    out["q_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events GROUP BY user_id
+    """
+    out["q_histogram"] = """
+        SELECT bin,
+               round(0.0 + bin * 25000.0, 2) AS bin_lo,
+               count(*) AS n_orders
+        FROM (
+            SELECT least(23, greatest(0,
+                       floor((o_totalprice - 0.0) / 25000.0)))::INT AS bin
+            FROM orders
+        ) GROUP BY bin
+    """
+    out["q_distinct_aggs"] = """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_orderpriority
     """
     return out

@@ -381,3 +381,58 @@ def order_coverage(customer: DataFrame, orders: DataFrame) -> DataFrame:
             F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
         )
     )
+
+
+#: fixed pivot column domain — declared, not discovered: a pivot without
+#: explicit values triggers a blocking distinct scan before planning
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: per-user wide activity matrix — one row per user, one count
+    column per event type. With the value list declared (EVENT_TYPES) this
+    is a single partial-agg shuffle on the user key; Spark's dynamic-pivot
+    two-pass (distinct scan, then agg) never happens."""
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(t, F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def price_histogram(orders: DataFrame, lo: float = 0.0, hi: float = 600000.0, n_bins: int = 24) -> DataFrame:
+    """Fixed-bin histogram of order totals: bin = floor((v-lo)/width),
+    clamped into [0, n_bins-1]. Constant bounds keep it a single partial
+    agg (a data-dependent min/max would need a separate pass — at 100 TB
+    you histogram against known domain bounds, then refine)."""
+    width = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("o_totalprice") - lo) / width)),
+    ).cast("int")
+    return (
+        orders.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * width, 2).alias("bin_lo"),
+            "n_orders",
+        )
+    )
+
+
+def distinct_aggs(orders: DataFrame) -> DataFrame:
+    """DISTINCT aggregates per group: count(DISTINCT custkey) alongside
+    plain aggregates — the Expand-based single-pass plan (each input row
+    fans out per distinct-agg branch, partials combine map-side)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

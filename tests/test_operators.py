@@ -863,3 +863,29 @@ def test_containment_catches_subdocument(spark):
     out = {(r.doc_src, r.doc_dst): r.containment for r in dd.containment_pairs(docs).collect()}
     assert out[(1, 2)] == 1.0        # small doc fully inside big one
     assert (2, 1) not in out or out[(2, 1)] < 0.3  # reverse is weak
+
+
+def test_pivot_counts_match_long_counts(spark):
+    ev = load_table(spark, SF, "events")
+    piv = rel.user_event_pivot(ev)
+    total_piv = piv.selectExpr(
+        "n_click + n_error + n_purchase + n_signup + n_view as t"
+    ).agg(F.sum("t")).collect()[0][0]
+    assert total_piv == ev.count()
+    assert piv.count() == ev.select("user_id").distinct().count()
+
+
+def test_histogram_covers_all_orders(spark):
+    orders = load_table(spark, SF, "orders")
+    h = rel.price_histogram(orders)
+    rows = h.collect()
+    assert sum(r.n_orders for r in rows) == orders.count()
+    assert all(0 <= r.bin <= 23 for r in rows)
+    assert all(abs(r.bin_lo - r.bin * 25000.0) < 1e-9 for r in rows)
+
+
+def test_distinct_aggs_bounded_by_plain_counts(spark):
+    out = rel.distinct_aggs(load_table(spark, SF, "orders")).collect()
+    for r in out:
+        assert r.n_customers <= r.n_orders
+        assert 1 <= r.n_statuses <= 3
