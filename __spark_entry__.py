@@ -706,6 +706,35 @@ def q_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.distinct_aggs(load_table(spark, sf_dir, "orders"))
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode stage inside the correctness gate: fixture
+    text re-encoded as an opaque binary payload, pushed through the REAL
+    Arrow-batched mapInPandas decoder (operators.multimodal.decode_media,
+    fake codec) — its md5-derived checksum/features are reproduced exactly
+    by the SQL oracle, so the Python stage's batching, schema, and
+    serialization are value-checked, not just smoke-tested."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:bigint>")
+        .alias("meta"),
+    )
+    dec = decode_media(media, fake=True)
+    return dec.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(4)],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -779,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_histogram": q_histogram,
         "q_distinct_aggs": q_distinct_aggs,
+        "q_media_features": q_media_features,
     }
 
 
@@ -1769,5 +1799,17 @@ def _extension_oracles() -> dict[str, str]:
                count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS revenue
         FROM orders GROUP BY o_orderpriority
+    """
+    # DuckDB md5(VARCHAR) hashes the utf-8 bytes — exactly the payload
+    # Spark's encode(text,'UTF-8') hands the Python decoder
+    fhex = lambda i: f"(('0x' || substr(md5(text), {9 + 2 * i}, 2))::INT)::DOUBLE"  # noqa: E731
+    out["q_media_features"] = f"""
+        SELECT doc_id AS media_id,
+               'text' AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT AS checksum,
+               {fhex(0)} AS f0, {fhex(1)} AS f1,
+               {fhex(2)} AS f2, {fhex(3)} AS f3
+        FROM documents
     """
     return out

@@ -79,6 +79,11 @@ def decode_media(df: DataFrame, fake: bool = True, feature_dim: int = 8) -> Data
     exercised; with ``fake=False`` raises where the real codec would run.
     """
 
+    import hashlib
+
+    def _digest(b: bytes) -> str:
+        return hashlib.md5(bytes(b)).hexdigest()
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
@@ -86,17 +91,23 @@ def decode_media(df: DataFrame, fake: bool = True, feature_dim: int = 8) -> Data
                     "real media decoding requires PIL/ffmpeg, not present in "
                     "this container; run with fake=True for the plumbing path"
                 )
+            digests = pdf["content"].map(_digest)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "checksum": pdf["content"]
-                    .map(lambda b: sum(b) % 1_000_000_007)
-                    .astype("int64"),
-                    "feature": pdf["content"].map(
-                        lambda b: [
-                            float(len(b) % (i + 2)) for i in range(feature_dim)
+                    # the repo-wide portable h32, over the raw bytes — the
+                    # fake "decoder" is thereby exactly reproducible in SQL
+                    # (md5 of the same bytes), so even this Python stage
+                    # sits inside the oracle correctness gate
+                    "checksum": digests.map(lambda h: int(h[:8], 16)).astype(
+                        "int64"
+                    ),
+                    "feature": digests.map(
+                        lambda h: [
+                            float(int(h[8 + 2 * i : 10 + 2 * i], 16))
+                            for i in range(feature_dim)
                         ]
                     ),
                 }

@@ -275,7 +275,11 @@ def test_decode_media_fake(spark, media):
     by_id = {r.media_id: r for r in out}
     assert by_id[1].n_bytes == 104
     assert len(by_id[2].feature) == 8
-    assert by_id[3].checksum == sum(b"RIFF" + b"c" * 50) % 1_000_000_007
+    import hashlib
+
+    digest = hashlib.md5(b"RIFF" + b"c" * 50).hexdigest()
+    assert by_id[3].checksum == int(digest[:8], 16)
+    assert by_id[3].feature[0] == float(int(digest[8:10], 16))
 
 
 def test_decode_media_real_path_is_stubbed(spark, media):
