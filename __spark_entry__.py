@@ -735,6 +735,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type state
+    (temporal.scd2_history): change-compressed versions with
+    [valid_from, valid_to) intervals, one shuffle."""
+    return tp.scd2_history(load_table(spark, sf_dir, "events"))
+
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-set between the keyed-state snapshot at a cutoff and the
+    final snapshot (temporal.snapshot_diff): insert/update/unchanged per
+    (user_id, event_type) — the MERGE a sink would apply (O12)."""
+    return tp.snapshot_diff(load_table(spark, sf_dir, "events"))
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics battery (relational.corr_stats): corr, covar,
+    stddev per return flag in one partial-aggregable pass."""
+    return rel.corr_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly z-scores per event type
+    (timeseries.daily_anomaly)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        daily_anomaly,
+    )
+
+    return daily_anomaly(load_table(spark, sf_dir, "events"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curation.decontaminate): training docs
+    sharing any hashed 8-gram with the held-out eval split are flagged."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        decontaminate,
+    )
+
+    return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit (dedup.minhash_estimate_audit): estimated vs
+    exact Jaccard + absolute error for every LSH candidate pair."""
+    return dd.minhash_estimate_audit(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -809,6 +855,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_distinct_aggs": q_distinct_aggs,
         "q_media_features": q_media_features,
+        "q_scd2": q_scd2,
+        "q_cdc_diff": q_cdc_diff,
+        "q_corr_stats": q_corr_stats,
+        "q_anomaly_zscore": q_anomaly_zscore,
+        "q_decontaminate": q_decontaminate,
+        "q_minhash_estimate": q_minhash_estimate,
     }
 
 
@@ -1040,6 +1092,75 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders
             GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """,
+        "q_scd2": """
+            WITH ch AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events
+            ), keep AS (
+                SELECT * FROM ch WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type AS state,
+                   epoch_ms(ts) AS valid_from_ms,
+                   lead(epoch_ms(ts)) OVER w AS valid_to_ms,
+                   CAST(row_number() OVER w AS INT) AS version,
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM keep
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        """,
+        "q_cdc_diff": """
+            WITH new_s AS (
+                SELECT user_id, event_type, value AS new_value
+                FROM (SELECT user_id, event_type, value, row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                      FROM events)
+                WHERE rn = 1
+            ), old_s AS (
+                SELECT user_id, event_type, value AS old_value
+                FROM (SELECT user_id, event_type, value, row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                      FROM events
+                      WHERE ts < TIMESTAMP '2024-01-15')
+                WHERE rn = 1
+            )
+            SELECT n.user_id, n.event_type, o.old_value, n.new_value,
+                   CASE WHEN o.old_value IS NULL THEN 'insert'
+                        WHEN o.old_value <> n.new_value THEN 'update'
+                        ELSE 'unchanged' END AS change
+            FROM new_s n LEFT JOIN old_s o USING (user_id, event_type)
+        """,
+        "q_corr_stats": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 2)
+                       AS covar_qty_price,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(avg(l_quantity), 6) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_anomaly_zscore": """
+            WITH daily AS (
+                SELECT event_type,
+                       epoch_ms(date_trunc('day', ts)) AS day_ms,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day_ms, n_events,
+                   round((n_events - avg(n_events) OVER w)
+                         / stddev_samp(n_events) OVER w, 6) AS zscore,
+                   (abs(round((n_events - avg(n_events) OVER w)
+                         / stddev_samp(n_events) OVER w, 6)) >= 2.0)
+                       AS is_anomaly
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type)
         """,
     }
     out.update(_extension_oracles())
@@ -1811,5 +1932,64 @@ def _extension_oracles() -> dict[str, str]:
                {fhex(0)} AS f0, {fhex(1)} AS f1,
                {fhex(2)} AS f2, {fhex(3)} AS f3
         FROM documents
+    """
+    sh8 = H.duck_shingles(toks, 8)
+    out["q_decontaminate"] = f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_transform({sh8},
+                       s -> {H.duck_h32('s')})) AS g
+            FROM documents
+        ), ev AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM grams JOIN ev USING (g)
+            WHERE doc_id % 20 <> 0
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0) AS n_hits,
+               (coalesce(h.n_hits, 0) > 0) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 20 <> 0
+    """
+    inter = "len(list_filter(hs_a, h -> list_contains(hs_b, h)))"
+    out["q_minhash_estimate"] = f"""
+        WITH sigs AS (
+            SELECT doc_id, hs, {H.duck_minhash('hs')} AS mh
+            FROM (SELECT doc_id,
+                         list_distinct(list_transform({sh3},
+                             s -> {H.duck_h32('s')})) AS hs
+                  FROM documents)
+        ), bands AS (
+            SELECT doc_id, mh, hs,
+                   unnest(list_transform(generate_series(0, {H.LSH_BANDS - 1}),
+                       b -> b::VARCHAR || ':' ||
+                            array_to_string(mh[b * {H.LSH_ROWS} + 1 :
+                                               b * {H.LSH_ROWS} + {H.LSH_ROWS}], '-')
+                   )) AS band_key
+            FROM sigs
+        ), kept AS (
+            SELECT band_key FROM bands GROUP BY band_key HAVING count(*) <= 50
+        ), b2 AS (
+            SELECT bands.* FROM bands JOIN kept USING (band_key)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.mh AS mh_a, b.mh AS mh_b,
+                            a.hs AS hs_a, b.hs AS hs_b
+            FROM b2 a JOIN b2 b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), scored AS (
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(generate_series(1, {H.MINHASH_K}),
+                             i -> mh_a[i] = mh_b[i])) / {H.MINHASH_K}, 4)
+                       AS est_jaccard,
+                   round({inter} / (len(hs_a) + len(hs_b) - {inter}), 4)
+                       AS exact_jaccard
+            FROM cand
+        )
+        SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+               round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+        FROM scored
     """
     return out

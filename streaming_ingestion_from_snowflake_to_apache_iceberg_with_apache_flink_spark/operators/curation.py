@@ -53,3 +53,44 @@ def curate_corpus(
         )
         .select("doc_id", "predicted_lang", "n_tokens", "uniq_ratio", "quality")
     )
+
+
+def decontaminate(
+    documents: DataFrame, n: int = 8, eval_mod: int = 20
+) -> DataFrame:
+    """Benchmark decontamination: documents with ``doc_id % eval_mod == 0``
+    form the held-out eval set; every training document sharing at least
+    one word ``n``-gram with any eval document is flagged (the standard
+    n-gram-overlap decontamination used for LLM training corpora). Output:
+    one row per TRAINING doc with the count of distinct shared n-grams and
+    the contamination flag.
+
+    Scale shape: n-grams are hashed to bigints before the join (narrow
+    shuffle keys); the eval side is a tiny distinct set — Spark broadcasts
+    it under AQE so the training explode never shuffles; the per-doc hit
+    count is a partial-aggregable groupBy on doc_id.
+    """
+    from ..functions import hashing as H
+
+    sh = H.spark_shingles(H.spark_tokens("text"), n)
+    grams = documents.selectExpr(
+        "doc_id", f"explode(transform({sh}, s -> {H.spark_h32('s')})) as g"
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % eval_mod == 0).select("g").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    hits = (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = documents.filter(F.col("doc_id") % eval_mod != 0).select("doc_id")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -401,3 +401,53 @@ def containment_pairs(
         "doc_dst",
         "cast(round(n_common / n_src, 4) as double) as containment",
     ).filter(F.col("containment") >= threshold)
+
+
+def minhash_estimate_audit(
+    documents: DataFrame, n: int = 3, max_bucket: int = 50
+) -> DataFrame:
+    """LSH estimator-quality audit: for every banding candidate pair, the
+    MinHash estimated Jaccard NEXT TO the exact hashed-shingle Jaccard and
+    the absolute estimation error — the measurement that validates the
+    bands x rows layout before trusting it at scale.
+
+    Unlike ``ngram_jaccard_pairs`` (inverted-index over the whole corpus),
+    the exact Jaccard here is computed only for the candidate pairs the
+    bands produce: the per-doc hashed shingle SET rides along through the
+    band join and the intersection is an array kernel per pair — exact
+    verification at candidate-list cost, not corpus-join cost.
+    """
+    sh = H.spark_shingles(_TOKENS, n)
+    sigs = (
+        spread(documents)
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(transform({sh}, s -> {H.spark_h32('s')})) as hs",
+        )
+        .selectExpr("doc_id", "hs", f"{H.spark_minhash('hs')} as mh")
+        .persist()
+    )
+    bands = sigs.selectExpr(
+        "doc_id",
+        "mh",
+        "hs",
+        f"explode(transform(sequence(0, {H.LSH_BANDS - 1}), "
+        f"b -> concat(b, ':', array_join(slice(mh, b * {H.LSH_ROWS} + 1, {H.LSH_ROWS}), '-'))"
+        ")) as band_key",
+    )
+    cand = _banded_candidates(bands, max_bucket, carry=["mh", "hs"])
+    est = (
+        f"cast(round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))"
+        f" / {H.MINHASH_K}, 4) as double)"
+    )
+    inter = "size(filter(hs_a, h -> array_contains(hs_b, h)))"
+    exact = (
+        f"cast(round({inter} / (size(hs_a) + size(hs_b) - {inter}), 4) as double)"
+    )
+    return cand.selectExpr(
+        "doc_a",
+        "doc_b",
+        f"{est} as est_jaccard",
+        f"{exact} as exact_jaccard",
+        f"cast(round(abs({est} - {exact}), 4) as double) as abs_err",
+    )

@@ -436,3 +436,83 @@ def distinct_aggs(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+def corr_stats(lineitem: DataFrame) -> DataFrame:
+    """Bivariate statistics battery per return flag: Pearson correlation,
+    sample covariance, and sample stddevs of (quantity, extended price),
+    plus the group size. All four are algebraic aggregates (sum / sum-of-
+    squares / sum-of-products decomposable), so the plan is one partial
+    (map-side) + one final aggregation — no window, no second shuffle, and
+    it scales to any group cardinality. Rounded where FP accumulation
+    order across partitions could differ between engines.
+    """
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+    )
+
+
+def region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from local-supplier volume — a
+    six-table join graph (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation
+    ⋈ region) with the co-location condition s_nationkey = c_nationkey.
+
+    Scale shape: the date predicate pushes into the orders scan, region
+    prunes nation before it ever touches a fact table, and every dimension
+    side (region, nation, supplier, customer) is broadcast-joined — the
+    only shuffles left are the two fact-fact equi-joins, which AQE plans
+    off the filtered sizes. Catalyst reorders the join graph; we only
+    declare it.
+    """
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(nations_in_region), s.s_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -130,3 +130,37 @@ def retention_cohorts(
         .groupBy("cohort_day_ms", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Per-user activity streaks (the gaps-and-islands pattern): distinct
+    active days per user, the number of maximal consecutive-day runs, and
+    the longest run.
+
+    Implemented exchange-lean: ONE shuffle total. Instead of the classic
+    ``day - row_number()`` island trick (distinct shuffle on (user, day) +
+    a window shuffle on user), each user's distinct day set is collected
+    and sorted in a single groupBy, and a linear ``aggregate`` fold over
+    the sorted array counts runs and tracks the maximum — integer-exact,
+    JVM-side, O(days per user) memory (days, not events, bounded at ~365/yr).
+    """
+    day = "unix_micros(ts) div 86400000000"
+    per_user = events.selectExpr("user_id", f"{day} as day").groupBy("user_id").agg(
+        F.expr("sort_array(collect_set(day))").alias("days")
+    )
+    fold = """aggregate(
+        days,
+        named_struct('prev', cast(-9223372036854775808 as bigint),
+                     'cur', 0, 'mx', 0, 'n', 0),
+        (acc, d) -> CASE WHEN d = acc.prev + 1
+            THEN named_struct('prev', d, 'cur', acc.cur + 1,
+                              'mx', greatest(acc.mx, acc.cur + 1), 'n', acc.n)
+            ELSE named_struct('prev', d, 'cur', 1,
+                              'mx', greatest(acc.mx, 1), 'n', acc.n + 1) END,
+        acc -> named_struct('n_streaks', acc.n, 'max_streak', acc.mx))"""
+    return per_user.selectExpr(
+        "user_id",
+        "size(days) as n_active_days",
+        f"{fold}.n_streaks as n_streaks",
+        f"{fold}.max_streak as max_streak_days",
+    )

@@ -155,3 +155,93 @@ def interval_join(
         )
     )
     return joined.drop("__bucket")
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension build over an append-only change
+    stream: each user's ``event_type`` is the tracked attribute; consecutive
+    repeats collapse into one version, and every retained change opens a
+    ``[valid_from, valid_to)`` interval with a version number (NULL
+    ``valid_to`` = current). Batch twin of the upsert sink's "latest state
+    per key" contract (IcebergSinkBuilder.java:36-38) extended with full
+    history retention.
+
+    Scale shape: ONE shuffle on ``user_id`` — the change-detection lag, the
+    validity lead, and the version row_number all share the same
+    ``(ts, event_id)`` sort, and the post-filter windows reuse the
+    partitioning the first window established.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+    )
+    ms = (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long")
+    next_ms = F.lead(ms).over(w)
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ms.alias("valid_from_ms"),
+        next_ms.alias("valid_to_ms"),
+        F.row_number().over(w).alias("version"),
+        next_ms.isNull().alias("is_current"),
+    )
+
+
+def snapshot_diff(events: DataFrame, cutoff: str = "2024-01-15") -> DataFrame:
+    """CDC audit between two last-writer-wins snapshots of the keyed state
+    (key = (user_id, event_type), state = ``value`` of the latest
+    (ts, event_id) row): the snapshot at ``ts < cutoff`` vs the snapshot
+    over the full stream. Every key in the new snapshot is classified as
+    ``insert`` (absent before), ``update`` (state changed), or
+    ``unchanged`` — the change-set a MERGE-based sink (O12,
+    IcebergSinkBuilder.java:36-38) would apply to roll the old snapshot
+    forward.
+
+    Scale shape: each snapshot branch is one key-partitioned window pass
+    (Catalyst materializes the shared ranking twice — two exchanges total),
+    and the old-state side arrives reduced to one row per key, so the final
+    diff is a broadcast join: the full-history table is never joined
+    against itself row-for-row.
+    """
+    tagged = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("ts") < F.lit(cutoff).cast("timestamp")).alias("__old"),
+    )
+    w_new = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    # rank twice over the same sort: overall (new snapshot) and among old
+    # rows only (old snapshot) — count of old rows at-or-above = old rank
+    ranked = tagged.select(
+        "user_id",
+        "event_type",
+        "value",
+        "__old",
+        F.row_number().over(w_new).alias("__rn_new"),
+        F.sum(F.col("__old").cast("int")).over(
+            w_new.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__n_old"),
+    )
+    new_state = ranked.filter(F.col("__rn_new") == 1).select(
+        "user_id", "event_type", F.col("value").alias("new_value")
+    )
+    old_state = ranked.filter(F.col("__old") & (F.col("__n_old") == 1)).select(
+        "user_id", "event_type", F.col("value").alias("old_value")
+    )
+    diff = new_state.join(old_state, ["user_id", "event_type"], "left")
+    return diff.select(
+        "user_id",
+        "event_type",
+        "old_value",
+        "new_value",
+        F.when(F.col("old_value").isNull(), F.lit("insert"))
+        .when(F.col("old_value") != F.col("new_value"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )

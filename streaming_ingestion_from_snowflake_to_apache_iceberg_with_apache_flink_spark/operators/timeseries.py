@@ -19,7 +19,7 @@ becomes the blocked matrix-product shape of operators.similarity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: epoch microseconds per day (UTC session pinned by sources.parquet)
@@ -74,4 +74,36 @@ def topk_similar_users(
         sims.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("user_id", "cos_sim", "rank")
+    )
+
+
+def daily_anomaly(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Volume-anomaly detection: events are counted per (event_type, day),
+    then each day's count is scored against its type's across-days mean and
+    sample stddev as a z-score; |z| >= ``z_threshold`` flags the day.
+
+    Scale shape: the expensive pass is the (type, day) count — partial-agg
+    friendly, one shuffle. The z-score window runs over the *aggregated*
+    table (|types| x |days| rows — trivially small at any input scale), so
+    the second exchange moves almost nothing; no raw-row window anywhere.
+    """
+    day_ms = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(1000)).cast(
+        "long"
+    )
+    daily = events.groupBy(
+        "event_type", day_ms.alias("day_ms")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day_ms",
+        "n_events",
+        F.round(
+            (F.col("n_events") - F.avg("n_events").over(w))
+            / F.stddev_samp("n_events").over(w),
+            6,
+        ).alias("zscore"),
+    )
+    return scored.withColumn(
+        "is_anomaly", F.abs(F.col("zscore")) >= F.lit(z_threshold)
     )

@@ -75,3 +75,33 @@ def ts_ms(col: str | Column) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return (F.unix_micros(c) / F.lit(1000)).cast("long")
+
+
+def cast_deadletter(df: DataFrame, target: T.StructType, key: str) -> DataFrame:
+    """The whitelist's throw-branch (SnowflakeToRowDataMapFunction.java:82-83)
+    as DATA instead of a job-killing exception: rows whose source value is
+    non-null but fails ``try_cast`` to the target type are routed to a
+    dead-letter output of (key, field, raw) — one row per failed field.
+
+    A Flink job hitting an uncastable value dies; at 100 TB a single bad
+    row must not. The checks compile to one whole-stage-codegen projection
+    (an array of per-field CASEs) + a generate — no shuffle, no Python,
+    and the happy path pays only the try_cast it already needed.
+    """
+    validate_target_schema(target)
+    checks = []
+    for f in target.fields:
+        if isinstance(f.dataType, T.StringType) or f.name == key:
+            continue  # strings always cast; the key must be trustworthy
+        t = f.dataType.simpleString()
+        checks.append(
+            f"CASE WHEN {f.name} IS NOT NULL "
+            f"AND try_cast({f.name} AS {t}) IS NULL "
+            f"THEN named_struct('field', '{f.name}', "
+            f"'raw', cast({f.name} AS string)) END"
+        )
+    arr = ", ".join(checks)
+    return df.selectExpr(
+        f"{key} AS row_key",
+        f"filter(array({arr}), x -> x IS NOT NULL) AS __bad",
+    ).selectExpr("row_key", "inline(__bad)")

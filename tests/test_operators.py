@@ -893,3 +893,139 @@ def test_distinct_aggs_bounded_by_plain_counts(spark):
     for r in out:
         assert r.n_customers <= r.n_orders
         assert 1 <= r.n_statuses <= 3
+
+
+def test_scd2_collapses_repeats_and_chains_validity(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        scd2_history,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 11:00:00", 1, "view"),   # repeat -> collapsed
+            ("2024-01-01 12:00:00", 1, "click"),
+            ("2024-01-01 13:00:00", 1, "view"),   # back to view -> new version
+            ("2024-01-01 10:00:00", 2, "signup"),
+        ],
+    )
+    rows = sorted(
+        scd2_history(ev).collect(), key=lambda r: (r.user_id, r.version)
+    )
+    u1 = [r for r in rows if r.user_id == 1]
+    assert [r.state for r in u1] == ["view", "click", "view"]
+    assert [r.version for r in u1] == [1, 2, 3]
+    # validity intervals chain exactly: each valid_to == next valid_from
+    assert u1[0].valid_to_ms == u1[1].valid_from_ms
+    assert u1[1].valid_to_ms == u1[2].valid_from_ms
+    assert u1[2].valid_to_ms is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+    (u2,) = [r for r in rows if r.user_id == 2]
+    assert u2.version == 1 and u2.is_current
+
+
+def test_cdc_diff_classifies_insert_update_unchanged(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        snapshot_diff,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            # key (1, view): before cutoff only -> unchanged
+            (1, "2024-01-10 00:00:00", 1, "view", 5.0, "{}"),
+            # key (2, click): after cutoff only -> insert
+            (2, "2024-01-20 00:00:00", 2, "click", 1.0, "{}"),
+            # key (3, view): value changed across cutoff -> update
+            (3, "2024-01-10 00:00:00", 3, "view", 1.0, "{}"),
+            (4, "2024-01-20 00:00:00", 3, "view", 2.0, "{}"),
+            # key (5, view): same value re-written after cutoff -> unchanged
+            (5, "2024-01-10 00:00:00", 5, "view", 7.0, "{}"),
+            (6, "2024-01-20 00:00:00", 5, "view", 7.0, "{}"),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.user_id, r.event_type): r for r in snapshot_diff(ev).collect()}
+    assert out[(1, "view")].change == "unchanged"
+    assert out[(2, "click")].change == "insert"
+    assert out[(2, "click")].old_value is None
+    assert out[(3, "view")].change == "update"
+    assert out[(3, "view")].old_value == 1.0 and out[(3, "view")].new_value == 2.0
+    assert out[(5, "view")].change == "unchanged"
+
+
+def test_corr_stats_perfect_linear_relation(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        corr_stats,
+    )
+
+    li = spark.createDataFrame(
+        [("A", float(q), 2.0 * q) for q in range(1, 11)]
+        + [("R", float(q), float(11 - q)) for q in range(1, 11)],
+        ["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    out = {r.l_returnflag: r for r in corr_stats(li).collect()}
+    assert out["A"].corr_qty_price == 1.0   # exactly linear
+    assert out["R"].corr_qty_price == -1.0  # exactly anti-linear
+    assert out["A"].n == 10
+    assert out["A"].avg_qty == 5.5
+
+
+def test_daily_anomaly_flags_spike_day(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        daily_anomaly,
+    )
+
+    rows = []
+    for d in range(1, 10):  # 9 quiet days: 1 event each
+        rows.append((f"2024-01-0{d}" if d < 10 else f"2024-01-{d}", 1, "view"))
+    rows += [("2024-01-10 01:00:00", u, "view") for u in range(10)]  # spike
+    ev = _ev(spark, [(ts, uid, et) for ts, uid, et in rows])
+    out = daily_anomaly(ev).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    assert len(out) == 10
+    assert len(flagged) == 1 and flagged[0].n_events == 10
+    assert flagged[0].zscore > 2.0
+    # quiet days sit below the mean but within the threshold
+    assert all(abs(r.zscore) < 2.0 for r in out if not r.is_anomaly)
+
+
+def test_decontaminate_flags_shared_8gram(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        decontaminate,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (0, f"benchmark prompt {leak} answer key"),        # eval doc
+            (1, f"crawled page containing {leak} verbatim"),   # contaminated
+            (2, "totally unrelated training text about spark"),
+            (20, "another eval doc with different content"),   # eval doc
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert set(out) == {1, 2}  # eval docs excluded from output
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated and out[2].n_hits == 0
+
+
+def test_minhash_estimate_exact_for_identical_docs(spark):
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, text_a),
+            (2, text_a),  # identical twin -> est == exact == 1.0
+            (3, "completely different content words here nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dd.minhash_estimate_audit(docs).collect()
+    pair = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pair
+    r = pair[(1, 2)]
+    assert r.est_jaccard == 1.0 and r.exact_jaccard == 1.0 and r.abs_err == 0.0
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 4)) < 1e-9

@@ -257,3 +257,73 @@ def test_kmv_sketch_is_take_ordered(spark):
     plan = formatted_plan(df)
     # global k-smallest must be TakeOrderedAndProject, never a full Sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_single_exchange(spark):
+    """Change-detection lag, validity lead, and version row_number must all
+    ride ONE hash partitioning on user_id."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        scd2_history,
+    )
+
+    df = scd2_history(load_table(spark, SF, "events"))
+    assert count_exchanges(df) == 1
+
+
+def test_cdc_diff_single_scan_single_exchange(spark):
+    """Both snapshots derive from one ranked pass: one shuffle on the key,
+    and the events parquet is scanned at most twice (self-join), never
+    re-aggregated per snapshot."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        snapshot_diff,
+    )
+
+    df = snapshot_diff(load_table(spark, SF, "events"))
+    assert count_exchanges(df) <= 2  # one window shuffle per snapshot branch
+    assert_broadcast_join(df)  # the reduced old-state side broadcasts
+
+
+def test_corr_stats_is_one_partial_agg(spark):
+    """All stats are algebraic: exactly one exchange (partial->final agg),
+    scan pruned to the three used columns."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        corr_stats,
+    )
+
+    df = corr_stats(load_table(spark, SF, "lineitem"))
+    assert count_exchanges(df) == 1
+    assert_read_schema_only(
+        df, {"l_returnflag", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_daily_anomaly_windows_only_aggregated_rows(spark):
+    """The raw-row pass is the (type, day) count; the z-score window runs
+    over the aggregate, so exchanges stay bounded at 2."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        daily_anomaly,
+    )
+
+    df = daily_anomaly(load_table(spark, SF, "events"))
+    assert count_exchanges(df) <= 2
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram set must broadcast: the training explode (the huge
+    side at scale) joins it without shuffling."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        decontaminate,
+    )
+
+    df = decontaminate(load_table(spark, SF, "documents"))
+    assert_broadcast_join(df)
+    # every documents scan (train grams, eval grams, base ids) must be
+    # pruned to at most (doc_id, text)
+    for ln in formatted_plan(df).splitlines():
+        if "ReadSchema" in ln:
+            read = {
+                part.split(":")[0].strip()
+                for part in ln.split("struct<", 1)[-1].rstrip(">").split(",")
+                if part.strip()
+            }
+            assert read <= {"doc_id", "text"}, read
