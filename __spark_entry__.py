@@ -781,6 +781,88 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_estimate_audit(load_table(spark, sf_dir, "documents"))
 
 
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (relational.region_revenue): six-table join graph
+    with local-supplier co-location; dims broadcast, facts AQE-planned."""
+    return rel.region_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consecutive-day streaks per user
+    (sessions.activity_streaks): one shuffle, linear fold per user."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        activity_streaks,
+    )
+
+    return activity_streaks(load_table(spark, sf_dir, "events"))
+
+
+def q_cast_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The type-whitelist throw branch (O9,
+    SnowflakeToRowDataMapFunction.java:82-83) as routed data
+    (schema.cast_deadletter): staging strings with planted corruption;
+    rows failing try_cast surface as (key, field, raw) instead of killing
+    the job."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
+        cast_deadletter,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.staging import (
+        SNOWFLAKE_LIKE_TYPED,
+        snowflake_like,
+    )
+
+    staged = snowflake_like(load_table(spark, sf_dir, "orders"))
+    corrupted = staged.selectExpr(
+        "CASE WHEN cast(NAME as bigint) % 97 = 0 THEN PRICE || 'x' "
+        "ELSE PRICE END as PRICE",
+        "CATEGORY",
+        "NAME",
+        "CASE WHEN cast(NAME as bigint) % 89 = 0 THEN 'not-a-date' "
+        "ELSE UPDATED_AT END as UPDATED_AT",
+    )
+    return cast_deadletter(corrupted, SNOWFLAKE_LIKE_TYPED, key="NAME").selectExpr(
+        "cast(row_key as bigint) as order_key", "field", "raw"
+    )
+
+
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue via a RANGE-framed window over daily totals
+    (timeseries.trailing_revenue): calendar-aware, gaps age revenue out."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        trailing_revenue,
+    )
+
+    return trailing_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 3-step event-type paths across user timelines
+    (sessions.event_paths): two shared-sort leads + TakeOrdered top-k."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        event_paths,
+    )
+
+    return event_paths(load_table(spark, sf_dir, "events"))
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-estimate audit (sketch.countmin_audit):
+    exact vs CMS estimate for the top-20 corpus tokens; deterministic
+    salted-h32 buckets make the sketch exactly oracle-checkable."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        countmin_audit,
+    )
+
+    return countmin_audit(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -861,6 +943,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly_zscore": q_anomaly_zscore,
         "q_decontaminate": q_decontaminate,
         "q_minhash_estimate": q_minhash_estimate,
+        "q_region_revenue": q_region_revenue,
+        "q_activity_streaks": q_activity_streaks,
+        "q_cast_deadletter": q_cast_deadletter,
+        "q_trailing_window": q_trailing_window,
+        "q_event_paths": q_event_paths,
+        "q_countmin_topk": q_countmin_topk,
     }
 
 
@@ -1161,6 +1249,97 @@ def oracle_sql() -> dict[str, str]:
                        AS is_anomaly
             FROM daily
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "q_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = c_nationkey
+              AND c_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q_activity_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), isl AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS grp
+                FROM days
+            ), runs AS (
+                SELECT user_id, grp, count(*) AS len
+                FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS INT) AS n_active_days,
+                   CAST(count(*) AS INT) AS n_streaks,
+                   CAST(max(len) AS INT) AS max_streak_days
+            FROM runs GROUP BY user_id
+        """,
+        "q_cast_deadletter": """
+            WITH staged AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0
+                            THEN o_totalprice::VARCHAR || 'x'
+                            ELSE o_totalprice::VARCHAR END AS price_s,
+                       CASE WHEN o_orderkey % 89 = 0
+                            THEN 'not-a-date'
+                            ELSE o_orderdate::VARCHAR END AS updated_s
+                FROM orders
+            )
+            SELECT o_orderkey AS order_key, 'PRICE' AS field, price_s AS raw
+            FROM staged
+            WHERE price_s IS NOT NULL
+              AND TRY_CAST(price_s AS DOUBLE) IS NULL
+            UNION ALL
+            SELECT o_orderkey, 'UPDATED_AT', updated_s
+            FROM staged
+            WHERE updated_s IS NOT NULL
+              AND TRY_CAST(updated_s AS TIMESTAMP) IS NULL
+        """,
+        "q_trailing_window": """
+            WITH daily AS (
+                SELECT epoch_ms(date_trunc('day', o_orderdate)) AS day_ms,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT day_ms, revenue,
+                   round(sum(revenue) OVER w, 2) AS trail_total,
+                   round(avg(revenue) OVER w, 4) AS trail_avg,
+                   count(*) OVER w AS trail_days
+            FROM daily
+            WINDOW w AS (ORDER BY day_ms // 86400000
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "q_event_paths": """
+            WITH tri AS (
+                SELECT event_type || '>' ||
+                       lead(event_type, 1) OVER w || '>' ||
+                       lead(event_type, 2) OVER w AS path,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+            ), counted AS (
+                SELECT path, count(*) AS n FROM tri
+                WHERE e3 IS NOT NULL GROUP BY path
+                ORDER BY n DESC, path LIMIT 25
+            )
+            SELECT path, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, path) AS INT)
+                       AS rank
+            FROM counted
         """,
     }
     out.update(_extension_oracles())
@@ -1991,5 +2170,38 @@ def _extension_oracles() -> dict[str, str]:
         SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
                round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
         FROM scored
+    """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    def cms_bucket(d: int) -> str:
+        return f"{H.duck_h32(f_cms(d))} % {CMS_WIDTH}"
+
+    def f_cms(d: int) -> str:
+        return f"('cms{d}:' || token)"
+
+    pairs = " UNION ALL ".join(
+        f"SELECT {d} AS d, {cms_bucket(d)} AS bucket, token FROM occ"
+        for d in range(CMS_DEPTH)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT token, exact_n, {d} AS d, {cms_bucket(d)} AS bucket FROM top"
+        for d in range(CMS_DEPTH)
+    )
+    out["q_countmin_topk"] = f"""
+        WITH occ AS (
+            SELECT unnest({toks}) AS token FROM documents
+        ), pairs AS ({pairs}),
+        cells AS (
+            SELECT d, bucket, count(*) AS cell_n FROM pairs GROUP BY 1, 2
+        ), top AS (
+            SELECT token, count(*) AS exact_n FROM occ GROUP BY token
+            ORDER BY exact_n DESC, token LIMIT 20
+        ), probe AS ({probes})
+        SELECT p.token, p.exact_n, min(c.cell_n) AS est_n
+        FROM probe p JOIN cells c USING (d, bucket)
+        GROUP BY p.token, p.exact_n
     """
     return out

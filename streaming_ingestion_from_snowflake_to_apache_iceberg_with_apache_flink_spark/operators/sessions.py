@@ -164,3 +164,36 @@ def activity_streaks(events: DataFrame) -> DataFrame:
         f"{fold}.n_streaks as n_streaks",
         f"{fold}.max_streak as max_streak_days",
     )
+
+
+def event_paths(events: DataFrame, k: int = 25) -> DataFrame:
+    """Behavioral path mining: the top-``k`` most common 3-step event-type
+    sequences (trigram paths) across all user timelines, ordered by
+    frequency. The Flink-CEP-adjacent "what do users do next" query as two
+    leads + a count.
+
+    Scale shape: one shuffle on user_id for the ordered leads (both leads
+    share the sort), one partial-aggregable count by path, and the top-k
+    is TakeOrderedAndProject — no global sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("path").asc())
+            ),
+        )
+    )

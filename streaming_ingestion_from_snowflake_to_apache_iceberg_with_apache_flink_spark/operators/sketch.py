@@ -91,3 +91,53 @@ def duck_kmv_sql(k: int = 256) -> str:
                     - n_exact) / n_exact, 4) AS DOUBLE) AS rel_err
         FROM kth CROSS JOIN exact
     """
+
+
+#: Count-min layout: d independent salted h32 rows, power-of-two width.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def countmin_audit(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) point-estimate audit:
+    build a CMS_DEPTH x CMS_WIDTH sketch of corpus token counts, then for
+    the top-``k`` tokens by exact count report exact vs CMS estimate.
+    Deterministic throughout (salted portable h32 -> bucket), so the
+    one-sided error guarantee est >= exact is oracle-checkable exactly.
+
+    Scale shape: the sketch build is ONE partial-aggregable groupBy over
+    (row, bucket) pairs — 4 narrow integer rows per token occurrence, map-
+    side combinable down to <= d*w cells per partition regardless of input
+    size (the mergeable-summary property that makes CMS distributable);
+    the probe side is a broadcast of k tokens against the tiny cell table.
+    """
+    tok = H.spark_tokens("text")
+    occurrences = spread(documents).selectExpr(f"explode({tok}) as token").persist()
+    buckets = ", ".join(
+        f"named_struct('d', {d}, 'bucket', "
+        + H.spark_h32(f"concat('cms{d}:', token)")
+        + f" % {CMS_WIDTH})"
+        for d in range(CMS_DEPTH)
+    )
+    cells = (
+        occurrences.selectExpr(f"explode(array({buckets})) as c")
+        .groupBy("c.d", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    top = (
+        occurrences.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+    probe = top.selectExpr(
+        "token",
+        "exact_n",
+        f"explode(array({buckets})) as c",
+    ).selectExpr("token", "exact_n", "c.d as d", "c.bucket as bucket")
+    return (
+        cells.join(F.broadcast(probe), ["d", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select("token", "exact_n", "est_n")
+    )

@@ -107,3 +107,32 @@ def daily_anomaly(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     return scored.withColumn(
         "is_anomaly", F.abs(F.col("zscore")) >= F.lit(z_threshold)
     )
+
+
+def trailing_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing ``days``-day revenue over the daily totals: per day, the
+    RANGE-framed sum/average of the last ``days`` calendar days (gaps in
+    the calendar count — a missing day still ages older revenue out,
+    which a ROWS frame would get wrong).
+
+    Scale shape: raw orders collapse to one row per day in a partial-agg
+    groupBy; the RANGE window then runs over |days in history| rows —
+    negligible at any input scale, and the frame is a single ordered scan.
+    """
+    day = (F.unix_micros(F.date_trunc("day", F.col("o_orderdate"))) / F.lit(1000)).cast(
+        "long"
+    )
+    daily = orders.groupBy(day.alias("day_ms")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = (
+        Window.orderBy((F.col("day_ms") / F.lit(86400000)).cast("long"))
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "day_ms",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("trail_total"),
+        F.round(F.avg("revenue").over(w), 4).alias("trail_avg"),
+        F.count(F.lit(1)).over(w).alias("trail_days"),
+    )

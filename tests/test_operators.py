@@ -1029,3 +1029,132 @@ def test_minhash_estimate_exact_for_identical_docs(spark):
     for r in out:
         assert 0.0 <= r.est_jaccard <= 1.0
         assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 4)) < 1e-9
+
+
+def test_activity_streaks_counts_islands(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        activity_streaks,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            # user 1: days 1,2,3 | 5,6 | 9  -> 6 active, 3 streaks, max 3
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 19:00:00", 1, "click"),  # same day, no double count
+            ("2024-01-02 10:00:00", 1, "view"),
+            ("2024-01-03 10:00:00", 1, "view"),
+            ("2024-01-05 10:00:00", 1, "view"),
+            ("2024-01-06 10:00:00", 1, "view"),
+            ("2024-01-09 10:00:00", 1, "view"),
+            # user 2: one day only
+            ("2024-01-04 10:00:00", 2, "view"),
+        ],
+    )
+    out = {r.user_id: r for r in activity_streaks(ev).collect()}
+    assert out[1].n_active_days == 6
+    assert out[1].n_streaks == 3
+    assert out[1].max_streak_days == 3
+    assert out[2].n_active_days == 1 and out[2].n_streaks == 1
+    assert out[2].max_streak_days == 1
+
+
+def test_cast_deadletter_routes_only_failed_fields(spark):
+    from pyspark.sql import types as T
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
+        cast_deadletter,
+    )
+
+    target = T.StructType(
+        [
+            T.StructField("PRICE", T.DoubleType()),
+            T.StructField("CATEGORY", T.StringType()),
+            T.StructField("NAME", T.LongType()),
+            T.StructField("UPDATED_AT", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("12.5", "a", "1", "2024-01-01 00:00:00"),   # clean
+            ("12x", "a", "2", "2024-01-01 00:00:00"),    # bad PRICE
+            ("1.0", "a", "3", "nope"),                   # bad UPDATED_AT
+            (None, "a", "4", None),                      # nulls pass through
+            ("x", "a", "5", "y"),                        # both bad -> 2 rows
+        ],
+        ["PRICE", "CATEGORY", "NAME", "UPDATED_AT"],
+    )
+    out = cast_deadletter(df, target, key="NAME").collect()
+    got = {(r.row_key, r.field): r.raw for r in out}
+    assert got == {
+        ("2", "PRICE"): "12x",
+        ("3", "UPDATED_AT"): "nope",
+        ("5", "PRICE"): "x",
+        ("5", "UPDATED_AT"): "y",
+    }
+
+
+def test_trailing_revenue_range_frame_ages_out_gaps(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        trailing_revenue,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 100.0),
+            (2, "2024-01-02 00:00:00", 200.0),
+            # gap: days 3-9 empty; day 10 is > 7 days after both
+            (3, "2024-01-10 00:00:00", 50.0),
+        ],
+        ["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = {r.day_ms: r for r in trailing_revenue(orders).collect()}
+    d1, d2, d10 = sorted(out)
+    assert out[d2].trail_total == 300.0 and out[d2].trail_days == 2
+    # calendar RANGE frame: day 10 must NOT see days 1-2 (a ROWS frame would)
+    assert out[d10].trail_total == 50.0 and out[d10].trail_days == 1
+    assert out[d1].trail_avg == 100.0
+
+
+def test_event_paths_orders_and_ranks(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        event_paths,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 10:01:00", 1, "click"),
+            ("2024-01-01 10:02:00", 1, "purchase"),
+            ("2024-01-02 10:00:00", 2, "view"),
+            ("2024-01-02 10:01:00", 2, "click"),
+            ("2024-01-02 10:02:00", 2, "purchase"),
+            ("2024-01-03 10:00:00", 3, "view"),
+            ("2024-01-03 10:01:00", 3, "view"),
+            ("2024-01-03 10:02:00", 3, "click"),
+        ],
+    )
+    out = event_paths(ev).collect()
+    assert out[0].path == "view>click>purchase" and out[0].n == 2
+    assert out[0].rank == 1
+    assert {r.path for r in out} == {"view>click>purchase", "view>view>click"}
+    # paths never cross users: 3 users x 3 events -> one trigram each
+    assert sum(r.n for r in out) == 3
+
+
+def test_countmin_estimate_dominates_exact(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        countmin_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i + 1))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = {r.token: r for r in countmin_audit(docs, k=3).collect()}
+    assert set(out) == {"alpha", "beta", "gamma"}
+    assert out["gamma"].exact_n == 15  # 1+2+3+4+5
+    for r in out.values():
+        # the CMS one-sided guarantee: estimates never undercount
+        assert r.est_n >= r.exact_n

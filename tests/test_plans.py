@@ -327,3 +327,77 @@ def test_decontaminate_broadcasts_eval_grams(spark):
                 if part.strip()
             }
             assert read <= {"doc_id", "text"}, read
+
+
+def test_region_revenue_broadcasts_dims_and_pushes_dates(spark):
+    """Q5 shape: the date window reaches the orders scan; every dimension
+    join is broadcast — at most one shuffle pair for the fact-fact join."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        region_revenue,
+    )
+
+    df = region_revenue(
+        *[
+            load_table(spark, SF, t)
+            for t in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+        ]
+    )
+    assert_pushed_filter(df, "o_orderdate")
+    assert_broadcast_join(df)
+
+
+def test_activity_streaks_single_exchange(spark):
+    """The fold formulation must beat the classic two-shuffle islands
+    pattern: one groupBy exchange, nothing after."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        activity_streaks,
+    )
+
+    df = activity_streaks(load_table(spark, SF, "events"))
+    assert count_exchanges(df) == 1
+
+
+def test_cast_deadletter_no_shuffle(spark):
+    """Dead-letter routing is scan + projection + generate: zero
+    exchanges, codegen'd, and the scan pruned to the checked fields."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
+        cast_deadletter,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.staging import (
+        SNOWFLAKE_LIKE_TYPED,
+        snowflake_like,
+    )
+
+    df = cast_deadletter(
+        snowflake_like(load_table(spark, SF, "orders")),
+        SNOWFLAKE_LIKE_TYPED,
+        key="NAME",
+    )
+    assert count_exchanges(df) == 0
+    assert_whole_stage_codegen(df)
+
+
+def test_event_paths_single_window_shuffle_then_topk(spark):
+    """Both leads share one (user_id) window sort; the top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        event_paths,
+    )
+
+    df = event_paths(load_table(spark, SF, "events"))
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) <= 2  # window shuffle + path count agg
+
+
+def test_countmin_cells_partial_agg_and_broadcast_probe(spark):
+    """The sketch build must be a partial-aggregable groupBy (map-side
+    combine to <= d*w cells) and the probe side a broadcast join."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        countmin_audit,
+    )
+
+    df = countmin_audit(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert_broadcast_join(df)
+    assert "partial_count" in plan  # map-side combine before the exchange
