@@ -70,11 +70,10 @@ def decontaminate(
     it under AQE so the training explode never shuffles; the per-doc hit
     count is a partial-aggregable groupBy on doc_id.
     """
-    from ..functions import hashing as H
+    from .dedup import _hashed_shingles
 
-    sh = H.spark_shingles(H.spark_tokens("text"), n)
-    grams = documents.selectExpr(
-        "doc_id", f"explode(transform({sh}, s -> {H.spark_h32('s')})) as g"
+    grams = _hashed_shingles(documents, n).selectExpr(
+        "doc_id", "explode(shingles) as g"
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % eval_mod == 0).select("g").distinct()

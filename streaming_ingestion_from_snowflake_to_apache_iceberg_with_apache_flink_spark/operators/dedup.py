@@ -50,6 +50,72 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _posting_pairs(
+    inv: DataFrame,
+    key: str,
+    max_df: int,
+    carry: list[str],
+    ordered: bool = False,
+) -> DataFrame:
+    """Candidate pairs from an inverted index in ONE shuffle.
+
+    Groups ``inv`` (doc_id, <key>, *carry) into per-key posting lists,
+    drops oversized keys (> ``max_df`` — the stop-shingle / bucket cut),
+    and expands each list into its doc pairs with an array kernel. This
+    replaces the classic df-count + filter-join + self-join formulation:
+    that plan shuffles the full index three times (count agg, stop-list
+    join, both self-join sides); this one shuffles it once, and the pair
+    blowup stays bounded by ``max_df²`` per key by construction.
+
+    ``ordered=False`` emits each pair once with ``doc_a < doc_b``;
+    ``ordered=True`` emits both directions (for asymmetric measures).
+    Carried columns come out as ``<name>_a`` / ``<name>_b``.
+    """
+    entry = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
+    postings = (
+        inv.groupBy(key)
+        .agg(F.array_sort(F.collect_list(entry)).alias("ps"))
+        .filter((F.size("ps") >= 2) & (F.size("ps") <= max_df))
+    )
+    # all i<j pairs of the doc_id-sorted posting list
+    pair = (
+        "named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id"
+        + "".join(f", '{c}_a', x.{c}, '{c}_b', y.{c}" for c in carry)
+        + ")"
+    )
+    expand = (
+        "explode(flatten(transform(ps, (x, i) -> "
+        f"transform(slice(ps, i + 2, size(ps)), y -> {pair})))) as p"
+    )
+    pairs = postings.selectExpr(expand).select("p.*")
+    if not ordered:
+        return pairs
+    # asymmetric measure: emit both directions of every unordered pair
+    both = (
+        "explode(array(named_struct('doc_src', doc_a, 'doc_dst', doc_b"
+        + "".join(f", '{c}_src', {c}_a, '{c}_dst', {c}_b" for c in carry)
+        + "), named_struct('doc_src', doc_b, 'doc_dst', doc_a"
+        + "".join(f", '{c}_src', {c}_b, '{c}_dst', {c}_a" for c in carry)
+        + "))) as p"
+    )
+    return pairs.selectExpr(both).select("p.*")
+
+
+def _hashed_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingles: array<bigint>) — the shared shingle-hash scan.
+
+    The token split is hoisted into its own projection so the n-gram slice
+    lambda reads a materialized token array; inlined, Catalyst re-evaluates
+    the regex split once per shingle position (multi-use aliases do not
+    collapse, so the hoist survives optimization)."""
+    sh = H.spark_shingles("toks", n)
+    return (
+        spread(documents)
+        .selectExpr("doc_id", f"{_TOKENS} as toks")
+        .selectExpr("doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as shingles")
+    )
+
+
 def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
     """Exploded inverted index: (shingle, doc_id), distinct shingles/doc."""
     sh = H.spark_shingles(_TOKENS, n)
@@ -72,39 +138,16 @@ def ngram_jaccard_pairs(
     semantics: Jaccard over hashed shingles; the oracle computes the same
     h32, so any collision affects both engines identically).
     """
-    sh = H.spark_shingles(_TOKENS, n)
-    # persist the per-doc hashed-shingle sets (one narrow row per doc):
-    # everything downstream — posting lists, df counts, both self-join
-    # sides — derives from this cache with a cheap explode instead of
-    # re-tokenizing (at scale this is the "write the inverted index once"
-    # step)
-    docs = (
-        spread(documents)
-        .selectExpr("doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as shingles")
-        .selectExpr("doc_id", "shingles", "size(shingles) as n_sh")
-        .persist()
+    inv = _hashed_shingles(documents, n).selectExpr(
+        "doc_id", "size(shingles) as n_sh", "explode(shingles) as shingle"
     )
-    inv = docs.selectExpr("doc_id", "n_sh", "explode(shingles) as shingle")
-    # stop-shingle cut: drop shingles present in too many docs
-    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    inv = inv.join(
-        df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"), "shingle"
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = _posting_pairs(inv, "shingle", max_shingle_df, carry=["n_sh"]).groupBy(
+        "doc_a", "doc_b", "n_sh_a", "n_sh_b"
+    ).agg(F.count(F.lit(1)).alias("n_common"))
     return inter.selectExpr(
         "doc_a",
         "doc_b",
-        "cast(round(n_common / (n_a + n_b - n_common), 4) as double) as jaccard",
+        "cast(round(n_common / (n_sh_a + n_sh_b - n_common), 4) as double) as jaccard",
     ).filter(F.col("jaccard") >= threshold)
 
 
@@ -113,39 +156,23 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
 
     Each shingle is md5-hashed once; the k permutations are cheap affine
     maps over that hash array."""
-    sh = H.spark_shingles(_TOKENS, n)
-    hashed = spread(documents).selectExpr(
-        "doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as hs"
+    return _hashed_shingles(documents, n).selectExpr(
+        "doc_id", f"{H.spark_minhash('shingles')} as mh"
     )
-    return hashed.selectExpr("doc_id", f"{H.spark_minhash('hs')} as mh")
 
 
 def _banded_candidates(
     bands: DataFrame, max_bucket: int, carry: list[str]
 ) -> DataFrame:
     """Shared LSH-banding candidate generation: drop oversized buckets
-    (> ``max_bucket``), self-join on the band key with ``doc_a < doc_b``,
-    and dedup pairs. ``bands`` must have (doc_id, band_key, *carry);
-    carried columns come out as ``<name>_a`` / ``<name>_b``. Used by both
-    MinHash and SimHash pair generation — one implementation of the
-    bucket-cut and pair-dedup semantics."""
-    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
-    kept = bands.join(
-        sizes.filter(F.col("bs") <= max_bucket).select("band_key"), "band_key"
-    )
-    a, b = kept.alias("a"), kept.alias("b")
-    sel = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
-    for c in carry:
-        sel.append(F.col(f"a.{c}").alias(f"{c}_a"))
-        sel.append(F.col(f"b.{c}").alias(f"{c}_b"))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(*sel)
-        .dropDuplicates(["doc_a", "doc_b"])
+    (> ``max_bucket``), expand each bucket's posting list into pairs with
+    ``doc_a < doc_b`` (one shuffle — see ``_posting_pairs``), and dedup
+    pairs that co-occur in several bands. ``bands`` must have
+    (doc_id, band_key, *carry); carried columns come out as ``<name>_a``
+    / ``<name>_b``. Used by both MinHash and SimHash pair generation —
+    one implementation of the bucket-cut and pair-dedup semantics."""
+    return _posting_pairs(bands, "band_key", max_bucket, carry).dropDuplicates(
+        ["doc_a", "doc_b"]
     )
 
 
@@ -163,9 +190,7 @@ def minhash_lsh_pairs(
     i.e. degenerate boilerplate clusters) are dropped — declared semantics,
     mirrored in the oracle.
     """
-    # persist signatures (one 16-long array per doc — tiny): the expensive
-    # md5 permutation work runs once; banding/joins derive from the cache
-    sigs = minhash_signatures(documents, n).persist()
+    sigs = minhash_signatures(documents, n)
     bands = sigs.selectExpr(
         "doc_id",
         "mh",
@@ -273,7 +298,7 @@ def simhash_pairs(
     degenerate boilerplate clusters) are dropped — declared semantics,
     mirrored in the oracle. Exact Hamming distance reranks candidates.
     """
-    sigs = simhash_wide(documents).persist()
+    sigs = simhash_wide(documents)
     bands = sigs.selectExpr(
         "doc_id", "simhash", f"explode({H.spark_simhash_bands()}) as band_key"
     )
@@ -312,6 +337,36 @@ def connected_components(
     bidir = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+    # Size the loop's shuffles to the GRAPH, not the corpus: near-dup nodes
+    # are a sliver of the input (the count also materializes the edge
+    # cache, which every round reuses). At real scale edges/200k exceeds
+    # the session parallelism and this is a no-op; on a sparse pair graph
+    # it collapses each round's many tiny 32-task stages into a few.
+    spark = pairs.sparkSession
+    n_edges = bidir.count()
+    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(session_parts), n_edges // 200_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _cc_loop(bidir, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+    bidir.unpersist()
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
+    )
+
+
+def _cc_loop(bidir: DataFrame, max_iter: int) -> DataFrame:
+    """The materialize-per-round label-propagation loop of
+    :func:`connected_components`; runs under the caller's (graph-sized)
+    shuffle-partition setting."""
     labels = (
         bidir.select(F.col("a").alias("node"))
         .distinct()
@@ -332,12 +387,22 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("msg"))
         )
+        prop = labels.join(msgs, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("msg", "label")).alias("label"),
+        )
+        # pointer jump: label ← label(label). Every label value is itself a
+        # node id (labels start as own-ids and only ever take neighbor label
+        # values), so the inner self-join is total. Jumping doubles the
+        # propagation distance per materialized round — convergence in
+        # O(log diameter) jobs instead of O(diameter), which is the whole
+        # wall-clock story for an iterative driver loop.
+        hop = prop.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
         new = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("msg", "label")).alias("label"),
-            )
+            prop.join(hop, prop["label"] == hop["jnode"])
+            .select("node", F.col("jlabel").alias("label"))
             .persist()
         )
         cur_sum = new.agg(F.sum("label")).collect()[0][0]
@@ -346,16 +411,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    bidir.unpersist()
-    from pyspark.sql import Window
-
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("label"))
-        .alias("cluster_size"),
-    )
+    return labels
 
 
 def containment_pairs(
@@ -370,36 +426,18 @@ def containment_pairs(
     one has high containment but low Jaccard. Same inverted-index
     candidate generation as ``ngram_jaccard_pairs``; emits BOTH directions
     of each candidate pair since containment is directional."""
-    sh = H.spark_shingles(_TOKENS, n)
-    docs = (
-        spread(documents)
-        .selectExpr("doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as shingles")
-        .selectExpr("doc_id", "shingles", "size(shingles) as n_sh")
-        .persist()
+    inv = _hashed_shingles(documents, n).selectExpr(
+        "doc_id", "size(shingles) as n_sh", "explode(shingles) as shingle"
     )
-    inv = docs.selectExpr("doc_id", "n_sh", "explode(shingles) as shingle")
-    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    inv = inv.join(
-        df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"), "shingle"
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_src"),
-            F.col("b.doc_id").alias("doc_dst"),
-            F.col("a.n_sh").alias("n_src"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    inter = _posting_pairs(
+        inv, "shingle", max_shingle_df, carry=["n_sh"], ordered=True
+    ).groupBy("doc_src", "doc_dst", "n_sh_src").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
     return inter.selectExpr(
         "doc_src",
         "doc_dst",
-        "cast(round(n_common / n_src, 4) as double) as containment",
+        "cast(round(n_common / n_sh_src, 4) as double) as containment",
     ).filter(F.col("containment") >= threshold)
 
 
@@ -417,15 +455,10 @@ def minhash_estimate_audit(
     band join and the intersection is an array kernel per pair — exact
     verification at candidate-list cost, not corpus-join cost.
     """
-    sh = H.spark_shingles(_TOKENS, n)
     sigs = (
-        spread(documents)
-        .selectExpr(
-            "doc_id",
-            f"array_distinct(transform({sh}, s -> {H.spark_h32('s')})) as hs",
-        )
+        _hashed_shingles(documents, n)
+        .selectExpr("doc_id", "array_distinct(shingles) as hs")
         .selectExpr("doc_id", "hs", f"{H.spark_minhash('hs')} as mh")
-        .persist()
     )
     bands = sigs.selectExpr(
         "doc_id",

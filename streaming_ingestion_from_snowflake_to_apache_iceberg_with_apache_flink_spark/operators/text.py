@@ -153,11 +153,15 @@ def fingerprint(documents: DataFrame, n: int = 3, keep: int = 4) -> DataFrame:
     """Min-k document fingerprint: the ``keep`` smallest portable 32-bit
     hashes of the distinct word ``n``-gram shingles (winnowing-style
     content signature; stable under small edits)."""
-    sh = H.spark_shingles(_TOKENS, n)
+    sh = H.spark_shingles("toks", n)
     hashes = f"array_sort(transform({sh}, s -> {H.spark_h32('s')}))"
-    return spread(documents).selectExpr(
-        "doc_id",
-        f"array_join(slice({hashes}, 1, {keep}), '-') as fingerprint",
+    return (
+        spread(documents)
+        .selectExpr("doc_id", f"{_TOKENS} as toks")
+        .selectExpr(
+            "doc_id",
+            f"array_join(slice({hashes}, 1, {keep}), '-') as fingerprint",
+        )
     )
 
 

@@ -37,6 +37,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate clones a generator's child expression into
+        # an inferred `size(e) > 0` filter; predicate pushdown then drags that
+        # clone below repartitions, re-evaluating expensive array pipelines
+        # (shingle + md5) once more per row — and on the pre-spread partition
+        # layout (observed 8× on the dedup family: the filter ran the whole
+        # hashing pipeline single-core). Every array this engine explodes is
+        # non-empty by construction, so the rule only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
