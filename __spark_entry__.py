@@ -863,6 +863,103 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_audit(load_table(spark, sf_dir, "documents"))
 
 
+def q_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (battery.string_battery): case/slice/pad/
+    search/replace/edit-distance, one codegen'd projection."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        battery,
+    )
+
+    return battery.string_battery(load_table(spark, sf_dir, "customer"))
+
+
+def q_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (battery.date_battery): parts, ISO weekday/week,
+    trunc, arithmetic, boundaries — portable definitions only."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        battery,
+    )
+
+    return battery.date_battery(load_table(spark, sf_dir, "orders"))
+
+
+def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface (battery.array_battery): size/dedup/sort/slice/search
+    + set algebra between document halves, order-insensitive outputs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        battery,
+    )
+
+    return battery.array_battery(load_table(spark, sf_dir, "documents"))
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + per-type rollup (battery.json_battery):
+    JVM-side get_json_object fused into the scan, partial-agg above."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        battery,
+    )
+
+    return battery.json_battery(load_table(spark, sf_dir, "events"))
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window dedup (temporal.window_dedup): earliest event per
+    (user, type, 1h window) — batch twin of
+    dropDuplicatesWithinWatermark."""
+    return tp.window_dedup(load_table(spark, sf_dir, "events"))
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding manifest (sampling.shard_assign):
+    content-hash shard id + per-shard count/checksum/key-range."""
+    return smp.shard_assign(load_table(spark, sf_dir, "documents"))
+
+
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic corpus mixing audit
+    (sampling.interleave_sources): per-source keep rates by salted hash."""
+    return smp.interleave_sources(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index vs exact brute force (similarity.
+    ann_recall) — the audit that qualifies an ANN config."""
+    return sim.ann_recall(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-kind match counts (text.redact_pii) over
+    deterministically seeded contact strings."""
+    return tx.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability table (text.bigram_lm): exact
+    integer-ratio P(w2|w1) for bigrams with count >= 5."""
+    return tx.bigram_lm(load_table(spark, sf_dir, "documents"))
+
+
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency price bucketing (relational.quantile_buckets):
+    deterministic ntile + per-bucket stats."""
+    return rel.quantile_buckets(load_table(spark, sf_dir, "orders"))
+
+
+def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (relational.calendar_fill): per-type daily
+    series over a fixed 30-day calendar, gaps as zero rows."""
+    return rel.calendar_fill(load_table(spark, sf_dir, "events"))
+
+
+def q_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree distribution (dedup.pair_degree_histogram)
+    over the exact Jaccard pair list."""
+    return dd.pair_degree_histogram(
+        dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -949,6 +1046,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trailing_window": q_trailing_window,
         "q_event_paths": q_event_paths,
         "q_countmin_topk": q_countmin_topk,
+        "q_string_battery": q_string_battery,
+        "q_date_battery": q_date_battery,
+        "q_array_battery": q_array_battery,
+        "q_json_extract": q_json_extract,
+        "q_window_dedup": q_window_dedup,
+        "q_shard_assign": q_shard_assign,
+        "q_interleave_sources": q_interleave_sources,
+        "q_ann_recall": q_ann_recall,
+        "q_pii_redact": q_pii_redact,
+        "q_bigram_lm": q_bigram_lm,
+        "q_quantile_buckets": q_quantile_buckets,
+        "q_calendar_fill": q_calendar_fill,
+        "q_pair_degree": q_pair_degree,
     }
 
 
@@ -2203,5 +2313,196 @@ def _extension_oracles() -> dict[str, str]:
         SELECT p.token, p.exact_n, min(c.cell_n) AS est_n
         FROM probe p JOIN cells c USING (d, bucket)
         GROUP BY p.token, p.exact_n
+    """
+    out["q_string_battery"] = """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS seg_lower,
+               length(c_name)::INT AS name_len,
+               substring(c_name, 10, 5) AS name_mid,
+               lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_padded,
+               reverse(c_mktsegment) AS seg_rev,
+               regexp_replace(c_name, '0', 'o', 'g') AS name_o,
+               strpos(c_name, '#')::INT AS hash_pos,
+               split_part(c_name, '#', 2) AS name_num,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_folded,
+               concat_ws('|', c_mktsegment, c_name) AS seg_name,
+               levenshtein(c_mktsegment, 'MACHINERY')::INT AS seg_dist,
+               repeat('*', length(c_mktsegment)) AS seg_mask
+        FROM customer
+    """
+    out["q_date_battery"] = """
+        SELECT o_orderkey,
+               year(o_orderdate)::INT AS y,
+               quarter(o_orderdate)::INT AS q,
+               month(o_orderdate)::INT AS m,
+               day(o_orderdate)::INT AS dom,
+               dayofyear(o_orderdate)::INT AS doy,
+               isodow(o_orderdate)::INT AS isodow,
+               weekofyear(o_orderdate)::INT AS isoweek,
+               epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+               CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '1998-12-31')::INT AS days_to_eoy98
+        FROM orders
+    """
+    out["q_array_battery"] = f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS tk FROM documents
+        ), h AS (
+            SELECT doc_id, tk,
+                   tk[1 : CAST(floor(len(tk) / 2) AS INT)] AS lo,
+                   tk[CAST(floor(len(tk) / 2) AS INT) + 1 :] AS hi
+            FROM t
+        )
+        SELECT doc_id,
+               len(tk)::INT AS n_toks,
+               len(list_distinct(tk))::INT AS n_uniq,
+               list_contains(tk, 'the') AS has_the,
+               coalesce(list_position(tk, 'value'), 0)::INT AS first_value_pos,
+               array_to_string(list_sort(tk)[1:5], ' ') AS first5_sorted,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_intersect(lo, hi))), ' '), '') AS half_overlap,
+               coalesce(array_to_string(list_sort(list_distinct(list_filter(lo,
+                   x -> NOT list_contains(hi, x)))), ' '), '') AS lo_only,
+               len(list_distinct(list_concat(lo, hi)))::INT AS n_union
+        FROM h
+    """
+    out["q_json_extract"] = """
+        SELECT event_type,
+               count(*) AS n,
+               count(k) AS n_k,
+               min(k)::INT AS min_k,
+               max(k)::INT AS max_k,
+               sum(k)::BIGINT AS sum_k,
+               round(avg(k), 4) AS avg_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events)
+        GROUP BY event_type
+    """
+    out["q_window_dedup"] = """
+        SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value,
+               epoch_ms(date_trunc('hour', ts)) AS window_start_ms
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """
+    doc_h = H.duck_h32("cast(doc_id as varchar)")
+    out["q_shard_assign"] = f"""
+        SELECT shard, count(*) AS n_docs,
+               sum(h)::BIGINT AS checksum,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM (SELECT doc_id, {doc_h} AS h,
+                     ({doc_h} % 16)::INT AS shard
+              FROM documents)
+        GROUP BY shard
+    """
+    mix_bucket = _smp_duck_bucket("concat(source, '/', doc_id)", "mix1")
+    mix_rate = (
+        "CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75 "
+        "WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 ELSE 10 END"
+    )
+    out["q_interleave_sources"] = f"""
+        SELECT source, count(*) AS n_docs,
+               sum(kept)::BIGINT AS n_kept,
+               round(sum(kept) / count(*), 4) AS kept_frac
+        FROM (SELECT source,
+                     ({mix_bucket} < ({mix_rate}) * 100)::INT AS kept
+              FROM documents)
+        GROUP BY source
+    """
+    out["q_ann_recall"] = f"""
+        WITH exact AS ({out['q_topk_cosine']}),
+        approx AS ({out['q_similarity_ivf']}),
+        found AS (
+            SELECT e.probe_id, count(*) AS n_found
+            FROM exact e JOIN approx a
+              ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.probe_id
+        ), base AS (
+            SELECT probe_id, count(*) AS n_true FROM exact GROUP BY probe_id
+        )
+        SELECT b.probe_id, b.n_true,
+               coalesce(f.n_found, 0)::BIGINT AS n_found,
+               round(coalesce(f.n_found, 0) / b.n_true, 4) AS recall
+        FROM base b LEFT JOIN found f USING (probe_id)
+    """
+    seeded = (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+        " '@mail.example or +1-555-',"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    )
+    out["q_pii_redact"] = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(seeded, '{tx.EMAIL_RE}'))::INT
+                   AS n_emails,
+               len(regexp_extract_all(seeded, '{tx.PHONE_RE}'))::INT
+                   AS n_phones,
+               regexp_replace(regexp_replace(seeded,
+                   '{tx.EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{tx.PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM (SELECT doc_id, {seeded} AS seeded FROM documents)
+    """
+    out["q_bigram_lm"] = f"""
+        WITH flat AS (
+            SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(tk) - 1),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+                FROM (SELECT {toks} AS tk FROM documents)
+            )
+        ), big AS (
+            SELECT w1, w2, count(*) AS c12 FROM flat GROUP BY 1, 2
+        ), pre AS (
+            SELECT w1, count(*) AS c1 FROM flat GROUP BY 1
+        )
+        SELECT b.w1, b.w2, b.c12, p.c1,
+               round(b.c12 / p.c1, 4) AS cond_p
+        FROM big b JOIN pre p USING (w1)
+        WHERE b.c12 >= 5
+    """
+    out["q_quantile_buckets"] = """
+        SELECT bucket, count(*) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM (
+            SELECT o_totalprice, ntile(10) OVER (
+                ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        ) GROUP BY bucket
+    """
+    out["q_calendar_fill"] = """
+        WITH cal AS (
+            SELECT unnest(generate_series(DATE '2024-01-01',
+                DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(c.day AS VARCHAR) AS day, t.event_type,
+               coalesce(d.n, 0)::BIGINT AS n,
+               round(coalesce(d.total, 0), 2) AS total
+        FROM cal c CROSS JOIN types t
+        LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+    """
+    out["q_pair_degree"] = f"""
+        WITH pairs AS ({out['q_dedup_ngram_jaccard']}),
+        nodes AS (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id FROM pairs
+        ), deg AS (
+            SELECT doc_id, count(*) AS degree FROM nodes GROUP BY doc_id
+        )
+        SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
     """
     return out

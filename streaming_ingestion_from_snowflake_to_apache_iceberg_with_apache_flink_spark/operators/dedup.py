@@ -484,3 +484,19 @@ def minhash_estimate_audit(
         f"{exact} as exact_jaccard",
         f"cast(round(abs({est} - {exact}), 4) as double) as abs_err",
     )
+
+
+def pair_degree_histogram(pairs: DataFrame) -> DataFrame:
+    """Degree distribution of the near-dup pair graph: how many docs have
+    exactly d near-duplicates — the shape diagnostic that separates
+    benign scattered duplication (degree 1-2) from boilerplate blowup
+    (heavy-tail degrees) before committing to a dedup policy.
+
+    Two partial-agg shuffles over narrow keys (node, then degree); input
+    is the (already bounded) candidate pair list, never the corpus.
+    """
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -516,3 +516,61 @@ def region_revenue(
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+def quantile_buckets(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Equal-frequency bucketing (ntile) of orders by total price, with
+    per-bucket stats — the discretization step of feature binning /
+    monotone calibration. The sort key carries the order key as a
+    tiebreaker so bucket membership is total-order deterministic and
+    engine-portable.
+
+    One global sort (range exchange), then a partial-agg on the bucket id;
+    at scale ntile over a range-partitioned sort is the standard plan.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    t = F.ntile(n_buckets).over(w)
+    return (
+        orders.select("o_orderkey", "o_totalprice", t.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def calendar_fill(events: DataFrame, start: str = "2024-01-01", days: int = 30) -> DataFrame:
+    """Time-series densification: per event_type daily counts over a FIXED
+    calendar, absent days filled with zero — the gap-filling step before
+    any rolling/window computation over a sparse series (a missing day
+    must count as 0, not vanish).
+
+    The calendar is a generated literal relation (days × types via one
+    cross join of two tiny broadcast sides); observed counts partial-agg
+    down BEFORE joining, so the outer join is calendar-sized, never
+    event-sized.
+    """
+    cal = (
+        events.sparkSession.range(1)
+        .selectExpr(
+            f"explode(sequence(to_date('{start}'),"
+            f" date_add(to_date('{start}'), {days - 1}))) as day"
+        )
+        .crossJoin(events.select("event_type").distinct())
+    )
+    daily = (
+        events.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return cal.join(daily, ["day", "event_type"], "left").select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total"),
+    )

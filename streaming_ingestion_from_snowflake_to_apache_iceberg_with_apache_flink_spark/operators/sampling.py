@@ -155,3 +155,70 @@ def temperature_weights(documents: DataFrame, stratum_col: str = "lang") -> Data
             ).alias("p_natural"),
         )
     )
+
+
+def shard_assign(documents: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic output sharding: every doc lands in exactly one of
+    ``n_shards`` shards by content-hash of its key — the write-side layout
+    step of a training-data pipeline (stable across runs/engines, unlike a
+    round-robin repartition). Emits the per-shard manifest: row count plus
+    an order-insensitive checksum (sum of key hashes) and the key range —
+    what a downstream consumer verifies before trusting a shard.
+
+    One partial-agg shuffle on the shard id; the assignment itself is a
+    narrow map fused into the scan.
+    """
+    h = H.spark_h32("cast(doc_id as string)")
+    return (
+        documents.selectExpr(
+            "doc_id", f"cast(pmod({h}, {n_shards}) as int) as shard"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(H.spark_h32("cast(doc_id as string)"))).alias("checksum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+#: per-source keep-rate percentages for interleave_sources (sources absent
+#: from the map fall back to DEFAULT); a stand-in for the sampling weights a
+#: data-mixture config assigns per corpus.
+INTERLEAVE_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+INTERLEAVE_DEFAULT = 10
+
+
+def interleave_sources(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    default: int = INTERLEAVE_DEFAULT,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Weighted corpus mixing: keep each doc with its source's keep-rate,
+    decided by the salted content hash of (source, doc_id) — the
+    deterministic replacement for weighted random interleaving when
+    composing a training mixture from heterogeneous corpora. Emits the
+    per-source audit: total docs, kept docs, exact kept fraction.
+
+    Membership is a pure row-local predicate (no shuffle); the audit is one
+    partial-agg. Changing the salt redraws the mixture without touching the
+    weights.
+    """
+    weights = INTERLEAVE_WEIGHTS if weights is None else weights
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items())
+    )
+    rate = f"CASE source {cases} ELSE {default} END"
+    bucket = _bucket_expr("concat(source, '/', doc_id)", salt)
+    kept = f"cast({bucket} < ({rate}) * {BUCKETS // 100} as int)"
+    return (
+        documents.selectExpr("source", "doc_id", f"{kept} as kept")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("kept_frac"),
+        )
+    )

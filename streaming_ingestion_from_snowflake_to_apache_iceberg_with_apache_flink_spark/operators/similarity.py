@@ -320,3 +320,39 @@ def quantize_embeddings(embeddings: DataFrame, scale: int = 127) -> DataFrame:
         F.round(err, 6).alias("sq_err"),
         F.round(F.sqrt(err / F.size("q")), 6).alias("rms_err"),
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """Recall@k audit of the IVF index against exact brute force: per probe,
+    how many of the true top-k neighbors the cell-restricted search found —
+    the measurement that justifies (or rejects) an ANN index's cell count
+    before deploying it over the full corpus.
+
+    Composes the two existing operators and joins their neighbor sets; the
+    join keys are (probe, neighbor) pairs — k·|probes| rows a side, so the
+    audit costs two index runs plus a trivial join regardless of corpus
+    size.
+    """
+    exact = topk_cosine_bruteforce(embeddings, probe_ids, k).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = ivf_topk_cosine(
+        embeddings, probe_ids, k, n_cells, n_probe_cells
+    ).select("probe_id", "neighbor_id")
+    hits = exact.join(approx, ["probe_id", "neighbor_id"], "left_semi")
+    found = hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_found"))
+    base = exact.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return base.join(found, "probe_id", "left").select(
+        "probe_id",
+        "n_true",
+        F.coalesce("n_found", F.lit(0)).cast("bigint").alias("n_found"),
+        F.round(F.coalesce("n_found", F.lit(0)) / F.col("n_true"), 4).alias(
+            "recall"
+        ),
+    )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..schema import ts_ms
+
 def _keys(on: str | list[str]) -> list[str]:
     return [on] if isinstance(on, str) else list(on)
 
@@ -244,4 +246,35 @@ def snapshot_diff(events: DataFrame, cutoff: str = "2024-01-15") -> DataFrame:
         .when(F.col("old_value") != F.col("new_value"), F.lit("update"))
         .otherwise(F.lit("unchanged"))
         .alias("change"),
+    )
+
+
+def window_dedup(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Bounded-window deduplication: within each (user_id, event_type,
+    tumbling window), keep only the earliest event — the batch twin of
+    Structured Streaming's ``dropDuplicatesWithinWatermark`` (the watermark
+    bounds how long a key's dedup state lives; the tumbling bucket is that
+    bound made explicit and batch-checkable).
+
+    One shuffle on the dedup key; Catalyst's WindowGroupLimit keeps only
+    the rank-1 row per group map-side, so the exchange carries survivors,
+    not the full stream.
+    """
+    from pyspark.sql import Window as W
+
+    bucket = F.window("ts", window).getField("start")
+    w = W.partitionBy("user_id", "event_type", bucket).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            ts_ms("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+            ts_ms(bucket).alias("window_start_ms"),
+        )
     )

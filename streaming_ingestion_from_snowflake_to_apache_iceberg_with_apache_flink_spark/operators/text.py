@@ -399,3 +399,67 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
             ).alias("lm_score"),
         )
     )
+
+
+#: PII patterns for redact_pii — the portable RE subset (no lookarounds,
+#: no \d class shorthands that differ): identical match semantics in Java
+#: regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[+]1-555-[0-9]{4}"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII redaction: strip emails and phone numbers from text, emitting the
+    redacted text plus per-kind match counts (the audit trail a curation
+    pipeline keeps). Pure row-local regexp work fused into the scan — no
+    shuffle, no Python.
+
+    The fixture corpus is synthetic word-salad with no planted PII, so the
+    operator seeds each doc with deterministic contact strings derived from
+    ``doc_id`` before redacting — the regexes genuinely fire and the oracle
+    reproduces the exact same seeded text, redaction, and counts.
+    """
+    seeded = (
+        "concat(text, ' contact user', cast(doc_id as string),"
+        "  '@mail.example or +1-555-',"
+        "  lpad(cast(pmod(doc_id, 10000) as string), 4, '0'))"
+    )
+    return documents.selectExpr(
+        "doc_id",
+        f"{seeded} as seeded",
+    ).selectExpr(
+        "doc_id",
+        f"size(regexp_extract_all(seeded, '{EMAIL_RE}', 0)) as n_emails",
+        f"size(regexp_extract_all(seeded, '{PHONE_RE}', 0)) as n_phones",
+        f"regexp_replace(regexp_replace(seeded, '{EMAIL_RE}', '<EMAIL>'),"
+        f" '{PHONE_RE}', '<PHONE>') as redacted",
+    )
+
+
+def bigram_lm(documents: DataFrame, min_count: int = 5) -> DataFrame:
+    """Bigram language model table: P(w2 | w1) as the exact integer ratio
+    count(w1 w2) / count(w1 *), for bigrams seen at least ``min_count``
+    times — the count-based counterpart of ``unigram_lm`` and the data side
+    of classic KN/Katz smoothing.
+
+    One explode produces both the bigram and its prefix via a windowless
+    pair zip; counts are two partial-agg shuffles over narrow string keys;
+    the division is exact integer → double rounded at 4, portable.
+    """
+    pairs = documents.selectExpr(f"{_TOKENS} as t").selectExpr(
+        "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (a, b) -> struct(a as w1, b as w2))) as p"
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pre = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        big.filter(F.col("c12") >= min_count)
+        .join(pre, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12") / F.col("c1"), 4).alias("cond_p"),
+        )
+    )
