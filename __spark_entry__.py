@@ -960,6 +960,24 @@ def q_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang x source association lift (relational.cooccurrence_lift):
+    log-free PMI core with exact integer operands."""
+    return rel.cooccurrence_lift(load_table(spark, sf_dir, "documents"))
+
+
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark policy audit (temporal.late_data_audit): replay in
+    arrival order, flag rows a 10-min watermark would drop."""
+    return tp.late_data_audit(load_table(spark, sf_dir, "events"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language coverage of the global top-100 vocabulary
+    (text.vocab_coverage): broadcast vocab semi-pattern."""
+    return tx.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_distinct_shards": q_distinct_shards,
@@ -1059,6 +1077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_buckets": q_quantile_buckets,
         "q_calendar_fill": q_calendar_fill,
         "q_pair_degree": q_pair_degree,
+        "q_cooccurrence_lift": q_cooccurrence_lift,
+        "q_late_data_audit": q_late_data_audit,
+        "q_vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -2504,5 +2525,55 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, count(*) AS degree FROM nodes GROUP BY doc_id
         )
         SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+    """
+    out["q_cooccurrence_lift"] = """
+        WITH joint AS (
+            SELECT lang, source, count(*) AS n_xy
+            FROM documents GROUP BY lang, source
+        ), mx AS (
+            SELECT lang, count(*) AS n_x FROM documents GROUP BY lang
+        ), my AS (
+            SELECT source, count(*) AS n_y FROM documents GROUP BY source
+        ), tot AS (SELECT count(*) AS n_tot FROM documents)
+        SELECT j.lang, j.source, j.n_xy, m.n_x, s.n_y,
+               round((j.n_xy * t.n_tot) / (m.n_x * s.n_y), 4) AS lift
+        FROM joint j
+        JOIN mx m USING (lang)
+        JOIN my s USING (source)
+        CROSS JOIN tot t
+    """
+    out["q_late_data_audit"] = """
+        WITH arr AS (
+            SELECT event_type, epoch_ms(ts) AS t,
+                   max(epoch_ms(ts)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS seen
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_events,
+               sum(CASE WHEN t < seen - 600000 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_late,
+               max(CASE WHEN t < seen - 600000 THEN seen - 600000 - t
+                        ELSE 0 END)::BIGINT AS max_late_ms
+        FROM arr GROUP BY event_type
+    """
+    out["q_vocab_coverage"] = f"""
+        WITH occ AS (
+            SELECT lang, token
+            FROM (SELECT lang,
+                         unnest({H.duck_tokens('lower(text)')}) AS token
+                  FROM documents)
+            WHERE token <> ''
+        ), top AS (
+            SELECT token, 1 AS hit FROM (
+                SELECT token, count(*) AS freq FROM occ GROUP BY token
+                ORDER BY freq DESC, token ASC LIMIT 100
+            )
+        )
+        SELECT lang, count(*) AS total_tokens,
+               sum(coalesce(hit, 0))::BIGINT AS covered_tokens,
+               round(sum(coalesce(hit, 0)) / count(*), 4) AS coverage
+        FROM occ LEFT JOIN top USING (token)
+        GROUP BY lang
     """
     return out

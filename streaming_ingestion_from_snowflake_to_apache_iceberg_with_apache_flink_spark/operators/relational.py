@@ -574,3 +574,34 @@ def calendar_fill(events: DataFrame, start: str = "2024-01-01", days: int = 30) 
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total"),
     )
+
+
+def cooccurrence_lift(documents: DataFrame, x: str = "lang", y: str = "source") -> DataFrame:
+    """Association strength between two categorical columns as lift:
+    p(x,y) / (p(x)·p(y)) = n_xy·N / (n_x·n_y) — the log-free core of
+    pointwise mutual information (no libm call, so the exact integer
+    operands make the 4-decimal rounding engine-portable where a log
+    would not be).
+
+    Three partial-agg shuffles over tiny categorical keys; the marginals
+    broadcast into the joint table, the scalar N is a literal cross join.
+    """
+    joint = documents.groupBy(x, y).agg(F.count(F.lit(1)).alias("n_xy"))
+    mx = documents.groupBy(x).agg(F.count(F.lit(1)).alias("n_x"))
+    my = documents.groupBy(y).agg(F.count(F.lit(1)).alias("n_y"))
+    tot = documents.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        joint.join(F.broadcast(mx), x)
+        .join(F.broadcast(my), y)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            x,
+            y,
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                (F.col("n_xy") * F.col("n_tot")) / (F.col("n_x") * F.col("n_y")), 4
+            ).alias("lift"),
+        )
+    )

@@ -112,7 +112,18 @@ def countmin_audit(documents: DataFrame, k: int = 20) -> DataFrame:
     the probe side is a broadcast of k tokens against the tiny cell table.
     """
     tok = H.spark_tokens("text")
-    occurrences = spread(documents).selectExpr(f"explode({tok}) as token").persist()
+    # aggregate to exact per-token counts FIRST: the d salted hashes then
+    # run once per DISTINCT token (vocabulary-sized), not once per
+    # occurrence — cell values are identical because a bucket's count is
+    # the sum of its tokens' occurrence counts. The exact-count relation
+    # is also the probe side, so one shuffle feeds both.
+    counts = (
+        spread(documents)
+        .selectExpr(f"explode({tok}) as token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .persist()
+    )
     buckets = ", ".join(
         f"named_struct('d', {d}, 'bucket', "
         + H.spark_h32(f"concat('cms{d}:', token)")
@@ -120,16 +131,11 @@ def countmin_audit(documents: DataFrame, k: int = 20) -> DataFrame:
         for d in range(CMS_DEPTH)
     )
     cells = (
-        occurrences.selectExpr(f"explode(array({buckets})) as c")
+        counts.selectExpr("exact_n", f"explode(array({buckets})) as c")
         .groupBy("c.d", "c.bucket")
-        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .agg(F.sum("exact_n").alias("cell_n"))
     )
-    top = (
-        occurrences.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
-        .limit(k)
-    )
+    top = counts.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(k)
     probe = top.selectExpr(
         "token",
         "exact_n",

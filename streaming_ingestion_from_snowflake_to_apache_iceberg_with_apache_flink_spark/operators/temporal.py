@@ -278,3 +278,43 @@ def window_dedup(events: DataFrame, window: str = "1 hour") -> DataFrame:
             ts_ms(bucket).alias("window_start_ms"),
         )
     )
+
+
+def late_data_audit(
+    events: DataFrame, delay_ms: int = 600_000
+) -> DataFrame:
+    """Watermark policy audit, batch-checkable: replay the stream in
+    arrival order (event_id as the arrival sequence), track the running
+    max event time, and flag every event older than (max seen − delay) —
+    exactly the rows `withWatermark(ts, delay)` would drop from a
+    finalized aggregation. Emits the per-type audit: totals, late count,
+    and worst lateness — the measurement that sizes a watermark delay
+    before deploying it.
+
+    All time arithmetic is integer epoch-ms (portable); the running max is
+    one window over the arrival order — at scale arrival order is
+    per-partition ingestion order and this becomes a per-partition scan,
+    same semantics per stream shard.
+    """
+    arrive = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = events.select(
+        "event_type",
+        ts_ms("ts").alias("t"),
+        F.max(ts_ms("ts")).over(arrive).alias("seen"),
+    ).select(
+        "event_type",
+        (F.col("t") < F.col("seen") - F.lit(delay_ms)).alias("late"),
+        F.when(
+            F.col("t") < F.col("seen") - F.lit(delay_ms),
+            F.col("seen") - F.lit(delay_ms) - F.col("t"),
+        )
+        .otherwise(0)
+        .alias("late_by_ms"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("late").cast("int")).cast("bigint").alias("n_late"),
+        F.max("late_by_ms").cast("bigint").alias("max_late_ms"),
+    )

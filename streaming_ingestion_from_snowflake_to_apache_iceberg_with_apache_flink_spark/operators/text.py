@@ -463,3 +463,36 @@ def bigram_lm(documents: DataFrame, min_count: int = 5) -> DataFrame:
             F.round(F.col("c12") / F.col("c1"), 4).alias("cond_p"),
         )
     )
+
+
+def vocab_coverage(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Coverage of a top-``k`` corpus vocabulary per language: what
+    fraction of each language's token stream the shared vocabulary
+    explains — the go/no-go metric for a vocabulary size before training
+    a tokenizer on a multilingual mix.
+
+    The vocabulary is the deterministic top-k (freq desc, token asc); it
+    broadcasts into the exploded token stream (corpus-sized side never
+    re-shuffles), and coverage is one partial-agg per language.
+    """
+    occ = documents.select(
+        "lang", F.explode(F.expr(H.spark_tokens("lower(text)"))).alias("token")
+    ).filter(F.col("token") != "")
+    top = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", F.lit(1).alias("hit"))
+    )
+    return (
+        occ.join(F.broadcast(top), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("coverage"),
+        )
+    )

@@ -401,3 +401,86 @@ def test_countmin_cells_partial_agg_and_broadcast_probe(spark):
     plan = formatted_plan(df)
     assert_broadcast_join(df)
     assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_posting_pairs_single_index_shuffle(spark):
+    """The inverted-index pair expansion must shuffle the index ONCE
+    (groupBy shingle), not the three exchanges of the df-count +
+    stop-list-join + self-join formulation: spread repartition + postings
+    agg + final pair agg = 3 exchanges total."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = ngram_jaccard_pairs(load_table(spark, SF, "documents"))
+    assert count_exchanges(df) <= 3
+
+
+def test_scalar_batteries_no_exchange(spark):
+    """Pure projections: every battery must be a scan + one codegen'd
+    projection — zero exchanges."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        battery,
+    )
+
+    for df in (
+        battery.string_battery(load_table(spark, SF, "customer")),
+        battery.date_battery(load_table(spark, SF, "orders")),
+        battery.array_battery(load_table(spark, SF, "documents")),
+    ):
+        assert count_exchanges(df) == 0
+        assert_whole_stage_codegen(df)
+
+
+def test_shard_assign_single_agg_shuffle(spark):
+    """Hash-shard assignment is a narrow map; only the manifest agg
+    shuffles (spread may add one round-robin repartition)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        shard_assign,
+    )
+
+    df = shard_assign(load_table(spark, SF, "documents"))
+    assert count_exchanges(df) <= 1
+
+
+def test_interleave_membership_is_row_local(spark):
+    """Mixture membership must not shuffle the corpus: one exchange for
+    the per-source audit agg only."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    df = interleave_sources(load_table(spark, SF, "documents"))
+    assert count_exchanges(df) <= 1
+
+
+def test_window_dedup_group_limit(spark):
+    """The rank-1 filter must compile to WindowGroupLimit so survivors are
+    selected map-side before the exchange."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        window_dedup,
+    )
+
+    df = window_dedup(load_table(spark, SF, "events"))
+    assert_window_group_limit(df)
+
+
+def test_cooccurrence_marginals_broadcast(spark):
+    """The tiny marginal tables must broadcast into the joint counts."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        cooccurrence_lift,
+    )
+
+    df = cooccurrence_lift(load_table(spark, SF, "documents"))
+    assert_broadcast_join(df)
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The top-k vocabulary must broadcast into the exploded token stream
+    (the corpus-sized side never re-shuffles for the join)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    df = vocab_coverage(load_table(spark, SF, "documents"))
+    assert_broadcast_join(df)
