@@ -960,6 +960,65 @@ def q_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming ingestion runtime end-to-end, as a query:
+    stage `orders` as a file-stream source, run the AvailableNow
+    foreachBatch upsert pipeline (streaming/ingest.stream_ingest →
+    sinks/catalog.CatalogSink), and return the ingested table — which must
+    hash-match the source table exactly (upsert of unique keys is the
+    identity), so even the streaming path is oracle-checked, not just
+    smoke-tested. The sink table is localCheckpointed and dropped so
+    repeated runs leave no warehouse litter."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+        IcebergSinkConfig,
+        PipelineConfig,
+        SnowflakeSourceConfig,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.catalog import (
+        CatalogSink,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.ingest import (
+        stream_ingest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="sgq_stream_")
+    table = f"q_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        staging = os.path.join(base, "staging")
+        orders.write.mode("overwrite").parquet(staging)
+        cfg = PipelineConfig(
+            source=SnowflakeSourceConfig(
+                table="orders",
+                shard_column=ORDERS_SHARD,
+                sort_column=ORDERS_SORT,
+                query_size=5000,
+            ),
+            sink=IcebergSinkConfig(
+                db="default",
+                table_name=table,
+                partition_fields=(ORDERS_SHARD,),
+                upsert_fields=(ORDERS_KEY, ORDERS_SHARD),
+                operation="upsert",
+            ),
+        )
+        q = stream_ingest(
+            spark, cfg, staging, os.path.join(base, "ckpt"), orders.schema
+        )
+        q.awaitTermination(300)
+        sink = CatalogSink(spark, cfg.sink)
+        ingested = _orders_out(sink.read()).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS default.{table}")
+        shutil.rmtree(base, ignore_errors=True)
+    return ingested
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang x source association lift (relational.cooccurrence_lift):
     log-free PMI core with exact integer operands."""
@@ -1080,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cooccurrence_lift": q_cooccurrence_lift,
         "q_late_data_audit": q_late_data_audit,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_stream_ingest": q_stream_ingest,
     }
 
 
@@ -2575,5 +2635,11 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(coalesce(hit, 0)) / count(*), 4) AS coverage
         FROM occ LEFT JOIN top USING (token)
         GROUP BY lang
+    """
+    # the streaming upsert of a unique-keyed table is the identity: the
+    # ingested table must hash-match the source relation itself
+    out["q_stream_ingest"] = f"""
+        SELECT {_ORDERS_OUT}
+        FROM orders
     """
     return out
