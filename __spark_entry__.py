@@ -1019,6 +1019,42 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingested
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal.frame_sample) over the
+    deterministic fake media table: one row per sampled timestamp, the
+    explode fully Catalyst-side; bytes stay opaque (dropped here so the
+    oracle compares the sampling plan, not blob encoding)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.multimodal import (
+        fake_media_table,
+        frame_sample,
+    )
+
+    media = fake_media_table(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, every_ms=250).select("media_id", "frame_ts_ms")
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage (multimodal.resize_images, Arrow-batched
+    mapInPandas with the stubbed codec): images get the target dimensions
+    and a pixel-ratio-scaled payload, other kinds pass through — the
+    byte-length arithmetic of the fake path is reproduced exactly in SQL,
+    so the Python stage sits inside the value-correctness gate."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.multimodal import (
+        fake_media_table,
+        resize_images,
+    )
+
+    media = fake_media_table(load_table(spark, sf_dir, "documents"))
+    out = resize_images(media, width=64, height=64)
+    return out.select(
+        "media_id",
+        "kind",
+        F.length("content").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang x source association lift (relational.cooccurrence_lift):
     log-free PMI core with exact integer operands."""
@@ -1140,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_late_data_audit": q_late_data_audit,
         "q_vocab_coverage": q_vocab_coverage,
         "q_stream_ingest": q_stream_ingest,
+        "q_frame_sample": q_frame_sample,
+        "q_media_resize": q_media_resize,
     }
 
 
@@ -2641,5 +2679,26 @@ def _extension_oracles() -> dict[str, str]:
     out["q_stream_ingest"] = f"""
         SELECT {_ORDERS_OUT}
         FROM orders
+    """
+    out["q_frame_sample"] = """
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0, greatest(n_chars * 7 - 1, 0), 250))
+                   AS frame_ts_ms
+        FROM documents WHERE doc_id % 3 = 0
+    """
+    out["q_media_resize"] = """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'video' WHEN 1 THEN 'image'
+                    ELSE 'audio' END AS kind,
+               (CASE WHEN doc_id % 3 = 1 THEN
+                    greatest(1, trunc(octet_length(encode(text)) *
+                        least(4096.0 / ((32 + doc_id % 64)
+                                        * (32 + (doc_id * 7) % 64)), 1.0)))
+                ELSE octet_length(encode(text)) END)::INT AS n_bytes,
+               (CASE WHEN doc_id % 3 = 1 THEN 64
+                     ELSE 32 + doc_id % 64 END)::INT AS width,
+               (CASE WHEN doc_id % 3 = 1 THEN 64
+                     ELSE 32 + (doc_id * 7) % 64 END)::INT AS height
+        FROM documents
     """
     return out

@@ -175,3 +175,23 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
         "content",
     )
+
+
+def fake_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA relation derived from the documents
+    fixture (no media files ship in the container): text bytes stand in
+    for the payload; kind and metadata are pure functions of doc_id so
+    every downstream stage — and its SQL oracle — sees the same rows."""
+    return documents.selectExpr(
+        "doc_id as media_id",
+        "CASE pmod(doc_id, 3) WHEN 0 THEN 'video' WHEN 1 THEN 'image' "
+        "ELSE 'audio' END as kind",
+        "encode(text, 'UTF-8') as content",
+        "named_struct("
+        "  'mime', CASE pmod(doc_id, 3) WHEN 0 THEN 'video/mp4' "
+        "          WHEN 1 THEN 'image/png' ELSE 'audio/wav' END,"
+        "  'width', cast(32 + pmod(doc_id, 64) as int),"
+        "  'height', cast(32 + pmod(doc_id * 7, 64) as int),"
+        "  'duration_ms', cast(n_chars * 7 as bigint)"
+        ") as meta",
+    )
