@@ -1055,6 +1055,36 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar vectorized pandas_udf (pandas_ops.quantized_norm_sq): exact
+    integer sum-of-squares of the int8-quantized embedding."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.pandas_ops import (
+        quantized_norm_sq,
+    )
+
+    return quantized_norm_sq(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_pandas_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (pandas_ops.grouped_minmax_scale):
+    per-language integer min-max scaling of doc length."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.pandas_ops import (
+        grouped_minmax_scale,
+    )
+
+    return grouped_minmax_scale(load_table(spark, sf_dir, "documents"))
+
+
+def q_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (pandas_ops.grouped_agg_charsum):
+    Python UDAF integer sum next to a JVM count."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.pandas_ops import (
+        grouped_agg_charsum,
+    )
+
+    return grouped_agg_charsum(load_table(spark, sf_dir, "documents"))
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang x source association lift (relational.cooccurrence_lift):
     log-free PMI core with exact integer operands."""
@@ -1178,6 +1208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_ingest": q_stream_ingest,
         "q_frame_sample": q_frame_sample,
         "q_media_resize": q_media_resize,
+        "q_pandas_norm": q_pandas_norm,
+        "q_pandas_scale": q_pandas_scale,
+        "q_pandas_agg": q_pandas_agg,
     }
 
 
@@ -2700,5 +2733,27 @@ def _extension_oracles() -> dict[str, str]:
                (CASE WHEN doc_id % 3 = 1 THEN 64
                      ELSE 32 + (doc_id * 7) % 64 END)::INT AS height
         FROM documents
+    """
+    out["q_pandas_norm"] = """
+        SELECT vec_id,
+               list_sum(list_transform(embedding::DOUBLE[],
+                   x -> trunc(x * 127)::BIGINT * trunc(x * 127)::BIGINT)
+               )::BIGINT AS norm_sq
+        FROM embeddings
+    """
+    out["q_pandas_scale"] = """
+        SELECT doc_id, lang, n_chars,
+               ((n_chars - lo) * 10000) // greatest(hi - lo, 1) AS scaled
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   min(n_chars) OVER (PARTITION BY lang) AS lo,
+                   max(n_chars) OVER (PARTITION BY lang) AS hi
+            FROM documents
+        )
+    """
+    out["q_pandas_agg"] = """
+        SELECT lang, source, count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY lang, source
     """
     return out
