@@ -1085,6 +1085,54 @@ def q_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_agg_charsum(load_table(spark, sf_dir, "documents"))
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-once-shuffle-never layout as a query (sinks/bucketed):
+    orders and customer are bucketed on the join key at the same bucket
+    count, then joined exchange-free (SortMergeJoin, zero shuffles —
+    plan-asserted in tests/test_plans.py) and aggregated per segment.
+    Result hash-matches the plain join oracle; the temp tables are dropped
+    after a localCheckpoint so repeated runs leave no warehouse litter."""
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"qb_orders_{tag}", f"qb_customer_{tag}"
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").selectExpr(
+                "o_custkey as c_custkey", "o_totalprice"
+            ),
+            t_orders,
+            "c_custkey",
+            8,
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            t_cust,
+            "c_custkey",
+            8,
+        )
+        joined = colocated_join(spark, t_orders, t_cust, "c_custkey")
+        out = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+    return out
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang x source association lift (relational.cooccurrence_lift):
     log-free PMI core with exact integer operands."""
@@ -1211,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_norm": q_pandas_norm,
         "q_pandas_scale": q_pandas_scale,
         "q_pandas_agg": q_pandas_agg,
+        "q_bucketed_join": q_bucketed_join,
     }
 
 
@@ -2755,5 +2804,11 @@ def _extension_oracles() -> dict[str, str]:
         SELECT lang, source, count(*) AS n_docs,
                sum(n_chars)::BIGINT AS total_chars
         FROM documents GROUP BY lang, source
+    """
+    out["q_bucketed_join"] = """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """
     return out

@@ -367,16 +367,21 @@ def _cc_loop(bidir: DataFrame, max_iter: int) -> DataFrame:
     """The materialize-per-round label-propagation loop of
     :func:`connected_components`; runs under the caller's (graph-sized)
     shuffle-partition setting."""
+    # fused initialization: label₀ = min(self, neighbors) — the identity
+    # init plus the first propagation round in ONE aggregation (same
+    # shuffle the plain distinct would cost). On clique-shaped duplicate
+    # clusters (the common case) this is already the fixed point, so the
+    # loop exits after a single verification round.
     labels = (
-        bidir.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        bidir.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("mb"))
+        .select("node", F.least("node", "mb").alias("label"))
         .persist()
     )
     # hash-min labels are monotonically non-increasing, so sum(label) is a
     # strictly decreasing convergence witness — one scalar agg per round
     # instead of a join against the previous labels
-    prev_sum = None
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         # aggregate the messages alone (small: one row per edge endpoint)
         # and fold them into the standing labels with a left join + least —
