@@ -1133,6 +1133,127 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join audit per segment (relational.outer_join_coverage)."""
+    return rel.outer_join_coverage(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first·last·nth_value surface
+    (relational.window_analytics) over a unique total order."""
+    return rel.window_analytics(load_table(spark, sf_dir, "orders"))
+
+
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min/arg-max aggregates (relational.minmax_by) with a
+    tie-impossible exact bigint comparison key."""
+    return rel.minmax_by(load_table(spark, sf_dir, "orders"))
+
+
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV file source with declared schema + PERMISSIVE quarantine
+    (sources/files.read_csv): orders staged as CSV text with every
+    97th-key row deterministically malformed; the audit (totals,
+    quarantined count, parsed-key checksum) hash-matches an oracle that
+    never sees the CSV — the quarantine routing itself is value-checked."""
+    import shutil
+    import tempfile
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.files import (
+        read_csv,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="sgq_csv_")
+    try:
+        # the malformed token is the KEY field itself: the audit below only
+        # references (o_orderkey, _bad), and CSV column pruning parses only
+        # referenced columns — corruption in an unreferenced column would
+        # never be touched, so it would never be flagged
+        orders.selectExpr(
+            "CASE WHEN o_orderkey % 97 = 0 THEN concat('#', o_orderkey, '#') "
+            "ELSE concat_ws(',', o_orderkey, o_custkey, o_orderstatus, "
+            "o_totalprice, date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'), "
+            "o_orderpriority) END as value"
+        ).write.mode("overwrite").text(base)
+        parsed = read_csv(
+            spark,
+            base,
+            orders.schema,
+            header=False,
+            mode="PERMISSIVE",
+            corrupt_col="_bad",
+        )
+        out = parsed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quarantined"),
+            F.sum(
+                F.when(F.col("_bad").isNull(), F.col("o_orderkey")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sum_keys_parsed"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with declared schema + PERMISSIVE quarantine
+    (sources/files.read_jsonl): events staged as JSONL with every
+    89th-key row broken; parse audit hash-checked like q_csv_source."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.files import (
+        read_jsonl,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="sgq_jsonl_")
+    try:
+        events.selectExpr(
+            "CASE WHEN event_id % 89 = 0 THEN '{broken' ELSE "
+            "to_json(named_struct('event_id', event_id, 'user_id', user_id, "
+            "'event_type', event_type, 'value', value)) END as value"
+        ).write.mode("overwrite").text(base)
+        parsed = read_jsonl(
+            spark, base, schema, mode="PERMISSIVE", corrupt_col="_bad"
+        )
+        out = parsed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quarantined"),
+            F.sum(F.when(F.col("_bad").isNull(), F.col("event_id")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_keys_parsed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_bad").isNull(), F.col("value")).otherwise(0.0)
+                ),
+                2,
+            ).alias("sum_value_parsed"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang x source association lift (relational.cooccurrence_lift):
     log-free PMI core with exact integer operands."""
@@ -1260,6 +1381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_scale": q_pandas_scale,
         "q_pandas_agg": q_pandas_agg,
         "q_bucketed_join": q_bucketed_join,
+        "q_outer_join": q_outer_join,
+        "q_window_analytics": q_window_analytics,
+        "q_minmax_by": q_minmax_by,
+        "q_csv_source": q_csv_source,
+        "q_jsonl_source": q_jsonl_source,
     }
 
 
@@ -2810,5 +2936,58 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """
+    out["q_outer_join"] = """
+        SELECT coalesce(c_mktsegment, '<none>') AS segment,
+               count(*) AS n_rows,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_customers_without_orders,
+               round(sum(coalesce(o_totalprice, 0)), 2) AS revenue
+        FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1
+    """
+    out["q_window_analytics"] = """
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume,
+               first_value(o_orderkey) OVER wf AS cheapest_key,
+               last_value(o_orderkey) OVER wf AS priciest_key,
+               nth_value(o_orderkey, 3) OVER wf AS third_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    """
+    out["q_minmax_by"] = """
+        SELECT o_orderpriority,
+               arg_min(o_orderkey, combo) AS cheapest_key,
+               arg_max(o_orderkey, combo) AS priciest_key,
+               count(*) AS n_orders
+        FROM (SELECT o_orderpriority, o_orderkey,
+                     round(o_totalprice * 100)::BIGINT * 100000000
+                         + o_orderkey AS combo
+              FROM orders)
+        GROUP BY o_orderpriority
+    """
+    out["q_csv_source"] = """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_quarantined,
+               sum(CASE WHEN o_orderkey % 97 <> 0 THEN o_orderkey
+                        ELSE 0 END)::BIGINT AS sum_keys_parsed
+        FROM orders
+    """
+    out["q_jsonl_source"] = """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN event_id % 89 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_quarantined,
+               sum(CASE WHEN event_id % 89 <> 0 THEN event_id
+                        ELSE 0 END)::BIGINT AS sum_keys_parsed,
+               round(sum(CASE WHEN event_id % 89 <> 0 THEN value
+                              ELSE 0 END), 2) AS sum_value_parsed
+        FROM events
     """
     return out

@@ -605,3 +605,63 @@ def cooccurrence_lift(documents: DataFrame, x: str = "lang", y: str = "source") 
             ).alias("lift"),
         )
     )
+
+
+def outer_join_coverage(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """FULL OUTER join audit per market segment: row counts plus how many
+    customers have no orders (null right side) and how many joined rows
+    carry revenue — the join flavor the semi/anti pair (order_coverage)
+    doesn't exercise. One shuffle on the customer key; segments with no
+    match survive via the outer semantics, not a second pass."""
+    j = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "full_outer"
+    )
+    return j.groupBy(
+        F.coalesce("c_mktsegment", F.lit("<none>")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers_without_orders"),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias("revenue"),
+    )
+
+
+def window_analytics(orders: DataFrame) -> DataFrame:
+    """The analytic-window surface beyond rank/lag (window_battery):
+    percent_rank and cume_dist (exact rationals — rank arithmetic over a
+    unique total order, so the 4-decimal rounding is engine-portable) plus
+    first/last/nth value over the full partition frame."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.first_value(F.col("o_orderkey")).over(full).alias("cheapest_key"),
+        F.last_value(F.col("o_orderkey")).over(full).alias("priciest_key"),
+        F.nth_value(F.col("o_orderkey"), 3).over(full).alias("third_key"),
+    )
+
+
+def minmax_by(orders: DataFrame) -> DataFrame:
+    """Arg-min/arg-max aggregates (min_by/max_by): the cheapest and
+    priciest order key per priority. The comparison key folds price and
+    order key into ONE exact bigint (cents·10⁸ + key), so ties are
+    impossible and both engines pick the same row — arg-extremes over a
+    non-unique ordering are engine-arbitrary otherwise."""
+    combo = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100_000_000)
+        + F.col("o_orderkey")
+    ).alias("combo")
+    base = orders.select("o_orderpriority", "o_orderkey", combo)
+    return base.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "combo").alias("cheapest_key"),
+        F.max_by("o_orderkey", "combo").alias("priciest_key"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
