@@ -1254,6 +1254,20 @@ def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-dup graph (dedup.triangle_count):
+    oriented-wedge join, each triangle counted once."""
+    return dd.triangle_count(
+        dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (relational.key_skew_stats): cardinality,
+    max/mean per key, skew factor as exact integer ratios."""
+    return rel.key_skew_stats(load_table(spark, sf_dir, "orders"))
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang x source association lift (relational.cooccurrence_lift):
     log-free PMI core with exact integer operands."""
@@ -1386,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minmax_by": q_minmax_by,
         "q_csv_source": q_csv_source,
         "q_jsonl_source": q_jsonl_source,
+        "q_triangle_count": q_triangle_count,
+        "q_key_skew": q_key_skew,
     }
 
 
@@ -2989,5 +3005,21 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(CASE WHEN event_id % 89 <> 0 THEN value
                               ELSE 0 END), 2) AS sum_value_parsed
         FROM events
+    """
+    out["q_triangle_count"] = f"""
+        WITH e AS ({out['q_dedup_ngram_jaccard']})
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.doc_b = e2.doc_a
+        JOIN e e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+    """
+    out["q_key_skew"] = """
+        SELECT count(*) AS n_keys,
+               sum(n)::BIGINT AS n_rows,
+               max(n) AS max_per_key,
+               (sum(n) * 10000 // count(*))::BIGINT AS mean_per_key_x10k,
+               (max(n) * 10000 * count(*) // sum(n))::BIGINT
+                   AS skew_factor_x10k
+        FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
     """
     return out

@@ -505,3 +505,33 @@ def pair_degree_histogram(pairs: DataFrame) -> DataFrame:
     )
     deg = nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Global triangle count of the near-dup pair graph — the clustering-
+    coefficient numerator that distinguishes tight duplicate cliques from
+    chainy false-positive paths (chains cluster-merge under transitive
+    closure without being mutual near-dups; triangles confirm mutuality).
+
+    Standard oriented-wedge plan: with every edge stored once as
+    (a < b), wedges (a,b,c) with a<b<c are edge(a,b) ⋈ edge(b,c), and each
+    closing edge (a,c) confirms one triangle — orientation counts each
+    triangle exactly once and bounds the wedge join by the out-degree of
+    the middle vertex, the trick that keeps this tractable on skewed
+    graphs. Two equi-joins on narrow bigint pairs.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedge.join(
+        closing, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb"))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

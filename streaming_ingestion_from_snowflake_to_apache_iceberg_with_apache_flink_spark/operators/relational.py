@@ -665,3 +665,26 @@ def minmax_by(orders: DataFrame) -> DataFrame:
         F.max_by("o_orderkey", "combo").alias("priciest_key"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+def key_skew_stats(orders: DataFrame, key: str = "o_custkey", top: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key row counts reduced to the
+    numbers that decide a shuffle strategy — key cardinality, rows, max
+    and mean key size, and the skew factor max/mean (×10000 as an exact
+    integer ratio, no FP) — what you inspect BEFORE choosing between a
+    plain shuffle, AQE skew split, or an explicit salted join.
+
+    One partial-agg shuffle on the key, then a tiny scalar rollup.
+    """
+    per_key = orders.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    # `div` = exact bigint floor division (matches the oracle's `//`);
+    # a double `/` then cast would be float-rounded before truncation
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        F.expr("(sum(n) * 10000) div count(*)").alias("mean_per_key_x10k"),
+        F.expr("(max(n) * 10000 * count(*)) div sum(n)").alias(
+            "skew_factor_x10k"
+        ),
+    )
