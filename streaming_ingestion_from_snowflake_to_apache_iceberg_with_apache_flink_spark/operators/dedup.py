@@ -227,7 +227,10 @@ def dedup_corpus(
     frequencies toward the ``max_shingle_df`` stop-cut (suppressing true
     near-dup pairs) and waste the self-join on jaccard=1.0 copy pairs.
     """
-    survivors_exact = exact_dedup(documents).select("doc_id")
+    # persisted: referenced by both the semi-join (index build input) and
+    # the final anti-join — without the cache the content-hash aggregation
+    # scans the corpus twice
+    survivors_exact = exact_dedup(documents).select("doc_id").persist()
     deduped = documents.join(survivors_exact, "doc_id", "left_semi")
     pairs = ngram_jaccard_pairs(deduped, n, threshold, max_shingle_df)
     # a doc dies if it is the higher id of any near-dup pair

@@ -1158,3 +1158,73 @@ def test_countmin_estimate_dominates_exact(spark):
     for r in out.values():
         # the CMS one-sided guarantee: estimates never undercount
         assert r.est_n >= r.exact_n
+
+
+def test_shard_assign_partitions_completely(spark, sf_dir):
+    """Every doc lands in exactly one shard; manifest counts reconstruct
+    the corpus size and shard ids stay in range."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        shard_assign,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = shard_assign(docs, n_shards=16).collect()
+    assert sum(r.n_docs for r in manifest) == docs.count()
+    assert all(0 <= r.shard < 16 for r in manifest)
+
+
+def test_interleave_rates_track_weights(spark, sf_dir):
+    """Observed keep fractions must sit near the configured per-source
+    rates (hash-uniformity sanity, wide tolerance for small fixtures)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        INTERLEAVE_DEFAULT,
+        INTERLEAVE_WEIGHTS,
+        interleave_sources,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    audit = interleave_sources(load_table(spark, sf_dir, "documents")).collect()
+    for r in audit:
+        expect = INTERLEAVE_WEIGHTS.get(r.source, INTERLEAVE_DEFAULT) / 100
+        assert abs(r.kept_frac - expect) < 0.35, (r.source, r.kept_frac, expect)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Oriented-wedge triangle count equals the O(n^3) reference on a
+    small planted graph (two triangles sharing an edge + a pendant)."""
+    from itertools import combinations
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        triangle_count,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    eset = {frozenset(e) for e in edges}
+    expected = sum(
+        1
+        for tri in combinations({n for e in edges for n in e}, 3)
+        if all(frozenset(p) in eset for p in combinations(tri, 2))
+    )
+    assert triangle_count(pairs).collect()[0].n_triangles == expected == 2
+
+
+def test_key_skew_invariants(spark, sf_dir):
+    """Skew stats must be internally consistent: rows = keys x mean, skew
+    factor >= 10000 (max >= mean), max within the reported bound."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        key_skew_stats,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    r = key_skew_stats(load_table(spark, sf_dir, "orders")).collect()[0]
+    assert r.skew_factor_x10k >= 10_000
+    assert r.max_per_key * 10_000 >= r.mean_per_key_x10k
+    assert abs(r.mean_per_key_x10k * r.n_keys - r.n_rows * 10_000) < r.n_keys
