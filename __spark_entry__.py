@@ -1254,6 +1254,26 @@ def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function surface (battery.map_battery): construction,
+    lookup, introspection, concat, transform_values."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        battery,
+    )
+
+    return battery.map_battery(load_table(spark, sf_dir, "events"))
+
+
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda surface (battery.higher_order_battery):
+    filter/exists/forall/aggregate/zip_with with exact outputs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        battery,
+    )
+
+    return battery.higher_order_battery(load_table(spark, sf_dir, "documents"))
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the near-dup graph (dedup.triangle_count):
     oriented-wedge join, each triangle counted once."""
@@ -1402,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonl_source": q_jsonl_source,
         "q_triangle_count": q_triangle_count,
         "q_key_skew": q_key_skew,
+        "q_map_battery": q_map_battery,
+        "q_higher_order": q_higher_order,
     }
 
 
@@ -3021,5 +3043,31 @@ def _extension_oracles() -> dict[str, str]:
                (max(n) * 10000 * count(*) // sum(n))::BIGINT
                    AS skew_factor_x10k
         FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+    """
+    # the oracle states the SEMANTICS of the map operations directly (the
+    # map contents are known columns), not a cross-engine map encoding
+    out["q_map_battery"] = """
+        SELECT event_id,
+               3::INT AS n_entries,
+               event_type AS type_val,
+               NULL AS missing_val,
+               'id,type,user' AS keys_sorted,
+               array_to_string(list_sort([event_type,
+                   CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)]),
+                   ',') AS vals_sorted,
+               upper(event_type) AS type_upper
+        FROM events
+    """
+    out["q_higher_order"] = f"""
+        SELECT doc_id,
+               len(list_filter(tk, t -> strlen(t) >= 5))::INT AS n_long,
+               len(list_filter(tk, t -> regexp_full_match(t, '[0-9]+'))) > 0
+                   AS any_numeric,
+               len(list_filter(tk, t -> strlen(t) = 0)) = 0 AS all_nonempty,
+               list_sum(list_transform(tk, t -> strlen(t)))::INT
+                   AS total_chars,
+               len(list_filter(list_zip(tk, list_reverse(tk)),
+                   p -> p[1] = p[2]))::INT AS palindrome_hits
+        FROM (SELECT doc_id, {toks} AS tk FROM documents)
     """
     return out

@@ -113,3 +113,45 @@ def json_battery(events: DataFrame) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
         )
     )
+
+
+def map_battery(events: DataFrame) -> DataFrame:
+    """MapType surface: construction (map_from_arrays), lookup
+    (element_at), keys/values introspection, map_concat, and
+    transform_values — the map side of the nested-type system. Outputs are
+    scalars and sorted joined strings, so the oracle checks semantics
+    without needing a cross-engine map representation."""
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("id"), F.col("event_id").cast("string"))
+    )
+    upper = F.transform_values(m2, lambda k, v: F.upper(v))
+    return events.select(
+        "event_id",
+        F.size(m2).alias("n_entries"),
+        F.element_at(m2, "type").alias("type_val"),
+        F.element_at(m2, "missing").alias("missing_val"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_values(m2)), ",").alias("vals_sorted"),
+        F.element_at(upper, "type").alias("type_upper"),
+    )
+
+
+def higher_order_battery(documents: DataFrame) -> DataFrame:
+    """Higher-order-function surface over the token array: filter, exists,
+    forall, aggregate (fold), and zip_with — the lambdas Catalyst compiles
+    JVM-side, checked with exact integer/boolean outputs."""
+    return documents.selectExpr(
+        "doc_id", "split(trim(text), '\\\\s+') as tk"
+    ).selectExpr(
+        "doc_id",
+        "size(filter(tk, t -> length(t) >= 5)) as n_long",
+        "exists(tk, t -> t rlike '^[0-9]+$') as any_numeric",
+        "forall(tk, t -> length(t) > 0) as all_nonempty",
+        "aggregate(tk, 0, (acc, t) -> acc + length(t)) as total_chars",
+        "aggregate(zip_with(tk, reverse(tk), (a, b) -> "
+        "cast(a = b as int)), 0, (acc, x) -> acc + x) as palindrome_hits",
+    )
