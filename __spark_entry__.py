@@ -401,10 +401,12 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold calibrated to the fixture (max within-label cosine ≈ 0.51,
-    # no planted semantic dups): 0.45 yields a non-empty, value-checked
-    # result; production near-dup would use the 0.9 default.
+    # no planted semantic dups): 0.30 yields a ~50-row value-checked
+    # result; production near-dup would use the 0.9 default. Candidates
+    # come from LSH sign-bit buckets (Hamming ≤ 1), label is a secondary
+    # equi-key — the oracle replays the same seeded planes.
     return sim.neardup_embedding_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        load_table(spark, sf_dir, "embeddings"), threshold=0.30
     )
 
 
@@ -967,8 +969,10 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sinks/catalog.CatalogSink), and return the ingested table — which must
     hash-match the source table exactly (upsert of unique keys is the
     identity), so even the streaming path is oracle-checked, not just
-    smoke-tested. The sink table is localCheckpointed and dropped so
-    repeated runs leave no warehouse litter."""
+    smoke-tested. The stream consumes the source parquet directly
+    (pathGlobFilter over sf_dir — no staging copy of `orders`, which was
+    the dominant fixed cost); the sink table is localCheckpointed and
+    dropped so repeated runs leave no warehouse litter."""
     import os
     import shutil
     import tempfile
@@ -990,8 +994,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sgq_stream_")
     table = f"q_stream_{uuid.uuid4().hex[:8]}"
     try:
-        staging = os.path.join(base, "staging")
-        orders.write.mode("overwrite").parquet(staging)
         cfg = PipelineConfig(
             source=SnowflakeSourceConfig(
                 table="orders",
@@ -1008,7 +1010,12 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         q = stream_ingest(
-            spark, cfg, staging, os.path.join(base, "ckpt"), orders.schema
+            spark,
+            cfg,
+            sf_dir,
+            os.path.join(base, "ckpt"),
+            orders.schema,
+            path_glob_filter="orders.parquet",
         )
         q.awaitTermination(300)
         sink = CatalogSink(spark, cfg.sink)
@@ -1308,56 +1315,6 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_distinct_shards": q_distinct_shards,
-        "q_shard_filter": q_shard_filter,
-        "q_page_offset": q_page_offset,
-        "q_incremental_union": q_incremental_union,
-        "q_cast_projection": q_cast_projection,
-        "q_highwater_increment": q_highwater_increment,
-        "q_upsert_merge": q_upsert_merge,
-        "q_overwrite_partition": q_overwrite_partition,
-        "q_partitioned_layout": q_partitioned_layout,
-        "q_shard_fanout_topn": q_shard_fanout_topn,
-        "q_session_window": q_session_window,
-        "q_join_enrich": q_join_enrich,
-        "q_salted_join": q_salted_join,
-        "q_rollup": q_rollup,
-        "q_cube": q_cube,
-        "q_window_battery": q_window_battery,
-        "q_scalar_battery": q_scalar_battery,
-        "q_lineitem_pricing": q_lineitem_pricing,
-        "q_shipping_priority": q_shipping_priority,
-        "q_running_total": q_running_total,
-        "q_global_topk": q_global_topk,
-        "q_set_ops": q_set_ops,
-        "q_tumbling_window": q_tumbling_window,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_corpus": q_dedup_corpus,
-        "q_part_type_revenue": q_part_type_revenue,
-        "q_token_count": q_token_count,
-        "q_text_stats": q_text_stats,
-        "q_token_classes": q_token_classes,
-        "q_lang_id": q_lang_id,
-        "q_quality_score": q_quality_score,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "q_topk_cosine": q_topk_cosine,
-        "q_neardup_embedding": q_neardup_embedding,
-        "q_similarity_lsh": q_similarity_lsh,
-        "q_similarity_ivf": q_similarity_ivf,
-        "q_asof_join": q_asof_join,
-        "q_interval_join": q_interval_join,
-        "q_vocab_topk": q_vocab_topk,
-        "q_percentiles": q_percentiles,
-        "q_label_centroids": q_label_centroids,
-        "q_grouping_sets": q_grouping_sets,
-        "q_corpus_curation": q_corpus_curation,
-        "q_hash_split": q_hash_split,
-        "q_hash_sample": q_hash_sample,
-        "q_sentiment": q_sentiment,
         "q_ts_similarity": q_ts_similarity,
         "q_normalize_text": q_normalize_text,
         "q_bigram_topk": q_bigram_topk,
@@ -1424,6 +1381,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": q_key_skew,
         "q_map_battery": q_map_battery,
         "q_higher_order": q_higher_order,
+        "q_distinct_shards": q_distinct_shards,
+        "q_shard_filter": q_shard_filter,
+        "q_page_offset": q_page_offset,
+        "q_incremental_union": q_incremental_union,
+        "q_cast_projection": q_cast_projection,
+        "q_highwater_increment": q_highwater_increment,
+        "q_upsert_merge": q_upsert_merge,
+        "q_overwrite_partition": q_overwrite_partition,
+        "q_partitioned_layout": q_partitioned_layout,
+        "q_shard_fanout_topn": q_shard_fanout_topn,
+        "q_session_window": q_session_window,
+        "q_join_enrich": q_join_enrich,
+        "q_salted_join": q_salted_join,
+        "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_window_battery": q_window_battery,
+        "q_scalar_battery": q_scalar_battery,
+        "q_lineitem_pricing": q_lineitem_pricing,
+        "q_shipping_priority": q_shipping_priority,
+        "q_running_total": q_running_total,
+        "q_global_topk": q_global_topk,
+        "q_set_ops": q_set_ops,
+        "q_tumbling_window": q_tumbling_window,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_corpus": q_dedup_corpus,
+        "q_part_type_revenue": q_part_type_revenue,
+        "q_token_count": q_token_count,
+        "q_text_stats": q_text_stats,
+        "q_token_classes": q_token_classes,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "q_topk_cosine": q_topk_cosine,
+        "q_neardup_embedding": q_neardup_embedding,
+        "q_similarity_lsh": q_similarity_lsh,
+        "q_similarity_ivf": q_similarity_ivf,
+        "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
+        "q_vocab_topk": q_vocab_topk,
+        "q_percentiles": q_percentiles,
+        "q_label_centroids": q_label_centroids,
+        "q_grouping_sets": q_grouping_sets,
+        "q_corpus_curation": q_corpus_curation,
+        "q_hash_split": q_hash_split,
+        "q_hash_sample": q_hash_sample,
+        "q_sentiment": q_sentiment,
     }
 
 
@@ -1868,6 +1875,49 @@ def _lsh_oracle(dim: int = 64, planes: int = 4, k: int = 5) -> str:
     """
 
 
+def _neardup_oracle(
+    dim: int = 64, planes: int = 4, threshold: float = 0.30
+) -> str:
+    """Oracle for the LSH-bucket-blocked embedding near-dup pairs: replays
+    the md5-seeded ±1 planes as literal arrays, the Hamming-1 bucket
+    expansion on one side, and the (bucket, label) equi-join — identical
+    candidate set and fold order to similarity.neardup_embedding_pairs."""
+    projs = []
+    for p in range(planes):
+        comps = ", ".join(
+            str(float(sim._plane_component(p, d))) for d in range(dim)
+        )
+        projs.append(
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> emb[i] * ([{comps}])[i]), (acc, x) -> acc + x)"
+        )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, proj in enumerate(projs)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(planes))
+    cos = duck_cosine("ea", "eb", dim)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ), b AS (
+            SELECT vec_id, label, emb, {bucket} AS bucket FROM e
+        ), x AS (
+            SELECT vec_id, label, emb,
+                   unnest([bucket, {flips}]) AS xbucket
+            FROM b
+        )
+        SELECT vec_a, vec_b, label, round({cos}, 4) AS sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.label AS label, a.emb AS ea, b.emb AS eb
+            FROM x a JOIN b
+              ON a.xbucket = b.bucket
+             AND a.label = b.label
+             AND a.vec_id < b.vec_id
+        ) WHERE round({cos}, 4) >= {threshold}
+    """
+
+
 def _extension_oracles() -> dict[str, str]:
     """Oracles for the dedup/similarity/text queries, generated from the
     same constants (stopword lists, minhash coefficients, md5-h32) as the
@@ -1903,7 +1953,6 @@ def _extension_oracles() -> dict[str, str]:
         for i in range(simhash_bits)
     )
     cos = duck_cosine("pe", "ce", 64)
-    paircos = duck_cosine("ea", "eb", 64)
 
     out = {
         "q_join_enrich": """
@@ -2265,20 +2314,7 @@ def _extension_oracles() -> dict[str, str]:
                 FROM rer
             ) WHERE rank <= 5
         """,
-        "q_neardup_embedding": f"""
-            WITH e AS (
-                SELECT vec_id, label, embedding::DOUBLE[] AS emb
-                FROM embeddings
-            )
-            SELECT vec_a, vec_b, label, sim FROM (
-                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                       a.label AS label,
-                       round({paircos}, 4) AS sim
-                FROM (SELECT vec_id, label, emb AS ea FROM e) a
-                JOIN (SELECT vec_id, label AS lb, emb AS eb FROM e) b
-                  ON a.label = b.lb AND a.vec_id < b.vec_id
-            ) WHERE sim >= 0.45
-        """,
+        "q_neardup_embedding": _neardup_oracle(),
     }
     out["q_normalize_text"] = f"""
         SELECT doc_id,

@@ -70,27 +70,60 @@ def topk_cosine_bruteforce(
 
 
 def neardup_embedding_pairs(
-    embeddings: DataFrame, threshold: float = 0.9
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    planes: int = 4,
 ) -> DataFrame:
-    """Within-label near-duplicate pairs by cosine ≥ threshold.
+    """Semantic near-duplicate pairs (cosine ≥ threshold) with
+    **LSH-bucket blocking** — the candidate generator is the same
+    deterministic random-hyperplane bucketing as ``lsh_topk_cosine``, so
+    the pair space is bounded by Σ_b |bucket ∩ label|², never N² and
+    never Σ|label|² (a dominant label no longer blows up the join: the
+    2^planes sign-bit buckets subdivide it; at 100 TB you raise
+    ``planes`` to keep buckets executor-sized).
 
-    Label blocking bounds the pair space to Σ_b |b|² instead of N²; at
-    scale the block key would be a coarse quantization (e.g. LSH bucket)
-    rather than a label, same plan shape. Norms are computed once per
-    vector and the normed relation is persisted so the self-join does not
-    recompute the cast/norm subtree on both sides.
+    Candidate coverage: one side explodes to its bucket plus all
+    ``planes`` Hamming-1 flips, the other keeps its exact bucket — every
+    pair whose signatures differ in ≤1 bit matches exactly once (the XOR
+    values are distinct), so no post-join dedup. Label equality rides
+    along as a secondary equi-key; the blocking *bound* comes from the
+    bucket. Approximate w.r.t. the exhaustive within-label join (a pair
+    flipping ≥2 sign bits is missed) yet exactly oracle-checkable: the
+    md5-seeded planes are deterministic and the oracle replays them as
+    literal arrays. Norms are computed once per vector and the bucketed
+    relation is persisted so the self-join does not recompute the
+    cast/norm/bucket subtree on both sides.
     """
-    e = spread(embeddings).select(
-        "vec_id",
-        "label",
-        to_double("embedding").alias("e"),
-        norm(to_double("embedding")).alias("n"),
-    ).persist()
-    a, b = e.alias("a"), e.alias("b")
+    e = (
+        spread(embeddings)
+        .select(
+            "vec_id",
+            "label",
+            to_double("embedding").alias("e"),
+            norm(to_double("embedding")).alias("n"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("e"), dim, planes))
+        .persist()
+    )
+    probe_side = e.withColumn(
+        "xbucket",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(planes)
+                ],
+            )
+        ),
+    )
+    a, b = probe_side.alias("a"), e.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.xbucket") == F.col("b.bucket"))
+            & (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

@@ -116,6 +116,27 @@ class SnowflakeLikeIngestor:
     def _source(self) -> DataFrame:
         return self.spark.read.parquet(self.source_path)
 
+    def pending_unseen(self, src: DataFrame, shard_vals: list[str]) -> DataFrame:
+        """Source rows whose equality keys are not yet in the target.
+
+        The anti-join's target side is pruned to the partitions this batch
+        can touch: ``shard_vals`` (the batch's distinct shard set) is tiny
+        and already driver-materialized — the reference polls distinct
+        shards the same way (``StreamingJob.java:95-101``) — so the literal
+        ``isin`` lands in the target scan's ``PartitionFilters``. At 100 TB
+        the target read is bounded by the batch's shards, never the table.
+        Assumes a key's shard value is stable across cycles (the
+        reference's routing assumption: shard IS the key-by column).
+        """
+        if not self.spark.catalog.tableExists(self.sink.table):
+            return src
+        keys = list(self.cfg.sink.upsert_fields)
+        shard_c = self.cfg.source.shard_column
+        tgt = self.sink.read().filter(
+            F.col(shard_c).cast("string").isin(shard_vals)
+        )
+        return src.join(tgt.select(*keys), keys, "left_anti")
+
     def run_cycle(self) -> CycleStats:
         cfg = self.cfg.source
         src = self._source()
@@ -160,12 +181,10 @@ class SnowflakeLikeIngestor:
                 .drop("shard_value", "offset", "__rn")
             )
         else:  # "unseen": page over rows whose equality keys aren't ingested
-            keys = list(self.cfg.sink.upsert_fields)
-            pending = src
-            if self.spark.catalog.tableExists(self.sink.table):
-                pending = src.join(self.sink.read().select(*keys), keys, "left_anti")
+            shard_vals = [r.shard_value for r in current.collect()]
             page = (
-                pending.withColumn("__rn", F.row_number().over(w))
+                self.pending_unseen(src, shard_vals)
+                .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= cfg.query_size)
                 .drop("__rn")
             )
@@ -210,14 +229,23 @@ def stream_ingest(
     checkpoint_dir: str,
     schema,
     available_now: bool = True,
+    path_glob_filter: str | None = None,
 ):
     """Structured Streaming wrapper: file-stream source → ``foreachBatch``
     commit through the same CatalogSink (SURVEY.md §3.4). The checkpoint
     dir carries source progress; the sink's epoch ledger absorbs batch
-    replays after failure — together: effectively-once."""
+    replays after failure — together: effectively-once.
+
+    ``path_glob_filter`` lets the stream consume one table's files inside
+    a shared directory (the file-stream source requires a directory base
+    path) — streaming straight off a landing zone without a staging copy.
+    """
     sink = CatalogSink(spark, cfg.sink, version_column=cfg.source.sort_column)
 
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    reader = spark.readStream.schema(schema)
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    stream = reader.parquet(source_path)
 
     def commit(batch: DataFrame, epoch: int) -> None:
         if not batch.isEmpty():

@@ -215,6 +215,42 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(approx) == len(probes) * 5
 
 
+def test_neardup_embedding_recall_vs_exhaustive(spark):
+    """LSH-bucket blocking is approximate: verify it against the exhaustive
+    within-label pair scan. Every emitted pair must exist in the exhaustive
+    set with an identical sim value (no false positives, no drift), and the
+    Hamming≤1 candidate coverage must recover a non-trivial fraction."""
+    emb = load_table(spark, SF, "embeddings")
+    approx = sim.neardup_embedding_pairs(emb, threshold=0.30).collect()
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    import math
+
+    vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label) for r in rows}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return round(d / (nu * nv), 4)
+
+    exhaustive = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if vecs[a][1] == vecs[b][1]:
+                s = cos(vecs[a][0], vecs[b][0])
+                if s >= 0.30:
+                    exhaustive[(a, b)] = s
+    approx_set = {(r.vec_a, r.vec_b) for r in approx}
+    assert approx_set <= set(exhaustive), "bucketed pairs must be a subset"
+    for r in approx:
+        assert abs(r.sim - exhaustive[(r.vec_a, r.vec_b)]) < 1e-3
+    # cos≈0.3 pairs collide within Hamming≤1 of 4 sign bits w.p. ~0.18;
+    # the fixture's pairs are label-correlated so demand well above zero.
+    recall = len(approx_set) / max(1, len(exhaustive))
+    assert recall >= 0.1, f"near-dup recall {recall} too low"
+
+
 def test_simhash_pairs_exact_recall(spark):
     """The 4×15-bit banding must surface EVERY pair within Hamming ≤ 3
     (pigeonhole guarantee) when no bucket overflows — cross-checked against
