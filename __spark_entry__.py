@@ -1295,6 +1295,39 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.key_skew_stats(load_table(spark, sf_dir, "orders"))
 
 
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
+    (dedup.pagerank_pairs): ranks the hub document of each duplicate
+    cluster. Iterative algebra as a static DAG — the 3 unrolled supersteps
+    are replayed as oracle CTEs, so the result is value-checked exactly."""
+    return dd.pagerank_pairs(
+        dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_avro_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro IDL contract → whitelisted StructType → cast projection
+    (schema.avdl_record_to_struct + cast_projection): the reference's
+    schema chain (SnowFlakeTable.avdl → Avro → Iceberg → RowType,
+    SURVEY.md §1.2) as one conversion feeding the same O9 projection."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
+        avdl_record_to_struct,
+        cast_projection,
+    )
+
+    avdl = """
+    protocol DocProtocol {
+        record DocContract {
+            long doc_id;
+            string lang;
+            union { null, int } n_chars;
+        }
+    }
+    """
+    contract = avdl_record_to_struct(avdl, "DocContract")
+    return cast_projection(load_table(spark, sf_dir, "documents"), contract)
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang x source association lift (relational.cooccurrence_lift):
     log-free PMI core with exact integer operands."""
@@ -1315,6 +1348,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_pagerank_neardup": q_pagerank_neardup,
+        "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
         "q_normalize_text": q_normalize_text,
         "q_bigram_topk": q_bigram_topk,
@@ -3063,6 +3098,43 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(CASE WHEN event_id % 89 <> 0 THEN value
                               ELSE 0 END), 2) AS sum_value_parsed
         FROM events
+    """
+    # PageRank: unroll the same 3 supersteps pagerank_pairs runs, over the
+    # same near-dup edge set — iterative algebra inside the exact gate
+    damping = 0.85
+    pr = [
+        f"WITH pairs AS ({out['q_dedup_ngram_jaccard']}),",
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),",
+        "deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src),",
+        "nn AS (SELECT count(*) AS n FROM deg),",
+        "r0 AS (SELECT src AS doc_id, 1.0 / nn.n AS rank"
+        " FROM deg CROSS JOIN nn),",
+    ]
+    for i in range(3):
+        pr.append(
+            f"c{i + 1} AS (SELECT e.dst, sum(r.rank / d.degree) AS c"
+            f" FROM e JOIN deg d ON e.src = d.src"
+            f" JOIN r{i} r ON e.src = r.doc_id GROUP BY e.dst),"
+        )
+        pr.append(
+            f"r{i + 1} AS (SELECT d.src AS doc_id,"
+            f" (1.0 - {damping}) / nn.n"
+            f" + {damping} * coalesce(c{i + 1}.c, 0.0) AS rank"
+            f" FROM deg d CROSS JOIN nn"
+            f" LEFT JOIN c{i + 1} ON d.src = c{i + 1}.dst)"
+            + ("," if i < 2 else "")
+        )
+    pr.append(
+        "SELECT doc_id, round(rank * nn.n, 6) AS norm_rank"
+        " FROM r3 CROSS JOIN nn"
+    )
+    out["q_pagerank_neardup"] = "\n".join(pr)
+    out["q_avro_contract"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(lang AS VARCHAR) AS lang,
+               CAST(n_chars AS INT) AS n_chars
+        FROM documents
     """
     out["q_triangle_count"] = f"""
         WITH e AS ({out['q_dedup_ngram_jaccard']})

@@ -49,10 +49,16 @@ class SnowflakeSourceConfig:
     column_interval_ms: int = 60_000   # SnowflakeColumnInterval
     query_interval_ms: int = 10_000    # SnowflakeQueryInterval
     query_size: int = 1000             # SnowflakeQuerySize
+    #: Non-Snowflake JDBC endpoint (tests use Spark's bundled embedded
+    #: Derby); empty ⇒ the Snowflake URL/driver below.
+    jdbc_url_override: str = ""
+    jdbc_driver: str = ""
 
     def jdbc_url(self) -> str:
         """JDBC URL exactly as the reference assembles it
-        (``StreamingJob.java:92-93``)."""
+        (``StreamingJob.java:92-93``), unless an override endpoint is set."""
+        if self.jdbc_url_override:
+            return self.jdbc_url_override
         return (
             f"jdbc:snowflake://{self.account_id}.snowflakecomputing.com:"
             f"{self.port}/?warehouse={self.warehouse}&db={self.db}"

@@ -510,6 +510,63 @@ def pair_degree_histogram(pairs: DataFrame) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def pagerank_pairs(
+    pairs: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected) near-dup pair graph —
+    the centrality score that ranks *hub* documents inside duplicate
+    clusters (the canonical copy to keep is the highest-rank node, not an
+    arbitrary min-id).
+
+    Spark shape: edges stored both directions, degree aggregated once; each
+    iteration is one join + one partial-aggregated groupBy on the node id —
+    the same O(E) shuffle a Pregel superstep costs, with no driver-side
+    data. A *fixed* ``iters`` (vs convergence testing) keeps the plan a
+    static DAG and the result bit-reproducible, so even this iterative
+    algorithm sits inside the exact value gate (the oracle unrolls the same
+    ``iters`` steps as CTEs). Nodes outside the pair graph are excluded by
+    construction; an undirected graph has no dangling nodes, so no
+    dangling-mass term. Output is rank normalized by node count
+    (``norm_rank`` ≈ 1.0 for an average node), rounded to absorb
+    sub-ULP summation-order drift.
+    """
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    # broadcast 1×1 node-count relation (the repo's scalar-join pattern)
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("doc_id"),
+        (F.lit(1.0) / F.col("n")).alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks, e["src"] == ranks["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("degree")).alias("c"))
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(n))
+            .join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
+                F.col("src").alias("doc_id"),
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(F.col("rank") * F.col("n"), 6).alias("norm_rank"),
+        )
+    )
+
+
 def triangle_count(pairs: DataFrame) -> DataFrame:
     """Global triangle count of the near-dup pair graph — the clustering-
     coefficient numerator that distinguishes tight duplicate cliques from

@@ -38,6 +38,124 @@ SUPPORTED_TYPES: tuple[type, ...] = (
 )
 
 
+#: Avro primitive → Spark type (the AVDL/avsc names the reference's schema
+#: pipeline starts from; SnowFlakeTable.avdl:3-8 declares string fields,
+#: pom.xml:151-170 compiles them — here the conversion is direct, no
+#: generated POJO layer).
+_AVRO_PRIMITIVES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+}
+
+#: Avro logicalType (on an int/long base) → Spark type.
+_AVRO_LOGICAL: dict[str, T.DataType] = {
+    "timestamp-millis": T.TimestampType(),
+    "timestamp-micros": T.TimestampType(),
+    "local-timestamp-millis": T.TimestampNTZType(),
+    "local-timestamp-micros": T.TimestampNTZType(),
+}
+
+
+def _avro_field_type(t) -> tuple[T.DataType, bool]:
+    """(Spark type, nullable) for one Avro field type. Unions are only
+    supported in the ``["null", X]`` nullable form; everything outside the
+    reference's whitelist throws, same as validate_target_schema."""
+    if isinstance(t, list):  # union — nullable iff "null" is a branch
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            raise UnsupportedOperationError(
+                f"unsupported avro union {t!r} (only [null, X] unions)"
+            )
+        dt, _ = _avro_field_type(branches[0])
+        return dt, True
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical is not None:
+            if logical not in _AVRO_LOGICAL:
+                raise UnsupportedOperationError(
+                    f"unsupported avro logicalType {logical!r}"
+                )
+            return _AVRO_LOGICAL[logical], False
+        return _avro_field_type(t.get("type"))
+    if t in _AVRO_PRIMITIVES:
+        return _AVRO_PRIMITIVES[t], False
+    raise UnsupportedOperationError(
+        f"avro type {t!r} is outside the supported whitelist "
+        "(string,int,long,double,float,boolean,timestamp logicals)"
+    )
+
+
+def avro_schema_to_struct(schema: dict) -> T.StructType:
+    """Avro record schema (``.avsc``-shaped dict) → whitelisted StructType.
+
+    The reference declares its table schema in Avro (SnowFlakeTable.avdl:3-8)
+    and converts Avro → Iceberg → Flink RowType in a chain
+    (AvroSchemaUtils/IcebergSchemaUtils, SURVEY.md §1.4); here the chain
+    collapses to one conversion whose output feeds the same
+    ``validate_target_schema`` + ``cast_projection`` path, so an existing
+    Avro contract drops in unchanged.
+    """
+    if schema.get("type") != "record":
+        raise UnsupportedOperationError(
+            f"expected an avro record schema, got {schema.get('type')!r}"
+        )
+    fields = []
+    for f in schema.get("fields", []):
+        dt, nullable = _avro_field_type(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return validate_target_schema(T.StructType(fields))
+
+
+def avdl_record_to_struct(avdl_text: str, record: str | None = None) -> T.StructType:
+    """Minimal AVDL record reader: extract ``record Name { type FIELD; … }``
+    from protocol IDL text and convert via ``avro_schema_to_struct`` — the
+    exact shape of the reference's SnowFlakeTable.avdl, so its IDL file can
+    be pointed at verbatim. ``union { null, X }`` marks a nullable field.
+    """
+    import re
+
+    pat = (
+        r"record\s+(\w+)\s*\{"
+        if record is None
+        else rf"record\s+({re.escape(record)})\s*\{{"
+    )
+    m = re.search(pat, avdl_text)
+    if not m:
+        raise ValueError(f"no record {record or ''} found in AVDL text")
+    # brace-aware body extraction: unions nest a { } inside the record body
+    depth, start = 1, m.end()
+    for pos in range(start, len(avdl_text)):
+        if avdl_text[pos] == "{":
+            depth += 1
+        elif avdl_text[pos] == "}":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        raise ValueError(f"unbalanced braces in AVDL record {m.group(1)}")
+    body = avdl_text[start:pos]
+    fields = []
+    for line in body.split(";"):
+        line = line.strip()
+        if not line:
+            continue
+        um = re.match(r"union\s*\{\s*null\s*,\s*(\w+)\s*\}\s+(\w+)$", line)
+        if um:
+            fields.append({"name": um.group(2), "type": ["null", um.group(1)]})
+            continue
+        tm = re.match(r"(\w+)\s+(\w+)$", line)
+        if not tm:
+            raise UnsupportedOperationError(f"unsupported AVDL field {line!r}")
+        fields.append({"name": tm.group(2), "type": tm.group(1)})
+    return avro_schema_to_struct(
+        {"type": "record", "name": m.group(1), "fields": fields}
+    )
+
+
 def validate_target_schema(schema: T.StructType) -> T.StructType:
     """Reject any field outside the reference's type whitelist
     (the UnsupportedOperationException branch, lines 82-83)."""
@@ -51,19 +169,29 @@ def validate_target_schema(schema: T.StructType) -> T.StructType:
     return schema
 
 
-def cast_projection(df: DataFrame, target: T.StructType) -> DataFrame:
+def cast_projection(
+    df: DataFrame, target: T.StructType, lenient: bool = False
+) -> DataFrame:
     """The reference's row-format conversion (O9) as one Catalyst projection.
 
     Reference: SnowflakeToRowDataMapFunction.java:29-85 — reflect each field
     out of the POJO and cast per logical type, null passing through. Spark
     form: ``select(col(name).cast(type))`` — a single whole-stage-codegen
     projection, pushed against the scan; nulls pass through ``cast`` natively.
+
+    Under ANSI mode a bad value makes ``cast`` throw — the reference's
+    job-killing behavior. ``lenient=True`` switches to ``try_cast`` (bad
+    value ⇒ null), the companion of ``cast_deadletter`` which records
+    exactly those failures as data.
     """
     validate_target_schema(target)
     missing = [f.name for f in target.fields if f.name not in df.columns]
     if missing:
         raise ValueError(f"cast_projection: source lacks fields {missing}")
-    return df.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields])
+    conv = (lambda c, t: c.try_cast(t)) if lenient else (lambda c, t: c.cast(t))
+    return df.select(
+        [conv(F.col(f.name), f.dataType).alias(f.name) for f in target.fields]
+    )
 
 
 def ts_ms(col: str | Column) -> Column:

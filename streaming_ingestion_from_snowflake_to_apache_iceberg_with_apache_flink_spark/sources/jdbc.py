@@ -9,10 +9,12 @@ predicate becomes one input partition, so shards are fetched concurrently by
 executors exactly like the reference's keyBy fan-out (README.md:18-20), but
 with N executors instead of one task per key.
 
-No JDBC driver is present in the sandbox, so this module only *builds* the
-reader; tests exercise the parquet stand-in. The SQL the reference pushes
-down (DISTINCT, WHERE, ORDER BY, LIMIT/OFFSET) is all expressible through
-Catalyst's JDBC pushdown or the explicit ``predicates=[...]`` list below.
+No Snowflake driver jar ships in the sandbox, but the module is executed
+for real against Spark's bundled embedded Derby (``cfg.jdbc_url_override``
++ ``cfg.jdbc_driver`` point any JDBC endpoint in) — the SQL the reference
+pushes down (DISTINCT, WHERE, ORDER BY, LIMIT/OFFSET) is all expressible
+through Catalyst's JDBC pushdown or the explicit ``predicates=[...]`` list
+below.
 """
 
 from __future__ import annotations
@@ -24,6 +26,10 @@ from ..config import SnowflakeSourceConfig
 SNOWFLAKE_DRIVER = "net.snowflake.client.jdbc.SnowflakeDriver"  # ColumnSource.java:35
 
 
+def _driver(cfg: SnowflakeSourceConfig) -> str:
+    return cfg.jdbc_driver or SNOWFLAKE_DRIVER
+
+
 def read_distinct_shards(spark: SparkSession, cfg: SnowflakeSourceConfig) -> DataFrame:
     """O1: ``SELECT DISTINCT <shard_col> FROM <table>`` pushed to the source
     (ColumnSource.java:42)."""
@@ -31,7 +37,7 @@ def read_distinct_shards(spark: SparkSession, cfg: SnowflakeSourceConfig) -> Dat
     return (
         spark.read.format("jdbc")
         .option("url", cfg.jdbc_url())
-        .option("driver", SNOWFLAKE_DRIVER)
+        .option("driver", _driver(cfg))
         .option("query", query)
         .load()
     )
@@ -47,5 +53,17 @@ def read_shards_parallel(
         url=cfg.jdbc_url(),
         table=cfg.table,
         predicates=predicates,
-        properties={"driver": SNOWFLAKE_DRIVER},
+        properties={"driver": _driver(cfg)},
     )
+
+
+def read_sharded_source(spark: SparkSession, cfg: SnowflakeSourceConfig) -> DataFrame:
+    """The reference's full input composition: poll the distinct shard set
+    (ColumnSource.java:38-54), then fan the table read out one JDBC
+    partition per shard (SnowflakeProcessFunction.java:87-119's per-shard
+    queries, concurrently). The shard list is driver-materialized — it is
+    tiny by design in the reference too (one timer per shard value)."""
+    shards = [
+        str(r[0]) for r in read_distinct_shards(spark, cfg).collect() if r[0] is not None
+    ]
+    return read_shards_parallel(spark, cfg, sorted(shards))

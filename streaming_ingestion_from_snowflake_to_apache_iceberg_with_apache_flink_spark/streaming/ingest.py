@@ -68,6 +68,9 @@ class SnowflakeLikeIngestor:
         state_dir: str,
         tiebreaker: str,
         mode: str = "unseen",
+        source_reader=None,
+        target_schema=None,
+        dead_letter_path: str | None = None,
     ):
         """``mode`` picks the incremental-fetch strategy:
 
@@ -82,6 +85,22 @@ class SnowflakeLikeIngestor:
           (SnowflakeProcessFunction.java:87-119) made deterministic with a
           tiebreaker; requires sort-stable append-only sources, skips
           nothing under that assumption and never touches target keys.
+
+        ``source_reader`` (optional ``() -> DataFrame``) replaces the
+        parquet staging read — e.g. ``lambda: jdbc.read_sharded_source(
+        spark, cfg.source)`` for the real JDBC path; everything downstream
+        is source-agnostic.
+
+        ``target_schema`` (optional StructType) pins the sink contract and
+        turns on schema-drift tolerance: the staging read merges file
+        schemas, columns the source *adds* are dropped by the O9 cast
+        projection, and the target table's schema never moves. The
+        reference requires a teardown/rebuild on any schema change
+        (README.md:66-67); here drift is absorbed declaratively. With
+        ``dead_letter_path`` set, source values that fail their declared
+        cast are additionally recorded as (row_key, field, raw) parquet
+        rows (schema.cast_deadletter) instead of silently nulling — the
+        job survives, nothing is lost.
         """
         if mode not in ("unseen", "offset"):
             raise ValueError(f"unknown ingest mode {mode!r}")
@@ -91,6 +110,9 @@ class SnowflakeLikeIngestor:
         self.cfg = cfg
         self.mode = mode
         self.source_path = source_path
+        self.source_reader = source_reader
+        self.target_schema = target_schema
+        self.dead_letter_path = dead_letter_path
         self.offsets_path = os.path.join(state_dir, "offsets")
         self.tiebreaker = tiebreaker
         self.sink = CatalogSink(spark, cfg.sink, version_column=cfg.source.sort_column)
@@ -114,6 +136,14 @@ class SnowflakeLikeIngestor:
     # -- one micro-batch cycle ---------------------------------------------
 
     def _source(self) -> DataFrame:
+        if self.source_reader is not None:
+            return self.source_reader()
+        if self.target_schema is not None:
+            # drift tolerance needs the union of file schemas, not the
+            # footer of whichever file the reader samples first
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                self.source_path
+            )
         return self.spark.read.parquet(self.source_path)
 
     def pending_unseen(self, src: DataFrame, shard_vals: list[str]) -> DataFrame:
@@ -189,7 +219,26 @@ class SnowflakeLikeIngestor:
                 .drop("__rn")
             )
 
-        # O9 + O12: cast is the identity here (typed staging); commit batch
+        # O9: cast projection against the declared contract — added source
+        # columns are dropped, declared columns are cast, failed casts are
+        # ledgered to the dead-letter path; without a declared schema the
+        # staging is already typed and the cast is the identity.
+        if self.target_schema is not None:
+            from ..schema import cast_deadletter, cast_projection
+
+            if self.dead_letter_path is not None:
+                key = list(self.cfg.sink.upsert_fields)[0]
+                cast_deadletter(page, self.target_schema, key).write.mode(
+                    "append"
+                ).parquet(self.dead_letter_path)
+            # with a dead-letter ledger the main path survives bad values
+            # (try_cast ⇒ null, the failure already recorded); without one,
+            # keep the reference's fail-fast ANSI cast
+            page = cast_projection(
+                page, self.target_schema, lenient=self.dead_letter_path is not None
+            )
+
+        # O12: commit batch
         self._cycle += 1
         rows = page.count()
         action = self.sink.write_batch(page, epoch=self._cycle) if rows else "empty"

@@ -215,6 +215,23 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(approx) == len(probes) * 5
 
 
+def test_pagerank_pairs_star_vs_chain(spark):
+    """On a star graph the hub must outrank every leaf; rank mass is
+    conserved (sum of ranks = 1, i.e. sum of norm_rank = N) since an
+    undirected pair graph has no dangling nodes."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r.doc_id: r.norm_rank for r in dd.pagerank_pairs(pairs).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 10, 11}
+    hub, leaf = rows[0], rows[1]
+    assert hub > leaf, f"hub {hub} must outrank leaf {leaf}"
+    assert rows[1] == rows[2] == rows[3] == rows[4]  # symmetric leaves
+    assert rows[10] == rows[11]  # isolated pair is symmetric
+    assert abs(sum(rows.values()) - len(rows)) < 1e-4  # mass conserved
+
+
 def test_neardup_embedding_recall_vs_exhaustive(spark):
     """LSH-bucket blocking is approximate: verify it against the exhaustive
     within-label pair scan. Every emitted pair must exist in the exhaustive

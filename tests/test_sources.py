@@ -100,6 +100,207 @@ def test_csv_permissive_quarantines(spark, tmp_path):
     assert len(bad) == 1 and "oops" in bad[0]["_bad"]
 
 
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _derby_cfg(tmp_path, table="ORDERS_JDBC"):
+    """Source config pointed at Spark's bundled embedded Derby — the same
+    reader path the Snowflake URL takes (ColumnSource.java:38-54), driver
+    and endpoint swapped in via the config overrides."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+        SnowflakeSourceConfig,
+    )
+
+    return SnowflakeSourceConfig(
+        table=table,
+        shard_column="O_ORDERPRIORITY",
+        sort_column="O_ORDERDATE",
+        query_size=500,
+        jdbc_url_override=f"jdbc:derby:{tmp_path}/derby_db;create=true",
+        jdbc_driver=DERBY_DRIVER,
+    )
+
+
+@pytest.fixture()
+def derby_orders(spark, tmp_path):
+    """A slice of `orders` staged into an embedded Derby table. Identifiers
+    are uppercased: Derby resolves unquoted SQL identifiers to upper case,
+    exactly like Snowflake does for the reference's unquoted queries."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    cfg = _derby_cfg(tmp_path)
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").limit(800)
+    up = orders.select(
+        *[F.col(c).alias(c.upper()) for c in orders.columns]
+    ).withColumn("O_ORDERDATE", F.col("O_ORDERDATE").cast("string"))
+    varchars = ", ".join(
+        f"{f.name} VARCHAR(128)" for f in up.schema.fields
+        if f.dataType.simpleString() == "string"
+    )
+    (
+        up.write.format("jdbc")
+        .option("url", cfg.jdbc_url())
+        .option("dbtable", cfg.table)
+        .option("driver", cfg.jdbc_driver)
+        .option("createTableColumnTypes", varchars)
+        .mode("overwrite")
+        .save()
+    )
+    return cfg, up
+
+
+def test_jdbc_distinct_shards_executes(spark, derby_orders):
+    """O1 end-to-end over a real JDBC connection: the polling DISTINCT
+    query (ColumnSource.java:42) returns the exact shard set."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+        jdbc,
+    )
+
+    cfg, up = derby_orders
+    got = sorted(r[0] for r in jdbc.read_distinct_shards(spark, cfg).collect())
+    want = sorted(
+        r[0] for r in up.select("O_ORDERPRIORITY").distinct().collect()
+    )
+    assert got == want
+
+
+def test_jdbc_shard_parallel_read_executes(spark, derby_orders):
+    """O3+O6 end-to-end: predicate-per-shard read fans out one input
+    partition per shard value (SnowflakeProcessFunction.java:92-99's
+    per-shard queries, concurrent) and loses no rows."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+        jdbc,
+    )
+
+    cfg, up = derby_orders
+    shards = sorted(
+        r[0] for r in up.select("O_ORDERPRIORITY").distinct().collect()
+    )
+    df = jdbc.read_shards_parallel(spark, cfg, shards)
+    assert df.rdd.getNumPartitions() == len(shards)
+    assert df.count() == up.count()
+    composed = jdbc.read_sharded_source(spark, cfg)
+    assert composed.count() == up.count()
+
+
+def test_jdbc_ingest_end_to_end(spark, derby_orders, tmp_path):
+    """The full ingestion loop with source="jdbc": poll distinct shards,
+    fan out per shard, page, upsert — drains the Derby table exactly once
+    into the catalog sink."""
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+        IcebergSinkConfig,
+        PipelineConfig,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+        jdbc,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.ingest import (
+        SnowflakeLikeIngestor,
+    )
+
+    src_cfg, up = derby_orders
+    cfg = PipelineConfig(
+        source=src_cfg,
+        sink=IcebergSinkConfig(
+            db="default",
+            table_name=f"t_jdbc_{uuid.uuid4().hex[:8]}",
+            partition_fields=("O_ORDERPRIORITY",),
+            upsert_fields=("O_ORDERKEY", "O_ORDERPRIORITY"),
+            operation="upsert",
+        ),
+    )
+    ing = SnowflakeLikeIngestor(
+        spark,
+        cfg,
+        source_path="",
+        state_dir=str(tmp_path / "state"),
+        tiebreaker="O_ORDERKEY",
+        mode="unseen",
+        source_reader=lambda: jdbc.read_sharded_source(spark, src_cfg),
+    )
+    stats = ing.run_until_drained()
+    assert stats[-1].rows_ingested == 0
+    got = ing.sink.read()
+    assert got.count() == up.count()
+    assert got.select("O_ORDERKEY").distinct().count() == up.count()
+    assert got.select(*up.columns).exceptAll(up).count() == 0
+
+
+def test_avdl_record_to_struct_reference_parity(spark):
+    """The reference's Avro IDL record (SnowFlakeTable.avdl:3-8) converts to
+    the same 4-string StructType its Avro→Iceberg→RowType chain produces,
+    and the result feeds cast_projection unchanged."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
+        avdl_record_to_struct,
+        cast_projection,
+    )
+
+    avdl = """
+    @namespace("example.avro")
+    protocol SnowTableProtocol {
+        record SnowFlakeTable {
+            string PRICE;
+            string CATEGORY;
+            string NAME;
+            string UPDATED_AT;
+        }
+    }
+    """
+    st = avdl_record_to_struct(avdl, "SnowFlakeTable")
+    assert [f.name for f in st.fields] == ["PRICE", "CATEGORY", "NAME", "UPDATED_AT"]
+    assert all(f.dataType == T.StringType() for f in st.fields)
+    df = spark.createDataFrame(
+        [(1.5, "a", "x", "2024-01-01")],
+        "PRICE double, CATEGORY string, NAME string, UPDATED_AT string",
+    )
+    out = cast_projection(df, st)
+    # cast() outputs are nullable; names and types must match the contract
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in st.fields
+    ]
+    assert out.head().PRICE == "1.5"
+
+
+def test_avro_schema_to_struct_types(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+        UnsupportedOperationError,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.schema import (
+        avro_schema_to_struct,
+    )
+
+    st = avro_schema_to_struct(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "s", "type": "string"},
+                {"name": "i", "type": ["null", "int"]},
+                {"name": "n", "type": "long"},
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+                {"name": "lts", "type": {"type": "long", "logicalType": "local-timestamp-millis"}},
+            ],
+        }
+    )
+    assert st["s"].dataType == T.StringType() and not st["s"].nullable
+    assert st["i"].dataType == T.IntegerType() and st["i"].nullable
+    assert st["ts"].dataType == T.TimestampType()
+    assert st["lts"].dataType == T.TimestampNTZType()
+    with pytest.raises(UnsupportedOperationError, match="whitelist"):
+        avro_schema_to_struct(
+            {"type": "record", "name": "B", "fields": [{"name": "b", "type": "bytes"}]}
+        )
+    with pytest.raises(UnsupportedOperationError, match="union"):
+        avro_schema_to_struct(
+            {"type": "record", "name": "U",
+             "fields": [{"name": "u", "type": ["int", "string"]}]}
+        )
+
+
 def test_schema_validation(spark):
     with pytest.raises(TypeError):
         files.read_csv(spark, "/tmp/x", None)
