@@ -518,52 +518,63 @@ def pagerank_pairs(
     clusters (the canonical copy to keep is the highest-rank node, not an
     arbitrary min-id).
 
-    Spark shape: edges stored both directions, degree aggregated once; each
-    iteration is one join + one partial-aggregated groupBy on the node id —
-    the same O(E) shuffle a Pregel superstep costs, with no driver-side
-    data. A *fixed* ``iters`` (vs convergence testing) keeps the plan a
-    static DAG and the result bit-reproducible, so even this iterative
-    algorithm sits inside the exact value gate (the oracle unrolls the same
-    ``iters`` steps as CTEs). Nodes outside the pair graph are excluded by
-    construction; an undirected graph has no dangling nodes, so no
-    dangling-mass term. Output is rank normalized by node count
-    (``norm_rank`` ≈ 1.0 for an average node), rounded to absorb
-    sub-ULP summation-order drift.
+    Spark shape: edges stored both directions and persisted once; each
+    superstep is one join + one partial-aggregated groupBy on the node id —
+    the same O(E) shuffle a Pregel superstep costs — materialized per round
+    (localCheckpoint) under a shuffle-partition count sized to the GRAPH,
+    the `connected_components` recipe: at real scale edges/200k exceeds the
+    session parallelism and the override is a no-op, on a sparse pair graph
+    it collapses each superstep's many tiny fixed-cost stages. A *fixed*
+    ``iters`` (vs convergence testing) keeps the computation bit-
+    reproducible, so even this iterative algorithm sits inside the exact
+    value gate (the oracle unrolls the same ``iters`` steps as CTEs).
+    Nodes outside the pair graph are excluded by construction; an
+    undirected graph has no dangling nodes, so no dangling-mass term.
+    Output is rank normalized by node count (``norm_rank`` ≈ 1.0 for an
+    average node), rounded to absorb sub-ULP summation-order drift. The
+    node count reaches the driver as one scalar (the scalar-witness
+    pattern); no row data ever does.
     """
-    e = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    n = deg.agg(F.count(F.lit(1)).alias("n"))
-    # broadcast 1×1 node-count relation (the repo's scalar-join pattern)
-    ranks = deg.crossJoin(F.broadcast(n)).select(
-        F.col("src").alias("doc_id"),
-        (F.lit(1.0) / F.col("n")).alias("rank"),
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
     )
-    for _ in range(iters):
-        contrib = (
-            e.join(deg, "src")
-            .join(ranks, e["src"] == ranks["doc_id"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("degree")).alias("c"))
-        )
-        ranks = (
-            deg.crossJoin(F.broadcast(n))
-            .join(contrib, deg["src"] == contrib["dst"], "left")
-            .select(
-                F.col("src").alias("doc_id"),
-                (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
+    spark = pairs.sparkSession
+    n_edges = e.count()  # materializes the edge cache every superstep reuses
+    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(session_parts), n_edges // 200_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).persist()
+        n = deg.count()
+        ranks = deg.select(
+            F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            contrib = (
+                e.join(deg, "src")
+                .join(ranks, e["src"] == ranks["doc_id"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("degree")).alias("c"))
             )
-        )
-    return (
-        ranks.crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            F.round(F.col("rank") * F.col("n"), 6).alias("norm_rank"),
-        )
+            ranks = (
+                deg.join(contrib, deg["src"] == contrib["dst"], "left")
+                .select(
+                    F.col("src").alias("doc_id"),
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+    e.unpersist()
+    deg.unpersist()
+    return ranks.select(
+        "doc_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("norm_rank")
     )
 
 
