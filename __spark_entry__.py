@@ -1295,6 +1295,17 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.key_skew_stats(load_table(spark, sf_dir, "orders"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per near-dup cluster
+    (curation.keep_best_per_cluster): CC clustering + quality argmax —
+    keep the best copy, not an arbitrary one."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        keep_best_per_cluster,
+    )
+
+    return keep_best_per_cluster(load_table(spark, sf_dir, "documents"))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -1348,7 +1359,6 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_pagerank_neardup": q_pagerank_neardup,
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
         "q_normalize_text": q_normalize_text,
@@ -1389,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_battery": q_array_battery,
         "q_json_extract": q_json_extract,
         "q_window_dedup": q_window_dedup,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_pagerank_neardup": q_pagerank_neardup,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3098,6 +3110,22 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(CASE WHEN event_id % 89 <> 0 THEN value
                               ELSE 0 END), 2) AS sum_value_parsed
         FROM events
+    """
+    # keep-best: CC transitive closure (recursive CTE) + quality argmax —
+    # the composed curation decision, both legs reusing their own oracles
+    out["q_dedup_keep_best"] = f"""
+        SELECT cluster_id, doc_id AS kept_doc_id,
+               quality AS kept_quality, cluster_size,
+               cluster_size - 1 AS n_dropped
+        FROM (
+            SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id ASC
+                   ) AS rn
+            FROM ({out["q_dedup_clusters"]}) c
+            JOIN ({out["q_quality_score"]}) q USING (doc_id)
+        ) WHERE rn = 1
     """
     # PageRank: unroll the same 3 supersteps pagerank_pairs runs, over the
     # same near-dup edge set — iterative algebra inside the exact gate

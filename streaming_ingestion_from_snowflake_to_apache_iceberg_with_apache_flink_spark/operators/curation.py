@@ -55,6 +55,43 @@ def curate_corpus(
     )
 
 
+def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
+    """Canonical-document selection: cluster the near-dup graph (connected
+    components over exact-Jaccard pairs) and keep, per cluster, the
+    highest-quality member — the curation decision naive min-id dedup gets
+    wrong (it keeps an arbitrary copy; this keeps the best one).
+
+    One row per multi-doc cluster: the kept doc, its quality, and how many
+    near-copies it displaces. Singletons (docs with no near-dup edge) need
+    no decision and are excluded by construction. Scale shape: the CC leg
+    is the bounded iterative loop of ``connected_components``; quality is
+    a per-row projection; the argmax is one ``row_number`` window over the
+    cluster key — all shuffles on doc/cluster ids, nothing corpus-sized is
+    broadcast.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import connected_components, ngram_jaccard_pairs
+
+    clusters = connected_components(ngram_jaccard_pairs(documents))
+    quality = quality_score(documents).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
 def decontaminate(
     documents: DataFrame, n: int = 8, eval_mod: int = 20
 ) -> DataFrame:

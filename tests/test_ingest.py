@@ -188,6 +188,40 @@ def test_schema_drift_bad_value_dead_letters(spark, tmp_path):
     assert len([r for r in rows if r[0] == "2"]) == 1
 
 
+def test_upsert_writes_one_file_per_partition(spark, staging, tmp_path):
+    """The partition-aligned repartition before the COW overwrite must
+    bound the commit to one file per touched partition — without it every
+    shuffle task writes a sliver of every partition and the unseen-mode
+    anti-join re-reads the fragments each cycle."""
+    import glob
+
+    path, first, rest, orders = staging
+    cfg = _cfg(_uniq("t_onefile"))
+    ing = SnowflakeLikeIngestor(
+        spark, cfg, path, str(tmp_path / "state"), "o_orderkey", mode="unseen"
+    )
+    ing.run_until_drained()
+    n_parts = first.select("o_orderpriority").distinct().count()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = glob.glob(f"{wh}/{cfg.sink.table_name}/*/*.parquet")
+    assert 0 < len(files) <= n_parts, (
+        f"{len(files)} files for {n_parts} partitions"
+    )
+
+
+def test_pagerank_restores_shuffle_conf(spark):
+    """The graph-sized shuffle-partition override must be scoped to the
+    superstep loop — leaking it would shrink every later query's shuffles."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        pagerank_pairs,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    pagerank_pairs(pairs).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_iceberg_branch_sql_generation(spark):
     """The Iceberg-conditional sink branch: generated DDL must match the
     reference's table spec (IcebergTableManager.java:75-90 — identity
