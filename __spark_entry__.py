@@ -1295,6 +1295,17 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.key_skew_stats(load_table(spark, sf_dir, "orders"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (dedup.incremental_dedup): audit a new batch
+    (doc_id % 5 ≠ 0) against an already-curated corpus (doc_id % 5 = 0) —
+    exact hashes semi-join, near-dups via ONE side-tagged inverted index,
+    O(batch) not O(corpus) re-clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.incremental_dedup(new, corpus)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc selection per near-dup cluster
     (curation.keep_best_per_cluster): CC clustering + quality argmax —
@@ -1400,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_window_dedup": q_window_dedup,
         "q_dedup_keep_best": q_dedup_keep_best,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_pagerank_neardup": q_pagerank_neardup,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
@@ -2115,7 +2127,8 @@ def _extension_oracles() -> dict[str, str]:
             SELECT event_type,
                    epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(floor(value * 10000 + 0.5)::BIGINT) / 10000.0, 4)
+                       AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "q_dedup_exact": """
@@ -2527,7 +2540,8 @@ def _extension_oracles() -> dict[str, str]:
             FROM events, generate_series(0, 1) g(i)
         )
         SELECT event_type, window_start_ms,
-               round(avg(value), 4) AS avg_value,
+               floor(sum(floor(value * 10000 + 0.5)::BIGINT) / count(*) + 0.5)
+                   / 10000.0 AS avg_value,
                count(*) AS n_events
         FROM hop GROUP BY 1, 2
     """
@@ -3110,6 +3124,58 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(CASE WHEN event_id % 89 <> 0 THEN value
                               ELSE 0 END), 2) AS sum_value_parsed
         FROM events
+    """
+    # incremental dedup: exact legs on md5, near leg replays the same
+    # side-tagged union inverted index with the df cut over the union
+    out["q_dedup_incremental"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ), newd AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        ), nh AS (
+            SELECT doc_id, md5(text) AS h FROM newd
+        ), ch AS (
+            SELECT DISTINCT md5(text) AS h FROM corpus
+        ), bm AS (
+            SELECT h, min(doc_id) AS mn FROM nh GROUP BY h
+        ), tagged AS (
+            SELECT doc_id, text, 0 AS side FROM corpus
+            UNION ALL
+            SELECT doc_id, text, 1 AS side FROM newd
+        ), sized AS (
+            SELECT doc_id, side,
+                   list_transform({sh3}, s -> {H.duck_h32("s")}) AS sh
+            FROM tagged
+        ), inv AS (
+            SELECT doc_id, side, len(sh) AS n_sh, unnest(sh) AS shingle
+            FROM sized
+        ), kept_sh AS (
+            SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 100
+        ), inv2 AS (
+            SELECT inv.* FROM inv JOIN kept_sh USING (shingle)
+        ), nearset AS (
+            SELECT DISTINCT
+                   CASE WHEN side_a = 1 THEN doc_a ELSE doc_b END AS doc_id
+            FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.side AS side_a, a.n_sh AS n_a, b.n_sh AS n_b,
+                       count(*) AS n_common
+                FROM inv2 a JOIN inv2 b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 AND a.side <> b.side
+                GROUP BY 1, 2, 3, 4, 5
+            )
+            WHERE round(n_common / (n_a + n_b - n_common), 4) >= 0.2
+        )
+        SELECT n.doc_id,
+               CASE WHEN ch.h IS NOT NULL THEN 'exact_dup_corpus'
+                    WHEN n.doc_id <> bm.mn THEN 'exact_dup_batch'
+                    WHEN ns.doc_id IS NOT NULL THEN 'near_dup_corpus'
+                    ELSE 'kept' END AS status
+        FROM nh n
+        JOIN bm ON n.h = bm.h
+        LEFT JOIN ch ON n.h = ch.h
+        LEFT JOIN nearset ns ON n.doc_id = ns.doc_id
     """
     # keep-best: CC transitive closure (recursive CTE) + quality argmax —
     # the composed curation decision, both legs reusing their own oracles

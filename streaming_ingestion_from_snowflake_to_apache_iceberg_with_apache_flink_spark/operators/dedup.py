@@ -151,6 +151,86 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an already-curated corpus — the
+    daily-crawl increment case, where re-clustering the whole corpus per
+    batch would be O(corpus) instead of O(batch).
+
+    Per new doc, one audit row with the first matching verdict:
+
+    * ``exact_dup_corpus`` — content hash already in the corpus;
+    * ``exact_dup_batch``  — another (smaller-id) batch doc has the hash;
+    * ``near_dup_corpus``  — shares a shingle posting with a corpus doc at
+      Jaccard ≥ threshold (batch-internal near-dups are left to the full
+      ``dedup_corpus`` pass by design — the increment's contract is "don't
+      re-add what the corpus already has");
+    * ``kept`` otherwise.
+
+    Scale shape: the exact legs are key-only joins on the 32-char md5 (the
+    corpus side is a semi-join — only hashes shuffle, never text). The
+    near leg builds ONE inverted index over corpus ∪ batch with a side
+    tag and reuses the single-shuffle posting-list kernel; the stop-
+    shingle cut applies to the union's document frequency (declared
+    semantics, mirrored by the oracle) and only cross-side pairs are
+    scored. Requires globally unique doc_ids across both inputs.
+    """
+    nh = new_docs.select("doc_id", F.md5(F.col("text")).alias("__h"))
+    ch = corpus.select(F.md5(F.col("text")).alias("__h")).distinct()
+    in_corpus = nh.join(ch, "__h", "left_semi").select("doc_id")
+    batch_min = nh.groupBy("__h").agg(F.min("doc_id").alias("__min"))
+    batch_dup = (
+        nh.join(batch_min, "__h")
+        .filter(F.col("doc_id") != F.col("__min"))
+        .select("doc_id")
+    )
+
+    tagged = corpus.select("doc_id", "text").withColumn(
+        "side", F.lit(0)
+    ).unionByName(new_docs.select("doc_id", "text").withColumn("side", F.lit(1)))
+    inv = _hashed_shingles(tagged.drop("side"), n).join(
+        tagged.select("doc_id", "side"), "doc_id"
+    ).selectExpr(
+        "doc_id", "side", "size(shingles) as n_sh", "explode(shingles) as shingle"
+    )
+    pairs = _posting_pairs(
+        inv, "shingle", max_shingle_df, carry=["side", "n_sh"]
+    )
+    cross = (
+        pairs.filter(F.col("side_a") != F.col("side_b"))
+        .groupBy("doc_a", "doc_b", "side_a", "n_sh_a", "n_sh_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .selectExpr(
+            "if(side_a = 1, doc_a, doc_b) as doc_id",
+            "cast(round(n_common / (n_sh_a + n_sh_b - n_common), 4) as double)"
+            " as jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        new_docs.select("doc_id")
+        .join(in_corpus.withColumn("__ec", F.lit(1)), "doc_id", "left")
+        .join(batch_dup.withColumn("__eb", F.lit(1)), "doc_id", "left")
+        .join(cross.withColumn("__nc", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__ec") == 1, F.lit("exact_dup_corpus"))
+            .when(F.col("__eb") == 1, F.lit("exact_dup_batch"))
+            .when(F.col("__nc") == 1, F.lit("near_dup_corpus"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """MinHash signature array (MINHASH_K values) per document.
 

@@ -18,8 +18,22 @@ state forever. Sliding windows multiply rows by windows-per-event at the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _exact_sum_4dp(col: str) -> Column:
+    """Order-independent cross-engine sum of a double column: quantize each
+    value to 1e-4 via floor(x·10⁴ + 0.5) (identical in Spark and DuckDB —
+    their round() half-rules differ, floor does not), sum as exact bigint,
+    scale back. A raw sum(double) drifts with partition/accumulation order
+    and flips the 4th decimal at sf0.1 row counts."""
+    q = F.floor(F.col(col) * 10000 + F.lit(0.5)).cast("bigint")
+    return F.sum(q)
+
+
+def _sum_value_4dp(col: str) -> Column:
+    return (_exact_sum_4dp(col) / F.lit(10000.0)).alias(f"sum_{col}")
 
 
 def with_watermark(events: DataFrame, ts_column: str, delay: str = "10 minutes") -> DataFrame:
@@ -40,7 +54,7 @@ def tumbling_counts(
         events.groupBy(key, F.window(ts_column, length).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(_sum_value_4dp("value"), 4).alias("sum_value"),
         )
         .select(
             key,
@@ -61,7 +75,19 @@ def sliding_avg(
     """Per-key sliding-window average of ``value``."""
     return (
         events.groupBy(key, F.window(ts_column, length, slide).alias("w"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            # exact-integer numerator / exact count, half-up applied with
+            # floor(x+0.5) in integer space: Spark's round() is HALF_UP but
+            # DuckDB's is HALF_EVEN, and the quantized sum makes exact
+            # .xxxx5 ties common — floor sidesteps the divergent half-rule
+            (
+                F.floor(
+                    _exact_sum_4dp("value") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .select(
             key,
             (F.unix_micros(F.col("w.start")) / F.lit(1000)).cast("long").alias("window_start_ms"),

@@ -215,6 +215,34 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(approx) == len(probes) * 5
 
 
+def test_incremental_dedup_all_statuses(spark):
+    """Planted batch exercising every verdict: exact copy of a corpus doc,
+    exact copy within the batch, near-dup of a corpus doc (one token
+    changed), and a fresh doc."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(0, base), (5, "completely unrelated corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    near = base.replace("today", "tomorrow")
+    new = spark.createDataFrame(
+        [
+            (11, base),                       # exact_dup_corpus
+            (12, "brand new novel content with nothing shared at all"),
+            (13, "brand new novel content with nothing shared at all"),
+            (14, near),                       # near_dup_corpus
+            (15, "fresh and unique text mentioning absolutely nothing common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in dd.incremental_dedup(new, corpus).collect()}
+    assert got[11] == "exact_dup_corpus"
+    assert got[12] == "kept"            # min-id copy within the batch
+    assert got[13] == "exact_dup_batch"
+    assert got[14] == "near_dup_corpus"
+    assert got[15] == "kept"
+
+
 def test_pagerank_pairs_star_vs_chain(spark):
     """On a star graph the hub must outrank every leaf; rank mass is
     conserved (sum of ranks = 1, i.e. sum of norm_rank = N) since an
