@@ -1295,6 +1295,14 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.key_skew_stats(load_table(spark, sf_dir, "orders"))
 
 
+def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration's merge statistic
+    (text.bpe_pair_counts): corpus-weighted adjacent character-pair
+    counts over the word-frequency table — vocabulary-sized after the
+    first aggregation, not corpus-sized."""
+    return tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (dedup.incremental_dedup): audit a new batch
     (doc_id % 5 ≠ 0) against an already-curated corpus (doc_id % 5 = 0) —
@@ -1412,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_dedup": q_window_dedup,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_dedup_incremental": q_dedup_incremental,
+        "q_bpe_pair_merge": q_bpe_pair_merge,
         "q_pagerank_neardup": q_pagerank_neardup,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
@@ -3124,6 +3133,22 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(CASE WHEN event_id % 89 <> 0 THEN value
                               ELSE 0 END), 2) AS sum_value_parsed
         FROM events
+    """
+    out["q_bpe_pair_merge"] = f"""
+        WITH words AS (
+            SELECT w, count(*) AS freq
+            FROM (SELECT unnest({toks}) AS w FROM documents)
+            GROUP BY w
+            HAVING length(w) >= 2
+        ), pairs AS (
+            SELECT freq,
+                   unnest(list_transform(generate_series(1, length(w) - 1),
+                          i -> substr(w, i, 2))) AS pair
+            FROM words
+        )
+        SELECT pair, sum(freq)::BIGINT AS n_occurrences
+        FROM pairs GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC LIMIT 100
     """
     # incremental dedup: exact legs on md5, near leg replays the same
     # side-tagged union inverted index with the df cut over the union

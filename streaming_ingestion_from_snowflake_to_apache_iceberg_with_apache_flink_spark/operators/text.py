@@ -256,6 +256,37 @@ def bigram_topk(documents: DataFrame, k: int = 100, n: int = 2) -> DataFrame:
     )
 
 
+def bpe_pair_counts(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Top-``k`` adjacent character pairs by corpus-weighted frequency —
+    the merge-candidate statistic of one BPE tokenizer-training iteration
+    (the pair with the highest count is the next merge rule).
+
+    Scale shape: the corpus collapses to its word-frequency table FIRST
+    (one partial-agg shuffle on the token; the vocabulary is orders of
+    magnitude smaller than the token stream), then pairs explode from the
+    *vocabulary* weighted by frequency — the classic trick that makes BPE
+    training corpus-size-independent after the first count. Top-k is
+    TakeOrderedAndProject, never a full sort.
+    """
+    words = (
+        documents.selectExpr(f"explode({_TOKENS}) as w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.selectExpr(
+        "freq",
+        "explode(transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2))) as pair",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
 def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
     """Top-``k`` TF-IDF terms per document (log-free inverse document
     frequency ``N / df`` so the score is an exact rational — cross-engine

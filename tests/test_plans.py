@@ -306,6 +306,21 @@ def test_quantize_no_shuffle(spark):
     assert count_exchanges(df) == 0
 
 
+def test_bpe_pairs_take_ordered_vocab_sized(spark):
+    """BPE pair counting must aggregate the token stream to the vocabulary
+    BEFORE exploding character pairs, and take the global top-k via
+    TakeOrderedAndProject, not a full sort."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    df = bpe_pair_counts(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # two aggregates: word-frequency first, pair-count second
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2
+
+
 def test_kmv_sketch_is_take_ordered(spark):
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
         kmv_distinct_tokens,
