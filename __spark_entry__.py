@@ -1376,6 +1376,60 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT/melt of the lineitem measures
+    (relational.unpivot_metrics): zero-shuffle Expand + one partial agg."""
+    return rel.unpivot_metrics(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median + MAD by double rank selection
+    (relational.median_mad) — robust stats with no interpolation FP."""
+    return rel.median_mad(load_table(spark, sf_dir, "orders"))
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG (relational.sorted_group_concat): k smallest
+    doc ids per language, sorted inside the aggregate."""
+    return rel.sorted_group_concat(load_table(spark, sf_dir, "documents"))
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column null/distinct profile
+    (relational.column_profile): one scan, Expand-planned multi-distinct."""
+    return rel.column_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier maximizing (price, date)
+    (relational.skyline_orders): distributed local-skyline pass per salt
+    bucket, then a tiny global pass — never the oracle's O(N²)."""
+    return rel.skyline_orders(load_table(spark, sf_dir, "orders"))
+
+
+def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill (timeseries.locf_fill):
+    IGNORE NULLS running window per user."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.locf_fill(load_table(spark, sf_dir, "events"))
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join audit (sketch.bloom_join_audit): portable
+    salted-h32 filter, per-segment positives vs exact membership — the
+    runtime-filter sketch, exactly oracle-checked."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        bloom_join_audit,
+    )
+
+    return bloom_join_audit(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_avro_contract": q_avro_contract,
@@ -1499,6 +1553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_hash_sample": q_hash_sample,
         "q_sentiment": q_sentiment,
+        "q_unpivot": q_unpivot,
+        "q_median_mad": q_median_mad,
+        "q_group_concat": q_group_concat,
+        "q_column_profile": q_column_profile,
+        "q_skyline": q_skyline,
+        "q_locf": q_locf,
+        "q_bloom_join": q_bloom_join,
     }
 
 
@@ -3284,6 +3345,137 @@ def _extension_oracles() -> dict[str, str]:
                    ',') AS vals_sorted,
                upper(event_type) AS type_upper
         FROM events
+    """
+    out["q_unpivot"] = """
+        WITH long AS (
+            SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v
+            FROM lineitem
+            UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+        ), c AS (
+            SELECT l_returnflag, metric, CAST(round(v * 100) AS BIGINT) AS c
+            FROM long
+        )
+        SELECT l_returnflag, metric, count(*) AS n,
+               sum(c) / 100.0 AS sum_v,
+               min(c) / 100.0 AS min_v,
+               max(c) / 100.0 AS max_v
+        FROM c GROUP BY l_returnflag, metric
+    """
+    out["q_median_mad"] = """
+        WITH r AS (
+            SELECT o_orderpriority AS p, o_totalprice AS x, o_orderkey AS k,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        ), m AS (
+            SELECT p, x AS med FROM r WHERE rn = floor((n + 1) / 2)
+        ), d AS (
+            SELECT o.o_orderpriority AS p, abs(o.o_totalprice - m.med) AS dd,
+                   o.o_orderkey AS k, m.med
+            FROM orders o JOIN m ON o.o_orderpriority = m.p
+        ), r2 AS (
+            SELECT p, med, dd,
+                   row_number() OVER (PARTITION BY p ORDER BY dd, k) AS rn,
+                   count(*) OVER (PARTITION BY p) AS n
+            FROM d
+        )
+        SELECT p AS o_orderpriority, round(med, 2) AS median_price,
+               round(dd, 2) AS mad, n::BIGINT AS n_orders
+        FROM r2 WHERE rn = floor((n + 1) / 2)
+    """
+    out["q_group_concat"] = """
+        WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        t AS (
+            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+                ORDER BY doc_id) AS rn
+            FROM documents
+        ), a AS (
+            SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                AS first_ids
+            FROM t WHERE rn <= 10 GROUP BY lang
+        )
+        SELECT c.lang, c.n_docs, a.first_ids FROM c JOIN a USING (lang)
+    """
+    _prof = [
+        ("event_id", "event_id"),
+        ("ts_ms", "epoch_ms(ts)"),
+        ("user_id", "user_id"),
+        ("event_type", "event_type"),
+        ("value", "value"),
+        ("props", "props"),
+    ]
+    out["q_column_profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS "column", count(*) AS n_rows,
+               count(*) - count({expr}) AS n_null,
+               count(DISTINCT {expr}) AS n_distinct FROM events"""
+        for name, expr in _prof
+    )
+    out["q_skyline"] = """
+        WITH s AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS d_ms
+        FROM s a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM s b
+            WHERE b.o_totalprice >= a.o_totalprice
+              AND b.o_orderdate >= a.o_orderdate
+              AND (b.o_totalprice > a.o_totalprice
+                   OR b.o_orderdate > a.o_orderdate)
+        )
+    """
+    out["q_locf"] = """
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+               CASE WHEN event_type = 'click' THEN value END AS reading,
+               last_value(CASE WHEN event_type = 'click' THEN value END
+                   IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM events
+    """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        BLOOM_D,
+        BLOOM_M,
+    )
+
+    _bpos = ", ".join(
+        H.duck_h32(f"('bf{d}:' || CAST(k AS VARCHAR))") + f" % {BLOOM_M}"
+        for d in range(BLOOM_D)
+    )
+    out["q_bloom_join"] = f"""
+        WITH build AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ), bits AS (
+            SELECT DISTINCT unnest([{_bpos}]) AS bit FROM build
+        ), probe AS (
+            SELECT k, c_mktsegment, unnest([{_bpos}]) AS bit
+            FROM (SELECT c_custkey AS k, c_mktsegment FROM customer)
+        ), hits AS (
+            SELECT k, c_mktsegment FROM probe
+            WHERE bit IN (SELECT bit FROM bits)
+            GROUP BY k, c_mktsegment
+            HAVING count(*) = {BLOOM_D}
+        ), truth AS (
+            SELECT c_custkey AS k, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT k FROM build)
+        )
+        SELECT p.c_mktsegment, p.n_probed,
+               coalesce(np.n, 0)::BIGINT AS n_bloom_pos,
+               coalesce(nt.n, 0)::BIGINT AS n_true,
+               (coalesce(np.n, 0) - coalesce(nt.n, 0))::BIGINT AS n_false_pos
+        FROM (SELECT c_mktsegment, count(*) AS n_probed FROM customer
+              GROUP BY c_mktsegment) p
+        LEFT JOIN (SELECT c_mktsegment, count(*) AS n FROM hits
+                   GROUP BY c_mktsegment) np USING (c_mktsegment)
+        LEFT JOIN (SELECT c_mktsegment, count(*) AS n FROM truth
+                   GROUP BY c_mktsegment) nt USING (c_mktsegment)
     """
     out["q_higher_order"] = f"""
         SELECT doc_id,

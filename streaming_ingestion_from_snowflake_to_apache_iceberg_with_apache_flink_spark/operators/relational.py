@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..schema import ts_ms
+
 
 def enrich_orders(
     orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
@@ -688,3 +690,211 @@ def key_skew_stats(orders: DataFrame, key: str = "o_custkey", top: int = 10) -> 
             "skew_factor_x10k"
         ),
     )
+
+
+def unpivot_metrics(lineitem: DataFrame) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt) of the four lineitem measures,
+    then a per-(returnflag, metric) summary — the relational surface's
+    missing reshape primitive (`DataFrame.unpivot`, Spark 3.4+).
+
+    Scale shape: unpivot is a zero-shuffle Expand (each input row emits
+    4 narrow rows map-side); the only exchange is the partial-agg
+    groupBy on (flag, metric) — 8 flags × 4 metrics of state, constant
+    regardless of input size. Sums are exact: every measure has ≤ 2
+    decimals, so cents-scaled bigint accumulation dodges FP fold order.
+    """
+    long = lineitem.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    cents = F.round(F.col("v") * 100).cast("bigint")
+    return (
+        long.select("l_returnflag", "metric", cents.alias("c"))
+        .groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("c") / 100.0).alias("sum_v"),
+            (F.min("c") / 100.0).alias("min_v"),
+            (F.max("c") / 100.0).alias("max_v"),
+        )
+    )
+
+
+def median_mad(orders: DataFrame) -> DataFrame:
+    """Robust per-group location/spread: exact lower-median of the order
+    total and the median absolute deviation (MAD) around it, by double
+    rank selection — no interpolation, so no FP hazard and an exact
+    oracle (`percentile_disc`-style semantics).
+
+    Scale shape: two windowed rank passes over the same partitioning key
+    (one exchange, the second window reuses the shuffle) plus a broadcast
+    of the per-group medians (one row per group) back onto the rows for
+    the deviation pass. Never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "o_orderpriority", F.col("o_totalprice").alias("median_price")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("d"),
+        "median_price",
+    )
+    wd = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("d").asc(), F.col("o_orderkey").asc()
+    )
+    ranked_d = dev.select(
+        "o_orderpriority",
+        "median_price",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    return (
+        ranked_d.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(
+            "o_orderpriority",
+            F.round("median_price", 2).alias("median_price"),
+            F.round("d", 2).alias("mad"),
+            F.col("n").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+def sorted_group_concat(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic per-group string aggregation: the ``k`` smallest doc
+    ids per language as one comma-joined string (LISTAGG/string_agg with
+    declared ordering — engine-arbitrary collect order made exact by
+    sorting inside the aggregate).
+
+    Scale shape: one partial-agg shuffle; the per-group state is the doc-id
+    list. For unbounded groups at 100 TB you'd pre-rank with a
+    WindowGroupLimit top-k (operators.topn) so only k ids per group reach
+    the aggregate — with bounded k the concat state is bounded too.
+    """
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    # numeric sort BEFORE stringifying ("10" < "2" otherwise)
+                    F.slice(F.array_sort(F.collect_list(F.col("doc_id"))), 1, k),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("first_ids"),
+        )
+    )
+
+
+def column_profile(events: DataFrame) -> DataFrame:
+    """Single-pass data-quality profile: per column, row/null/distinct
+    counts — the scan every warehouse runs before trusting a feed.
+
+    Scale shape: ONE aggregation over the table computes every column's
+    null count and exact distinct count together (Catalyst plans the
+    multi-distinct via Expand), then the wide one-row result explodes
+    into (column, stat) rows driver-side-free. No per-column rescans at
+    100 TB — the table is read once.
+    """
+    # timestamps are profiled at ms-epoch (the canonical comparable form,
+    # FIXTURES.md §2 — raw ns granularity isn't engine-portable)
+    exprs = {
+        "event_id": F.col("event_id"),
+        "ts_ms": ts_ms("ts"),
+        "user_id": F.col("user_id"),
+        "event_type": F.col("event_type"),
+        "value": F.col("value"),
+        "props": F.col("props"),
+    }
+    cols = list(exprs)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, e in exprs.items():
+        aggs.append(F.count(e).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(e).alias(f"nd_{c}"))
+    wide = events.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("s")).select(
+        "s.column", "s.n_rows", "s.n_null", "s.n_distinct"
+    )
+
+
+def _skyline_pass(df: DataFrame, *part_cols: str) -> DataFrame:
+    """One dominance-elimination pass over (cents desc) within the given
+    partitioning: a row survives iff its date strictly exceeds the running
+    max date over all strictly higher-priced rows AND no equal-priced row
+    has a later date (ties in both dims survive together)."""
+    from pyspark.sql import Window
+    from pyspark.sql import Window as W
+
+    by_price = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("cents").desc())
+        # exact cents make "strictly higher price" expressible as a RANGE
+        # frame offset of -1 (on raw doubles, -1 would mean "≥ $1 more")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    same_price = Window.partitionBy(*part_cols, "cents")
+    return (
+        df.withColumn("best_d_higher", F.max("d").over(by_price))
+        .withColumn("best_d_same", F.max("d").over(same_price))
+        .filter(
+            (
+                F.col("best_d_higher").isNull()
+                | (F.col("d") > F.col("best_d_higher"))
+            )
+            & (F.col("d") == F.col("best_d_same"))
+        )
+        .drop("best_d_higher", "best_d_same")
+    )
+
+
+def skyline_orders(
+    orders: DataFrame, shard_value: str = "1-URGENT", n_salts: int = 32
+) -> DataFrame:
+    """Pareto frontier (skyline) of one shard's orders maximizing
+    (o_totalprice, o_orderdate): a row is dominated if some other row is
+    ≥ in both dimensions and > in at least one.
+
+    Spark-first shape: skylines decompose — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so phase 1 runs a *distributed*
+    local dominance pass per salt bucket (each a sort + RANGE window,
+    fully parallel) and only local survivors (≈ the frontier size per
+    bucket, vanishingly small vs N) reach phase 2's global window. Never
+    the O(N²) NOT-EXISTS the SQL definition implies, and never a global
+    sort of the raw table.
+    """
+    shard = orders.filter(F.col("o_orderpriority") == shard_value).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.pmod(F.col("o_orderkey"), F.lit(n_salts)).alias("salt"),
+    )
+    local = _skyline_pass(shard, "salt")
+    out = _skyline_pass(local.drop("salt"))
+    return out.select("o_orderkey", "o_totalprice", ts_ms("d").alias("d_ms"))

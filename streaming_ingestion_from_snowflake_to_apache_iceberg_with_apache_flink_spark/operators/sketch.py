@@ -147,3 +147,70 @@ def countmin_audit(documents: DataFrame, k: int = 20) -> DataFrame:
         .agg(F.min("cell_n").alias("est_n"))
         .select("token", "exact_n", "est_n")
     )
+
+
+#: Bloom layout: BLOOM_D independent salted h32 positions, power-of-two bits.
+BLOOM_D = 4
+BLOOM_M = 8192
+
+
+def bloom_join_audit(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Bloom-filter semi-join audit: build a Bloom filter of the customer
+    keys that placed an URGENT order, probe every customer through it, and
+    compare against the exact semi-join — per market segment: probes,
+    Bloom positives, true members, and false positives (false *negatives*
+    are impossible by construction, which the oracle therefore proves).
+
+    This is the sketch behind runtime-filter pushdown (and the pruning the
+    ingest anti-join would ship to executors at 100 TB): the filter is
+    built with one partial-agg pass over the build side (≤ d·m set bits of
+    state regardless of build cardinality — a mergeable summary), then
+    broadcast; probe rows test membership without shuffling. Deterministic
+    salted h32 positions make even the false-positive SET exactly
+    reproducible in the oracle — an approximate structure, exactly checked.
+    """
+    build_keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    pos = ", ".join(
+        H.spark_h32(f"concat('bf{d}:', cast(k as string))") + f" % {BLOOM_M}"
+        for d in range(BLOOM_D)
+    )
+    bits = (
+        build_keys.selectExpr(f"explode(array({pos})) as bit")
+        .distinct()
+    )
+    probe = customer.selectExpr(
+        "c_custkey as k", "c_mktsegment"
+    ).selectExpr("k", "c_mktsegment", f"explode(array({pos})) as bit")
+    # a probe key is Bloom-positive iff ALL of its d positions are set
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("k", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_D)
+        .select("k", "c_mktsegment")
+    )
+    truth = customer.join(
+        build_keys.withColumnRenamed("k", "c_custkey"), "c_custkey", "left_semi"
+    ).select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    probed = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_probed")
+    )
+    n_pos = hits.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_bloom_pos"))
+    n_true = truth.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        probed.join(n_pos, "c_mktsegment", "left")
+        .join(n_true, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_probed",
+            F.coalesce("n_bloom_pos", F.lit(0)).cast("bigint").alias("n_bloom_pos"),
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            (F.coalesce("n_bloom_pos", F.lit(0)) - F.coalesce("n_true", F.lit(0)))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )

@@ -136,3 +136,32 @@ def trailing_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
         F.round(F.avg("revenue").over(w), 4).alias("trail_avg"),
         F.count(F.lit(1)).over(w).alias("trail_days"),
     )
+
+
+def locf_fill(events: DataFrame) -> DataFrame:
+    """Last-observation-carried-forward gap fill: treat only ``click``
+    events as carrying a sensor reading; every other event row gets the
+    user's most recent prior reading (IGNORE NULLS window semantics — the
+    canonical sparse→dense time-series repair).
+
+    Scale shape: one shuffle on user_id, one sort per partition; the
+    ignore-nulls ``last`` is a running O(1) frame walk, not a rescan per
+    row. Values pass through untouched (no arithmetic), so the oracle
+    match is exact on raw doubles.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    reading = F.when(F.col("event_type") == "click", F.col("value"))
+    from ..schema import ts_ms
+
+    return events.select(
+        "event_id",
+        "user_id",
+        ts_ms("ts").alias("ts_ms"),
+        "event_type",
+        reading.alias("reading"),
+        F.last(reading, ignorenulls=True).over(w).alias("filled"),
+    )
