@@ -1417,6 +1417,19 @@ def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tse.locf_fill(load_table(spark, sf_dir, "events"))
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification (similarity.knn_classify): exact
+    cosine top-5 neighbors per probe, vote ties to the smaller label."""
+    return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer k-means (similarity.kmeans_embeddings): 2 Lloyd rounds over
+    int8 codes, deterministic seeds — iterative driver loop whose every
+    round is value-checked via unrolled oracle CTEs."""
+    return sim.kmeans_embeddings(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join audit (sketch.bloom_join_audit): portable
     salted-h32 filter, per-segment positives vs exact membership — the
@@ -1560,6 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_locf": q_locf,
         "q_bloom_join": q_bloom_join,
+        "q_knn_classify": q_knn_classify,
+        "q_kmeans": q_kmeans,
     }
 
 
@@ -3476,6 +3491,64 @@ def _extension_oracles() -> dict[str, str]:
                    GROUP BY c_mktsegment) np USING (c_mktsegment)
         LEFT JOIN (SELECT c_mktsegment, count(*) AS n FROM truth
                    GROUP BY c_mktsegment) nt USING (c_mktsegment)
+    """
+    out["q_knn_classify"] = f"""
+        WITH knn AS ({out['q_topk_cosine']}),
+        v AS (
+            SELECT n.probe_id, e.label, count(*) AS n_votes
+            FROM knn n JOIN embeddings e ON n.neighbor_id = e.vec_id
+            GROUP BY n.probe_id, e.label
+        ), w AS (
+            SELECT probe_id, label AS pred_label, n_votes,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY n_votes DESC, label) AS rn
+            FROM v
+        )
+        SELECT w.probe_id, t.label AS true_label, w.pred_label, w.n_votes,
+               (w.pred_label = t.label) AS correct
+        FROM w JOIN embeddings t ON w.probe_id = t.vec_id
+        WHERE w.rn = 1
+    """
+    _km_q = (
+        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
+        " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
+    )
+    _km_dist = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i])))"
+    )
+    out["q_kmeans"] = f"""
+        WITH q AS (
+            SELECT vec_id, {_km_q} AS q FROM embeddings
+        ), c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < 8),
+        d1 AS (
+            SELECT q.vec_id, q.q, c.cid, {_km_dist} AS dist
+            FROM q CROSS JOIN c0 c
+        ), a1 AS (
+            SELECT vec_id, q, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ), c1cell AS (
+            SELECT cid, i AS dim, CAST(floor(avg(q[i])) AS BIGINT) AS cv
+            FROM a1, generate_series(1, 64) AS g(i)
+            GROUP BY cid, i
+        ), c1 AS (
+            SELECT cid, list(cv ORDER BY dim) AS c FROM c1cell GROUP BY cid
+        ), d2 AS (
+            SELECT q.vec_id, c.cid, {_km_dist} AS dist
+            FROM q CROSS JOIN c1 c
+        ), a2 AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        )
+        SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n_vectors,
+               sum(dist)::BIGINT AS inertia
+        FROM a2 GROUP BY cid
     """
     out["q_higher_order"] = f"""
         SELECT doc_id,

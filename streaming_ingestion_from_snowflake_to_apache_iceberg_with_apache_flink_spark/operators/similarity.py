@@ -389,3 +389,144 @@ def ann_recall(
             "recall"
         ),
     )
+
+
+def _quantize_int8(col: Column, scale: int = 127) -> Column:
+    """clamp(floor(x·scale + 0.5)) as bigint — the same symmetric int8
+    quantization as ``quantize_embeddings`` (floor(x+0.5), not round():
+    engines disagree on round-half for doubles; floor is floor everywhere).
+    Integer codes make every downstream distance exact cross-engine."""
+    return F.transform(
+        to_double(col),
+        lambda x: F.greatest(
+            F.lit(-scale),
+            F.least(F.lit(scale), F.floor(x * scale + F.lit(0.5))),
+        ).cast("bigint"),
+    )
+
+
+def knn_classify(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 5
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification of the probe
+    vectors by exact cosine top-k (self excluded): predicted label = the
+    most common label among the k neighbors, ties to the smaller label.
+
+    Scale shape: inherits ``topk_cosine_bruteforce``'s broadcast-probe /
+    never-shuffle-corpus plan; the vote is a groupBy over k·|probes| rows
+    (tiny), and the label lookups broadcast the k·|probes| neighbor ids
+    into the corpus scan — the corpus is read, never shuffled.
+    """
+    nbrs = topk_cosine_bruteforce(embeddings, probe_ids, k).select(
+        "probe_id", "neighbor_id"
+    )
+    labels = embeddings.select("vec_id", "label")
+    votes = (
+        labels.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(nbrs), "neighbor_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = labels.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "probe_id").select(
+        "probe_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def _int_sq_dist(q: Column, centroid: list[int]) -> Column:
+    """Exact integer squared L2 distance between a bigint code array and a
+    literal centroid."""
+    lit = F.array(*[F.lit(int(v)).cast("bigint") for v in centroid])
+    return F.aggregate(
+        F.zip_with(q, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means over int8-quantized embeddings, ``iters`` assignment
+    rounds with deterministic seeds (the k lowest vec_ids) — the trained-
+    centroid path the IVF index's docstring promises, and the clustering
+    stage of semantic dedup (SemDeDup-style). Integer codes + floor-avg
+    centroid updates keep every distance and every updated centroid exact,
+    so the iterative algorithm is value-checked against unrolled oracle
+    CTEs, not just smoke-tested.
+
+    Spark-native iteration shape: centroids are k×dim integers — driver
+    state, broadcast into each assignment pass as literal arrays (the
+    canonical Spark ML loop; the corpus is scanned once per round and
+    NEVER shuffled: assignment is a map-only argmin, the update is one
+    partial-agg groupBy of (cluster, dim) cells). Per round the driver
+    holds k·dim ints — independent of corpus size.
+
+    Returns per-cluster stats of the final assignment: (cluster_id,
+    n_vectors, inertia).
+    """
+    e = embeddings.select(
+        "vec_id", _quantize_int8(F.col("embedding")).alias("q")
+    ).persist()
+    seeds = (
+        e.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids: list[tuple[int, list[int]]] = [
+        (int(r.vec_id), list(r.q)) for r in seeds
+    ]
+
+    def assign(cur: list[tuple[int, list[int]]]) -> DataFrame:
+        # argmin via array_min over (dist, cid) structs — lexicographic
+        # struct ordering = min distance, ties to the smaller cluster id
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _int_sq_dist(F.col("q"), c).alias("dist"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, c in cur
+                ]
+            )
+        )
+        return e.select("vec_id", "q", best.alias("best")).select(
+            "vec_id",
+            "q",
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.dist").alias("dist"),
+        )
+
+    for _ in range(iters - 1):
+        assigned = assign(centroids)
+        cells = (
+            assigned.select("cluster_id", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.floor(F.avg("v")).alias("c"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs"))
+            .collect()
+        )
+        centroids = sorted(
+            (int(r.cluster_id), [int(s.c) for s in r.cs]) for r in cells
+        )
+    final = assign(centroids)
+    return final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("dist").alias("inertia"),
+    )
