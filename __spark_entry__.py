@@ -1417,6 +1417,20 @@ def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tse.locf_fill(load_table(spark, sf_dir, "events"))
 
 
+def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring fraction (dedup.substring_dup_fraction):
+    share of 8-token windows occurring in ≥2 docs — the Lee et al. '22
+    exact-substring metric, pair-free so it survives boilerplate blowup."""
+    return dd.substring_dup_fraction(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (dedup.source_overlap_matrix):
+    near-dup pairs cross-tabbed by source pair, exact-integer mean
+    Jaccard operands."""
+    return dd.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote classification (similarity.knn_classify): exact
     cosine top-5 neighbors per probe, vote ties to the smaller label."""
@@ -1575,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_join": q_bloom_join,
         "q_knn_classify": q_knn_classify,
         "q_kmeans": q_kmeans,
+        "q_dup_substring": q_dup_substring,
+        "q_source_overlap": q_source_overlap,
     }
 
 
@@ -3491,6 +3507,41 @@ def _extension_oracles() -> dict[str, str]:
                    GROUP BY c_mktsegment) np USING (c_mktsegment)
         LEFT JOIN (SELECT c_mktsegment, count(*) AS n FROM truth
                    GROUP BY c_mktsegment) nt USING (c_mktsegment)
+    """
+    _sh8 = H.duck_shingles(H.duck_tokens("text"), 8)
+    out["q_dup_substring"] = f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_transform({_sh8}, s -> {H.duck_h32('s')}) AS hs
+            FROM documents
+        ), e AS (
+            SELECT doc_id, unnest(hs) AS h FROM sh
+        ), df AS (
+            SELECT h, count(*) AS nd FROM e GROUP BY h
+        ), dup AS (
+            SELECT e.doc_id, count(*) AS n_dup
+            FROM e JOIN df ON e.h = df.h
+            WHERE df.nd >= 2 GROUP BY e.doc_id
+        )
+        SELECT s.doc_id, len(s.hs)::INT AS n_windows,
+               coalesce(d.n_dup, 0)::BIGINT AS n_dup,
+               round(coalesce(d.n_dup, 0) / len(s.hs), 4) AS dup_frac
+        FROM sh s LEFT JOIN dup d USING (doc_id)
+    """
+    out["q_source_overlap"] = f"""
+        WITH pairs AS (
+            {out["q_dedup_ngram_jaccard"]}
+        ), tagged AS (
+            SELECT least(la.source, lb.source) AS source_lo,
+                   greatest(la.source, lb.source) AS source_hi,
+                   CAST(round(p.jaccard * 10000) AS BIGINT) AS jx
+            FROM pairs p
+            JOIN documents la ON p.doc_a = la.doc_id
+            JOIN documents lb ON p.doc_b = lb.doc_id
+        )
+        SELECT source_lo, source_hi, count(*) AS n_pairs,
+               sum(jx)::BIGINT AS sum_jaccard_x10k
+        FROM tagged GROUP BY source_lo, source_hi
     """
     out["q_knn_classify"] = f"""
         WITH knn AS ({out['q_topk_cosine']}),

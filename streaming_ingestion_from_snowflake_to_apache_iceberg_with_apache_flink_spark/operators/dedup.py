@@ -686,3 +686,74 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         closing, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb"))
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def substring_dup_fraction(documents: DataFrame, w: int = 8) -> DataFrame:
+    """Per-document duplicated-substring profile (the exact-substring
+    dedup metric of Lee et al. '22, "Deduplicating Training Data Makes
+    Language Models Better", window-hash form): the fraction of a doc's
+    distinct ``w``-token windows that also occur in at least one other
+    document. High ``dup_frac`` docs are boilerplate/mirror copies even
+    when no single pair crosses a Jaccard threshold.
+
+    Scale shape: windows are hashed to bigints at the scan (the same
+    ``_hashed_shingles`` kernel as Jaccard); global window df is ONE
+    partial-agg shuffle on the hash; the df ≥ 2 verdict joins back on the
+    same key (no broadcast — both sides are corpus-sized, and the join is
+    the canonical co-partitioned hash join). Never materializes pairs, so
+    a window shared by 10⁶ docs costs 10⁶ rows, not 10¹² pairs — this is
+    the metric you CAN afford when the pair graph would blow up.
+    """
+    sh = _hashed_shingles(documents, w).persist()
+    exploded = sh.selectExpr("doc_id", "explode(shingles) as h")
+    df = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    dup = (
+        exploded.join(df.filter(F.col("nd") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    base = sh.select("doc_id", F.size("shingles").alias("n_windows"))
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+        F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_windows"), 4).alias(
+            "dup_frac"
+        ),
+    )
+
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (n-gram Jaccard)
+    cross-tabbed by the (source, source) combination — the audit that
+    tells you dataset B is a scrape of dataset A before you mix them.
+
+    Composes ``ngram_jaccard_pairs`` (its bounded posting-list kernel does
+    the heavy lifting); the pair→source lookup broadcasts the SMALL pair
+    set into the corpus-sized label relation twice, so documents never
+    shuffle. Mean Jaccard is aggregated in exact 1e-4 integer space.
+    """
+    pairs = ngram_jaccard_pairs(documents)
+    labels = documents.select("doc_id", "source")
+    la = labels.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "source", "src_a"
+    )
+    lb = labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "source", "src_b"
+    )
+    # the pair set (and its join results) is the small side both times —
+    # broadcast it so the corpus-sized label relation never shuffles
+    tagged = F.broadcast(F.broadcast(pairs).join(la, "doc_a")).join(lb, "doc_b")
+    jx = F.round(F.col("jaccard") * 10000).cast("bigint")
+    return (
+        tagged.select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            jx.alias("jx"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jx").alias("sum_jaccard_x10k"),
+        )
+    )
