@@ -1417,6 +1417,21 @@ def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tse.locf_fill(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows through the ACTUAL streaming runtime
+    (streaming/windows.stream_tumbling_counts): file-stream source →
+    watermark → windowed agg → complete-mode memory sink, drained with
+    AvailableNow — the second end-to-end streaming query, hash-checked
+    against the same oracle as its batch twin (q_tumbling_window)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        stream_tumbling_counts,
+    )
+
+    # load_table pins the session confs (nanosAsLong, UTC) the stream needs
+    load_table(spark, sf_dir, "events")
+    return stream_tumbling_counts(spark, sf_dir, "events.parquet")
+
+
 def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-substring fraction (dedup.substring_dup_fraction):
     share of 8-token windows occurring in ≥2 docs — the Lee et al. '22
@@ -1591,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_dup_substring": q_dup_substring,
         "q_source_overlap": q_source_overlap,
+        "q_stream_window": q_stream_window,
     }
 
 
@@ -3508,6 +3524,7 @@ def _extension_oracles() -> dict[str, str]:
         LEFT JOIN (SELECT c_mktsegment, count(*) AS n FROM truth
                    GROUP BY c_mktsegment) nt USING (c_mktsegment)
     """
+    out["q_stream_window"] = out["q_tumbling_window"]
     _sh8 = H.duck_shingles(H.duck_tokens("text"), 8)
     out["q_dup_substring"] = f"""
         WITH sh AS (

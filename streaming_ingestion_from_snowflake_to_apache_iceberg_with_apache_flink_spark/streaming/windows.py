@@ -140,3 +140,50 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def stream_tumbling_counts(
+    spark,
+    source_dir: str,
+    path_glob_filter: str,
+    length: str = "1 hour",
+    query_name: str = "stream_tumbling_mem",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """The tumbling-window aggregation as an ACTUAL Structured Streaming
+    run: file-stream source → watermark → windowed agg → complete-mode
+    memory sink, drained with ``Trigger.AvailableNow`` — proving the
+    event-time pipeline end-to-end, not just its batch twin. On one
+    drained source the result equals ``tumbling_counts`` exactly (the
+    watermark only drops data arriving in LATER micro-batches).
+
+    The source schema is taken from the parquet footer (ns timestamps
+    arrive as long under ``nanosAsLong`` and are truncated to µs — the
+    same convention as ``sources.parquet.load_table``).
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(
+        os.path.join(source_dir, path_glob_filter)
+    ).schema
+    stream = (
+        spark.readStream.schema(raw)
+        .option("pathGlobFilter", path_glob_filter)
+        .parquet(source_dir)
+    )
+    if isinstance(raw["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = tumbling_counts(with_watermark(stream, "ts"), length=length)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
