@@ -1417,6 +1417,13 @@ def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tse.locf_fill(load_table(spark, sf_dir, "events"))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-round BPE tokenizer training (text.bpe_train_merges): the
+    learned merge-rule table, each round's greedy corpus-wide merge
+    value-checked against scalar-subquery oracle CTEs."""
+    return tx.bpe_train_merges(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows through the ACTUAL streaming runtime
     (streaming/windows.stream_tumbling_counts): file-stream source →
@@ -1607,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_substring": q_dup_substring,
         "q_source_overlap": q_source_overlap,
         "q_stream_window": q_stream_window,
+        "q_bpe_train": q_bpe_train,
     }
 
 
@@ -3525,6 +3533,7 @@ def _extension_oracles() -> dict[str, str]:
                    GROUP BY c_mktsegment) nt USING (c_mktsegment)
     """
     out["q_stream_window"] = out["q_tumbling_window"]
+    out["q_bpe_train"] = tx.duck_bpe_train_sql(rounds=3)
     _sh8 = H.duck_shingles(H.duck_tokens("text"), 8)
     out["q_dup_substring"] = f"""
         WITH sh AS (

@@ -527,3 +527,114 @@ def vocab_coverage(documents: DataFrame, k: int = 100) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+def bpe_train_merges(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """BPE tokenizer TRAINING, ``rounds`` merge iterations (Sennrich et
+    al. '16): start from character symbols over the word-frequency table,
+    repeatedly pick the most frequent adjacent symbol pair (ties: lexical)
+    and merge it greedily left-to-right corpus-wide. Returns the learned
+    merge table (merge_round, left_sym, right_sym, n_occurrences) — the
+    actual tokenizer artifact, not just one round's statistic.
+
+    Representation: symbols as a DOUBLE-space-joined string ('  a  b  c  ').
+    A merge is then ONE literal string replace of ' x  y ' with ' xy ':
+    the pattern consumes one boundary space per side and the replacement
+    restores it, so non-overlapping left-to-right replace == greedy BPE
+    merge, and the double-space invariant survives — no re-normalization,
+    and both engines' literal replace() agree by construction.
+
+    Scale shape (the classic BPE trick): the corpus collapses to its
+    vocabulary ONCE (one partial-agg shuffle); every round then runs over
+    vocabulary-sized state — a pair count (partial agg) + a TakeOrdered
+    top-1 + a map-only replace. Driver state per round = one merge rule.
+    """
+    spark = documents.sparkSession
+    words = (
+        documents.selectExpr(f"explode({_TOKENS}) as w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    syms = words.select(
+        F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  ")).alias("sym"),
+        "freq",
+    ).persist()
+    rules = []
+    for r in range(rounds):
+        pairs = syms.selectExpr(
+            "freq",
+            "split(trim(sym), '  ') as l",
+        ).selectExpr(
+            "freq",
+            "explode(transform(sequence(1, size(l) - 1), "
+            "i -> named_struct('x', element_at(l, i), 'y', element_at(l, i + 1))"
+            ")) as p",
+        )
+        top = (
+            pairs.groupBy("p.x", "p.y")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, cnt = top[0].x, top[0].y, int(top[0].cnt)
+        rules.append((r + 1, x, y, cnt))
+        merged = syms.select(
+            F.replace(
+                F.col("sym"), F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")
+            ).alias("sym"),
+            "freq",
+        ).persist()
+        syms.unpersist()
+        syms = merged
+    syms.unpersist()
+    return spark.createDataFrame(
+        rules,
+        "merge_round int, left_sym string, right_sym string, n_occurrences bigint",
+    )
+
+
+def duck_bpe_train_sql(rounds: int = 3) -> str:
+    """DuckDB twin of ``bpe_train_merges`` — the merge loop unrolled as
+    CTE rounds with scalar-subquery merge rules."""
+    toks = H.duck_tokens("text")
+    parts = [
+        f"""WITH w AS (
+            SELECT w, count(*) AS freq
+            FROM (SELECT unnest({toks}) AS w FROM documents)
+            GROUP BY w HAVING length(w) >= 2
+        ), s0 AS (
+            SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym, freq
+            FROM w
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""", p{r} AS (
+            SELECT p.x AS x, p.y AS y, sum(freq) AS cnt
+            FROM (
+                SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                           i -> struct_pack(x := l[i], y := l[i + 1]))) AS p,
+                       freq
+                FROM (SELECT string_split(trim(sym), '  ') AS l, freq
+                      FROM s{r - 1})
+            )
+            GROUP BY p.x, p.y
+        ), m{r} AS (
+            SELECT x, y, cnt FROM p{r} ORDER BY cnt DESC, x, y LIMIT 1
+        ), s{r} AS (
+            SELECT replace(sym,
+                       ' ' || (SELECT x FROM m{r}) || '  '
+                           || (SELECT y FROM m{r}) || ' ',
+                       ' ' || (SELECT x || y FROM m{r}) || ' ') AS sym,
+                   freq
+            FROM s{r - 1}
+        )""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, x AS left_sym, y AS right_sym,"
+        f" cnt::BIGINT AS n_occurrences FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + sel
