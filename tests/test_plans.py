@@ -557,3 +557,131 @@ def test_vocab_coverage_broadcasts_vocab(spark):
 
     df = vocab_coverage(load_table(spark, SF, "documents"))
     assert_broadcast_join(df)
+
+
+def test_unpivot_is_expand_one_exchange(spark):
+    """Unpivot must plan as a map-side Expand (or generate) + ONE
+    partial-agg shuffle — never a union of per-metric rescans."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        unpivot_metrics,
+    )
+
+    df = unpivot_metrics(load_table(spark, SF, "lineitem"))
+    plan = formatted_plan(df)
+    # one Location: line per scan detail block — the tree echoes node names,
+    # so counting "Scan parquet" would double-count
+    assert plan.count("Location:") == 1, "unpivot must not rescan per metric"
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_median_mad_broadcasts_group_medians(spark):
+    """The per-group medians (one row per group) must broadcast back onto
+    the rows for the deviation pass."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        median_mad,
+    )
+
+    df = median_mad(load_table(spark, SF, "orders"))
+    assert_broadcast_join(df)
+
+
+def test_column_profile_single_scan(spark):
+    """The whole-table profile must read the table ONCE (one scan, the
+    multi-distinct planned via Expand), never once per column."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        column_profile,
+    )
+
+    df = column_profile(load_table(spark, SF, "events"))
+    plan = formatted_plan(df)
+    assert plan.count("Location:") == 1
+    assert "Expand" in plan
+
+
+def test_skyline_local_pass_is_salt_partitioned(spark):
+    """Phase 1 must window over (salt), not a single global partition —
+    the distributed local-skyline that makes the global pass tiny."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        skyline_orders,
+    )
+
+    df = skyline_orders(load_table(spark, SF, "orders"))
+    plan = formatted_plan(df)
+    assert "salt" in plan
+    assert_pushed_filter(df, "o_orderpriority")
+
+
+def test_locf_one_shuffle_one_sort(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        locf_fill,
+    )
+
+    df = locf_fill(load_table(spark, SF, "events"))
+    assert count_exchanges(df) == 1
+
+
+def test_bloom_bits_broadcast_to_probe(spark):
+    """The Bloom bit set (≤ d·m rows) must broadcast into the probe scan —
+    the probe side never shuffles for the membership test."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        bloom_join_audit,
+    )
+
+    df = bloom_join_audit(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "orders")
+    )
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "o_orderpriority")
+
+
+def test_knn_probe_broadcast_corpus_never_shuffles(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    df = knn_classify(load_table(spark, SF, "embeddings"), list(range(10)), 5)
+    assert_broadcast_join(df)
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """One k-means round = quantize scan + literal-centroid argmin (pure
+    projection) + ONE partial-agg exchange for the final cluster stats —
+    the corpus must never shuffle for assignment."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        kmeans_embeddings,
+    )
+
+    df = kmeans_embeddings(load_table(spark, SF, "embeddings"), k=4, iters=1)
+    # iters=1: no centroid update collect, the plan is the pure final pass
+    assert count_exchanges(df) == 1
+
+
+def test_substring_dup_never_materializes_pairs(spark):
+    """The df>=2 verdict is a key join back on the window hash — the plan
+    must contain NO pair-expansion kernel (the flatten/transform nested
+    loop of _posting_pairs) and no cartesian product. (At sf0.001 AQE
+    legitimately broadcasts the tiny df side, so the join flavor itself
+    is not asserted.)"""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        substring_dup_fraction,
+    )
+
+    df = substring_dup_fraction(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "flatten" not in plan, "pair-expansion kernel must not appear"
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_rounds_are_vocab_sized(spark):
+    """Every training round must aggregate the vocabulary relation, not
+    re-explode the corpus: the corpus scan appears once per round at most
+    (it is re-read per round through the persisted word table)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    out = bpe_train_merges(load_table(spark, SF, "documents"), rounds=2)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert rows[0].n_occurrences >= rows[1].n_occurrences
