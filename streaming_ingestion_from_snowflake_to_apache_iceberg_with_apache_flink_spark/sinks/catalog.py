@@ -296,3 +296,65 @@ class CatalogSink:
         self._aligned(merged.localCheckpoint(eager=True)).write.format(
             "parquet"
         ).mode("overwrite").insertInto(self.table)
+
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots parity) --
+
+    def iceberg_compact_sql(self) -> str:
+        """The Iceberg-catalog form: bin-packing data-file rewrite via the
+        stored procedure (Spark action of `rewrite_data_files`) — what this
+        sink would run instead of the COW fallback below."""
+        cat = "spark_catalog"
+        return (
+            f"CALL {cat}.system.rewrite_data_files(table => '{self.table}', "
+            "options => map('min-input-files','2'))"
+        )
+
+    def compact(self) -> int:
+        """Small-file compaction for the parquet fallback: every streaming
+        commit writes ≥1 file per touched partition, so a long-running
+        ingest accretes files until scans drown in open/seek overhead —
+        the reason Iceberg ships rewrite_data_files. Rewrites each
+        partition to ONE file (writer tasks aligned with partitions via
+        repartition; for partitions larger than a task add a bucketing
+        term). Returns the number of data files after compaction.
+
+        At 100 TB you'd run this per-partition with a size predicate
+        (only partitions whose file count exceeds a threshold), off the
+        ingest path; the rewrite cost is bounded by the partitions
+        compacted, exactly like the upsert COW.
+        """
+        if self.iceberg:
+            self.spark.sql(self.iceberg_compact_sql())
+            return -1
+        parts = list(self.cfg.partition_fields)
+        current = self.read()
+        compacted = current.repartition(*parts) if parts else current.coalesce(1)
+        self._aligned(compacted.localCheckpoint(eager=True)).write.format(
+            "parquet"
+        ).mode("overwrite").insertInto(self.table)
+        return len(self._data_files())
+
+    def _data_files(self) -> list[str]:
+        import glob
+        import os
+
+        loc = self._managed_location(self.cfg.table_name)
+        return [
+            p
+            for p in glob.glob(os.path.join(loc, "**", "*"), recursive=True)
+            if os.path.isfile(p) and not os.path.basename(p).startswith((".", "_"))
+        ]
+
+    def expire_commits(self, keep_last: int = 100) -> None:
+        """Ledger hygiene (Iceberg expire_snapshots parity): the epoch
+        ledger grows one row per commit forever; keep the trailing window
+        that replay detection actually needs (a restarted stream can only
+        replay epochs since its checkpoint)."""
+        hi = self.last_epoch()
+        keep = self.spark.table(self.commits).filter(
+            F.col("epoch") > hi - keep_last
+        )
+        keep.localCheckpoint(eager=True).write.format("parquet").mode(
+            "overwrite"
+        ).insertInto(self.commits)

@@ -365,3 +365,48 @@ def test_stream_ingest_available_now(spark, staging, tmp_path):
     q.awaitTermination(120)
     sink = CatalogSink(spark, cfg.sink)
     assert sink.read().count() == first.count()
+
+
+def test_compaction_reduces_files_preserves_data(spark, staging, tmp_path):
+    """Table maintenance (Iceberg rewrite_data_files parity): after many
+    append commits accrete small files, compact() rewrites each partition
+    to one file and the table contents are unchanged."""
+    path, first, rest, orders = staging
+    cfg = _cfg(_uniq("t_compact"), operation="append")
+    sink = CatalogSink(spark, cfg.sink, version_column="o_orderdate")
+    batches = first.randomSplit([1.0] * 5, seed=7)
+    for i, b in enumerate(batches):
+        sink.write_batch(b, epoch=i + 1)
+    before = len(sink._data_files())
+    total_before = sink.read().count()
+    n_parts = sink.read().select("o_orderpriority").distinct().count()
+    assert before > n_parts, "test setup should accrete small files"
+    after = sink.compact()
+    assert after <= n_parts
+    assert sink.read().count() == total_before
+    spark.sql(f"DROP TABLE IF EXISTS {sink.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {sink.commits}")
+
+
+def test_expire_commits_keeps_trailing_window(spark, staging, tmp_path):
+    path, first, rest, orders = staging
+    cfg = _cfg(_uniq("t_expire"), operation="append")
+    sink = CatalogSink(spark, cfg.sink, version_column="o_orderdate")
+    small = first.limit(10)
+    for e in range(1, 8):
+        sink.write_batch(small, epoch=e)
+    assert spark.table(sink.commits).count() == 7
+    sink.expire_commits(keep_last=3)
+    kept = [r.epoch for r in spark.table(sink.commits).collect()]
+    assert sorted(kept) == [5, 6, 7]
+    # replay detection still works inside the window
+    assert sink.write_batch(small, epoch=7) == "skipped-replay"
+    spark.sql(f"DROP TABLE IF EXISTS {sink.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {sink.commits}")
+
+
+def test_iceberg_compact_sql_generation(spark):
+    cfg = _cfg(_uniq("t_icecompact"))
+    sink = CatalogSink(spark, cfg.sink)
+    sql = sink.iceberg_compact_sql()
+    assert "rewrite_data_files" in sql and sink.table in sql
