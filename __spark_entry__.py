@@ -1424,6 +1424,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_train_merges(load_table(spark, sf_dir, "documents"), rounds=3)
 
 
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode (text.bpe_encode_counts): train 3 merges, encode every
+    doc at the vocabulary level — per-doc word vs BPE symbol counts."""
+    return tx.bpe_encode_counts(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows through the ACTUAL streaming runtime
     (streaming/windows.stream_tumbling_counts): file-stream source →
@@ -1615,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_overlap": q_source_overlap,
         "q_stream_window": q_stream_window,
         "q_bpe_train": q_bpe_train,
+        "q_bpe_apply": q_bpe_apply,
     }
 
 
@@ -3534,6 +3541,7 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_stream_window"] = out["q_tumbling_window"]
     out["q_bpe_train"] = tx.duck_bpe_train_sql(rounds=3)
+    out["q_bpe_apply"] = tx.duck_bpe_apply_sql(rounds=3)
     _sh8 = H.duck_shingles(H.duck_tokens("text"), 8)
     out["q_dup_substring"] = f"""
         WITH sh AS (

@@ -597,9 +597,9 @@ def bpe_train_merges(documents: DataFrame, rounds: int = 3) -> DataFrame:
     )
 
 
-def duck_bpe_train_sql(rounds: int = 3) -> str:
-    """DuckDB twin of ``bpe_train_merges`` — the merge loop unrolled as
-    CTE rounds with scalar-subquery merge rules."""
+def _duck_bpe_rounds(rounds: int) -> str:
+    """Shared CTE prefix: the unrolled training rounds (w, s0, p/m/s per
+    round) used by both the train and the apply oracles."""
     toks = H.duck_tokens("text")
     parts = [
         f"""WITH w AS (
@@ -632,9 +632,91 @@ def duck_bpe_train_sql(rounds: int = 3) -> str:
                    freq
             FROM s{r - 1}
         )""")
+    return "".join(parts)
+
+
+def duck_bpe_train_sql(rounds: int = 3) -> str:
+    """DuckDB twin of ``bpe_train_merges`` — the merge loop unrolled as
+    CTE rounds with scalar-subquery merge rules."""
     sel = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_round, x AS left_sym, y AS right_sym,"
         f" cnt::BIGINT AS n_occurrences FROM m{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _duck_bpe_rounds(rounds) + "\n" + sel
+
+
+def bpe_encode_counts(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """BPE tokenizer APPLY (encode): train ``rounds`` merges on the corpus
+    (``bpe_train_merges``), then encode every document with the learned
+    rules — per doc, the whitespace word count vs the BPE symbol count
+    (the number an LLM token budget actually bills).
+
+    Scale shape: encoding happens at the VOCABULARY level — each distinct
+    word is merged once and its symbol count joins back onto the per-doc
+    word counts (Σ cnt·n_sym), so the per-doc pass never re-runs string
+    merges over the corpus; the vocabulary side broadcasts (Heaps' law,
+    same justification as tfidf_topk).
+    """
+    rules = bpe_train_merges(documents, rounds).collect()
+    dt = (
+        documents.selectExpr("doc_id", f"explode({_TOKENS}) as w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  "))
+    for r in rules:
+        sym = F.replace(
+            sym,
+            F.lit(f" {r.left_sym}  {r.right_sym} "),
+            F.lit(f" {r.left_sym}{r.right_sym} "),
+        )
+    vs = dt.select("w").distinct().select(
+        "w", F.size(F.split(F.trim(sym), "  ")).alias("n_sym")
+    )
+    return (
+        dt.join(F.broadcast(vs), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe_symbols"),
+        )
+    )
+
+
+def duck_bpe_apply_sql(rounds: int = 3) -> str:
+    """DuckDB twin of ``bpe_encode_counts``: the shared training rounds
+    plus a vocabulary-level encode of ALL words (len-1 words included —
+    merges never touch them) joined onto per-doc word counts."""
+    toks = H.duck_tokens("text")
+    enc = [
+        f""", dt AS (
+            SELECT doc_id, w, count(*) AS cnt
+            FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+            GROUP BY doc_id, w
+        ), e0 AS (
+            SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym
+            FROM (SELECT DISTINCT w FROM dt)
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        enc.append(f""", e{r} AS (
+            SELECT w, replace(sym,
+                       ' ' || (SELECT x FROM m{r}) || '  '
+                           || (SELECT y FROM m{r}) || ' ',
+                       ' ' || (SELECT x || y FROM m{r}) || ' ') AS sym
+            FROM e{r - 1}
+        )""")
+    return (
+        _duck_bpe_rounds(rounds)
+        + "".join(enc)
+        + f"""
+        , vs AS (
+            SELECT w, len(string_split(trim(sym), '  '))::INT AS n_sym
+            FROM e{rounds}
+        )
+        SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+               sum(cnt * n_sym)::BIGINT AS n_bpe_symbols
+        FROM dt JOIN vs USING (w) GROUP BY doc_id
+        """
+    )
