@@ -1465,6 +1465,13 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup_pairs): semantic near-dup pairs
+    within k-means clusters — cluster blocking bounds the pair space,
+    int8 cosine keeps the check exact."""
+    return sim.semdedup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer k-means (similarity.kmeans_embeddings): 2 Lloyd rounds over
     int8 codes, deterministic seeds — iterative driver loop whose every
@@ -1622,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_window": q_stream_window,
         "q_bpe_train": q_bpe_train,
         "q_bpe_apply": q_bpe_apply,
+        "q_semdedup": q_semdedup,
     }
 
 
@@ -3594,47 +3602,8 @@ def _extension_oracles() -> dict[str, str]:
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
     """
-    _km_q = (
-        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
-        " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
-    )
-    _km_dist = (
-        "list_sum(list_transform(generate_series(1, 64),"
-        " i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i])))"
-    )
-    out["q_kmeans"] = f"""
-        WITH q AS (
-            SELECT vec_id, {_km_q} AS q FROM embeddings
-        ), c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < 8),
-        d1 AS (
-            SELECT q.vec_id, q.q, c.cid, {_km_dist} AS dist
-            FROM q CROSS JOIN c0 c
-        ), a1 AS (
-            SELECT vec_id, q, cid, dist FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY dist, cid) AS rn
-                FROM d1
-            ) WHERE rn = 1
-        ), c1cell AS (
-            SELECT cid, i AS dim, CAST(floor(avg(q[i])) AS BIGINT) AS cv
-            FROM a1, generate_series(1, 64) AS g(i)
-            GROUP BY cid, i
-        ), c1 AS (
-            SELECT cid, list(cv ORDER BY dim) AS c FROM c1cell GROUP BY cid
-        ), d2 AS (
-            SELECT q.vec_id, c.cid, {_km_dist} AS dist
-            FROM q CROSS JOIN c1 c
-        ), a2 AS (
-            SELECT vec_id, cid, dist FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY dist, cid) AS rn
-                FROM d2
-            ) WHERE rn = 1
-        )
-        SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n_vectors,
-               sum(dist)::BIGINT AS inertia
-        FROM a2 GROUP BY cid
-    """
+    out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
+    out["q_semdedup"] = sim.duck_semdedup_sql(k=8, threshold=0.3)
     out["q_higher_order"] = f"""
         SELECT doc_id,
                len(list_filter(tk, t -> strlen(t) >= 5))::INT AS n_long,

@@ -458,7 +458,7 @@ def _int_sq_dist(q: Column, centroid: list[int]) -> Column:
     )
 
 
-def kmeans_embeddings(
+def kmeans_assign(
     embeddings: DataFrame, k: int = 8, iters: int = 2
 ) -> DataFrame:
     """Lloyd's k-means over int8-quantized embeddings, ``iters`` assignment
@@ -476,8 +476,7 @@ def kmeans_embeddings(
     partial-agg groupBy of (cluster, dim) cells). Per round the driver
     holds k·dim ints — independent of corpus size.
 
-    Returns per-cluster stats of the final assignment: (cluster_id,
-    n_vectors, inertia).
+    Returns the final assignment: (vec_id, q, cluster_id, dist).
     """
     e = embeddings.select(
         "vec_id", _quantize_int8(F.col("embedding")).alias("q")
@@ -525,8 +524,138 @@ def kmeans_embeddings(
         centroids = sorted(
             (int(r.cluster_id), [int(s.c) for s in r.cs]) for r in cells
         )
-    final = assign(centroids)
+    return assign(centroids)
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Per-cluster stats of the final k-means assignment (see
+    ``kmeans_assign``): (cluster_id, n_vectors, inertia)."""
+    final = kmeans_assign(embeddings, k, iters)
     return final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("dist").alias("inertia"),
+    )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic near-duplicate pairs found
+    WITHIN k-means clusters — the clustering bounds the pair space to
+    Σ|cluster|² (the whole point of the method: at web scale the all-pairs
+    cosine is impossible; within-cluster pairs are tractable because
+    near-dups land in the same cell).
+
+    Similarity is cosine over the int8 codes: integer dot product and
+    integer squared norms (exact in both engines), one sqrt + one divide
+    at the end — deterministic, so the approximate METHOD gets an exact
+    oracle. Returns (cluster_id, vec_a, vec_b, qsim).
+    """
+    a = kmeans_assign(embeddings, k, iters).withColumn(
+        "qn2",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ),
+    ).persist()
+    x, y = a.alias("x"), a.alias("y")
+    qdot = F.aggregate(
+        F.zip_with(F.col("x.q"), F.col("y.q"), lambda u, v: u * v),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.cluster_id").alias("cluster_id"),
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round(
+                qdot / F.sqrt((F.col("x.qn2") * F.col("y.qn2")).cast("double")),
+                4,
+            ).alias("qsim"),
+        )
+        .filter(F.col("qsim") >= threshold)
+    )
+
+
+def duck_kmeans_cte(k: int = 8) -> str:
+    """Shared oracle CTE chain for the 2-round integer k-means: ends at
+    ``a2`` = (vec_id, q, cid, dist), the final assignment."""
+    km_q = (
+        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
+        " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
+    )
+    km_dist = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i])))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {km_q} AS q FROM embeddings
+        ), c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {k}),
+        d1 AS (
+            SELECT q.vec_id, q.q, c.cid, {km_dist} AS dist
+            FROM q CROSS JOIN c0 c
+        ), a1 AS (
+            SELECT vec_id, q, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ), c1cell AS (
+            SELECT cid, i AS dim, CAST(floor(avg(q[i])) AS BIGINT) AS cv
+            FROM a1, generate_series(1, 64) AS g(i)
+            GROUP BY cid, i
+        ), c1 AS (
+            SELECT cid, list(cv ORDER BY dim) AS c FROM c1cell GROUP BY cid
+        ), d2 AS (
+            SELECT q.vec_id, q.q, c.cid, {km_dist} AS dist
+            FROM q CROSS JOIN c1 c
+        ), a2 AS (
+            SELECT vec_id, q, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        )"""
+
+
+def duck_kmeans_sql(k: int = 8) -> str:
+    return (
+        duck_kmeans_cte(k)
+        + """
+        SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n_vectors,
+               sum(dist)::BIGINT AS inertia
+        FROM a2 GROUP BY cid
+    """
+    )
+
+
+def duck_semdedup_sql(k: int = 8, threshold: float = 0.3) -> str:
+    qdot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> x.q[i] * y.q[i]))"
+    )
+    qn2 = "list_sum(list_transform({s}.q, v -> v * v))"
+    return (
+        duck_kmeans_cte(k)
+        + f"""
+        SELECT CAST(x.cid AS INT) AS cluster_id,
+               x.vec_id AS vec_a, y.vec_id AS vec_b,
+               round({qdot} / sqrt(({qn2.format(s='x')}
+                   * {qn2.format(s='y')})::DOUBLE), 4) AS qsim
+        FROM a2 x JOIN a2 y
+          ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round({qdot} / sqrt(({qn2.format(s='x')}
+                  * {qn2.format(s='y')})::DOUBLE), 4) >= {threshold}
+    """
     )
