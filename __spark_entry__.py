@@ -1465,6 +1465,19 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas (pandas_ops.cogrouped_reconcile): per
+    entity key, orders and events reconciled in one Python task — the
+    fourth Pandas API shape, oracle = full-outer join of partial aggs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.pandas_ops import (
+        cogrouped_reconcile,
+    )
+
+    return cogrouped_reconcile(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "events")
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (similarity.semdedup_pairs): semantic near-dup pairs
     within k-means clusters — cluster blocking bounds the pair space,
@@ -1630,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": q_bpe_train,
         "q_bpe_apply": q_bpe_apply,
         "q_semdedup": q_semdedup,
+        "q_cogroup": q_cogroup,
     }
 
 
@@ -3601,6 +3615,22 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_cogroup"] = """
+        WITH o AS (
+            SELECT o_custkey AS key, count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS order_cents
+            FROM orders GROUP BY o_custkey
+        ), e AS (
+            SELECT user_id AS key, count(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT coalesce(o.key, e.key) AS key,
+               coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+               coalesce(o.order_cents, 0)::BIGINT AS order_cents,
+               coalesce(e.n_events, 0)::BIGINT AS n_events
+        FROM o FULL OUTER JOIN e ON o.key = e.key
     """
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
     out["q_semdedup"] = sim.duck_semdedup_sql(k=8, threshold=0.3)

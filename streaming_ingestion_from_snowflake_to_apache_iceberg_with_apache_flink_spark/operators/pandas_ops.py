@@ -100,3 +100,54 @@ def grouped_agg_charsum(documents: DataFrame) -> DataFrame:
         row_count("doc_id").alias("n_docs"),
         char_sum("n_chars").alias("total_chars"),
     )
+
+
+def cogrouped_reconcile(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """Cogrouped-map ``applyInPandas`` — the fourth and last Pandas API
+    shape (``groupBy().cogroup(other.groupBy())``): per entity key, both
+    sides' rows arrive as two pandas frames in ONE task, the shape for
+    custom two-source reconciliation that a join can't express row-wise
+    (here: order count/cents vs event count per key, exact integers).
+
+    One co-partitioned shuffle per side on the key; each key's pair of
+    frames must fit an executor (entity-sized groups do). The equivalent
+    relational form is a full-outer join of two partial aggs — which is
+    exactly what the oracle states, value-checking the Python stage.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("order_cents", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        key = int(left["k"].iloc[0]) if len(left) else int(right["k"].iloc[0])
+        # per-row floor(x·100 + 0.5) then exact integer sum — the same
+        # cents quantization the oracle states (engine round-half rules
+        # and FP sum order never enter)
+        cents = (
+            int(np.floor(left["o_totalprice"].to_numpy() * 100 + 0.5).sum())
+            if len(left)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "key": [key],
+                "n_orders": [len(left)],
+                "order_cents": [cents],
+                "n_events": [len(right)],
+            }
+        )
+
+    lo = orders.select(F.col("o_custkey").alias("k"), "o_totalprice")
+    ev = events.select(F.col("user_id").alias("k"))
+    return (
+        lo.groupBy("k")
+        .cogroup(ev.groupBy("k"))
+        .applyInPandas(reconcile, schema=schema)
+    )
