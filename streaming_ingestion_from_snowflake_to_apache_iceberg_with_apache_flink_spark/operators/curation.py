@@ -65,16 +65,20 @@ def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
     near-copies it displaces. Singletons (docs with no near-dup edge) need
     no decision and are excluded by construction. Scale shape: the CC leg
     is the bounded iterative loop of ``connected_components``; quality is
-    a per-row projection; the argmax is one ``row_number`` window over the
-    cluster key — all shuffles on doc/cluster ids, nothing corpus-sized is
-    broadcast.
+    a per-row projection computed ONLY for clustered docs (the cluster
+    membership — a sliver of the corpus — broadcast-semi-joins the corpus
+    first, so the tokenize/score pass never touches the non-duplicated
+    bulk); the argmax is one ``row_number`` window over the cluster key.
     """
     from pyspark.sql import Window
 
     from .dedup import connected_components, ngram_jaccard_pairs
 
     clusters = connected_components(ngram_jaccard_pairs(documents))
-    quality = quality_score(documents).select("doc_id", "quality")
+    in_cluster = documents.join(
+        F.broadcast(clusters.select("doc_id")), "doc_id", "left_semi"
+    )
+    quality = quality_score(in_cluster).select("doc_id", "quality")
     joined = clusters.join(quality, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
