@@ -1465,6 +1465,16 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery (battery.null_battery): equal_null, nullif,
+    nvl2, coalesce, posexplode_outer row preservation — zero shuffles."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.battery import (
+        null_battery,
+    )
+
+    return null_battery(load_table(spark, sf_dir, "events"))
+
+
 def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map applyInPandas (pandas_ops.cogrouped_reconcile): per
     entity key, orders and events reconciled in one Python task — the
@@ -1644,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_apply": q_bpe_apply,
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
+        "q_null_battery": q_null_battery,
     }
 
 
@@ -3615,6 +3626,20 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_null_battery"] = """
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN value END AS reading,
+               (CASE WHEN event_type = 'click' THEN value END
+                   IS NOT DISTINCT FROM value) AS safe_eq,
+               nullif(value, 0.0) AS nz_value,
+               CASE WHEN event_type = 'click' THEN 'present'
+                    ELSE 'absent' END AS tagged,
+               coalesce(CASE WHEN event_type = 'click' THEN value END, -1.0)
+                   AS filled,
+               CASE WHEN event_type = 'click' THEN 0 END AS arr_pos,
+               CASE WHEN event_type = 'click' THEN value END AS arr_val
+        FROM events
     """
     out["q_cogroup"] = """
         WITH o AS (

@@ -155,3 +155,28 @@ def higher_order_battery(documents: DataFrame) -> DataFrame:
         "aggregate(zip_with(tk, reverse(tk), (a, b) -> "
         "cast(a = b as int)), 0, (acc, x) -> acc + x) as palindrome_hits",
     )
+
+
+def null_battery(events: DataFrame) -> DataFrame:
+    """Null-semantics surface: a deterministically sparse reading (only
+    ``click`` events carry one) driven through the null-handling builtins —
+    null-safe equality (``equal_null`` / SQL ``<=>``), ``nullif``,
+    ``nvl2``, ``coalesce`` — plus ``posexplode_outer``, the lateral that
+    PRESERVES rows whose array is null (plain explode drops them, the
+    classic silent-row-loss bug in enrichment pipelines).
+
+    Pure projection + generate: zero shuffles, whole-stage codegen, and
+    every output value is an exact function of the row, so the oracle
+    states each builtin's semantics directly.
+    """
+    reading = F.when(F.col("event_type") == "click", F.col("value"))
+    arr = F.when(F.col("event_type") == "click", F.array(F.col("value")))
+    return events.select(
+        "event_id",
+        reading.alias("reading"),
+        F.equal_null(reading, F.col("value")).alias("safe_eq"),
+        F.nullif(F.col("value"), F.lit(0.0)).alias("nz_value"),
+        F.nvl2(reading, F.lit("present"), F.lit("absent")).alias("tagged"),
+        F.coalesce(reading, F.lit(-1.0)).alias("filled"),
+        F.posexplode_outer(arr),
+    ).withColumnsRenamed({"pos": "arr_pos", "col": "arr_val"})
