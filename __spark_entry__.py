@@ -1465,6 +1465,55 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-resolution join (dedup.fuzzy_name_pairs):
+    within-nation + length-band candidates, Levenshtein <= 2 survivors."""
+    return dd.fuzzy_name_pairs(load_table(spark, sf_dir, "customer"))
+
+
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch mergeability (sketch.kmv_mergeable): global distinct
+    estimate from the union of per-language sketches alone — the
+    mergeable-summary property 1000-executor sketching rests on."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        kmv_mergeable,
+    )
+
+    return kmv_mergeable(load_table(spark, sf_dir, "documents"))
+
+
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (sources.files.write_read_orc): orders →
+    ORC → declared-schema read → per-priority summary; the oracle never
+    sees the ORC file, so the format conversion itself is value-checked."""
+    import shutil
+    import tempfile
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.files import (
+        write_read_orc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="sgq_orc_")
+    try:
+        back = write_read_orc(orders, base, orders.schema)
+        out = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-semantics battery (battery.null_battery): equal_null, nullif,
     nvl2, coalesce, posexplode_outer row preservation — zero shuffles."""
@@ -1655,6 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_sketch_merge": q_sketch_merge,
+        "q_orc_source": q_orc_source,
     }
 
 
@@ -3626,6 +3678,27 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_fuzzy_join"] = """
+        SELECT a.c_nationkey AS nationkey,
+               a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               levenshtein(a.c_name, b.c_name)::INT AS edit_dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+         AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        duck_kmv_mergeable_sql,
+    )
+
+    out["q_sketch_merge"] = duck_kmv_mergeable_sql()
+    out["q_orc_source"] = """
+        SELECT o_orderpriority, count(*) AS n,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS cents
+        FROM orders GROUP BY o_orderpriority
     """
     out["q_null_battery"] = """
         SELECT event_id,

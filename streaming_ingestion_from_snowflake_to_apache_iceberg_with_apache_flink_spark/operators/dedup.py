@@ -757,3 +757,45 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
             F.sum("jx").alias("sum_jaccard_x10k"),
         )
     )
+
+
+def fuzzy_name_pairs(customer: DataFrame, max_edit: int = 2) -> DataFrame:
+    """Entity-resolution fuzzy join: customer pairs whose names are within
+    ``max_edit`` Levenshtein edits — the record-linkage primitive for
+    catalogs where the same entity appears with typos/variants.
+
+    Scale shape: the classic blocked fuzzy join — candidate pairs come
+    from an equi-join on the blocking key (nation) plus a length band
+    (|len(a)−len(b)| ≤ max_edit, a NECESSARY condition for edit distance
+    ≤ max_edit, so no true pair is lost), and only candidates pay the
+    O(len²) Levenshtein. Never the all-pairs cross product: the pair
+    space is Σ|block|², and at 100 TB you sharpen the blocking key
+    (nation → nation×name-prefix×length-bucket) instead of widening the
+    join.
+    """
+    c = customer.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.length("c_name").alias("ln"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (
+            F.abs(F.col("a.ln") - F.col("b.ln")) <= max_edit
+        ),
+    )
+    return (
+        cand.select(
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= max_edit)
+    )

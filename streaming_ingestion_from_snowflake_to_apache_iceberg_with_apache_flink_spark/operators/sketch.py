@@ -214,3 +214,87 @@ def bloom_join_audit(customer: DataFrame, orders: DataFrame) -> DataFrame:
             .alias("n_false_pos"),
         )
     )
+
+
+def kmv_mergeable(documents: DataFrame, k: int = 128) -> DataFrame:
+    """KMV sketch MERGEABILITY — the property that makes sketches work on
+    1000 executors: build one k-minimum-values sketch per language, then
+    estimate the GLOBAL distinct-token count from the union of the tiny
+    per-language sketches alone (k hashes each), never rescanning the
+    corpus. Output: one row per language (its own estimate + exact) plus
+    a ``__merged__`` row whose estimate used only the sketches and whose
+    exact column is the true global distinct count — the oracle thereby
+    checks the merge rule itself, not just per-partition estimates.
+    """
+    tok = H.spark_tokens("text")
+    pairs = (
+        spread(documents)
+        .selectExpr("lang", f"explode(array_distinct({tok})) as token")
+        .selectExpr("lang", H.spark_h32("token") + " as h")
+        .distinct()
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc())
+    sk = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    per_lang = (
+        sk.groupBy("lang")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("ku"))
+        .join(
+            pairs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact")),
+            "lang",
+        )
+        .selectExpr(
+            "lang as scope",
+            f"cast((ku - 1) * {HASH_DOMAIN}L div kth as bigint) as n_est",
+            "n_exact",
+        )
+    )
+    merged_hashes = sk.select("h").distinct()
+    merged = (
+        merged_hashes.orderBy(F.col("h").asc())
+        .limit(k)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("ku"))
+        .crossJoin(pairs.select("h").distinct().agg(F.count(F.lit(1)).alias("n_exact")))
+        .selectExpr(
+            "'__merged__' as scope",
+            f"cast((ku - 1) * {HASH_DOMAIN}L div kth as bigint) as n_est",
+            "n_exact",
+        )
+    )
+    return per_lang.unionByName(merged)
+
+
+def duck_kmv_mergeable_sql(k: int = 128) -> str:
+    tok = H.duck_tokens("text")
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT lang, {H.duck_h32("token")} AS h
+            FROM (SELECT lang, unnest(list_distinct({tok})) AS token
+                  FROM documents)
+        ), sk AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (PARTITION BY lang
+                    ORDER BY h) AS rk
+                FROM pairs
+            ) WHERE rk <= {k}
+        ), per_lang AS (
+            SELECT s.lang AS scope,
+                   ((s.ku - 1) * {HASH_DOMAIN} // s.kth)::BIGINT AS n_est,
+                   e.n_exact
+            FROM (SELECT lang, max(h) AS kth, count(*) AS ku FROM sk
+                  GROUP BY lang) s
+            JOIN (SELECT lang, count(*) AS n_exact FROM pairs
+                  GROUP BY lang) e USING (lang)
+        ), mh AS (
+            SELECT DISTINCT h FROM sk
+        ), merged AS (
+            SELECT '__merged__' AS scope,
+                   ((ku - 1) * {HASH_DOMAIN} // kth)::BIGINT AS n_est,
+                   (SELECT count(DISTINCT h) FROM pairs) AS n_exact
+            FROM (SELECT max(h) AS kth, count(*) AS ku
+                  FROM (SELECT h FROM mh ORDER BY h LIMIT {k}))
+        )
+        SELECT * FROM per_lang UNION ALL SELECT * FROM merged
+    """

@@ -115,3 +115,21 @@ def read_jsonl(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def write_read_orc(
+    df: DataFrame, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC round-trip: write a DataFrame as ORC and read it back with a
+    DECLARED schema (same no-inference stance as the CSV/JSONL readers).
+    ORC is the second columnar format large estates actually hold (Hive
+    heritage); Spark's reader is vectorized and predicate-pushing exactly
+    like parquet, so every operator in this engine runs on ORC-backed
+    tables unchanged — this function is the conversion + proof path.
+    """
+    spark = df.sparkSession
+    df.write.mode("overwrite").orc(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
