@@ -1309,3 +1309,103 @@ def test_key_skew_invariants(spark, sf_dir):
     assert r.skew_factor_x10k >= 10_000
     assert r.max_per_key * 10_000 >= r.mean_per_key_x10k
     assert abs(r.mean_per_key_x10k * r.n_keys - r.n_rows * 10_000) < r.n_keys
+
+
+def test_fuzzy_blocking_loses_no_true_pair(spark):
+    """The length band |len(a)-len(b)| <= max_edit is a NECESSARY
+    condition for levenshtein <= max_edit (each edit changes length by at
+    most 1), so blocked candidates ⊇ true pairs. Verified against an
+    unblocked all-pairs run on a planted frame with typo variants."""
+    rows = [
+        (1, "alpha industries", 0),
+        (2, "alpha industrees", 0),    # 1 substitution from #1
+        (3, "alpha industriez", 0),    # 1 sub from #1, 2 from #2
+        (4, "gamma logistics", 0),
+        (5, "gamma logistics co", 0),  # 3 edits from #4 — out
+        (6, "alpha industries", 1),    # other block: never paired with #1
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int"
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    got = {
+        (r.cust_a, r.cust_b): r.edit_dist
+        for r in fuzzy_name_pairs(df, max_edit=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+    # cross-block identical names are NOT paired (blocking is semantics)
+    assert (1, 6) not in got
+
+
+def test_fuzzy_length_band_is_sound():
+    """Property: levenshtein(a,b) >= |len(a)-len(b)| for random strings —
+    the inequality the blocking relies on."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    @given(
+        st.text(alphabet="abc", max_size=8), st.text(alphabet="abc", max_size=8)
+    )
+    def check(a, b):
+        assert lev(a, b) >= abs(len(a) - len(b))
+
+    check()
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    """Mergeability: the global KMV estimate from unioned per-language
+    sketches must equal the estimate a direct global sketch would give
+    whenever every language sketch is unsaturated OR the merged k smallest
+    hashes coincide — on the fixture both paths see the same k minima, so
+    the estimates are identical."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        kmv_distinct_tokens,
+        kmv_mergeable,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merged = {
+        r.scope: (r.n_est, r.n_exact) for r in kmv_mergeable(docs, k=256).collect()
+    }
+    direct = kmv_distinct_tokens(docs, k=256).collect()[0]
+    est, exact = merged["__merged__"]
+    assert exact == direct.n_exact
+    assert est == direct.n_est
+
+
+def test_semdedup_pairs_subset_of_cluster_pairs(spark):
+    """Every SemDeDup pair lies in one k-means cluster and its similarity
+    clears the threshold — and the pair count is bounded by Σ|c|²."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        kmeans_embeddings,
+        semdedup_pairs,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = semdedup_pairs(emb, threshold=0.3).collect()
+    sizes = {
+        r.cluster_id: r.n_vectors for r in kmeans_embeddings(emb).collect()
+    }
+    bound = sum(n * (n - 1) // 2 for n in sizes.values())
+    assert len(pairs) <= bound
+    assert all(r.qsim >= 0.3 for r in pairs)
