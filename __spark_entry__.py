@@ -1465,6 +1465,34 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+_SQL_FRONTEND = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE floor(o.o_totalprice * 100 + 0.5)
+          > (SELECT 2 * avg(floor(o2.o_totalprice * 100 + 0.5))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      AND EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+"""
+
+
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: ANSI SQL with a correlated scalar subquery and
+    a correlated EXISTS over registered views — Catalyst de-correlates
+    both into aggregate + joins (no per-row re-execution; .explain shows
+    the rewritten join plan). The oracle runs the IDENTICAL SQL text, so
+    the frontend itself is what is being checked. Exact-cents arithmetic
+    keeps the correlated average engine-portable."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table as _lt,
+    )
+
+    for t in ("orders", "customer"):
+        _lt(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_FRONTEND)
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity-resolution join (dedup.fuzzy_name_pairs):
     within-nation + length-band candidates, Levenshtein <= 2 survivors."""
@@ -1704,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_sql_frontend": q_sql_frontend,
         "q_fuzzy_join": q_fuzzy_join,
         "q_sketch_merge": q_sketch_merge,
         "q_orc_source": q_orc_source,
@@ -3679,6 +3708,7 @@ def _extension_oracles() -> dict[str, str]:
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
     """
+    out["q_sql_frontend"] = _SQL_FRONTEND
     out["q_fuzzy_join"] = """
         SELECT a.c_nationkey AS nationkey,
                a.c_custkey AS cust_a, b.c_custkey AS cust_b,
