@@ -685,3 +685,15 @@ def test_bpe_train_rounds_are_vocab_sized(spark):
     rows = out.collect()
     assert len(rows) == 2
     assert rows[0].n_occurrences >= rows[1].n_occurrences
+
+
+def test_sql_frontend_decorrelates_subqueries(spark):
+    """Catalyst must rewrite the correlated scalar subquery and EXISTS
+    into aggregate + joins — no per-row subquery execution survives in
+    the physical plan."""
+    import __spark_entry__ as em
+
+    df = em.q_sql_frontend(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Join") >= 2, "both subqueries should become joins"
+    assert "Subquery" not in plan, "no uncorrelated-per-row subquery nodes"
