@@ -1465,6 +1465,38 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal cluster labeling: k-means clusters from the embedding
+    table (similarity.kmeans_assign) joined 1:1 onto documents, then the
+    top-5 characteristic tokens (len ≥ 4) per cluster — the corpus-
+    exploration query semantic dedup pipelines run to NAME their
+    clusters. Token counting shuffles once on (cluster, token); the
+    per-cluster top-k is a WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assign = sim.kmeans_assign(emb, k=8, iters=2).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    toks = docs.selectExpr(
+        "doc_id", f"explode({H.spark_tokens('text')}) as token"
+    ).filter(F.length("token") >= 4)
+    counts = (
+        toks.join(assign, "doc_id")
+        .groupBy("cluster_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("cluster_id", "token", "n", "rank")
+    )
+
+
 _SQL_FRONTEND = """
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
     FROM orders o
@@ -1732,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_cluster_terms": q_cluster_terms,
         "q_sql_frontend": q_sql_frontend,
         "q_fuzzy_join": q_fuzzy_join,
         "q_sketch_merge": q_sketch_merge,
@@ -3707,6 +3740,24 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_cluster_terms"] = sim.duck_kmeans_cte(8) + f"""
+        , assign AS (SELECT vec_id AS doc_id, CAST(cid AS INT) AS cluster_id
+                     FROM a2),
+        toks AS (
+            SELECT doc_id, unnest({H.duck_tokens('text')}) AS token
+            FROM documents
+        ), counts AS (
+            SELECT a.cluster_id, t.token, count(*) AS n
+            FROM toks t JOIN assign a USING (doc_id)
+            WHERE length(t.token) >= 4
+            GROUP BY a.cluster_id, t.token
+        )
+        SELECT cluster_id, token, n, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+                ORDER BY n DESC, token) AS INT) AS rank
+            FROM counts
+        ) WHERE rank <= 5
     """
     out["q_sql_frontend"] = _SQL_FRONTEND
     out["q_fuzzy_join"] = """
