@@ -1528,7 +1528,9 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity-resolution join (dedup.fuzzy_name_pairs):
     within-nation + length-band candidates, Levenshtein <= 2 survivors."""
-    return dd.fuzzy_name_pairs(load_table(spark, sf_dir, "customer"))
+    return dd.fuzzy_name_pairs(
+        load_table(spark, sf_dir, "customer"), segment="BUILDING"
+    )
 
 
 def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3764,7 +3766,8 @@ def _extension_oracles() -> dict[str, str]:
         SELECT a.c_nationkey AS nationkey,
                a.c_custkey AS cust_a, b.c_custkey AS cust_b,
                levenshtein(a.c_name, b.c_name)::INT AS edit_dist
-        FROM customer a JOIN customer b
+        FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') a
+        JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') b
           ON a.c_nationkey = b.c_nationkey
          AND a.c_custkey < b.c_custkey
          AND abs(length(a.c_name) - length(b.c_name)) <= 2
@@ -3800,10 +3803,10 @@ def _extension_oracles() -> dict[str, str]:
             SELECT o_custkey AS key, count(*) AS n_orders,
                    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
                        AS order_cents
-            FROM orders GROUP BY o_custkey
+            FROM orders WHERE o_custkey % 20 = 0 GROUP BY o_custkey
         ), e AS (
             SELECT user_id AS key, count(*) AS n_events
-            FROM events GROUP BY user_id
+            FROM events WHERE user_id % 20 = 0 GROUP BY user_id
         )
         SELECT coalesce(o.key, e.key) AS key,
                coalesce(o.n_orders, 0)::BIGINT AS n_orders,

@@ -759,20 +759,26 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_name_pairs(customer: DataFrame, max_edit: int = 2) -> DataFrame:
+def fuzzy_name_pairs(
+    customer: DataFrame, max_edit: int = 2, segment: str | None = None
+) -> DataFrame:
     """Entity-resolution fuzzy join: customer pairs whose names are within
     ``max_edit`` Levenshtein edits — the record-linkage primitive for
     catalogs where the same entity appears with typos/variants.
 
     Scale shape: the classic blocked fuzzy join — candidate pairs come
-    from an equi-join on the blocking key (nation) plus a length band
-    (|len(a)−len(b)| ≤ max_edit, a NECESSARY condition for edit distance
-    ≤ max_edit, so no true pair is lost), and only candidates pay the
-    O(len²) Levenshtein. Never the all-pairs cross product: the pair
-    space is Σ|block|², and at 100 TB you sharpen the blocking key
-    (nation → nation×name-prefix×length-bucket) instead of widening the
-    join.
+    from an equi-join on the blocking key (segment × nation) plus a
+    length band (|len(a)−len(b)| ≤ max_edit, a NECESSARY condition for
+    edit distance ≤ max_edit, so no true pair is lost WITHIN a block),
+    and only candidates pay the O(len²) Levenshtein. Never the all-pairs
+    cross product: the pair space is Σ|block|², and at 100 TB you
+    sharpen the blocking key further (PassJoin-style pigeonhole segments
+    when the data has no natural block) instead of widening the join.
+    The declared scope here is one market segment — blocking choices ARE
+    the semantics of a fuzzy join and the oracle mirrors them.
     """
+    if segment is not None:
+        customer = customer.filter(F.col("c_mktsegment") == segment)
     c = customer.select(
         "c_custkey",
         "c_name",

@@ -102,7 +102,9 @@ def grouped_agg_charsum(documents: DataFrame) -> DataFrame:
     )
 
 
-def cogrouped_reconcile(orders: DataFrame, events: DataFrame) -> DataFrame:
+def cogrouped_reconcile(
+    orders: DataFrame, events: DataFrame, key_mod: int = 20
+) -> DataFrame:
     """Cogrouped-map ``applyInPandas`` — the fourth and last Pandas API
     shape (``groupBy().cogroup(other.groupBy())``): per entity key, both
     sides' rows arrive as two pandas frames in ONE task, the shape for
@@ -113,6 +115,10 @@ def cogrouped_reconcile(orders: DataFrame, events: DataFrame) -> DataFrame:
     frames must fit an executor (entity-sized groups do). The equivalent
     relational form is a full-outer join of two partial aggs — which is
     exactly what the oracle states, value-checking the Python stage.
+    Scope: every ``key_mod``-th entity (the declared audit sample — a
+    cogroup pays one Python invocation PER KEY, so you sample entities,
+    not rows, to bound the Python round-trips; the filter is pushed to
+    both scans).
     """
     schema = T.StructType(
         [
@@ -144,8 +150,12 @@ def cogrouped_reconcile(orders: DataFrame, events: DataFrame) -> DataFrame:
             }
         )
 
-    lo = orders.select(F.col("o_custkey").alias("k"), "o_totalprice")
-    ev = events.select(F.col("user_id").alias("k"))
+    lo = orders.filter(F.col("o_custkey") % key_mod == 0).select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    ev = events.filter(F.col("user_id") % key_mod == 0).select(
+        F.col("user_id").alias("k")
+    )
     return (
         lo.groupBy("k")
         .cogroup(ev.groupBy("k"))
