@@ -492,16 +492,32 @@ def kmeans_assign(
 
     def assign(cur: list[tuple[int, list[int]]]) -> DataFrame:
         # argmin via array_min over (dist, cid) structs — lexicographic
-        # struct ordering = min distance, ties to the smaller cluster id
+        # struct ordering = min distance, ties to the smaller cluster id.
+        # The centroids enter as ONE nested array literal walked by a
+        # single generic fold (zip_with + aggregate lambdas), not k
+        # unrolled folds: same map-only plan, but whole-stage codegen
+        # compiles one loop instead of k·dim inlined expressions — the
+        # difference between seconds and tens of seconds of Janino time
+        # per assignment pass (compile cost is per-plan, data-independent).
+        cents = F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+                for _, c in cur
+            ]
+        )
+        ids = F.array(*[F.lit(int(cid)) for cid, _ in cur])
         best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _int_sq_dist(F.col("q"), c).alias("dist"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, c in cur
-                ]
+            F.zip_with(
+                cents,
+                ids,
+                lambda c, cid: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    cid.alias("cid"),
+                ),
             )
         )
         return e.select("vec_id", "q", best.alias("best")).select(
