@@ -410,3 +410,32 @@ def test_iceberg_compact_sql_generation(spark):
     sink = CatalogSink(spark, cfg.sink)
     sql = sink.iceberg_compact_sql()
     assert "rewrite_data_files" in sql and sink.table in sql
+
+
+def test_stream_ingest_restart_recovers_checkpoint(spark, staging, tmp_path):
+    """Fault-tolerance contract (SURVEY §3.4: Spark's commit log plays
+    Flink's checkpoint barrier): drain the first half, STOP, land more
+    files, restart with the SAME checkpoint — the restarted stream must
+    ingest only the new files, never re-deliver old ones, and the final
+    table equals the full source exactly once."""
+    path, first, rest, orders = staging
+    cfg = _cfg(_uniq("t_restart"))
+    schema = load_table(spark, SF, "orders").schema
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = stream_ingest(spark, cfg, path, ckpt, schema, available_now=True)
+    q1.awaitTermination(120)
+    sink = CatalogSink(spark, cfg.sink)
+    assert sink.read().count() == first.count()
+
+    # the source grows between runs (the reference's continuous-poll case)
+    rest.write.mode("append").parquet(path)
+    q2 = stream_ingest(spark, cfg, path, ckpt, schema, available_now=True)
+    q2.awaitTermination(120)
+
+    got = sink.read()
+    assert got.count() == orders.count()
+    assert got.select("o_orderkey").distinct().count() == orders.count()
+    assert got.select(*orders.columns).exceptAll(orders).count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {sink.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {sink.commits}")
