@@ -271,19 +271,24 @@ class CatalogSink:
         version = self.version_column or keys[-1]
         parts = list(self.cfg.partition_fields)
         current = self.read()
-        if parts:
+        # Bootstrap fast path: against an EMPTY target (first commit /
+        # initial load) the merge degenerates to batch-internal dedup —
+        # skip the target union AND the localCheckpoint barrier (which
+        # exists only because the merged plan otherwise self-joins the
+        # table being overwritten). Saves a full batch materialization
+        # on exactly the commit that carries the most rows.
+        target_empty = current.isEmpty()
+        if parts and not target_empty:
             # restrict the rewrite to partitions the batch touches: the
             # MERGE ON <equality fields> target-side partition pruning
             touched = batch.select(*parts).distinct()
             current = current.join(F.broadcast(touched), on=parts, how="left_semi")
-        merged = merge_upsert(
-            current.withColumn("__src", F.lit(0)).unionByName(
-                batch.withColumn("__src", F.lit(1))
-            ),
-            keys,
-            version,
-            tiebreakers=["__src"],
-        ).drop("__src")
+        src = batch.withColumn("__src", F.lit(1))
+        if not target_empty:
+            src = current.withColumn("__src", F.lit(0)).unionByName(src)
+        merged = merge_upsert(src, keys, version, tiebreakers=["__src"]).drop(
+            "__src"
+        )
         # Align writer tasks with table partitions: without this every
         # shuffle partition writes a sliver of every touched partition
         # (tasks × partitions small files per commit, and the unseen-mode
@@ -292,10 +297,12 @@ class CatalogSink:
         # add a bucketing term to the repartition key.
         if parts:
             merged = merged.repartition(*parts)
-        # self-join on the target table: materialize before overwriting it
-        self._aligned(merged.localCheckpoint(eager=True)).write.format(
-            "parquet"
-        ).mode("overwrite").insertInto(self.table)
+        if not target_empty:
+            # self-join on the target table: materialize before overwriting
+            merged = merged.localCheckpoint(eager=True)
+        self._aligned(merged).write.format("parquet").mode(
+            "overwrite"
+        ).insertInto(self.table)
 
 
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots parity) --
