@@ -1465,6 +1465,18 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sampling (smp.weighted_priority_
+    sample): h32/weight priorities, top-k smallest — replayable draw."""
+    return smp.weighted_priority_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at exact p99 (smp.winsorize_prices):
+    rank-selected cap broadcast back, exact-cents audit."""
+    return smp.winsorize_prices(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal cluster labeling: k-means clusters from the embedding
     table (similarity.kmeans_assign) joined 1:1 onto documents, then the
@@ -1766,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_weighted_sample": q_weighted_sample,
+        "q_winsorize": q_winsorize,
         "q_cluster_terms": q_cluster_terms,
         "q_sql_frontend": q_sql_frontend,
         "q_fuzzy_join": q_fuzzy_join,
@@ -3742,6 +3756,33 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_weighted_sample"] = """
+        SELECT doc_id, lang, n_chars,
+               round((('0x' || substr(md5('w1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) / n_chars, 6) AS priority
+        FROM documents
+        ORDER BY priority ASC, doc_id ASC LIMIT 100
+    """
+    out["q_winsorize"] = """
+        WITH base AS (
+            SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem
+        ), ranked AS (
+            SELECT l_returnflag, c,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM base
+        ), caps AS (
+            SELECT l_returnflag, c AS cap FROM ranked
+            WHERE rn = greatest(1, floor(n * 99 / 100))
+        )
+        SELECT b.l_returnflag, count(*) AS n_rows,
+               sum(CASE WHEN b.c > caps.cap THEN 1 ELSE 0 END)::BIGINT AS n_capped,
+               max(caps.cap) AS cap_cents,
+               sum(b.c)::BIGINT AS sum_cents,
+               sum(least(b.c, caps.cap))::BIGINT AS sum_capped_cents
+        FROM base b JOIN caps USING (l_returnflag)
+        GROUP BY b.l_returnflag
     """
     out["q_cluster_terms"] = sim.duck_kmeans_cte(8) + f"""
         , assign AS (SELECT vec_id AS doc_id, CAST(cid AS INT) AS cluster_id

@@ -222,3 +222,79 @@ def interleave_sources(
             F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("kept_frac"),
         )
     )
+
+
+def weighted_priority_sample(
+    documents: DataFrame, k: int = 100, salt: str = "w1"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: priority =
+    h32(salt:doc_id) / weight, keep the ``k`` smallest — a longer doc
+    (weight = n_chars) gets a proportionally smaller priority, so
+    selection probability scales with weight, and the whole draw is a
+    pure function of the keys (replayable across runs, partitionings,
+    and engines — ``df.sample()`` is none of those).
+
+    The priority is ONE exact integer-by-integer double division (no
+    libm pow/log, which differ across engines — the reason this is not
+    textbook Efraimidis-Spirakis; the weighting semantics are declared
+    and oracle-mirrored). Top-k is TakeOrderedAndProject: each partition
+    keeps k rows, no global sort.
+    """
+    pr = F.expr(H.spark_h32(f"concat('{salt}:', cast(doc_id as string))")) / F.col(
+        "n_chars"
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(pr, 6).alias("priority"),
+        )
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def winsorize_prices(lineitem: DataFrame, pct: int = 99) -> DataFrame:
+    """Per-group winsorization (outlier capping at the exact p``pct``):
+    the robust data-cleaning step before aggregate features — cap, don't
+    drop. The cap is the exact rank-selected percentile (no
+    interpolation), computed per (returnflag) group and broadcast back
+    onto the rows; output = per-group audit: rows capped, cents sum
+    before/after (exact integers).
+
+    Two passes over one shuffle key: the rank window reuses the
+    partitioning, the tiny per-group cap table broadcasts — no second
+    corpus shuffle.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    base = lineitem.select("l_returnflag", cents.alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("c").asc())
+    ranked = base.select(
+        "l_returnflag",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    caps = ranked.filter(
+        F.col("rn") == F.greatest(F.lit(1), F.floor(F.col("n") * pct / 100))
+    ).select("l_returnflag", F.col("c").alias("cap"))
+    return (
+        base.join(F.broadcast(caps), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "c",
+            "cap",
+            F.least(F.col("c"), F.col("cap")).alias("capped"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("c") > F.col("cap")).cast("bigint")).alias("n_capped"),
+            F.max("cap").alias("cap_cents"),
+            F.sum("c").alias("sum_cents"),
+            F.sum("capped").alias("sum_capped_cents"),
+        )
+    )
