@@ -697,3 +697,22 @@ def test_sql_frontend_decorrelates_subqueries(spark):
     plan = formatted_plan(df)
     assert plan.count("Join") >= 2, "both subqueries should become joins"
     assert "Subquery" not in plan, "no uncorrelated-per-row subquery nodes"
+
+
+def test_weighted_sample_take_ordered(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    df = weighted_priority_sample(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_caps_broadcast_one_shuffle_key(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        winsorize_prices,
+    )
+
+    df = winsorize_prices(load_table(spark, SF, "lineitem"))
+    assert_broadcast_join(df)
