@@ -1465,6 +1465,13 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate state merge (rel.mergeable_agg_states): two
+    epochs' per-group states folded into the monolithic answer — the
+    re-aggregation algebra, hash-proved."""
+    return rel.mergeable_agg_states(load_table(spark, sf_dir, "orders"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted priority sampling (smp.weighted_priority_
     sample): h32/weight priorities, top-k smallest — replayable draw."""
@@ -1778,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_partial_merge": q_partial_merge,
         "q_weighted_sample": q_weighted_sample,
         "q_winsorize": q_winsorize,
         "q_cluster_terms": q_cluster_terms,
@@ -3756,6 +3764,14 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_partial_merge"] = """
+        SELECT o_orderpriority, count(*) AS n_rows,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_cents,
+               min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+               max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+        FROM orders GROUP BY o_orderpriority
     """
     out["q_weighted_sample"] = """
         SELECT doc_id, lang, n_chars,

@@ -898,3 +898,43 @@ def skyline_orders(
     local = _skyline_pass(shard, "salt")
     out = _skyline_pass(local.drop("salt"))
     return out.select("o_orderkey", "o_totalprice", ts_ms("d").alias("d_ms"))
+
+
+def mergeable_agg_states(orders: DataFrame) -> DataFrame:
+    """Partial-aggregate state merge: compute per-group (count, sum, min,
+    max) states over two disjoint epochs of the input, then MERGE the
+    states — the algebraic re-aggregation that incremental pipelines
+    (and Spark's own map-side partial aggregation) rest on. The oracle
+    aggregates the whole input directly, so the hash match PROVES the
+    merge rule reproduces the monolithic answer.
+
+    Scale shape: each epoch is one partial-agg shuffle; the merge
+    aggregates group-count-sized state (rows = groups × epochs). This is
+    how a 100 TB daily pipeline folds yesterday's rollup with today's
+    increment without rereading yesterday.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderpriority", cents.alias("c"), (F.col("o_orderkey") % 2).alias("ep")
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+
+    s0 = state(base.filter(F.col("ep") == 0))
+    s1 = state(base.filter(F.col("ep") == 1))
+    return (
+        s0.unionByName(s1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("s").alias("sum_cents"),
+            F.min("mn").alias("min_cents"),
+            F.max("mx").alias("max_cents"),
+        )
+    )
