@@ -1465,6 +1465,18 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio time-chunking plan (multimodal.audio_chunks): sequence
+    explode + proportional byte ranges + hex-h32 content check — the
+    modality triple's audio leg, Catalyst-side only."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.multimodal import (
+        audio_chunks,
+        fake_media_table,
+    )
+
+    return audio_chunks(fake_media_table(load_table(spark, sf_dir, "documents")))
+
+
 def q_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregate state merge (rel.mergeable_agg_states): two
     epochs' per-group states folded into the monolithic answer — the
@@ -1785,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_audio_chunks": q_audio_chunks,
         "q_partial_merge": q_partial_merge,
         "q_weighted_sample": q_weighted_sample,
         "q_winsorize": q_winsorize,
@@ -3764,6 +3777,33 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_audio_chunks"] = """
+        WITH a AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text))::BIGINT AS nb,
+                   (n_chars * 7)::BIGINT AS dur
+            FROM documents WHERE doc_id % 3 = 2
+        ), c AS (
+            SELECT media_id, hx, nb, dur,
+                   unnest(generate_series(0, greatest(dur - 1, 0), 2000))
+                       AS chunk_start_ms
+            FROM a
+        ), e AS (
+            SELECT media_id, hx, nb, dur, chunk_start_ms,
+                   least(chunk_start_ms + 2000, dur) AS chunk_end_ms
+            FROM c
+        )
+        SELECT media_id, chunk_start_ms, chunk_end_ms,
+               floor(nb * chunk_start_ms / dur)::BIGINT AS start_byte,
+               (floor(nb * chunk_end_ms / dur)
+                - floor(nb * chunk_start_ms / dur))::BIGINT AS n_chunk_bytes,
+               ('0x' || substr(md5(substr(hx,
+                    floor(nb * chunk_start_ms / dur)::BIGINT * 2 + 1,
+                    (floor(nb * chunk_end_ms / dur)
+                     - floor(nb * chunk_start_ms / dur))::BIGINT * 2)),
+                    1, 8))::BIGINT AS chunk_h32
+        FROM e
     """
     out["q_partial_merge"] = """
         SELECT o_orderpriority, count(*) AS n_rows,

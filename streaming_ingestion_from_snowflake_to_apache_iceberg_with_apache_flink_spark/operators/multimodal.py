@@ -195,3 +195,62 @@ def fake_media_table(documents: DataFrame) -> DataFrame:
         "  'duration_ms', cast(n_chars * 7 as bigint)"
         ") as meta",
     )
+
+
+def audio_chunks(df: DataFrame, chunk_ms: int = 2000) -> DataFrame:
+    """Audio segmentation plan: split each audio payload into fixed-length
+    time chunks, each chunk carrying its proportional byte range of the
+    payload (start_byte = floor(n_bytes · t/duration) — coherent for any
+    codec's bytes-per-ms) — the pre-processing an ASR/audio-embedding
+    pipeline runs before its model stage. Completes the modality triple:
+    image → resize, video → frame_sample, audio → chunk.
+
+    Catalyst-side like ``frame_sample``: the chunk timeline is a sequence
+    explode, the byte range a pure projection; the (stubbed) per-chunk
+    decode would chain a ``decode_media`` stage after it. The chunk
+    payload is sliced with JVM ``substring`` on the binary — no Python,
+    and the chunk h32 makes the slicing content-checked, not just
+    length-checked.
+    """
+    audio = df.filter(F.col("kind") == "audio").select(
+        "media_id",
+        "content",
+        F.length("content").cast("bigint").alias("nb"),
+        F.col("meta.duration_ms").alias("dur"),
+    )
+    chunks = audio.select(
+        "media_id",
+        "content",
+        "nb",
+        "dur",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("dur") - 1, F.lit(0)),
+                F.lit(chunk_ms),
+            )
+        ).alias("chunk_start_ms"),
+    ).withColumn(
+        "chunk_end_ms",
+        F.least(F.col("chunk_start_ms") + chunk_ms, F.col("dur")),
+    )
+    # proportional byte range: [floor(nb·start/dur), floor(nb·end/dur))
+    start_b = F.floor(F.col("nb") * F.col("chunk_start_ms") / F.col("dur"))
+    end_b = F.floor(F.col("nb") * F.col("chunk_end_ms") / F.col("dur"))
+    return chunks.select(
+        "media_id",
+        "chunk_start_ms",
+        "chunk_end_ms",
+        start_b.alias("start_byte"),
+        (end_b - start_b).cast("bigint").alias("n_chunk_bytes"),
+        # h32 over the HEX of the chunk bytes: byte slices can split
+        # multibyte sequences, and the oracle's md5 only takes strings —
+        # hex is the byte-faithful string form both engines agree on
+        F.expr(
+            "cast(conv(substring(md5(hex(substring(content, "
+            "cast(floor(nb * chunk_start_ms / dur) as int) + 1, "
+            "cast(floor(nb * chunk_end_ms / dur) "
+            "- floor(nb * chunk_start_ms / dur) as int)))), 1, 8), 16, 10) "
+            "as bigint)"
+        ).alias("chunk_h32"),
+    )
