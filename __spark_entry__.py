@@ -1658,6 +1658,25 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Driver-window bookkeeping: the external correctness runner emits
+    # rows for only the FIRST 50 entries, so the ordering rotates each
+    # round to move never-driver-checked queries into the window (all
+    # queries are locally oracle-checked regardless,
+    # tests/test_oracle_parity.py). Round 3 ordering checks the 50
+    # entries below from q_avro_contract onward. ROUND 4: move these 47
+    # still-unchecked names to the front (keep the rest in any order):
+    # q_calendar_fill q_pair_degree q_cooccurrence_lift q_late_data_audit
+    # q_vocab_coverage q_stream_ingest q_frame_sample q_media_resize
+    # q_pandas_norm q_pandas_scale q_pandas_agg q_bucketed_join
+    # q_outer_join q_window_analytics q_minmax_by q_csv_source
+    # q_jsonl_source q_triangle_count q_key_skew q_map_battery
+    # q_higher_order q_unpivot q_median_mad q_group_concat
+    # q_column_profile q_skyline q_locf q_bloom_join q_knn_classify
+    # q_kmeans q_dup_substring q_source_overlap q_stream_window
+    # q_bpe_train q_bpe_apply q_semdedup q_cogroup q_null_battery
+    # q_audio_chunks q_partial_merge q_weighted_sample q_winsorize
+    # q_cluster_terms q_sql_frontend q_fuzzy_join q_sketch_merge
+    # q_orc_source
     return {
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
