@@ -1465,6 +1465,36 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA (α=1/2) over daily counts (tse.ema_daily): the recursive
+    definition closed-formed into one exact-integer cumsum window."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.ema_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection (tse.cusum_daily): exact mean-cleared
+    cumulative deviations, tie-proof argmax day."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.cusum_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per type (tse.autocorr_daily): Pearson r
+    from exact integer sums, one lead window."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.autocorr_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio time-chunking plan (multimodal.audio_chunks): sequence
     explode + proportional byte ranges + hex-h32 content check — the
@@ -1816,6 +1846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_ema": q_ema,
+        "q_cusum": q_cusum,
+        "q_autocorr": q_autocorr,
         "q_audio_chunks": q_audio_chunks,
         "q_partial_merge": q_partial_merge,
         "q_weighted_sample": q_weighted_sample,
@@ -3796,6 +3829,74 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_ema"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, day, n,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS t
+            FROM ev
+        )
+        SELECT event_type, day * 86400000 AS day_ms, n,
+               round(sum(n * CAST(pow(2.0, t) AS BIGINT))
+                         OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                     / pow(2.0, t + 1), 6) AS ema
+        FROM t
+    """
+    out["q_cusum"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, sum(n) AS N, count(*) AS T FROM ev
+            GROUP BY event_type
+        ), dev AS (
+            SELECT ev.event_type, ev.day,
+                   sum(ev.n * tot.T - tot.N)
+                       OVER (PARTITION BY ev.event_type ORDER BY ev.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cusum,
+                   tot.T AS T
+            FROM ev JOIN tot USING (event_type)
+        )
+        SELECT event_type, max(cusum)::BIGINT AS max_up,
+               min(cusum)::BIGINT AS max_down,
+               arg_min(day, (-cusum) * 1048576 + day) AS argmax_day,
+               any_value(T)::BIGINT AS n_days
+        FROM dev GROUP BY event_type
+    """
+    out["q_autocorr"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), p AS (
+            SELECT event_type, n,
+                   lead(n) OVER (PARTITION BY event_type ORDER BY day)
+                       AS n_next
+            FROM ev
+        ), s AS (
+            SELECT event_type, count(*) AS m, sum(n) AS sx,
+                   sum(n_next) AS sy, sum(n * n_next) AS sxy,
+                   sum(n * n) AS sxx, sum(n_next * n_next) AS syy
+            FROM p WHERE n_next IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, m,
+               round((m * sxy - sx * sy)
+                     / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                              * sqrt((m * syy - sy * sy)::DOUBLE), 0.0), 6)
+                   AS lag1_autocorr
+        FROM s
     """
     out["q_audio_chunks"] = """
         WITH a AS (

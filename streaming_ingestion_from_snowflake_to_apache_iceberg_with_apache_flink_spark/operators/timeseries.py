@@ -165,3 +165,123 @@ def locf_fill(events: DataFrame) -> DataFrame:
         reading.alias("reading"),
         F.last(reading, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+def ema_daily(events: DataFrame) -> DataFrame:
+    """Exponential moving average (α = 1/2) over each type's daily count
+    series — the smoothing pass dashboards and anomaly baselines run.
+
+    Exactness trick: with α = 1/2, y_t = (x_t + y_{t-1})/2 has the closed
+    form y_t = (Σ_{i≤t} x_i·2^i) / 2^(t+1) — the numerator is an exact
+    integer RUNNING SUM (one window cumsum over the per-day aggregates,
+    ≤ 2^53 for any realistic series length), and the division by a power
+    of two is exact in IEEE. No recursive state, no libm pow: the
+    iterative definition becomes one cumulative window, bit-identical in
+    both engines. Windows run over the aggregated day table only.
+    """
+    ev = events.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _DAY_US).cast("bigint").alias("day"),
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.row_number().over(w)
+    return (
+        ev.withColumn("t", t)
+        .withColumn(
+            "num",
+            F.sum(F.col("n") * F.pow(F.lit(2.0), F.col("t")).cast("bigint")).over(
+                run
+            ),
+        )
+        .select(
+            "event_type",
+            (F.col("day") * 86_400_000).alias("day_ms"),
+            "n",
+            F.round(
+                F.col("num") / F.pow(F.lit(2.0), F.col("t") + 1), 6
+            ).alias("ema"),
+        )
+    )
+
+
+def cusum_daily(events: DataFrame) -> DataFrame:
+    """CUSUM change detection over each type's daily counts: cumulative
+    deviation from the series mean (exact integer numerators: dev_t =
+    Σ(n_i·T − N) with T = days, N = total — the ×T clearing of the mean
+    division keeps everything integral). The max positive / negative
+    excursions and their days are the change-point evidence.
+
+    One partial agg to days, one broadcast of the per-type totals, one
+    window cumsum over the tiny day table. The argmax picks are tie-proof
+    (excursion, then earliest day).
+    """
+    ev = events.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _DAY_US).cast("bigint").alias("day"),
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    # "tot"/"nd", not "N"/"T": Spark resolves case-insensitively, so a
+    # column named N would collide with the per-day n after the join
+    tot = ev.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (
+        ev.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum", F.sum(F.col("n") * F.col("nd") - F.col("tot")).over(run)
+        )
+    )
+    return dev.groupBy("event_type").agg(
+        F.max("cusum").alias("max_up"),
+        F.min("cusum").alias("max_down"),
+        # injective bigint arg-key: (-cusum)·2^20 + day (epoch days ≪ 2^20)
+        # — struct ordering inside min_by is not portable to the oracle
+        F.min_by(
+            "day", (-F.col("cusum")) * F.lit(1_048_576) + F.col("day")
+        ).alias("argmax_day"),
+        F.any_value(F.col("nd")).alias("n_days"),
+    )
+
+
+def autocorr_daily(events: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of each type's daily counts (the seasonality
+    / burstiness detector): Pearson r over (n_t, n_{t+1}) pairs computed
+    from EXACT integer sums (Σx, Σy, Σxy, Σx², Σy², m) — one lead window
+    over the day table, one aggregation, a single closed-form double
+    expression at the end, bit-identical cross-engine.
+    """
+    ev = events.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _DAY_US).cast("bigint").alias("day"),
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = (
+        ev.withColumn("n_next", F.lead("n").over(w))
+        .filter(F.col("n_next").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("n").alias("sx"),
+            F.sum("n_next").alias("sy"),
+            F.sum(F.col("n") * F.col("n_next")).alias("sxy"),
+            F.sum(F.col("n") * F.col("n")).alias("sxx"),
+            F.sum(F.col("n_next") * F.col("n_next")).alias("syy"),
+        )
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return pairs.select(
+        "event_type",
+        "m",
+        # constant series ⇒ zero variance ⇒ undefined r: null, not ±inf
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("lag1_autocorr"),
+    )
