@@ -1465,6 +1465,21 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multiset-Jaccard near-dup pairs (dd.weighted_jaccard_pairs):
+    Σmin/Σmax over token counts via the Σmax = |a|+|b|−Σmin identity —
+    sees repetition doping that set-Jaccard misses."""
+    return dd.weighted_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the near-dup graph
+    (dd.clustering_coefficient): 3·triangles / wedges, exact integers."""
+    return dd.clustering_coefficient(
+        dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA (α=1/2) over daily counts (tse.ema_daily): the recursive
     definition closed-formed into one exact-integer cumsum window."""
@@ -1846,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_weighted_jaccard": q_weighted_jaccard,
+        "q_clustering_coef": q_clustering_coef,
         "q_ema": q_ema,
         "q_cusum": q_cusum,
         "q_autocorr": q_autocorr,
@@ -3829,6 +3846,52 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_weighted_jaccard"] = f"""
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS cnt
+            FROM (SELECT doc_id, unnest({H.duck_tokens("text")}) AS token FROM documents)
+            GROUP BY doc_id, token
+        ), sized AS (
+            SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n_tok,
+                   {H.duck_h32('token')} AS tk
+            FROM tf
+        ), kept AS (
+            SELECT tk FROM sized GROUP BY tk HAVING count(*) <= 100
+        ), inv AS (
+            SELECT s.* FROM sized s JOIN kept USING (tk)
+        ), shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_tok AS n_a, b.n_tok AS n_b,
+                   sum(least(a.cnt, b.cnt)) AS sum_min
+            FROM inv a JOIN inv b
+              ON a.tk = b.tk AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               round(sum_min / (n_a + n_b - sum_min), 4) AS wjaccard
+        FROM shared
+        WHERE round(sum_min / (n_a + n_b - sum_min), 4) >= 0.15
+    """
+    out["q_clustering_coef"] = f"""
+        WITH e AS (
+            SELECT doc_a AS a, doc_b AS b FROM ({out['q_dedup_ngram_jaccard']})
+        ), deg AS (
+            SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+            ) GROUP BY v
+        ), w AS (
+            SELECT (sum(d * (d - 1)) / 2)::BIGINT AS n_wedges FROM deg
+        ), tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        )
+        SELECT n_triangles, n_wedges,
+               round(3 * n_triangles / nullif(n_wedges::DOUBLE, 0.0), 6)
+                   AS clustering_coef
+        FROM tri CROSS JOIN w
     """
     out["q_ema"] = """
         WITH ev AS (

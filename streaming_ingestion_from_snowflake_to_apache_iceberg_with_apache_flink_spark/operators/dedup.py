@@ -805,3 +805,75 @@ def fuzzy_name_pairs(
         )
         .filter(F.col("edit_dist") <= max_edit)
     )
+
+
+def weighted_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.15,
+    max_token_df: int = 100,
+) -> DataFrame:
+    """Weighted (multiset) Jaccard near-dup pairs over TOKEN counts:
+    J_w(a,b) = Σ_t min(cnt_a(t), cnt_b(t)) / Σ_t max(cnt_a(t), cnt_b(t)).
+    Set-Jaccard over shingles misses doping (copies padded with repeated
+    filler shift the SET little but the MULTISET a lot); the weighted form
+    sees repetition.
+
+    Σmax needs no per-token max pass: Σmax = |a| + |b| − Σmin (multiset
+    identity), so the pair aggregation only sums min(cnt) over SHARED
+    tokens from the posting-list kernel (counts carried, one shuffle, the
+    same ``max_df`` stop-token cut — declared semantics as always).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        spread(documents)
+        .selectExpr("doc_id", f"explode({_TOKENS}) as token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sized = tf.withColumn(
+        "n_tok", F.sum("cnt").over(Window.partitionBy("doc_id"))
+    )
+    inv = sized.selectExpr(
+        "doc_id", "n_tok", "cnt", H.spark_h32("token") + " as tk"
+    )
+    shared = _posting_pairs(
+        inv, "tk", max_token_df, carry=["n_tok", "cnt"]
+    ).groupBy("doc_a", "doc_b", "n_tok_a", "n_tok_b").agg(
+        F.sum(F.least("cnt_a", "cnt_b")).alias("sum_min")
+    )
+    return shared.selectExpr(
+        "doc_a",
+        "doc_b",
+        "cast(round(sum_min / (n_tok_a + n_tok_b - sum_min), 4) as double)"
+        " as wjaccard",
+    ).filter(F.col("wjaccard") >= threshold)
+
+
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """Global clustering coefficient of the near-dup graph:
+    C = 3·triangles / wedges (wedges = Σ_v deg(v)·(deg(v)−1)/2, exact
+    integers from the degree table) — the one-number answer to "are my
+    duplicate clusters cliques or chains?". Composes the oriented-wedge
+    triangle count with a degree aggregation; both inputs are the pair
+    graph, never the corpus.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    deg = (
+        e.selectExpr("a as v")
+        .unionAll(e.selectExpr("b as v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges")
+    )
+    tri = triangle_count(pairs)
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            3 * F.col("n_triangles") / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("clustering_coef"),
+    )
