@@ -1465,6 +1465,52 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic synthetic-data / fraud screen. Digit extracted from the exact
+    cents STRING (no libm log10); expected Benford share is stated by the
+    oracle as the same closed-form doubles. One partial agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") > 0)
+    tot = digits.count()
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.lit(float(tot)), 6).alias("share"),
+        )
+    )
+
+
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type (ISO weekday,
+    Monday=1 — the one numbering both engines can state exactly):
+    counts + exact per-mille share of the type's events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).alias("iso_dow"),
+    )
+    counts = ev.groupBy("event_type", "iso_dow").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "iso_dow",
+        "n",
+        F.expr("n * 1000 div sum(n) over (partition by event_type)")
+        .cast("bigint")
+        .alias("per_mille"),
+    )
+
+
 def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted multiset-Jaccard near-dup pairs (dd.weighted_jaccard_pairs):
     Σmin/Σmax over token counts via the Σmax = |a|+|b|−Σmin identity —
@@ -1861,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_benford": q_benford,
+        "q_dow_profile": q_dow_profile,
         "q_weighted_jaccard": q_weighted_jaccard,
         "q_clustering_coef": q_clustering_coef,
         "q_ema": q_ema,
@@ -3846,6 +3894,27 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_benford"] = """
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ), dd AS (SELECT digit FROM d WHERE digit > 0)
+        SELECT digit, count(*) AS n,
+               round(count(*) / (SELECT count(*)::DOUBLE FROM dd), 6) AS share
+        FROM dd GROUP BY digit
+    """
+    out["q_dow_profile"] = """
+        WITH ev AS (
+            SELECT event_type, isodow(ts)::INT AS iso_dow FROM events
+        ), c AS (
+            SELECT event_type, iso_dow, count(*) AS n FROM ev GROUP BY 1, 2
+        )
+        SELECT event_type, iso_dow, n,
+               (n * 1000 // sum(n) OVER (PARTITION BY event_type))::BIGINT
+                   AS per_mille
+        FROM c
     """
     out["q_weighted_jaccard"] = f"""
         WITH tf AS (
