@@ -1465,6 +1465,13 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution drift (tx.distribution_drift): exact-integer
+    total-variation distance between two snapshot token distributions +
+    top drifting tokens — the pre-mix check for a new crawl."""
+    return tx.distribution_drift(load_table(spark, sf_dir, "documents"))
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit audit over order totals — the
     classic synthetic-data / fraud screen. Digit extracted from the exact
@@ -1907,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_dist_drift": q_dist_drift,
         "q_benford": q_benford,
         "q_dow_profile": q_dow_profile,
         "q_weighted_jaccard": q_weighted_jaccard,
@@ -3894,6 +3902,36 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_dist_drift"] = f"""
+        WITH t AS (
+            SELECT doc_id % 2 AS side, unnest({H.duck_tokens("text")}) AS token
+            FROM documents
+        ), tf AS (
+            SELECT token,
+                   sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                   sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+            FROM t GROUP BY token
+        ), tot AS (
+            SELECT sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1,
+                   count(*)::BIGINT AS vocab
+            FROM tf
+        ), sc AS (
+            SELECT token, c0, c1,
+                   abs(c0 * n1 - c1 * n0)::BIGINT AS drift_num
+            FROM tf CROSS JOIN tot
+        ), tvd AS (
+            SELECT round(sum(drift_num)
+                         / (2.0 * (SELECT n0 FROM tot)
+                            * (SELECT n1 FROM tot)), 6) AS tvd,
+                   (SELECT vocab FROM tot) AS vocab
+            FROM sc
+        ), top AS (
+            SELECT token, c0, c1, drift_num FROM sc
+            ORDER BY drift_num DESC, token LIMIT 10
+        )
+        SELECT token, c0, c1, drift_num, tvd, vocab
+        FROM top CROSS JOIN tvd
     """
     out["q_benford"] = """
         WITH d AS (

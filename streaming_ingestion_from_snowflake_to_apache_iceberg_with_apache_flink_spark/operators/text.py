@@ -720,3 +720,49 @@ def duck_bpe_apply_sql(rounds: int = 3) -> str:
         FROM dt JOIN vs USING (w) GROUP BY doc_id
         """
     )
+
+
+def distribution_drift(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Corpus drift monitor: total-variation distance between the token
+    distributions of two corpus snapshots (doc_id parity splits stand in
+    for crawl N vs crawl N+1), plus the top-``k`` drifting tokens — the
+    check a training pipeline runs before mixing a new crawl in.
+
+    Exact arithmetic: TVD = Σ_t |p₀(t) − p₁(t)| / 2 is computed on the
+    cross-cleared integer numerators |c₀·N₁ − c₁·N₀| (one division at the
+    very end), so the statistic is engine-exact. ONE shuffle: both sides'
+    counts come from a single conditional aggregation over the exploded
+    tokens — never two scans or a join of two tf tables; top-k is
+    TakeOrderedAndProject.
+    """
+    t = spread(documents).selectExpr(
+        "doc_id % 2 as side", f"explode({_TOKENS}) as token"
+    )
+    tf = t.groupBy("token").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = tf.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    scored = tf.crossJoin(F.broadcast(tot)).withColumn(
+        "drift_num", F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+    )
+    tvd = scored.agg(
+        F.round(
+            F.sum("drift_num")
+            / (F.lit(2.0) * F.first("n0") * F.first("n1")),
+            6,
+        ).alias("tvd"),
+        F.first("vocab").alias("vocab"),
+    )
+    top = (
+        scored.orderBy(F.col("drift_num").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", "c0", "c1", "drift_num")
+    )
+    return top.crossJoin(F.broadcast(tvd)).select(
+        "token", "c0", "c1", "drift_num", "tvd", "vocab"
+    )
