@@ -1465,6 +1465,47 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity curve: near-dup PAIR counts at a grid
+    of Jaccard thresholds from ONE pair computation (conditional agg over
+    the threshold grid — never one pass per threshold). The tuning audit
+    you run before committing a dedup threshold corpus-wide."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.0
+    )
+    aggs = [
+        F.sum((F.col("jaccard") >= t).cast("bigint")).alias(
+            f"n_ge_{str(t).replace('.', '')}"
+        )
+        for t in (0.2, 0.4, 0.6, 0.8)
+    ]
+    return pairs.agg(F.count(F.lit(1)).alias("n_candidates"), *aggs)
+
+
+def q_hapax_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax profile per document (tx-style): count and fraction of a
+    doc's tokens whose CORPUS frequency is 1 — the noise/OCR-garbage
+    signal quality filters read. Global tf is one partial-agg shuffle;
+    the hapax verdict joins back on the token key."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.selectExpr("doc_id", f"explode({H.spark_tokens('text')}) as token")
+    tf = t.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    per_doc = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    hap = (
+        t.join(tf.filter(F.col("cf") == 1), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hapax"))
+    )
+    return per_doc.join(hap, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_hapax", F.lit(0)).cast("bigint").alias("n_hapax"),
+        F.round(F.coalesce("n_hapax", F.lit(0)) / F.col("n_tokens"), 4).alias(
+            "hapax_frac"
+        ),
+    )
+
+
 def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus distribution drift (tx.distribution_drift): exact-integer
     total-variation distance between two snapshot token distributions +
@@ -1914,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_threshold_curve": q_threshold_curve,
+        "q_hapax_docs": q_hapax_docs,
         "q_dist_drift": q_dist_drift,
         "q_benford": q_benford,
         "q_dow_profile": q_dow_profile,
@@ -3902,6 +3945,54 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_threshold_curve"] = f"""
+        WITH sized AS (
+            SELECT doc_id, sh, len(sh) AS n_sh
+            FROM (SELECT doc_id,
+                         list_transform({sh3}, s -> {H.duck_h32('s')})
+                             AS sh
+                  FROM documents)
+        ), inv AS (
+            SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized
+        ), kept AS (
+            SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 100
+        ), inv2 AS (
+            SELECT inv.* FROM inv JOIN kept USING (shingle)
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+            FROM inv2 a JOIN inv2 b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ), j AS (
+            SELECT round(n_common / (n_a + n_b - n_common), 4) AS jac
+            FROM pairs
+        )
+        SELECT count(*) AS n_candidates,
+               sum(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_ge_02,
+               sum(CASE WHEN jac >= 0.4 THEN 1 ELSE 0 END)::BIGINT AS n_ge_04,
+               sum(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END)::BIGINT AS n_ge_06,
+               sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS n_ge_08
+        FROM j
+    """
+    out["q_hapax_docs"] = f"""
+        WITH t AS (
+            SELECT doc_id, unnest({H.duck_tokens("text")}) AS token
+            FROM documents
+        ), tf AS (
+            SELECT token, count(*) AS cf FROM t GROUP BY token
+        ), pd AS (
+            SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id
+        ), hap AS (
+            SELECT t.doc_id, count(*) AS n_hapax
+            FROM t JOIN tf USING (token)
+            WHERE tf.cf = 1 GROUP BY t.doc_id
+        )
+        SELECT pd.doc_id, pd.n_tokens,
+               coalesce(hap.n_hapax, 0)::BIGINT AS n_hapax,
+               round(coalesce(hap.n_hapax, 0) / pd.n_tokens, 4) AS hapax_frac
+        FROM pd LEFT JOIN hap USING (doc_id)
     """
     out["q_dist_drift"] = f"""
         WITH t AS (
