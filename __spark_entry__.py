@@ -1465,6 +1465,27 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law corpus profile: doc-length histogram in log2 buckets via
+    exact BIT LENGTH (length of the binary representation — no libm log2,
+    whose value at exact powers of two is a cross-engine coin flip).
+    One partial agg; bucket bounds are pure integer functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bits = F.length(F.expr("bin(n_chars)")).alias("bits")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(bits)
+        .groupBy("bits")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .selectExpr(
+            "bits",
+            "cast(shiftleft(1L, bits - 1) as bigint) as lo",
+            "cast(shiftleft(1L, bits) - 1 as bigint) as hi",
+            "n_docs",
+        )
+    )
+
+
 def q_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold sensitivity curve: near-dup PAIR counts at a grid
     of Jaccard thresholds from ONE pair computation (conditional agg over
@@ -1955,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
+        "q_log2_histogram": q_log2_histogram,
         "q_threshold_curve": q_threshold_curve,
         "q_hapax_docs": q_hapax_docs,
         "q_dist_drift": q_dist_drift,
@@ -3945,6 +3967,14 @@ def _extension_oracles() -> dict[str, str]:
                (w.pred_label = t.label) AS correct
         FROM w JOIN embeddings t ON w.probe_id = t.vec_id
         WHERE w.rn = 1
+    """
+    out["q_log2_histogram"] = """
+        SELECT length(bin(n_chars))::INT AS bits,
+               (1::BIGINT << (length(bin(n_chars)) - 1))::BIGINT AS lo,
+               ((1::BIGINT << length(bin(n_chars))) - 1)::BIGINT AS hi,
+               count(*) AS n_docs
+        FROM documents WHERE n_chars > 0
+        GROUP BY 1, 2, 3
     """
     out["q_threshold_curve"] = f"""
         WITH sized AS (
