@@ -716,3 +716,104 @@ def test_winsorize_caps_broadcast_one_shuffle_key(spark):
 
     df = winsorize_prices(load_table(spark, SF, "lineitem"))
     assert_broadcast_join(df)
+
+
+def test_tpch_q6_pushdown_single_scan(spark):
+    """Q6: every predicate reaches the parquet scan; the plan is one
+    whole-stage-codegen'd scan + partial agg, zero joins."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        forecast_revenue,
+    )
+
+    df = forecast_revenue(load_table(spark, SF, "lineitem"))
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine before the 1-row exchange
+
+
+def test_tpch_q4_semi_join_no_row_multiplication(spark):
+    """Q4: the EXISTS decorrelates to a LEFT SEMI join, never an inner
+    join + distinct."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        priority_waiting,
+    )
+
+    df = priority_waiting(
+        load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+    )
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert_pushed_filter(df, "o_orderdate")
+
+
+def test_tpch_q16_anti_join_and_broadcast_part(spark):
+    """Q16: the NOT IN is a broadcast anti join on the supplier key and
+    the part dimension broadcasts onto the deduped pairs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        parts_supplier_counts,
+    )
+
+    df = parts_supplier_counts(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "part"),
+        load_table(spark, SF, "supplier"),
+    )
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q17_threshold_agg_shares_key_partitioning(spark):
+    """Q17: the per-part average threshold is a partial agg + join back
+    on l_partkey — the join-back must not introduce a third exchange
+    beyond the two agg shuffles."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        small_quantity_revenue,
+    )
+
+    df = small_quantity_revenue(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "part")
+    )
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan  # the part-type prune broadcasts
+    assert count_exchanges(df) <= 3
+
+
+def test_tpch_q18_take_ordered_top100(spark):
+    """Q18: the top-100 compiles to TakeOrderedAndProject and the
+    qualifying-orders HAVING side broadcasts back."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        large_volume_customers,
+    )
+
+    df = large_volume_customers(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "customer"),
+    )
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q21_single_window_shuffle(spark):
+    """Q21: the double correlated EXISTS/NOT-EXISTS costs one
+    partition-by-order window pass over per-(order, supplier) maxima —
+    the window must reuse the grouping exchange, not re-shuffle."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        sole_last_shipper,
+    )
+
+    df = sole_last_shipper(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "supplier"),
+    )
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan  # the 'F'-orders restriction
+    # exchanges: semi-join key, groupBy(order,supp) / window(order) shared
+    # key, final groupBy(s_name) — the two window specs add none.
+    assert count_exchanges(df) <= 4
