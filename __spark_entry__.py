@@ -1820,6 +1820,54 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear file layout with a min/max pruning audit
+    (operators/layout.py): Morton-code clustering, equal-frequency file
+    carve, per-file stats, and the box-predicate prune verdict — the
+    OPTIMIZE ZORDER table-maintenance shape, bit-exact in both engines."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    return zorder_layout(load_table(spark, sf_dir, "orders"))
+
+
+def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE with deletes (operators/merge.py apply_change_feed): a
+    change feed of upserts + tombstones applied to the keyed per-user
+    state — the WHEN MATCHED ... DELETE branch completing O12's
+    equality-delete semantics. Target = latest pre-cutoff event per user;
+    changes = post-cutoff events, 'error' rows as deletes."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    target = ops.merge_upsert(
+        events.filter(F.col("ts") < cutoff),
+        ["user_id"],
+        "ts",
+        tiebreakers=["event_id"],
+    )
+    changes = events.filter(F.col("ts") >= cutoff).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.merge import (
+        apply_change_feed,
+    )
+
+    out = apply_change_feed(
+        target, changes, ["user_id"], "ts", tiebreakers=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_ms("ts").alias("ts_ms"),
+        "event_type",
+        "op",
+    )
+
+
 # --- the remaining classic TPC-H shapes (operators/tpch.py) ----------------
 
 
@@ -2196,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q20": q_tpch_q20,
         "q_tpch_q21": q_tpch_q21,
         "q_tpch_q22": q_tpch_q22,
+        "q_zorder_layout": q_zorder_layout,
+        "q_merge_delete": q_merge_delete,
     }
 
 
@@ -4535,6 +4585,36 @@ def _extension_oracles() -> dict[str, str]:
                len(list_filter(list_zip(tk, list_reverse(tk)),
                    p -> p[1] = p[2]))::INT AS palindrome_hits
         FROM (SELECT doc_id, {toks} AS tk FROM documents)
+    """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        duck_zorder_sql,
+    )
+
+    out["q_zorder_layout"] = duck_zorder_sql()
+    out["q_merge_delete"] = """
+        WITH pre AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        ), base AS (
+            SELECT user_id, event_id, ts, event_type, 'base' AS op
+            FROM pre WHERE rn = 1
+        ), ch AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'upsert' END AS op
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        ), merged AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC,
+                         CASE op WHEN 'delete' THEN 2
+                                 WHEN 'upsert' THEN 1 ELSE 0 END DESC,
+                         event_id DESC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM ch)
+        )
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, op
+        FROM merged WHERE rn = 1 AND op <> 'delete'
     """
     out.update(_tpch_oracles())
     return out

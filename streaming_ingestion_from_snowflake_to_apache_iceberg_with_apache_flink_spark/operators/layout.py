@@ -1,0 +1,146 @@
+"""Data-layout optimization: Z-order clustering with a min/max pruning
+audit — the ``OPTIMIZE ... ZORDER BY`` shape of Iceberg/Delta table
+maintenance (the reference's Iceberg sink writes identity-partitioned files;
+at 100 TB the *within-partition* file layout decides how much of a scan
+min/max file statistics can prune, which is exactly what Z-ordering buys on
+multi-column predicates).
+
+The operator computes, for the same rows, two candidate layouts — linear
+(sorted by the first column only) and Z-order (sorted by the interleaved
+bits of both columns) — carves each into equal-frequency "files", and
+reports per-file min/max ranges plus whether a reference box predicate
+could prune the file.  The verdict is the classic one: linear layout prunes
+on the leading column only; Z-order prunes on both.
+
+Exactness: the Z-value is a pure integer bit-interleave (two 16-bit keys →
+one 32-bit Morton code) via the standard parallel bit-spread, written in
+portable SQL (``&``, ``|``, ``<<`` on bigints) so DuckDB reproduces it bit
+for bit; file carving is ``ntile`` over the total (z, tiebreak) order —
+deterministic everywhere.
+
+Scale shape: one range exchange for the layout sort (ntile's global window
+— at write scale this is the sort OPTIMIZE already pays), then a partial
+agg per file id; the audit output is metadata-sized (n_files rows).  The
+fact table is scanned once per layout, never joined.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _spread16(v: str, shl: Callable[[str, int], str]) -> str:
+    """Bit-spread a 16-bit value so its bits occupy even positions of a
+    32-bit word (Morton/Z-curve component), as portable integer SQL."""
+    e = f"(({v}) & 65535)"
+    e = f"(({e} | {shl(e, 8)}) & 16711935)"  # 0x00FF00FF
+    e = f"(({e} | {shl(e, 4)}) & 252645135)"  # 0x0F0F0F0F
+    e = f"(({e} | {shl(e, 2)}) & 858993459)"  # 0x33333333
+    e = f"(({e} | {shl(e, 1)}) & 1431655765)"  # 0x55555555
+    return e
+
+
+def zvalue_sql(x: str, y: str, shl: Callable[[str, int], str]) -> str:
+    """Morton code of two 16-bit keys: spread(x) | spread(y) << 1."""
+    return f"({_spread16(x, shl)} | {shl(_spread16(y, shl), 1)})"
+
+
+def _spark_shl(e: str, n: int) -> str:
+    return f"shiftleft({e}, {n})"
+
+
+def _duck_shl(e: str, n: int) -> str:
+    return f"(({e}) << {n})"
+
+
+# The two clustering keys over ``orders``, bucketed monotonically into 16
+# bits so min/max ranges stay order-meaningful (documented cap: keys beyond
+# 65535 saturate — at real scale the bucketizer would be a per-column
+# quantile map, same contract).
+BX = "least(65535, cast(o_custkey as bigint))"
+BY = "least(65535, cast(floor(o_totalprice / 8.0) as bigint))"
+
+# Reference box predicate for the pruning audit.
+BOX_X_LO, BOX_X_HI = 100, 300
+BOX_Y_LO, BOX_Y_HI = 2000, 6000
+
+
+def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
+    """Per-(layout, file) min/max stats + box-pruning verdict for the
+    linear vs Z-order layouts of the same rows.
+
+    Output: (layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+    can_prune) where ``can_prune`` is true iff the file's [min, max] box
+    provably misses the reference predicate on BOTH layouts' statistics
+    — i.e. the file would be skipped by a min/max-pruning scan.
+    """
+    from pyspark.sql import Window as W
+
+    base = orders.select(
+        F.expr(BX).alias("bx"),
+        F.expr(BY).alias("by"),
+        F.col("o_orderkey").alias("okey"),
+    ).withColumn("z", F.expr(zvalue_sql("bx", "by", _spark_shl)))
+
+    def carve(df: DataFrame, order_cols: list, layout: str) -> DataFrame:
+        w = W.orderBy(*order_cols)
+        return (
+            df.withColumn("file_id", F.ntile(n_files).over(w))
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("bx").alias("min_x"),
+                F.max("bx").alias("max_x"),
+                F.min("by").alias("min_y"),
+                F.max("by").alias("max_y"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    linear = carve(base, [F.col("bx").asc(), F.col("okey").asc()], "linear")
+    zorder = carve(base, [F.col("z").asc(), F.col("okey").asc()], "zorder")
+    stats = linear.unionByName(zorder)
+    miss = (
+        (F.col("max_x") < BOX_X_LO)
+        | (F.col("min_x") > BOX_X_HI)
+        | (F.col("max_y") < BOX_Y_LO)
+        | (F.col("min_y") > BOX_Y_HI)
+    )
+    return stats.withColumn("can_prune", miss)
+
+
+def duck_zorder_sql(n_files: int = 64) -> str:
+    """DuckDB twin: identical bucketing, Morton code, ntile carve, and
+    pruning verdict."""
+    z = zvalue_sql("bx", "by", _duck_shl)
+    return f"""
+        WITH base AS (
+            SELECT {BX} AS bx, {BY} AS by, o_orderkey AS okey
+            FROM orders
+        ), zb AS (
+            SELECT *, {z} AS z FROM base
+        ), lin AS (
+            SELECT 'linear' AS layout,
+                   ntile({n_files}) OVER (ORDER BY bx, okey) AS file_id,
+                   bx, by
+            FROM zb
+        ), zo AS (
+            SELECT 'zorder' AS layout,
+                   ntile({n_files}) OVER (ORDER BY z, okey) AS file_id,
+                   bx, by
+            FROM zb
+        ), files AS (
+            SELECT layout, file_id, count(*) AS n_rows,
+                   min(bx) AS min_x, max(bx) AS max_x,
+                   min(by) AS min_y, max(by) AS max_y
+            FROM (SELECT * FROM lin UNION ALL SELECT * FROM zo)
+            GROUP BY 1, 2
+        )
+        SELECT layout, file_id, n_rows, min_x, max_x, min_y, max_y,
+               (max_x < {BOX_X_LO} OR min_x > {BOX_X_HI}
+                OR max_y < {BOX_Y_LO} OR min_y > {BOX_Y_HI}) AS can_prune
+        FROM files
+    """

@@ -57,3 +57,49 @@ def overwrite_partition(
     keep = target.filter(F.col(partition_column) != F.lit(partition_value))
     repl = replacement.filter(F.col(partition_column) == F.lit(partition_value))
     return keep.unionByName(repl)
+
+
+def apply_change_feed(
+    target: DataFrame,
+    changes: DataFrame,
+    equality_fields: Sequence[str],
+    version_column: str,
+    op_column: str = "op",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Full CDC MERGE: apply a change feed carrying upserts AND deletes to
+    a keyed target — the ``WHEN MATCHED AND op = 'delete' THEN DELETE``
+    branch the plain upsert (``merge_upsert``) lacks, completing the O12
+    write-semantics family (IcebergSinkBuilder.java:36-38's equality
+    deletes ARE this: an upsert engine deletes by writing a tombstone for
+    the key).
+
+    ``changes`` must carry the target's columns plus ``op_column`` ∈
+    {'upsert', 'delete'}; target rows enter as op='base'.  Per key the
+    single winner is the highest (version, op-rank, tiebreakers) row —
+    op-rank makes a change beat the base state at an equal version, and a
+    delete beat a colliding upsert (tombstone-wins, Iceberg's equality-
+    delete rule).  A winning delete removes the key from the output; the
+    surviving rows keep their winning ``op`` as provenance.
+
+    Scale: one hash shuffle on the equality key for the window — identical
+    cost to ``merge_upsert``; deletes are data-sized rows, never a
+    driver-side list.
+    """
+    t = target.withColumn(op_column, F.lit("base"))
+    op_rank = (
+        F.when(F.col(op_column) == "delete", 2)
+        .when(F.col(op_column) == "upsert", 1)
+        .otherwise(0)
+    )
+    order = (
+        [F.col(version_column).desc(), op_rank.desc()]
+        + [F.col(c).desc() for c in tiebreakers]
+    )
+    w = Window.partitionBy(*[F.col(c) for c in equality_fields]).orderBy(*order)
+    return (
+        t.unionByName(changes)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_column) != "delete"))
+        .drop("__rn")
+    )

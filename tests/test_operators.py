@@ -1409,3 +1409,60 @@ def test_semdedup_pairs_subset_of_cluster_pairs(spark):
     bound = sum(n * (n - 1) // 2 for n in sizes.values())
     assert len(pairs) <= bound
     assert all(r.qsim >= 0.3 for r in pairs)
+
+
+def test_zorder_prunes_more_files_than_linear(spark):
+    """The point of Z-ordering: on a two-column box predicate, the
+    Z-order layout's per-file min/max stats must prune at least as many
+    files as the linear layout's (which can only prune on its leading
+    column), and the row universe is identical in both carves."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        zorder_layout,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    rows = zorder_layout(
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+    ).collect()
+    pruned = {"linear": 0, "zorder": 0}
+    n_rows = {"linear": 0, "zorder": 0}
+    for r in rows:
+        n_rows[r.layout] += r.n_rows
+        if r.can_prune:
+            pruned[r.layout] += 1
+    assert n_rows["linear"] == n_rows["zorder"]
+    assert pruned["zorder"] >= pruned["linear"]
+    assert pruned["zorder"] > 0  # the audit must demonstrate actual skipping
+
+
+def test_change_feed_tombstone_and_resurrection(spark):
+    """apply_change_feed: a delete removes the key; an upsert with a LATER
+    version than the delete resurrects it; base state survives untouched
+    keys; a delete older than the base state loses."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.merge import (
+        apply_change_feed,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c"), (4, 10, "d")],
+        "k int, v int, payload string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 20, "x", "delete"),     # tombstone wins -> key 1 gone
+            (2, 20, "y", "delete"),     # deleted ...
+            (2, 30, "z", "upsert"),     # ... then resurrected later
+            (4, 5, "w", "delete"),      # older than base -> base survives
+        ],
+        "k int, v int, payload string, op string",
+    )
+    out = {
+        r.k: (r.v, r.payload, r.op)
+        for r in apply_change_feed(target, changes, ["k"], "v").collect()
+    }
+    assert 1 not in out
+    assert out[2] == (30, "z", "upsert")
+    assert out[3] == (10, "c", "base")
+    assert out[4] == (10, "d", "base")
