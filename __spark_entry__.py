@@ -1820,6 +1820,20 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the ACTUAL streaming runtime
+    (streaming/joins.stream_interval_join_run): two watermarked file
+    streams, event-time-bounded inner join, append-mode memory sink,
+    AvailableNow drain — hash-checked against the same oracle as its
+    batch twin (q_interval_join)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        stream_interval_join_run,
+    )
+
+    load_table(spark, sf_dir, "events")  # pins session confs for the stream
+    return stream_interval_join_run(spark, sf_dir)
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order vs linear file layout with a min/max pruning audit
     (operators/layout.py): Morton-code clustering, equal-frequency file
@@ -2246,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q22": q_tpch_q22,
         "q_zorder_layout": q_zorder_layout,
         "q_merge_delete": q_merge_delete,
+        "q_stream_join": q_stream_join,
     }
 
 
@@ -4591,6 +4606,16 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_zorder_layout"] = duck_zorder_sql()
+    # same oracle as the batch twin q_interval_join
+    out["q_stream_join"] = """
+        SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+               epoch_ms(e.ts) AS error_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+        FROM events e JOIN events c
+          ON e.user_id = c.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                                AND epoch_us(e.ts) + 3600000000
+    """
     out["q_merge_delete"] = """
         WITH pre AS (
             SELECT *, row_number() OVER (

@@ -66,3 +66,89 @@ def stream_interval_join(
         F.unix_micros(F.col(left_ts)) + F.lit(upper_ms * 1000),
     )
     return lw.join(rw, cond, how).drop(*[f"__r_{k}" for k in keys])
+
+
+def _file_stream(spark, source_dir: str, path_glob_filter: str) -> DataFrame:
+    """Schema-declared parquet file stream with the repo's ns-timestamp
+    convention (same handling as streaming/windows.stream_tumbling_counts:
+    ns columns arrive as long under ``nanosAsLong`` and are truncated to
+    µs, matching ``sources.parquet.load_table``)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(os.path.join(source_dir, path_glob_filter)).schema
+    stream = (
+        spark.readStream.schema(raw)
+        .option("pathGlobFilter", path_glob_filter)
+        .parquet(source_dir)
+    )
+    if "ts" in raw.names and isinstance(raw["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_interval_join_run(
+    spark,
+    source_dir: str,
+    path_glob_filter: str = "events.parquet",
+    query_name: str = "stream_interval_mem",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """The ±1 h error↔click interval join through the ACTUAL streaming
+    runtime: two file-stream sides → watermarks → stream-stream inner
+    equi-join with event-time bounds → append-mode memory sink, drained
+    with ``Trigger.AvailableNow``.  On one drained source this equals the
+    batch interval join exactly (inner-join results emit on match; the
+    watermark only evicts state and drops rows arriving in later
+    micro-batches).
+
+    This is the runtime proof for ``operators.temporal.interval_join`` —
+    join state is keyed by user and evicted once the opposite watermark
+    passes ``ts ± 1 h``, the property that makes the join sustainable on
+    unbounded streams.
+    """
+    errors = (
+        _file_stream(spark, source_dir, path_glob_filter)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+    )
+    clicks = (
+        _file_stream(spark, source_dir, path_glob_filter)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    lw = errors.withWatermark("error_ts", "1 hour")
+    rw = clicks.withWatermark("click_ts", "1 hour")
+    joined = lw.join(
+        rw,
+        (F.col("user_id") == F.col("c_user_id"))
+        & F.unix_micros(F.col("click_ts")).between(
+            F.unix_micros(F.col("error_ts")) - F.lit(3_600_000_000),
+            F.unix_micros(F.col("error_ts")) + F.lit(3_600_000_000),
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "error_id",
+        "click_id",
+        (F.unix_micros("error_ts") / F.lit(1000)).cast("long").alias("error_ts_ms"),
+        (F.unix_micros("click_ts") / F.lit(1000)).cast("long").alias("click_ts_ms"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
