@@ -67,15 +67,23 @@ class CatalogSink:
         spark: SparkSession,
         cfg: IcebergSinkConfig,
         version_column: str | None = None,
+        snapshots: bool = False,
     ):
         """``version_column`` orders last-writer-wins for upsert mode (the
         reference relies on Iceberg sequence numbers for this; a batch MERGE
-        needs the ordering to be explicit)."""
+        needs the ordering to be explicit).
+
+        ``snapshots=True`` keeps a per-commit history table enabling
+        ``read_as_of(epoch)`` time travel on the parquet fallback (under a
+        real Iceberg catalog, ``VERSION AS OF`` is native and the history
+        table is unnecessary — see ``read_as_of``)."""
         self.spark = spark
         self.cfg = cfg
         self.version_column = version_column
+        self.snapshots = snapshots
         self.table = f"{cfg.db}.{cfg.table_name}"
         self.commits = f"{cfg.db}.{cfg.table_name}__commits"
+        self.history = f"{cfg.db}.{cfg.table_name}__history"
         self.iceberg = self._iceberg_available(spark)
         # Iceberg overwrite-by-partition == Spark dynamic partition overwrite
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -167,7 +175,13 @@ class CatalogSink:
         db_part = "" if self.cfg.db == "default" else f"{self.cfg.db}.db/"
         return f"{wh}/{db_part}{table_name}"
 
-    def _create_or_reattach(self, name: str, like: DataFrame, partitioned: bool) -> None:
+    def _create_or_reattach(
+        self,
+        name: str,
+        like: DataFrame,
+        partitioned: bool,
+        part_override: list[str] | None = None,
+    ) -> None:
         """Create the table at its managed location via explicit-schema DDL.
         If data files survive from a previous session while the (in-memory)
         catalog registration did not, the same DDL re-attaches them and
@@ -177,7 +191,10 @@ class CatalogSink:
         import os
 
         loc = self._managed_location(name.split(".")[-1])
-        parts = list(self.cfg.partition_fields) if partitioned else []
+        if part_override is not None:
+            parts = list(part_override)
+        else:
+            parts = list(self.cfg.partition_fields) if partitioned else []
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in like.schema.fields
         )
@@ -204,9 +221,97 @@ class CatalogSink:
                 self.spark.createDataFrame([], "epoch long"),
                 partitioned=False,
             )
+        if self.snapshots and not self.spark.catalog.tableExists(self.history):
+            self._create_or_reattach(
+                self.history,
+                like.withColumn("__epoch", F.lit(0).cast("long")),
+                partitioned=True,
+                part_override=["__epoch"] + list(self.cfg.partition_fields),
+            )
 
     def read(self) -> DataFrame:
         return self.spark.table(self.table)
+
+    # -- snapshots / time travel (Iceberg VERSION AS OF parity) --------------
+
+    def _snapshot(self, batch: DataFrame, epoch: int) -> None:
+        """Record the post-commit state of every partition the commit
+        touched, tagged with the commit epoch — the parquet fallback's
+        manifest: (epoch, partition) → rows.  Write amplification is the
+        touched partitions once more per commit, the same bound as the
+        upsert COW itself; untouched partitions are never re-recorded
+        (their reconstruction reuses their last snapshot)."""
+        parts = list(self.cfg.partition_fields)
+        state = self.read()
+        if parts:
+            touched = batch.select(*parts).distinct()
+            state = state.join(F.broadcast(touched), on=parts, how="left_semi")
+        snap = state.withColumn("__epoch", F.lit(int(epoch)).cast("long"))
+        cols = self.spark.table(self.history).columns
+        snap.select(*cols).write.format("parquet").mode("append").insertInto(
+            self.history
+        )
+
+    def read_as_of(self, epoch: int) -> DataFrame:
+        """The table's state as of commit ``epoch`` (inclusive) — Iceberg's
+        ``SELECT … VERSION AS OF`` on the parquet fallback.  Per partition
+        value, the rows of its newest snapshot ≤ epoch; partitions first
+        written later don't exist yet.  The ``__epoch <= epoch`` predicate
+        prunes history partitions at scan time (history is partitioned by
+        ``__epoch``), and the newest-snapshot selection is one window over
+        the partition columns — metadata-shaped, not table-shaped, because
+        only touched-partition snapshots exist.
+
+        Under a real Iceberg catalog use
+        ``spark.sql(f"SELECT * FROM {table} VERSION AS OF …")`` instead —
+        the history table is a fallback-only artifact."""
+        if not self.snapshots:
+            raise ValueError("sink built with snapshots=False")
+        from pyspark.sql import Window as W
+
+        h = self.spark.table(self.history).filter(F.col("__epoch") <= int(epoch))
+        parts = list(self.cfg.partition_fields)
+        w = W.partitionBy(*parts) if parts else W.partitionBy(F.lit(1))
+        return (
+            h.withColumn("__max_e", F.max("__epoch").over(w))
+            .filter(F.col("__epoch") == F.col("__max_e"))
+            .drop("__epoch", "__max_e")
+        )
+
+    def expire_snapshots(self, keep_last: int = 100) -> None:
+        """Iceberg ``expire_snapshots`` parity for the fallback history:
+        drop snapshots older than the trailing window EXCEPT each
+        partition's newest one (dropping that would lose the partition
+        from every reconstruction, current included — the reason Iceberg
+        expiry never removes files referenced by the current snapshot)."""
+        from pyspark.sql import Window as W
+
+        hi = self.last_epoch()
+        parts = list(self.cfg.partition_fields)
+        w = W.partitionBy(*parts) if parts else W.partitionBy(F.lit(1))
+        h = self.spark.table(self.history)
+        keep = (
+            h.withColumn("__max_e", F.max("__epoch").over(w))
+            .filter(
+                (F.col("__epoch") > hi - keep_last)
+                | (F.col("__epoch") == F.col("__max_e"))
+            )
+            .drop("__max_e")
+        )
+        cols = self.spark.table(self.history).columns
+        materialized = keep.select(*cols).localCheckpoint(eager=True)
+        # static overwrite: expired epochs' partition directories must GO;
+        # the session-wide dynamic mode would leave them in place because
+        # no kept row lands in them.
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(mode_key)
+        self.spark.conf.set(mode_key, "static")
+        try:
+            materialized.write.format("parquet").mode("overwrite").insertInto(
+                self.history, overwrite=True
+            )
+        finally:
+            self.spark.conf.set(mode_key, prev)
 
     # -- exactly-once ledger ------------------------------------------------
 
@@ -251,6 +356,8 @@ class CatalogSink:
             self._upsert(batch)
         else:  # unreachable: config validates, but keep the reference's throw
             raise UnsupportedOperationError(op)
+        if self.snapshots:
+            self._snapshot(batch, epoch)
         self._record(epoch)
         return op
 

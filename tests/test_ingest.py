@@ -439,3 +439,46 @@ def test_stream_ingest_restart_recovers_checkpoint(spark, staging, tmp_path):
     assert got.select(*orders.columns).exceptAll(orders).count() == 0
     spark.sql(f"DROP TABLE IF EXISTS {sink.table}")
     spark.sql(f"DROP TABLE IF EXISTS {sink.commits}")
+
+
+def test_snapshot_time_travel_reconstructs_each_epoch(spark):
+    """snapshots=True: read_as_of(e) must equal the table state right
+    after commit e, for every e — including partitions untouched by later
+    commits (reconstructed from their last snapshot) and partitions that
+    didn't exist yet (absent). expire_snapshots keeps the current state
+    reconstructible."""
+    sink = CatalogSink(
+        spark,
+        _cfg(_uniq("t_tt")).sink,
+        version_column="o_orderdate",
+        snapshots=True,
+    )
+    orders = load_table(spark, SF, "orders")
+    batches = [
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").limit(50),
+        orders.filter(F.col("o_orderpriority") == "5-LOW").limit(40),
+        # epoch 3 updates URGENT again (same keys re-upserted)
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").limit(20),
+    ]
+    states = {}
+    for e, b in enumerate(batches, start=1):
+        sink.write_batch(b, e)
+        states[e] = {
+            tuple(r) for r in sink.read().select("o_orderkey", "o_orderpriority").collect()
+        }
+    for e in (1, 2, 3):
+        got = {
+            tuple(r)
+            for r in sink.read_as_of(e).select("o_orderkey", "o_orderpriority").collect()
+        }
+        assert got == states[e], f"epoch {e} reconstruction mismatch"
+    # epoch 1 must NOT contain the 5-LOW partition yet
+    assert all(p == "1-URGENT" for _, p in states[1])
+    # expiry: drop everything but the trailing 1 commit; current state
+    # stays reconstructible (each partition keeps its newest snapshot)
+    sink.expire_snapshots(keep_last=1)
+    got = {
+        tuple(r)
+        for r in sink.read_as_of(3).select("o_orderkey", "o_orderpriority").collect()
+    }
+    assert got == states[3]
