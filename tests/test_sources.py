@@ -313,3 +313,32 @@ def test_schema_validation(spark):
         files.read_csv(spark, "/tmp/x", SCHEMA, mode="YOLO")
     with pytest.raises(ValueError, match="PERMISSIVE"):
         files.read_csv(spark, "/tmp/x", SCHEMA, corrupt_col="_bad")
+
+
+def test_python_datasource_one_partition_per_shard(spark):
+    """The connector's plan must mirror the reference's keyBy: exactly one
+    input partition per distinct shard value, each containing only its
+    shard's rows."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+        pysource,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n_shards = orders.select("o_orderpriority").distinct().count()
+    pysource.register(spark)
+    df = (
+        spark.read.format("sharded_parquet")
+        .option("path", "/root/testdata/sf0.001/orders.parquet")
+        .option("shard_column", "o_orderpriority")
+        .option("sort_column", "o_orderdate")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == n_shards
+    per_part = df.rdd.mapPartitions(
+        lambda rows: [len({r["o_orderpriority"] for r in rows})]
+    ).collect()
+    assert all(n == 1 for n in per_part)
+    assert df.count() == orders.count()
