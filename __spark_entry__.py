@@ -1820,6 +1820,20 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows through the ACTUAL streaming runtime
+    (streaming/windows.stream_session_windows): watermarked file stream →
+    session_window aggregation with state-merge → complete-mode memory
+    sink, AvailableNow drain — the fourth runtime path under the gate;
+    the oracle derives the same sessions via gaps-and-islands."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        stream_session_windows,
+    )
+
+    load_table(spark, sf_dir, "events")  # pins session confs for the stream
+    return stream_session_windows(spark, sf_dir)
+
+
 def q_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's sharded polling source as a Spark 4 Python
     DataSource connector (sources/pysource.py): O1 shard poll on the
@@ -2367,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_travel": q_time_travel,
         "q_python_source": q_python_source,
         "q_variant": q_variant,
+        "q_stream_session": q_stream_session,
     }
 
 
@@ -4718,6 +4733,27 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_python_source"] = f"""
         SELECT {_ORDERS_OUT} FROM orders
+    """
+    out["q_stream_session"] = """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        )
+        SELECT user_id,
+               epoch_ms(min(ts)) AS start_ms,
+               epoch_ms(max(ts)) + 1800000 AS end_ms,
+               count(*) AS n_events
+        FROM g GROUP BY user_id, sid
     """
     out["q_variant"] = """
         SELECT event_type,

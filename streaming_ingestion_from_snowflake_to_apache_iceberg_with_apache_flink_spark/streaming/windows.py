@@ -187,3 +187,40 @@ def stream_tumbling_counts(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(query_name)
+
+
+def stream_session_windows(
+    spark,
+    source_dir: str,
+    path_glob_filter: str = "events.parquet",
+    gap: str = "30 minutes",
+    query_name: str = "stream_session_mem",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Gap-based session windows through the ACTUAL streaming runtime:
+    file stream → watermark → ``F.session_window`` aggregation →
+    complete-mode memory sink, AvailableNow drain.  Session state merges
+    windows as events arrive (two sessions fuse when a bridging event
+    lands) — the canonical stateful-merge operator; on one drained source
+    the result equals the batch ``session_windows`` exactly.
+
+    Session-window semantics pinned here: a session's end is its last
+    event + gap, and an event exactly ``gap`` after the previous one
+    starts a NEW session (merge requires event_time < session_end,
+    strictly).
+    """
+    from ..streaming.joins import _file_stream
+
+    stream = with_watermark(
+        _file_stream(spark, source_dir, path_glob_filter), "ts"
+    )
+    agg = session_windows(stream, gap=gap)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
