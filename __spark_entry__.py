@@ -1820,6 +1820,34 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL (operators/udtfs.TokenRunLength):
+    per-doc token run-length encoding — variable-fanout imperative
+    expansion in the Python worker, aggregated JVM-side to the longest
+    run per document; the oracle rebuilds runs via gaps-and-islands."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.udtfs import (
+        register_all,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    register_all(spark)
+    docs.createOrReplaceTempView("q_udtf_docs")
+    runs = spark.sql(
+        "SELECT r.doc_id, r.token, r.run_start, r.run_len "
+        "FROM q_udtf_docs, LATERAL token_run_length(doc_id, text) r"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("run_len").desc(), F.col("run_start").asc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "token", "run_start", "run_len")
+    )
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows through the ACTUAL streaming runtime
     (streaming/windows.stream_session_windows): watermarked file stream →
@@ -2382,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_python_source": q_python_source,
         "q_variant": q_variant,
         "q_stream_session": q_stream_session,
+        "q_udtf_runs": q_udtf_runs,
     }
 
 
@@ -4733,6 +4762,35 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_python_source"] = f"""
         SELECT {_ORDERS_OUT} FROM orders
+    """
+    out["q_udtf_runs"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(parts)),
+                          i -> struct_pack(pos := CAST(i AS INT),
+                                           token := parts[i])),
+                          recursive := true)
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                  FROM documents)
+        ), marked AS (
+            SELECT *, CASE WHEN lag(token) OVER w IS DISTINCT FROM token
+                           THEN 1 ELSE 0 END AS brk
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), runs AS (
+            SELECT doc_id, token, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS rid
+            FROM marked
+        ), agg AS (
+            SELECT doc_id, token, min(pos) AS run_start,
+                   count(*)::INT AS run_len
+            FROM runs GROUP BY doc_id, token, rid
+        )
+        SELECT doc_id, token, run_start, run_len FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY run_len DESC, run_start ASC) AS rn
+            FROM agg
+        ) WHERE rn = 1
     """
     out["q_stream_session"] = """
         WITH e AS (
