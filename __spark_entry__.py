@@ -1820,6 +1820,33 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch percentiles with a proven bucket-width
+    error bound (sketch.histogram_quantiles): p50/p90/p95/p99 from a
+    1024-bucket exact-integer sketch, audited against rank-selected exact
+    values — the t-digest/KLL role with a deterministic, oracle-exact
+    sketch."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(load_table(spark, sf_dir, "orders"))
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations battery (quality.dq_checks): uniqueness,
+    not-null, referential integrity, accepted values, range — one
+    (check, violations, passed) row per constraint, everything reduced to
+    counters before leaving its stage."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        dq_checks,
+    )
+
+    return dq_checks(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
 def q_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via SQL LATERAL (operators/udtfs.TokenRunLength):
     per-doc token run-length encoding — variable-fanout imperative
@@ -2411,6 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_variant": q_variant,
         "q_stream_session": q_stream_session,
         "q_udtf_runs": q_udtf_runs,
+        "q_hist_quantiles": q_hist_quantiles,
+        "q_dq_checks": q_dq_checks,
     }
 
 
@@ -4763,6 +4792,15 @@ def _extension_oracles() -> dict[str, str]:
     out["q_python_source"] = f"""
         SELECT {_ORDERS_OUT} FROM orders
     """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        DUCK_DQ_SQL,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        duck_histogram_quantiles_sql,
+    )
+
+    out["q_hist_quantiles"] = duck_histogram_quantiles_sql()
+    out["q_dq_checks"] = DUCK_DQ_SQL
     out["q_udtf_runs"] = """
         WITH tok AS (
             SELECT doc_id,

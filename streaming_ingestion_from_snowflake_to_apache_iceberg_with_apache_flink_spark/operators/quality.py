@@ -1,0 +1,103 @@
+"""Declarative data-quality expectations — the dbt-test / Deequ-style
+constraint battery a production table contract runs after every load.
+
+Each check emits one row: (check_name, n_violations, passed).  The battery
+covers the constraint classes a warehouse contract needs:
+
+* **uniqueness** — key appears at most once (duplicate-key count);
+* **not-null** — required column has no nulls;
+* **referential integrity** — every foreign key resolves (anti join);
+* **accepted values** — domain column stays inside its declared set;
+* **range** — numeric sanity bound.
+
+Scale shape: the single-table checks are partial-aggregable conditional
+counts (uniqueness is one groupBy on the key counting cnt>1 groups); the
+referential check is a LEFT ANTI against the broadcast dimension key set.
+Nothing is row-materialized — every check reduces to counters before it
+leaves its stage, so the battery is a handful of scans + one shuffle
+(the key groupBy) regardless of table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _check(name: str, violations) -> DataFrame:
+    return violations.select(
+        F.lit(name).alias("check_name"),
+        F.col("n").alias("n_violations"),
+        (F.col("n") == 0).alias("passed"),
+    )
+
+
+def dq_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The expectations battery over the ingested ``orders`` contract."""
+    dup_keys = _check(
+        "orders.o_orderkey unique",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n")),
+    )
+    null_cust = _check(
+        "orders.o_custkey not_null",
+        orders.agg(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n")
+        ),
+    )
+    ref = _check(
+        "orders.o_custkey references customer.c_custkey",
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    accepted = _check(
+        "orders.o_orderstatus accepted_values",
+        orders.agg(
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ).alias("n")
+        ),
+    )
+    rng = _check(
+        "orders.o_totalprice positive",
+        orders.agg(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n")
+        ),
+    )
+    out = dup_keys
+    for c in (null_cust, ref, accepted, rng):
+        out = out.unionByName(c)
+    return out
+
+
+DUCK_DQ_SQL = """
+    SELECT 'orders.o_orderkey unique' AS check_name,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS n_violations,
+           coalesce(sum(c), 0) = 0 AS passed
+    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders.o_custkey not_null',
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+           count(*) FILTER (o_custkey IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_custkey references customer.c_custkey',
+           CAST(count(*) AS BIGINT), count(*) = 0
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'orders.o_orderstatus accepted_values',
+           CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P'))
+                AS BIGINT),
+           count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice positive',
+           CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT),
+           count(*) FILTER (o_totalprice <= 0) = 0
+    FROM orders
+"""

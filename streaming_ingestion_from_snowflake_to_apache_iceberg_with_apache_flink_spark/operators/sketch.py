@@ -298,3 +298,136 @@ def duck_kmv_mergeable_sql(k: int = 128) -> str:
         )
         SELECT * FROM per_lang UNION ALL SELECT * FROM merged
     """
+
+
+_HQ_BUCKET_W = 500.0  # histogram bucket width in price units
+_HQ_N_BUCKETS = 1024
+_HQ_PCTS = (50, 90, 95, 99)
+
+
+def histogram_quantiles(orders: DataFrame) -> DataFrame:
+    """Mergeable-sketch percentiles with a proven error bound: a fixed
+    1024-bucket histogram of order totals (the deterministic cousin of
+    t-digest/KLL — bucket counts are exact integers, merge = vector add,
+    so per-partition sketches combine associatively at any scale), queried
+    for p50/p90/p95/p99, each estimate audited against the exact
+    rank-selected value and its bucket-width bound.
+
+    Scale shape: the sketch is ONE partial-agg pass (1024 groups); the
+    exact side exists only for the audit and rank-selects through a total
+    order.  At 100 TB you ship the 1024-cell vector, never the data; the
+    query-time percentile extraction is a cumulative sum over the tiny
+    bucket table.  All thresholds use integer cross-multiplication
+    (``100·cum ≥ p·N``), no float ranks.
+
+    Output: (pct, n, est_hi_c, exact_c, within_bound).
+    """
+    from pyspark.sql import Window as W
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    base = orders.select(
+        cents.alias("price_c"),
+        F.least(
+            F.lit(_HQ_N_BUCKETS - 1),
+            F.floor(F.col("o_totalprice") / F.lit(_HQ_BUCKET_W)).cast("int"),
+        ).alias("bucket"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    buckets = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    total = base.agg(F.count(F.lit(1)).alias("n"))
+    pcts = orders.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("pct")
+    ).crossJoin(F.broadcast(total))
+    # estimate: upper boundary of the first bucket whose cumulative count
+    # covers the rank threshold ceil(p*N/100)
+    est = (
+        pcts.join(
+            F.broadcast(buckets),
+            F.lit(100) * F.col("cum") >= F.col("pct") * F.col("n"),
+        )
+        .groupBy("pct", "n")
+        .agg(F.min("bucket").alias("est_bucket"))
+        .withColumn(
+            "est_hi_c",
+            ((F.col("est_bucket") + 1).cast("long")
+             * F.lit(int(_HQ_BUCKET_W * 100))),
+        )
+    )
+    ranked = base.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.col("price_c").asc(), F.col("okey").asc())),
+    )
+    exact = (
+        pcts.join(
+            ranked,
+            F.lit(100) * F.col("rn") >= F.col("pct") * F.col("n"),
+        )
+        .groupBy(F.col("pct").alias("p2"))
+        .agg(F.min("price_c").alias("exact_c"))
+    )
+    bw_c = int(_HQ_BUCKET_W * 100)
+    return (
+        est.join(exact, est["pct"] == F.col("p2"))
+        .select(
+            "pct",
+            "n",
+            "est_hi_c",
+            "exact_c",
+            (
+                (F.col("est_hi_c") >= F.col("exact_c"))
+                & (F.col("est_hi_c") - F.lit(bw_c) <= F.col("exact_c"))
+            ).alias("within_bound"),
+        )
+    )
+
+
+def duck_histogram_quantiles_sql() -> str:
+    """DuckDB twin: identical bucketing, thresholds, and audit."""
+    bw_c = int(_HQ_BUCKET_W * 100)
+    pcts = ", ".join(f"({p})" for p in _HQ_PCTS)
+    return f"""
+        WITH base AS (
+            SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS price_c,
+                   least({_HQ_N_BUCKETS - 1},
+                         CAST(floor(o_totalprice / {_HQ_BUCKET_W}) AS INT))
+                       AS bucket,
+                   o_orderkey AS okey
+            FROM orders
+        ), buckets AS (
+            SELECT bucket, count(*) AS cnt,
+                   CAST(sum(count(*)) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM base GROUP BY bucket
+        ), tot AS (SELECT count(*) AS n FROM base),
+        pcts AS (SELECT pct, n FROM (VALUES {pcts}) v(pct) CROSS JOIN tot),
+        est AS (
+            SELECT pct, n, min(bucket) AS est_bucket
+            FROM pcts JOIN buckets ON 100 * cum >= pct * n
+            GROUP BY pct, n
+        ), ranked AS (
+            SELECT price_c,
+                   row_number() OVER (ORDER BY price_c, okey) AS rn
+            FROM base
+        ), exact AS (
+            SELECT pct AS p2, min(price_c) AS exact_c
+            FROM pcts JOIN ranked ON 100 * rn >= pct * n
+            GROUP BY pct
+        )
+        SELECT pct, n,
+               CAST((est_bucket + 1) AS BIGINT) * {bw_c} AS est_hi_c,
+               exact_c,
+               (CAST((est_bucket + 1) AS BIGINT) * {bw_c} >= exact_c
+                AND CAST((est_bucket + 1) AS BIGINT) * {bw_c} - {bw_c}
+                    <= exact_c) AS within_bound
+        FROM est JOIN exact ON pct = p2
+    """
