@@ -248,8 +248,13 @@ class CatalogSink:
             state = state.join(F.broadcast(touched), on=parts, how="left_semi")
         snap = state.withColumn("__epoch", F.lit(int(epoch)).cast("long"))
         cols = self.spark.table(self.history).columns
-        snap.select(*cols).write.format("parquet").mode("append").insertInto(
-            self.history
+        # dynamic-overwrite the (epoch, partition) directories instead of
+        # appending: a crash between this write and the ledger record makes
+        # the foreachBatch replay re-run the epoch, and an append would
+        # then double every row of the epoch's snapshots. Overwriting the
+        # same partitions is idempotent under replay.
+        snap.select(*cols).write.format("parquet").mode("overwrite").insertInto(
+            self.history, overwrite=True
         )
 
     def read_as_of(self, epoch: int) -> DataFrame:

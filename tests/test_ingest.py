@@ -482,3 +482,25 @@ def test_snapshot_time_travel_reconstructs_each_epoch(spark):
         for r in sink.read_as_of(3).select("o_orderkey", "o_orderpriority").collect()
     }
     assert got == states[3]
+
+
+def test_snapshot_replay_is_idempotent(spark):
+    """A crash between the snapshot write and the ledger record makes the
+    replayed epoch re-run _snapshot; the dynamic-overwrite write must
+    leave the history identical, never doubled."""
+    sink = CatalogSink(
+        spark,
+        _cfg(_uniq("t_ttr")).sink,
+        version_column="o_orderdate",
+        snapshots=True,
+    )
+    orders = load_table(spark, SF, "orders")
+    batch = orders.filter(F.col("o_orderpriority") == "1-URGENT").limit(30)
+    sink.write_batch(batch, 1)
+    before = sink.spark.table(sink.history).count()
+    sink._snapshot(batch, 1)  # simulated replay of the unrecorded write
+    after = sink.spark.table(sink.history).count()
+    assert after == before
+    got = {tuple(r) for r in sink.read_as_of(1).select("o_orderkey").collect()}
+    cur = {tuple(r) for r in sink.read().select("o_orderkey").collect()}
+    assert got == cur
