@@ -817,3 +817,56 @@ def test_tpch_q21_single_window_shuffle(spark):
     # exchanges: semi-join key, groupBy(order,supp) / window(order) shared
     # key, final groupBy(s_name) — the two window specs add none.
     assert count_exchanges(df) <= 4
+
+
+def test_zorder_layouts_one_sort_each(spark):
+    """Each layout carve is one global range sort (the OPTIMIZE's cost);
+    the per-file stats add only the partial-agg exchange."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    df = zorder_layout(load_table(spark, SF, "orders"))
+    plan = formatted_plan(df)
+    assert plan.count("Sort") >= 2  # one per layout
+    assert "Join" not in plan  # stats come from scans, never a join
+
+
+def test_merge_delete_single_key_shuffle(spark):
+    """apply_change_feed costs exactly the merge_upsert window: one hash
+    exchange on the equality key."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.merge import (
+        apply_change_feed,
+    )
+
+    target = spark.createDataFrame([(1, 10, "a")], "k int, v int, p string")
+    changes = spark.createDataFrame(
+        [(1, 20, "x", "delete")], "k int, v int, p string, op string"
+    )
+    df = apply_change_feed(target, changes, ["k"], "v")
+    assert count_exchanges(df) == 1
+
+
+def test_hist_quantiles_sketch_is_partial_agg(spark):
+    """The sketch side must partial-agg into 1024 buckets before any
+    exchange — the property that makes it a mergeable sketch."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    df = histogram_quantiles(load_table(spark, SF, "orders"))
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dq_checks_referential_uses_broadcast_anti(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        dq_checks,
+    )
+
+    df = dq_checks(
+        load_table(spark, SF, "orders"), load_table(spark, SF, "customer")
+    )
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
