@@ -234,18 +234,30 @@ class CatalogSink:
 
     # -- snapshots / time travel (Iceberg VERSION AS OF parity) --------------
 
-    def _snapshot(self, batch: DataFrame, epoch: int) -> None:
+    def _snapshot(
+        self, batch: DataFrame, epoch: int, post_state: DataFrame | None = None
+    ) -> None:
         """Record the post-commit state of every partition the commit
         touched, tagged with the commit epoch — the parquet fallback's
         manifest: (epoch, partition) → rows.  Write amplification is the
         touched partitions once more per commit, the same bound as the
         upsert COW itself; untouched partitions are never re-recorded
-        (their reconstruction reuses their last snapshot)."""
+        (their reconstruction reuses their last snapshot).
+
+        ``post_state`` short-circuits the target read-back when the write
+        path already materialized the touched partitions' new rows (the
+        upsert's checkpointed merge, the overwrite's batch) — the
+        snapshot then costs one write, zero extra table scans."""
         parts = list(self.cfg.partition_fields)
-        state = self.read()
-        if parts:
-            touched = batch.select(*parts).distinct()
-            state = state.join(F.broadcast(touched), on=parts, how="left_semi")
+        if post_state is not None:
+            state = post_state
+        else:
+            state = self.read()
+            if parts:
+                touched = batch.select(*parts).distinct()
+                state = state.join(
+                    F.broadcast(touched), on=parts, how="left_semi"
+                )
         snap = state.withColumn("__epoch", F.lit(int(epoch)).cast("long"))
         cols = self.spark.table(self.history).columns
         # dynamic-overwrite the (epoch, partition) directories instead of
@@ -353,16 +365,17 @@ class CatalogSink:
             self._iceberg_write(self._aligned(batch))
             self._record(epoch)
             return f"iceberg-{op}"
+        post: DataFrame | None = None
         if op == "append":
-            self._append(batch)
+            self._append(batch)  # post-state needs the read-back
         elif op == "overwrite":
-            self._overwrite(batch)
+            post = self._overwrite(batch)
         elif op == "upsert":
-            self._upsert(batch)
+            post = self._upsert(batch)
         else:  # unreachable: config validates, but keep the reference's throw
             raise UnsupportedOperationError(op)
         if self.snapshots:
-            self._snapshot(batch, epoch)
+            self._snapshot(batch, epoch, post_state=post)
         self._record(epoch)
         return op
 
@@ -374,11 +387,13 @@ class CatalogSink:
     def _append(self, batch: DataFrame) -> None:
         self._aligned(batch).write.format("parquet").mode("append").insertInto(self.table)
 
-    def _overwrite(self, batch: DataFrame) -> None:
-        # dynamic mode: only partitions present in `batch` are replaced
+    def _overwrite(self, batch: DataFrame) -> DataFrame:
+        # dynamic mode: only partitions present in `batch` are replaced —
+        # the batch IS the touched partitions' post-state
         self._aligned(batch).write.format("parquet").mode("overwrite").insertInto(self.table)
+        return batch
 
-    def _upsert(self, batch: DataFrame) -> None:
+    def _upsert(self, batch: DataFrame) -> DataFrame:
         keys = list(self.cfg.upsert_fields)
         version = self.version_column or keys[-1]
         parts = list(self.cfg.partition_fields)
@@ -415,6 +430,9 @@ class CatalogSink:
         self._aligned(merged).write.format("parquet").mode(
             "overwrite"
         ).insertInto(self.table)
+        # the checkpointed merge is exactly the touched partitions'
+        # post-state — hand it to the snapshot path to skip the read-back
+        return merged
 
 
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots parity) --
