@@ -1820,6 +1820,20 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment through the ACTUAL runtime
+    (streaming/joins.stream_static_join_run): event stream ⋈ broadcast
+    static customer dim, per-(segment, type) rollup — the
+    slowly-changing-dimension join shape with zero stream state; oracle
+    is the plain batch join."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        stream_static_join_run,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")  # pins confs too
+    return stream_static_join_run(spark, sf_dir, customer)
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram-sketch percentiles with a proven bucket-width
     error bound (sketch.histogram_quantiles): p50/p90/p95/p99 from a
@@ -2440,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf_runs": q_udtf_runs,
         "q_hist_quantiles": q_hist_quantiles,
         "q_dq_checks": q_dq_checks,
+        "q_stream_static": q_stream_static,
     }
 
 
@@ -4800,6 +4815,14 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_hist_quantiles"] = duck_histogram_quantiles_sql()
+    out["q_stream_static"] = """
+        SELECT c_mktsegment, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_e4
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """
     out["q_dq_checks"] = DUCK_DQ_SQL
     out["q_udtf_runs"] = """
         WITH tok AS (

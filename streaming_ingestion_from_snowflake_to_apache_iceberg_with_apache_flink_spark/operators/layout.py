@@ -18,10 +18,15 @@ portable SQL (``&``, ``|``, ``<<`` on bigints) so DuckDB reproduces it bit
 for bit; file carving is ``ntile`` over the total (z, tiebreak) order —
 deterministic everywhere.
 
-Scale shape: one range exchange for the layout sort (ntile's global window
-— at write scale this is the sort OPTIMIZE already pays), then a partial
-agg per file id; the audit output is metadata-sized (n_files rows).  The
-fact table is scanned once per layout, never joined.
+Scale shape: the carve here uses an ``ntile`` window over the total order,
+which Spark plans as a single-partition sort — chosen because it makes file
+membership bit-deterministic for the oracle.  At real write scale the same
+carve is the writer's ``orderBy(z)`` (RangePartitioning: sampled split
+points, fully parallel sort) with file boundaries falling out of the range
+partitioner — identical layout quality, no global window; the audit
+aggregation is a partial agg per file id either way and the output is
+metadata-sized (n_files rows).  The fact table is scanned once per layout,
+never joined.
 """
 
 from __future__ import annotations

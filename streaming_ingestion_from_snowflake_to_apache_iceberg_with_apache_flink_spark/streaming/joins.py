@@ -152,3 +152,46 @@ def stream_interval_join_run(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(query_name)
+
+
+def stream_static_join_run(
+    spark,
+    source_dir: str,
+    static_customer,
+    path_glob_filter: str = "events.parquet",
+    query_name: str = "stream_static_mem",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Stream-static enrichment through the ACTUAL runtime: the event file
+    stream inner-joins a static dimension (re-resolved every micro-batch —
+    Spark's face of the Flink broadcast-state enrichment pattern), rolled
+    up per segment, complete-mode memory sink, AvailableNow drain.
+
+    The static side broadcasts into each micro-batch (no stream state at
+    all — unlike the stream-stream join there is nothing to evict), which
+    is why this is THE join shape for slowly-changing dimension enrichment
+    at 100 TB/day: dimension updates are picked up at the next batch
+    without restarting the query.
+    """
+    stream = _file_stream(spark, source_dir, path_glob_filter)
+    dim = static_customer.select(
+        F.col("c_custkey").alias("user_key"), "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == F.col("user_key"), "inner"
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")).alias(
+            "value_e4"
+        ),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
