@@ -1466,3 +1466,84 @@ def test_change_feed_tombstone_and_resurrection(spark):
     assert out[2] == (30, "z", "upsert")
     assert out[3] == (10, "c", "base")
     assert out[4] == (10, "d", "base")
+
+
+def test_change_feed_matches_reference_model(spark):
+    """Hypothesis: apply_change_feed over arbitrary feeds equals a pure
+    Python last-writer-wins-with-tombstones reference model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.merge import (
+        apply_change_feed,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        base=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 20)),
+            max_size=6,
+            unique_by=lambda t: t[0],
+        ),
+        feed=st.lists(
+            st.tuples(
+                st.integers(0, 5),
+                st.integers(0, 20),
+                st.sampled_from(["upsert", "delete"]),
+            ),
+            max_size=10,
+        ),
+    )
+    def check(base, feed):
+        # reference model: rank all rows per key by (version, op-rank,
+        # seq); winner survives unless it is a delete. Tiebreaker column
+        # makes the order total so Spark and the model agree exactly.
+        ranked: dict[int, tuple] = {}
+        for seq, (k, v) in enumerate(base):
+            ranked.setdefault(k, [])
+            ranked[k].append((v, 0, seq, "base"))
+        for seq, (k, v, op) in enumerate(feed, start=100):
+            ranked.setdefault(k, [])
+            ranked[k].append((v, 2 if op == "delete" else 1, seq, op))
+        expect = {}
+        for k, rows in ranked.items():
+            v, _, seq, op = max(rows)
+            if op != "delete":
+                expect[k] = (v, seq)
+        target = spark.createDataFrame(
+            [(k, v, s) for s, (k, v) in enumerate(base)] or [(99, 0, 0)],
+            "k int, v int, seq int",
+        )
+        if not base:
+            target = target.filter("k < 0")
+        changes = spark.createDataFrame(
+            [(k, v, s, op) for s, (k, v, op) in enumerate(feed, start=100)]
+            or [(99, 0, 0, "upsert")],
+            "k int, v int, seq int, op string",
+        )
+        if not feed:
+            changes = changes.filter("k < 0")
+        out = apply_change_feed(
+            target, changes, ["k"], "v", tiebreakers=["seq"]
+        )
+        got = {r.k: (r.v, r.seq) for r in out.collect()}
+        assert got == expect
+
+    check()
+
+
+def test_hist_quantile_bound_property(spark):
+    """Every percentile estimate must bracket its exact value within one
+    bucket width — on the real fixture at both test scales."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = histogram_quantiles(load_table(spark, sf, "orders")).collect()
+        assert {r.pct for r in rows} == {50, 90, 95, 99}
+        assert all(r.within_bound for r in rows)
