@@ -55,3 +55,44 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def spill_safe_confs(
+    input_bytes: int,
+    total_cores: int,
+    executor_mem_bytes: int = 8 << 30,
+    mem_fraction: float = 0.3,
+    target_partition_bytes: int = 128 << 20,
+) -> dict[str, str]:
+    """Size the shuffle/scan knobs to the DATA, not folklore — the
+    spill-aware pre-AQE bounds for a run over ``input_bytes``:
+
+    * ``spark.sql.files.maxPartitionBytes`` — the scan split size; capped
+      so a task's input fits comfortably in its working set,
+      ``executor_mem_bytes × mem_fraction`` (pass PER-CORE memory as
+      ``executor_mem_bytes`` on multi-core executors); a split larger
+      than that spills on the first wide transform.
+    * ``spark.sql.shuffle.partitions`` — the pre-AQE upper bound: enough
+      partitions that ``input_bytes / partitions ≤ target_partition_bytes``
+      (so no reducer exceeds its working set even BEFORE AQE coalesces),
+      floored at 2× total cores (full parallelism + stragglers), and never
+      below 1.  AQE coalesces down from here; it cannot split a too-coarse
+      non-skewed partition up, which is why the upper bound must come from
+      data size.
+
+    Pure arithmetic — callable on the driver before building the session
+    (`get_spark(extra_conf=spill_safe_confs(...))`) or per-stage via
+    ``spark.conf.set``.  At 100 TB / 1000 executors × 4 cores this yields
+    ~800k shuffle partitions upper bound — exactly the regime where AQE
+    coalescing (not a hand-picked constant) is the only sane policy.
+    """
+    if input_bytes <= 0 or total_cores <= 0:
+        raise ValueError("input_bytes and total_cores must be positive")
+    per_task = int(executor_mem_bytes * mem_fraction)
+    max_split = max(8 << 20, min(target_partition_bytes, per_task))
+    by_data = -(-input_bytes // target_partition_bytes)  # ceil
+    shuffle = max(2 * total_cores, by_data)
+    return {
+        "spark.sql.files.maxPartitionBytes": str(max_split),
+        "spark.sql.shuffle.partitions": str(shuffle),
+    }

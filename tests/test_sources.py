@@ -342,3 +342,31 @@ def test_python_datasource_one_partition_per_shard(spark):
     ).collect()
     assert all(n == 1 for n in per_part)
     assert df.count() == orders.count()
+
+
+def test_spill_safe_confs_scaling():
+    """The knobs must track data size: 100 TB yields ~800k pre-AQE
+    partitions, small inputs floor at 2x cores, and the scan split never
+    exceeds the per-task working set."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
+        spill_safe_confs,
+    )
+
+    big = spill_safe_confs(100 << 40, total_cores=4000)
+    assert int(big["spark.sql.shuffle.partitions"]) == (100 << 40) // (128 << 20)
+    small = spill_safe_confs(1 << 30, total_cores=32)
+    assert int(small["spark.sql.shuffle.partitions"]) == 64  # 2x cores floor
+    tight = spill_safe_confs(
+        1 << 40, total_cores=64, executor_mem_bytes=1 << 30, mem_fraction=0.25
+    )
+    # working set 256 MB > target 128 MB -> split stays at target
+    assert int(tight["spark.sql.files.maxPartitionBytes"]) == 128 << 20
+    tighter = spill_safe_confs(
+        1 << 40, total_cores=64, executor_mem_bytes=256 << 20, mem_fraction=0.25
+    )
+    # working set 64 MB < target -> split shrinks to avoid first-shuffle spill
+    assert int(tighter["spark.sql.files.maxPartitionBytes"]) == 64 << 20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        spill_safe_confs(0, 4)
