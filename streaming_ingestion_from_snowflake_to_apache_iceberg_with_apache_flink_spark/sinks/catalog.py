@@ -168,6 +168,22 @@ class CatalogSink:
             finally:
                 self.spark.catalog.dropTempView(view)
 
+    def iceberg_tag_sql(self, epoch: int) -> str:
+        """Name the commit's snapshot after its epoch — Iceberg's native
+        durable version handle (``ALTER TABLE … CREATE TAG``), letting
+        ``read_as_of`` address commits by epoch instead of snapshot id."""
+        return (
+            f"ALTER TABLE {self.table} "
+            f"CREATE OR REPLACE TAG `epoch_{int(epoch)}`"
+        )
+
+    def iceberg_as_of_sql(self, epoch: int) -> str:
+        """Native time travel by epoch tag (``VERSION AS OF``) — under an
+        Iceberg catalog the snapshot-history table is unnecessary."""
+        return (
+            f"SELECT * FROM {self.table} VERSION AS OF 'epoch_{int(epoch)}'"
+        )
+
     # -- DDL (O11) ----------------------------------------------------------
 
     def _managed_location(self, table_name: str) -> str:
@@ -221,7 +237,11 @@ class CatalogSink:
                 self.spark.createDataFrame([], "epoch long"),
                 partitioned=False,
             )
-        if self.snapshots and not self.spark.catalog.tableExists(self.history):
+        if (
+            self.snapshots
+            and not self.iceberg  # native tags replace the history table
+            and not self.spark.catalog.tableExists(self.history)
+        ):
             self._create_or_reattach(
                 self.history,
                 like.withColumn("__epoch", F.lit(0).cast("long")),
@@ -284,6 +304,8 @@ class CatalogSink:
         the history table is a fallback-only artifact."""
         if not self.snapshots:
             raise ValueError("sink built with snapshots=False")
+        if self.iceberg:
+            return self.spark.sql(self.iceberg_as_of_sql(epoch))
         from pyspark.sql import Window as W
 
         h = self.spark.table(self.history).filter(F.col("__epoch") <= int(epoch))
@@ -363,6 +385,10 @@ class CatalogSink:
             if op not in ("append", "overwrite", "upsert"):
                 raise UnsupportedOperationError(op)
             self._iceberg_write(self._aligned(batch))
+            if self.snapshots:
+                # tag the fresh snapshot with the epoch: the durable
+                # version handle native VERSION AS OF addresses
+                self.spark.sql(self.iceberg_tag_sql(epoch))
             self._record(epoch)
             return f"iceberg-{op}"
         post: DataFrame | None = None

@@ -504,3 +504,18 @@ def test_snapshot_replay_is_idempotent(spark):
     got = {tuple(r) for r in sink.read_as_of(1).select("o_orderkey").collect()}
     cur = {tuple(r) for r in sink.read().select("o_orderkey").collect()}
     assert got == cur
+
+
+def test_iceberg_time_travel_sql_generation(spark):
+    """Under an Iceberg catalog, time travel is native: each commit tags
+    its snapshot with the epoch and read_as_of addresses the tag — the
+    generated SQL must carry both halves."""
+    sink = CatalogSink(
+        spark, _cfg(_uniq("t_ice_tt")).sink,
+        version_column="o_orderdate", snapshots=True,
+    )
+    tag = sink.iceberg_tag_sql(7)
+    assert tag.startswith(f"ALTER TABLE {sink.table} ")
+    assert "CREATE OR REPLACE TAG `epoch_7`" in tag
+    as_of = sink.iceberg_as_of_sql(7)
+    assert as_of == f"SELECT * FROM {sink.table} VERSION AS OF 'epoch_7'"
