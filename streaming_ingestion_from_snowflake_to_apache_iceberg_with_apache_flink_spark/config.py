@@ -76,6 +76,10 @@ class IcebergSinkConfig:
     partition_fields: tuple[str, ...] = ()   # IcebergPartitionFields (csv)
     upsert_fields: tuple[str, ...] = ()      # IcebergUpsertFields (csv)
     operation: str = "upsert"                # IcebergOperation
+    # engine extension (not in the reference's surface): keep per-commit
+    # snapshots for read_as_of time travel (native epoch tags under an
+    # Iceberg catalog, an epoch-partitioned history table on the fallback)
+    snapshots: bool = False
 
     def __post_init__(self) -> None:
         if self.operation not in SUPPORTED_OPERATIONS:
@@ -135,5 +139,7 @@ class PipelineConfig:
             partition_fields=csv("IcebergPartitionFields"),
             upsert_fields=csv("IcebergUpsertFields"),
             operation=params.get("IcebergOperation", "upsert"),
+            # extension parameter; absent from the reference's map
+            snapshots=params.get("IcebergSnapshots", "false").lower() == "true",
         )
         return cls(source=src, sink=snk)

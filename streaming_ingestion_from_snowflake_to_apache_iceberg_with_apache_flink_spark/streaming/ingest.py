@@ -115,7 +115,12 @@ class SnowflakeLikeIngestor:
         self.dead_letter_path = dead_letter_path
         self.offsets_path = os.path.join(state_dir, "offsets")
         self.tiebreaker = tiebreaker
-        self.sink = CatalogSink(spark, cfg.sink, version_column=cfg.source.sort_column)
+        self.sink = CatalogSink(
+            spark,
+            cfg.sink,
+            version_column=cfg.source.sort_column,
+            snapshots=cfg.sink.snapshots,
+        )
         # resume the epoch counter past durable commits so a restarted
         # driver never reuses a ledgered epoch id
         self._cycle = self.sink.last_epoch()
@@ -289,7 +294,12 @@ def stream_ingest(
     a shared directory (the file-stream source requires a directory base
     path) — streaming straight off a landing zone without a staging copy.
     """
-    sink = CatalogSink(spark, cfg.sink, version_column=cfg.source.sort_column)
+    sink = CatalogSink(
+        spark,
+        cfg.sink,
+        version_column=cfg.source.sort_column,
+        snapshots=cfg.sink.snapshots,
+    )
 
     reader = spark.readStream.schema(schema)
     if path_glob_filter:

@@ -519,3 +519,33 @@ def test_iceberg_time_travel_sql_generation(spark):
     assert "CREATE OR REPLACE TAG `epoch_7`" in tag
     as_of = sink.iceberg_as_of_sql(7)
     assert as_of == f"SELECT * FROM {sink.table} VERSION AS OF 'epoch_7'"
+
+
+def test_ingest_with_snapshots_records_history(spark, staging, tmp_path):
+    """snapshots=True through the config surface: a drained ingest leaves
+    a reconstructible history whose final as-of state equals the table."""
+    path, first, rest, orders = staging
+    cfg = _cfg(_uniq("t_snap_ing"))
+    cfg = PipelineConfig(
+        source=cfg.source,
+        sink=IcebergSinkConfig(
+            db=cfg.sink.db,
+            table_name=cfg.sink.table_name,
+            partition_fields=cfg.sink.partition_fields,
+            upsert_fields=cfg.sink.upsert_fields,
+            operation=cfg.sink.operation,
+            snapshots=True,
+        ),
+    )
+    ing = SnowflakeLikeIngestor(
+        spark, cfg, path, str(tmp_path / "state"), "o_orderkey"
+    )
+    ing.run_until_drained()
+    hi = ing.sink.last_epoch()
+    assert hi >= 1
+    cur = {r.o_orderkey for r in ing.sink.read().select("o_orderkey").collect()}
+    asof = {
+        r.o_orderkey
+        for r in ing.sink.read_as_of(hi).select("o_orderkey").collect()
+    }
+    assert asof == cur
