@@ -1547,3 +1547,47 @@ def test_hist_quantile_bound_property(spark):
         rows = histogram_quantiles(load_table(spark, sf, "orders")).collect()
         assert {r.pct for r in rows} == {50, 90, 95, 99}
         assert all(r.within_bound for r in rows)
+
+
+def test_degenerate_docs_edge_battery(spark):
+    """Null / empty / whitespace-only / unicode / shorter-than-shingle
+    docs must flow through the text+dedup surface without errors, with
+    pinned semantics: degenerate docs tokenize to the empty shingle set
+    {''} and therefore pair as identical content (jaccard 1.0) — the
+    stop-shingle df cut bounds that clique at scale — while exact dedup
+    keeps them distinct (different raw text) and per-doc ops emit a row
+    for every input."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        dedup as dd,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "a"),
+            (2, "", "en", "a"),
+            (3, "   ", "en", "a"),
+            (4, "héllo wörld héllo", "de", "b"),
+            (5, "one two", "en", "b"),
+            (6, "x", "en", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    assert tx.normalize_text(docs).count() == 6
+    assert tx.lang_id(docs).count() == 6
+    assert tx.quality_score(docs).count() == 6
+    # exact dedup: all six texts differ (null/''/'   ' are distinct raw
+    # content), so nothing collapses
+    assert dd.exact_dedup(docs).count() == 6
+    # near-dup: exactly the degenerate trio pairs up, at jaccard 1.0
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs).collect()}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert all(j == 1.0 for j in pairs.values())
+    # real short docs below the shingle width do NOT pair with empties
+    assert all(6 not in p and 5 not in p and 4 not in p for p in pairs)
+    # the stop-shingle cut drops the degenerate clique once it exceeds
+    # max_shingle_df — the 100 TB safety valve for empty-doc floods
+    assert dd.ngram_jaccard_pairs(docs, max_shingle_df=2).count() == 0
