@@ -1834,6 +1834,19 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_run(spark, sf_dir, customer)
 
 
+def q_cep_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP / MATCH_RECOGNIZE-style sequence patterns (sessions.cep_patterns):
+    regex over each user's time-ordered event-initial sequence — funnel
+    matches, error-after-purchase adjacency, longest click run; one key
+    shuffle, per-row regex. Oracle builds the identical sequence with
+    ordered string_agg."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        cep_patterns,
+    )
+
+    return cep_patterns(load_table(spark, sf_dir, "events"))
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram-sketch percentiles with a proven bucket-width
     error bound (sketch.histogram_quantiles): p50/p90/p95/p99 from a
@@ -2450,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": q_hist_quantiles,
         "q_dq_checks": q_dq_checks,
         "q_stream_static": q_stream_static,
+        "q_cep_patterns": q_cep_patterns,
     }
 
 
@@ -4810,6 +4824,23 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_hist_quantiles"] = duck_histogram_quantiles_sql()
+    out["q_cep_patterns"] = """
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               length(seq)::INT AS seq_len,
+               len(regexp_extract_all(seq, 'vc*p'))::INT AS n_funnels,
+               len(regexp_extract_all(seq, 'pe'))::INT AS n_err_after_buy,
+               coalesce(list_max(list_transform(
+                   list_filter(string_split_regex(seq, '[^c]+'),
+                               x -> x <> ''),
+                   x -> strlen(x))), 0)::INT AS longest_click_run
+        FROM seqs
+    """
     out["q_stream_static"] = """
         SELECT c_mktsegment, event_type,
                count(*) AS n_events,

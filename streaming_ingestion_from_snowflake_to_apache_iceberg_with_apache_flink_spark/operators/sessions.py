@@ -197,3 +197,53 @@ def event_paths(events: DataFrame, k: int = 25) -> DataFrame:
             ),
         )
     )
+
+
+def cep_patterns(events: DataFrame) -> DataFrame:
+    """Complex-event-processing pattern matching — the MATCH_RECOGNIZE /
+    Flink-CEP role — as regex over each user's time-ordered event-type
+    sequence.  Every event type maps to its (distinct) initial letter;
+    the per-user sequence is built with one key shuffle (sorted struct
+    collect, total order on (ts, event_id) so replays are deterministic)
+    and the patterns evaluate JVM-side per user:
+
+    * ``n_funnels``  — non-overlapping matches of view→clicks*→purchase
+      (``vc*p``), the classic conversion pattern with an arbitrary-length
+      middle;
+    * ``n_err_after_buy`` — ``pe`` adjacency: an error immediately after
+      a purchase (the alerting pattern);
+    * ``longest_click_run`` — the longest ``c+`` run length.
+
+    Scale: the sequence is one string per user (events per user bounded
+    in any real funnel window); pattern evaluation is per-row codegen'd
+    regex — no joins, no state machine materialization.  Both engines'
+    regex engines agree on these patterns (greedy, leftmost,
+    non-overlapping), which the oracle relies on.
+    """
+    initial = F.substring("event_type", 1, 1)
+    seq = (
+        events.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), initial.alias("i")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["i"]
+                ),
+            ).alias("seq")
+        )
+    )
+    runs = F.expr(
+        "coalesce(array_max(transform(filter(split(seq, '[^c]+'),"
+        " x -> x <> ''), x -> length(x))), 0)"
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_count("seq", F.lit("vc*p")).alias("n_funnels"),
+        F.regexp_count("seq", F.lit("pe")).alias("n_err_after_buy"),
+        runs.cast("int").alias("longest_click_run"),
+    )
