@@ -1834,6 +1834,31 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_run(spark, sf_dir, customer)
 
 
+def q_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event temporal join (temporal.nearest_join): each click
+    matched to its CLOSEST purchase in either direction within ±2 h —
+    the bidirectional as-of; bucketed equi-join candidates + one
+    WindowGroupLimit pass, ties to the earlier purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    out = tp.nearest_join(
+        clicks, purchases, "user_id", "cts", "pts", tolerance_ms=7_200_000
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        ts_ms("cts").alias("click_ts_ms"),
+        ts_ms("pts").alias("purchase_ts_ms"),
+        "abs_diff_ms",
+    )
+
+
 def q_cep_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP / MATCH_RECOGNIZE-style sequence patterns (sessions.cep_patterns):
     regex over each user's time-ordered event-initial sequence — funnel
@@ -2464,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_checks": q_dq_checks,
         "q_stream_static": q_stream_static,
         "q_cep_patterns": q_cep_patterns,
+        "q_nearest_join": q_nearest_join,
     }
 
 
@@ -4824,6 +4850,31 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_hist_quantiles"] = duck_histogram_quantiles_sql()
+    out["q_nearest_join"] = """
+        WITH c AS (
+            SELECT user_id, ts AS cts, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id AS pu, ts AS pts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+        ), cand AS (
+            SELECT c.user_id, c.cts, c.click_id, p.pts, p.purchase_id,
+                   abs(epoch_us(p.pts) - epoch_us(c.cts)) AS du
+            FROM c JOIN p ON c.user_id = p.pu
+               AND epoch_us(p.pts) BETWEEN epoch_us(c.cts) - 7200000000
+                                       AND epoch_us(c.cts) + 7200000000
+        ), best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY click_id
+                ORDER BY du, epoch_us(pts)) AS rn
+            FROM cand
+        )
+        SELECT user_id, click_id, purchase_id,
+               epoch_ms(cts) AS click_ts_ms,
+               epoch_ms(pts) AS purchase_ts_ms,
+               CAST(du // 1000 AS BIGINT) AS abs_diff_ms
+        FROM best WHERE rn = 1
+    """
     out["q_cep_patterns"] = """
         WITH seqs AS (
             SELECT user_id,

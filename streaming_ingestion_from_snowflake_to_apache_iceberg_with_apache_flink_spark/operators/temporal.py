@@ -318,3 +318,39 @@ def late_data_audit(
         F.sum(F.col("late").cast("int")).cast("bigint").alias("n_late"),
         F.max("late_by_ms").cast("bigint").alias("max_late_ms"),
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_ms: int,
+) -> DataFrame:
+    """Nearest-event temporal join: for each left row, the single right
+    row with the same key whose timestamp is CLOSEST in either direction
+    within ``±tolerance_ms`` — the bidirectional cousin of the as-of join
+    (as-of looks backward only; "match the reading nearest to the event"
+    needs both directions).
+
+    Built on the bucketed ``interval_join`` kernel (so candidates come
+    from an equi-join on (key, time-bucket), never a nested loop), then
+    one WindowGroupLimit pass keeps the nearest candidate per left row —
+    ties break to the EARLIER right timestamp, making the winner total-
+    order deterministic.  Left rows with no candidate in tolerance drop
+    (inner semantics), matching the oracle's join.
+    """
+    cand = interval_join(
+        left, right, on, left_ts, right_ts, -tolerance_ms, tolerance_ms
+    )
+    diff = F.abs(F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts)))
+    w = Window.partitionBy(*left.columns).orderBy(
+        diff.asc(), F.unix_micros(F.col(right_ts)).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("abs_diff_ms", (diff / F.lit(1000)).cast("long"))
+    )
