@@ -384,7 +384,7 @@ def important_stock(
     )
     grouped = base.groupBy(F.col("n_name").alias("nation"), "l_partkey").agg(
         F.sum("v").alias("value_e4")
-    )
+    ).persist()  # read by both the output and the scalar total: scan once
     total = grouped.agg(F.sum("value_e4").alias("total_e4"))
     return (
         grouped.crossJoin(F.broadcast(total))
@@ -482,6 +482,10 @@ def top_supplier(
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev_e4()).alias("total_revenue_e4"))
+        # both the output and the scalar max read this aggregate: persist
+        # the supplier-cardinality relation so the FACT scan runs once
+        # (without it the max's subtree re-scans lineitem)
+        .persist()
     )
     mx = rev.agg(F.max("total_revenue_e4").alias("mx"))
     return (
@@ -637,7 +641,11 @@ def excess_shippers(
         .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
         .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty"))
     )
-    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("sq"))
+    per_pair = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("sq"))
+        .persist()  # feeds both the per-part total and the join back
+    )
     per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("sq").alias("total_qty")
     )

@@ -870,3 +870,87 @@ def test_dq_checks_referential_uses_broadcast_anti(spark):
     plan = formatted_plan(df)
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q7_geography_broadcasts_onto_fact(spark):
+    """Q7: both geography chains (supplier-side and customer-side) must
+    broadcast onto the fact — the lineitem scan shuffles only for the
+    orders equi-join and the final aggregation."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        volume_shipping,
+    )
+
+    df = volume_shipping(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "nation"),
+        load_table(spark, SF, "region"),
+    )
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_tpch_q10_top20_take_ordered(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        returned_item_report,
+    )
+
+    df = returned_item_report(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "nation"),
+    )
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_pushed_filter(df, "l_returnflag")
+    assert_pushed_filter(df, "o_orderdate")
+
+
+def test_tpch_q15_max_is_broadcast_not_correlated_rescan(spark):
+    """Q15: the scalar max joins back as a 1-row broadcast; the revenue
+    aggregate is computed once, never re-scanned per row."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.tpch import (
+        top_supplier,
+    )
+
+    df = top_supplier(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "supplier")
+    )
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the lineitem relation appears in exactly one scan subtree
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_nearest_join_no_nested_loop(spark):
+    """The nearest-event join must ride the bucketed equi-join kernel —
+    no BroadcastNestedLoopJoin / CartesianProduct for candidates."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        temporal as tp,
+    )
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    df = tp.nearest_join(clicks, purch, "user_id", "cts", "pts", 7_200_000)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_cep_single_key_shuffle(spark):
+    """CEP sequence build costs one hash exchange on the user key; the
+    regex evaluation adds none."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        cep_patterns,
+    )
+
+    df = cep_patterns(load_table(spark, SF, "events"))
+    assert count_exchanges(df) == 1
