@@ -1834,6 +1834,24 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_run(spark, sf_dir, customer)
 
 
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct actives per sliding window (windows.sliding_distinct):
+    the uniques-per-trailing-hour aggregate — window explode feeding a
+    partial-DISTINCT two-level hash, shuffling deduped triples only."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        sliding_distinct,
+    )
+
+    return sliding_distinct(load_table(spark, sf_dir, "events"))
+
+
+def q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode (relational.mode_per_key): most
+    frequent event type per user, ties to the smallest value — MODE()
+    with pinned tie order via count + WindowGroupLimit."""
+    return rel.mode_per_key(load_table(spark, sf_dir, "events"))
+
+
 def q_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-event temporal join (temporal.nearest_join): each click
     matched to its CLOSEST purchase in either direction within ±2 h —
@@ -2490,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_static": q_stream_static,
         "q_cep_patterns": q_cep_patterns,
         "q_nearest_join": q_nearest_join,
+        "q_sliding_distinct": q_sliding_distinct,
+        "q_mode_per_key": q_mode_per_key,
     }
 
 
@@ -4850,6 +4870,30 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_hist_quantiles"] = duck_histogram_quantiles_sql()
+    out["q_sliding_distinct"] = """
+        WITH hop AS (
+            SELECT event_type, user_id,
+                   ((epoch_ms(ts) // 1800000) - g.i) * 1800000
+                       AS window_start_ms
+            FROM events, generate_series(0, 1) g(i)
+        )
+        SELECT event_type, window_start_ms,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM hop GROUP BY 1, 2
+    """
+    out["q_mode_per_key"] = """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type AS mode_value, n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY n DESC, event_type ASC) AS rn
+            FROM c
+        ) WHERE rn = 1
+    """
     out["q_nearest_join"] = """
         WITH c AS (
             SELECT user_id, ts AS cts, event_id AS click_id

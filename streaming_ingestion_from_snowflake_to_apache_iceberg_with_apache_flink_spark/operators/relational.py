@@ -938,3 +938,25 @@ def mergeable_agg_states(orders: DataFrame) -> DataFrame:
             F.max("mx").alias("max_cents"),
         )
     )
+
+
+def mode_per_key(
+    events: DataFrame, key: str = "user_id", value: str = "event_type"
+) -> DataFrame:
+    """Deterministic per-key mode: the most frequent ``value`` per
+    ``key``, ties to the lexicographically smallest value — the aggregate
+    SQL's MODE() leaves tie order undefined, so engines disagree; the
+    count + WindowGroupLimit formulation pins it.
+
+    Two partial-aggregable shuffles — (key, value) count, then the
+    per-key top-1 via rank (WindowGroupLimit truncates map-side) — both
+    on bounded-cardinality relations."""
+    from pyspark.sql import Window as W
+
+    counts = events.groupBy(key, value).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy(key).orderBy(F.col("n").desc(), F.col(value).asc())
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, F.col(value).alias("mode_value"), "n")
+    )

@@ -224,3 +224,33 @@ def stream_session_windows(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(query_name)
+
+
+def sliding_distinct(
+    events: DataFrame,
+    ts_column: str = "ts",
+    key: str = "event_type",
+    length: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Distinct active users per sliding window — the "uniques per
+    trailing hour" dashboard aggregate.  Distinct-within-overlapping-
+    windows is a different plan shape from the sliding sums: the window
+    explode (×length/slide) feeds a partial-DISTINCT aggregate
+    (two-level hash: (key, window, user) dedup map-side, then count),
+    so the shuffle carries deduped triples, never raw events."""
+    return (
+        events.groupBy(key, F.window(ts_column, length, slide).alias("w"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key,
+            (F.unix_micros(F.col("w.start")) / F.lit(1000))
+            .cast("long")
+            .alias("window_start_ms"),
+            "n_users",
+            "n_events",
+        )
+    )
