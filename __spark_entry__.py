@@ -2315,8 +2315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_tpch_q12 q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17
     # q_tpch_q18 q_tpch_q19 q_tpch_q20 q_tpch_q21 q_tpch_q22
     # q_zorder_layout q_merge_delete q_stream_join q_time_travel
+    # q_python_source q_variant q_stream_session q_udtf_runs
+    # q_hist_quantiles q_dq_checks q_stream_static q_cep_patterns
+    # q_nearest_join q_sliding_distinct q_mode_per_key
     # (more than one 50-slot window remains: prioritize the TPC-H block
-    # and the four feature queries, rotate the rest in round 5)
+    # and the feature queries, rotate the rest in round 5)
     return {
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
