@@ -954,3 +954,26 @@ def test_cep_single_key_shuffle(spark):
 
     df = cep_patterns(load_table(spark, SF, "events"))
     assert count_exchanges(df) == 1
+
+
+def test_sliding_distinct_partial_distinct_agg(spark):
+    """The distinct-in-overlapping-windows plan must pre-aggregate the
+    deduped (key, window, user) triples map-side (partial_count over an
+    Expand / two-phase distinct), never shuffle raw events."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        sliding_distinct,
+    )
+
+    df = sliding_distinct(load_table(spark, SF, "events"))
+    plan = formatted_plan(df)
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 3  # dedup phase + count phases
+
+
+def test_mode_per_key_window_group_limit(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        mode_per_key,
+    )
+
+    df = mode_per_key(load_table(spark, SF, "events"))
+    assert_window_group_limit(df)
