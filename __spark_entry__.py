@@ -1834,6 +1834,32 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_run(spark, sf_dir, customer)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup through the ACTUAL runtime
+    (windows.stream_dedup_run): the events doubled row-for-row into a
+    staging dir, then file stream → watermark →
+    dropDuplicatesWithinWatermark → append memory sink; the output must
+    hash-match the ORIGINAL relation — the state-store dedup provably
+    dropped the planted duplicates."""
+    import shutil
+    import tempfile
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        stream_dedup_run,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="sgq_dedup_")
+    try:
+        events.unionAll(events).write.mode("overwrite").parquet(base)
+        out = _events_out(stream_dedup_run(spark, base)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct actives per sliding window (windows.sliding_distinct):
     the uniques-per-trailing-hour aggregate — window explode feeding a
@@ -2513,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nearest_join": q_nearest_join,
         "q_sliding_distinct": q_sliding_distinct,
         "q_mode_per_key": q_mode_per_key,
+        "q_stream_dedup": q_stream_dedup,
     }
 
 
@@ -4873,6 +4900,11 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_hist_quantiles"] = duck_histogram_quantiles_sql()
+    out["q_stream_dedup"] = """
+        SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+               value, props
+        FROM events
+    """
     out["q_sliding_distinct"] = """
         WITH hop AS (
             SELECT event_type, user_id,

@@ -254,3 +254,40 @@ def sliding_distinct(
             "n_events",
         )
     )
+
+
+def stream_dedup_run(
+    spark,
+    doubled_dir: str,
+    query_name: str = "stream_dedup_mem",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Exactly-once-per-key dedup through the ACTUAL runtime: a file
+    stream over a deliberately DOUBLED copy of the events (every row
+    twice) → watermark → ``dropDuplicatesWithinWatermark`` on the event
+    key → append-mode memory sink, AvailableNow drain.  The output must
+    be exactly the original relation — the state-store dedup provably
+    dropped the planted duplicates, not a vacuous identity pass.
+
+    State story: key state is evicted once the watermark passes the
+    event's time + delay, which is what bounds the dedup map on an
+    unbounded stream (the plain dropDuplicates would retain every key
+    forever)."""
+    raw = spark.read.parquet(doubled_dir).schema
+    stream = spark.readStream.schema(raw).parquet(doubled_dir)
+    from pyspark.sql import types as T
+
+    if isinstance(raw["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
