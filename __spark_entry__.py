@@ -1834,6 +1834,35 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_run(spark, sf_dir, customer)
 
 
+def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's keyed offset state machine (O4 bootstrap + O7
+    monotone advance, SnowflakeProcessFunction.java:21-23,46-85) through
+    the ACTUAL runtime: file stream → applyInPandasWithState
+    (streaming/state.track_offsets) → update-mode memory sink,
+    AvailableNow. On a single-batch drain each shard emits exactly one
+    progress row with offset = its row count — oracle is the per-shard
+    count."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        _file_stream,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        track_offsets,
+    )
+
+    load_table(spark, sf_dir, "orders")  # pins session confs
+    stream = _file_stream(spark, sf_dir, "orders.parquet")
+    prog = track_offsets(stream, ORDERS_SHARD)
+    q = (
+        prog.writeStream.format("memory")
+        .queryName("q_stateful_offsets_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("q_stateful_offsets_mem")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup through the ACTUAL runtime
     (windows.stream_dedup_run): the events doubled row-for-row into a
@@ -2540,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_distinct": q_sliding_distinct,
         "q_mode_per_key": q_mode_per_key,
         "q_stream_dedup": q_stream_dedup,
+        "q_stateful_offsets": q_stateful_offsets,
     }
 
 
@@ -4900,6 +4930,12 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_hist_quantiles"] = duck_histogram_quantiles_sql()
+    out["q_stateful_offsets"] = """
+        SELECT o_orderpriority AS shard_value,
+               count(*) AS batch_rows,
+               count(*) AS offset
+        FROM orders GROUP BY 1
+    """
     out["q_stream_dedup"] = """
         SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
                value, props
