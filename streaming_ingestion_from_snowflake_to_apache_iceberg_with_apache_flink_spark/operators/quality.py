@@ -25,10 +25,14 @@ from pyspark.sql import functions as F
 
 
 def _check(name: str, violations) -> DataFrame:
+    # coalesce pins empty-input semantics: sum() over zero rows is NULL in
+    # Spark, and a NULL violation count would make `passed` NULL instead of
+    # true — exactly the degenerate input a DQ battery exists to handle.
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
     return violations.select(
         F.lit(name).alias("check_name"),
-        F.col("n").alias("n_violations"),
-        (F.col("n") == 0).alias("passed"),
+        n.alias("n_violations"),
+        (n == 0).alias("passed"),
     )
 
 
@@ -48,11 +52,16 @@ def dq_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
     ref = _check(
         "orders.o_custkey references customer.c_custkey",
-        orders.join(
+        # NULL keys are excluded: they're the not_null check's finding, and
+        # SQL NOT IN semantics (the oracle) never count a NULL as an RI
+        # violation — without the filter the anti join would.
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
             F.broadcast(customer.select("c_custkey")),
-            orders["o_custkey"] == F.col("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
-        ).agg(F.count(F.lit(1)).alias("n")),
+        )
+        .agg(F.count(F.lit(1)).alias("n")),
     )
     accepted = _check(
         "orders.o_orderstatus accepted_values",

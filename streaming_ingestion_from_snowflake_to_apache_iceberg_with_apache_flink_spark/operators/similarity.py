@@ -558,6 +558,7 @@ def semdedup_pairs(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.3,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. '23): semantic near-duplicate pairs found
     WITHIN k-means clusters — the clustering bounds the pair space to
@@ -570,22 +571,33 @@ def semdedup_pairs(
     at the end — deterministic, so the approximate METHOD gets an exact
     oracle. Returns (cluster_id, vec_a, vec_b, qsim).
     """
-    dim = 64
+    if dim is None:
+        # one-row probe, not an assumption: hardcoding the width would turn
+        # any other embedding dimension into silent NULL q{i} columns
+        first = embeddings.select(F.size("embedding").alias("d")).head()
+        if first is None:
+            raise ValueError("semdedup_pairs: empty embeddings input")
+        dim = int(first["d"])
     # Flatten the code array into per-dimension columns BEFORE the pair
     # join: array higher-order functions (zip_with/aggregate) are
-    # interpreted per row in Spark, so a 64-element fold over every
+    # interpreted per row in Spark, so a dim-element fold over every
     # candidate pair was the dominant cost (~4 s of the query at sf0.1).
-    # As flat columns the dot product is one 64-term arithmetic expression
+    # As flat columns the dot product is one dim-term arithmetic expression
     # inside whole-stage codegen — same exact integers, far cheaper per
     # pair, and the join carries fixed-width longs instead of array blobs.
+    # The width guard lives inside the load-bearing qn2 expression (a
+    # dropped assert column would be pruned away by Catalyst): any row
+    # whose vector width disagrees with dim raises instead of NULLing.
+    qn2 = F.when(
+        F.size("q") == dim,
+        F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v),
+    ).otherwise(F.raise_error(F.lit(f"semdedup_pairs: embedding width != {dim}")))
     a = (
         kmeans_assign(embeddings, k, iters)
         .select(
             "vec_id",
             "cluster_id",
-            F.aggregate(
-                F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
-            ).alias("qn2"),
+            qn2.alias("qn2"),
             *[F.col("q")[i].alias(f"q{i}") for i in range(dim)],
         )
         .persist()

@@ -340,17 +340,24 @@ def nearest_join(
     ties break to the EARLIER right timestamp, making the winner total-
     order deterministic.  Left rows with no candidate in tolerance drop
     (inner semantics), matching the oracle's join.
+
+    The top-1 window partitions on a synthetic per-row id stamped on the
+    left input BEFORE the join, so two left rows identical on every
+    column still each keep their own nearest match (partitioning on
+    ``left.columns`` would collapse them into one group and silently
+    drop a row).  The id never leaves the operator.
     """
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
     cand = interval_join(
-        left, right, on, left_ts, right_ts, -tolerance_ms, tolerance_ms
+        lid, right, on, left_ts, right_ts, -tolerance_ms, tolerance_ms
     )
     diff = F.abs(F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts)))
-    w = Window.partitionBy(*left.columns).orderBy(
+    w = Window.partitionBy("__lid").orderBy(
         diff.asc(), F.unix_micros(F.col(right_ts)).asc()
     )
     return (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__lid")
         .withColumn("abs_diff_ms", (diff / F.lit(1000)).cast("long"))
     )

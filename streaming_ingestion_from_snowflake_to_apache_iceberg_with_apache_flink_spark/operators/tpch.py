@@ -47,6 +47,15 @@ them to 100 TB):
   early-out probing); NOT IN over a nullable-free key is LEFT ANTI;
 * top-k outputs go through ``orderBy().limit()`` =
   ``TakeOrderedAndProject`` — per-partition k, driver merge, no global sort.
+
+Cache ownership: a few shapes ``persist()`` an aggregate that feeds both
+the output and a scalar threshold (Q11/Q15/Q20) so the fact scan runs
+once.  The handles are intentionally not unpersisted here — the returned
+DataFrame is lazy, so the operator cannot know when materialization ends.
+CALLERS own cleanup: run ``spark.catalog.clearCache()`` after consuming a
+query (bench.py and the oracle harness both do, per query); a long-lived
+session embedding these operators should do the same or unpersist via
+``spark.catalog.uncacheTable``/``clearCache`` at its own batch boundaries.
 """
 
 from __future__ import annotations

@@ -1591,3 +1591,73 @@ def test_degenerate_docs_edge_battery(spark):
     # the stop-shingle cut drops the degenerate clique once it exceeds
     # max_shingle_df — the 100 TB safety valve for empty-doc floods
     assert dd.ngram_jaccard_pairs(docs, max_shingle_df=2).count() == 0
+
+
+def test_nearest_join_keeps_duplicate_left_rows(spark):
+    """Two left rows identical on EVERY column must each keep their own
+    nearest match (ADVICE r3: a window partitioned on left.columns
+    collapsed the duplicates into one group and dropped a row)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        temporal as tp,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (1, "2024-01-01 00:00:10")],
+        "k long, lts string",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:12"), (1, "2024-01-01 00:01:40")],
+        "k long, rts string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"))
+    out = tp.nearest_join(left, right, "k", "lts", "rts", 60_000).collect()
+    assert len(out) == 2  # one match PER left row, duplicates included
+    assert all(r.abs_diff_ms == 2_000 for r in out)
+
+
+def test_dq_checks_null_keys_and_empty_input(spark):
+    """DQ battery degenerate semantics (ADVICE r3): NULL foreign keys are
+    the not_null check's finding, never RI violations; an empty input
+    yields 0-violation passes, not NULLs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        dq_checks,
+    )
+
+    customer = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    dirty = spark.createDataFrame(
+        [
+            (10, 1, "O", 5.0),
+            (11, None, "O", 5.0),  # NULL key: not_null violation only
+            (12, 99, "F", 5.0),  # dangling key: the one RI violation
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    res = {r.check_name: r for r in dq_checks(dirty, customer).collect()}
+    ref = res["orders.o_custkey references customer.c_custkey"]
+    assert ref.n_violations == 1 and not ref.passed
+    nn = res["orders.o_custkey not_null"]
+    assert nn.n_violations == 1 and not nn.passed
+
+    empty = dirty.limit(0)
+    for r in dq_checks(empty, customer).collect():
+        assert r.n_violations == 0, r.check_name
+        assert r.passed is True, r.check_name
+
+
+def test_semdedup_pairs_dimension_agnostic(spark):
+    """semdedup derives the embedding width from the data (ADVICE r3:
+    a hardcoded dim=64 NULLed every other width)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semdedup_pairs(emb, k=1, iters=1, threshold=0.5).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 1)}
+    assert all(r.qsim is not None for r in pairs)

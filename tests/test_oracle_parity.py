@@ -38,11 +38,17 @@ def test_no_orphan_oracles():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
-    if name not in ORACLES:
-        df = QUERIES[name](spark, sf_dir)
-        assert df.count() >= 0  # rows-only check, like the driver
-        return
-    compare(QUERIES[name](spark, sf_dir), duck, ORACLES[name], name)
+    try:
+        if name not in ORACLES:
+            df = QUERIES[name](spark, sf_dir)
+            assert df.count() >= 0  # rows-only check, like the driver
+            return
+        compare(QUERIES[name](spark, sf_dir), duck, ORACLES[name], name)
+    finally:
+        # operators may persist() intermediates; callers own cleanup
+        # (operators/tpch.py module docstring) — without this the 194-query
+        # sweep accumulates cached relations in the shared session
+        spark.catalog.clearCache()
 
 
 def test_entry_smoke(spark):
