@@ -2351,31 +2351,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows for only the FIRST 50 entries, so the ordering rotates each
     # round to move never-driver-checked queries into the window (all
     # queries are locally oracle-checked regardless,
-    # tests/test_oracle_parity.py). Round 3 ordering checks the 50
-    # entries below from q_avro_contract onward. ROUND 4: move these 47
-    # still-unchecked names to the front (keep the rest in any order):
+    # tests/test_oracle_parity.py). Rounds 1-2 checked the q_distinct_shards
+    # window, round 3 the q_avro_contract window; _ROUND4_WINDOW below
+    # hoists 50 of the 94 still-unchecked names (the TPC-H block, the
+    # streaming runtime, storage, sources, and the feature queries).
+    # ROUND 5: hoist the remaining 44 (keep the rest in any order):
     # q_calendar_fill q_pair_degree q_cooccurrence_lift q_late_data_audit
-    # q_vocab_coverage q_stream_ingest q_frame_sample q_media_resize
-    # q_pandas_norm q_pandas_scale q_pandas_agg q_bucketed_join
-    # q_outer_join q_window_analytics q_minmax_by q_csv_source
-    # q_jsonl_source q_triangle_count q_key_skew q_map_battery
-    # q_higher_order q_unpivot q_median_mad q_group_concat
-    # q_column_profile q_skyline q_locf q_bloom_join q_knn_classify
-    # q_kmeans q_dup_substring q_source_overlap q_stream_window
-    # q_bpe_train q_bpe_apply q_semdedup q_cogroup q_null_battery
-    # q_audio_chunks q_partial_merge q_weighted_sample q_winsorize
-    # q_cluster_terms q_sql_frontend q_fuzzy_join q_sketch_merge
-    # q_orc_source — plus the round-3 late additions: q_tpch_q2 q_tpch_q4
-    # q_tpch_q6 q_tpch_q7 q_tpch_q8 q_tpch_q9 q_tpch_q10 q_tpch_q11
-    # q_tpch_q12 q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17
-    # q_tpch_q18 q_tpch_q19 q_tpch_q20 q_tpch_q21 q_tpch_q22
-    # q_zorder_layout q_merge_delete q_stream_join q_time_travel
-    # q_python_source q_variant q_stream_session q_udtf_runs
-    # q_hist_quantiles q_dq_checks q_stream_static q_cep_patterns
-    # q_nearest_join q_sliding_distinct q_mode_per_key
-    # (more than one 50-slot window remains: prioritize the TPC-H block
-    # and the feature queries, rotate the rest in round 5)
-    return {
+    # q_vocab_coverage q_outer_join q_window_analytics q_minmax_by
+    # q_triangle_count q_key_skew q_map_battery q_higher_order q_unpivot
+    # q_median_mad q_group_concat q_column_profile q_skyline q_locf
+    # q_bloom_join q_knn_classify q_kmeans q_dup_substring
+    # q_source_overlap q_bpe_train q_bpe_apply q_semdedup q_null_battery
+    # q_log2_histogram q_threshold_curve q_hapax_docs q_dist_drift
+    # q_benford q_dow_profile q_weighted_jaccard q_clustering_coef q_ema
+    # q_cusum q_autocorr q_partial_merge q_weighted_sample q_winsorize
+    # q_cluster_terms q_fuzzy_join q_sketch_merge — plus any queries
+    # added in round 4 or later.
+    q = {
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
         "q_normalize_text": q_normalize_text,
@@ -2571,6 +2563,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stateful_offsets": q_stateful_offsets,
     }
+    missing = [n for n in _ROUND4_WINDOW if n not in q]
+    if missing:  # a renamed/dropped query must fail loudly, not shrink the window
+        raise KeyError(f"_ROUND4_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND4_WINDOW}, **q}
+
+
+# The 50-slot driver-correctness window for round 4: every name here has
+# never been driver-checked (absent from CORRECTNESS_r01..r03). Dict
+# unpacking keeps these first; duplicates collapse to the front position.
+_ROUND4_WINDOW = [
+    # TPC-H relational battery (19)
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    # storage / snapshots / merge (3)
+    "q_zorder_layout", "q_merge_delete", "q_time_travel",
+    # streaming runtime (7)
+    "q_stream_ingest", "q_stream_window", "q_stream_join",
+    "q_stream_session", "q_stream_static", "q_stream_dedup",
+    "q_stateful_offsets",
+    # source connectors (4)
+    "q_csv_source", "q_jsonl_source", "q_orc_source", "q_python_source",
+    # feature queries (9)
+    "q_variant", "q_udtf_runs", "q_hist_quantiles", "q_dq_checks",
+    "q_cep_patterns", "q_nearest_join", "q_sliding_distinct",
+    "q_mode_per_key", "q_sql_frontend",
+    # multimodal (3)
+    "q_frame_sample", "q_media_resize", "q_audio_chunks",
+    # pandas-UDF surface (3)
+    "q_pandas_norm", "q_pandas_scale", "q_pandas_agg",
+    # layout + cogroup (2)
+    "q_bucketed_join", "q_cogroup",
+]
 
 
 # ---------------------------------------------------------------------------
