@@ -414,12 +414,23 @@ def connected_components(
     counter ever reaches the driver. Returns (doc_id, cluster_id,
     cluster_size).
     """
-    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # no distinct(): the min-aggregation is idempotent under duplicate
-    # edges, so deduplicating them would buy nothing for a whole shuffle
-    bidir = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # edges, so deduplicating them would buy nothing for a whole shuffle.
+    # Both directions come from ONE explode over a single scan — a
+    # union(select, select.swap) would evaluate the (expensive) upstream
+    # pair-generation subtree once per branch when this cache materializes.
+    bidir = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
     # Size the loop's shuffles to the GRAPH, not the corpus: near-dup nodes
     # are a sliver of the input (the count also materializes the edge
     # cache, which every round reuses). At real scale edges/200k exceeds
