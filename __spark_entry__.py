@@ -283,6 +283,18 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.cube_summary(load_table(spark, sf_dir, "orders"))
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (layout.compaction_plan): next-fit
+    bin-pack of a deterministic file inventory into target-sized rewrite
+    groups — the OPTIMIZE/rewrite_data_files maintenance step, run over
+    metadata only."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    return compaction_plan(load_table(spark, sf_dir, "events"))
+
+
 def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/lag/lead/ntile in one windowed pass."""
     return rel.window_battery(load_table(spark, sf_dir, "orders"))
@@ -600,6 +612,13 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per doc (text.tfidf_topk): log-free N/df idf so
     the score is an exact rational; vocab side broadcast onto tf."""
     return tx.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for a 3-term query (text.bm25_topk): log-free
+    Robertson idf + k1/b saturation folded into pure integer rationals,
+    per-term 1e-6 quantization, bigint sum — exact in both engines."""
+    return tx.bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2375,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_bins": q_pack_bins,
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf_topk": q_tfidf_topk,
+        "q_bm25_topk": q_bm25_topk,
         "q_repetition": q_repetition,
         "q_chunk_documents": q_chunk_documents,
         "q_temperature_sample": q_temperature_sample,
@@ -2454,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
+        "q_compaction_plan": q_compaction_plan,
         "q_window_battery": q_window_battery,
         "q_scalar_battery": q_scalar_battery,
         "q_lineitem_pricing": q_lineitem_pricing,
@@ -3566,6 +3587,29 @@ def _extension_oracles() -> dict[str, str]:
                                 tf.token ASC) AS INT) AS rank
             FROM tf JOIN df USING (token) CROSS JOIN n
         ) WHERE rank <= 5
+    """
+    out["q_bm25_topk"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+        nl AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS l FROM t),
+        hits AS (
+            SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM (
+                SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM t)
+            WHERE token IN ('spark', 'join', 'stream')
+            GROUP BY doc_id, token
+        ),
+        df AS (SELECT token, count(*) AS df FROM hits GROUP BY token)
+        SELECT doc_id, bm25_e6, n_hits FROM (
+            SELECT h.doc_id,
+                   CAST(sum(CAST(floor(
+                       (CAST((2*nl.n - 2*df.df + 1) * (44*h.tf*nl.l) AS DOUBLE)
+                        / CAST((2*df.df + 1)
+                               * (20*h.tf*nl.l + 6*nl.l + 18*h.dl*nl.n)
+                               AS DOUBLE)) * 1000000.0 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS bm25_e6,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM hits h JOIN df USING (token) CROSS JOIN nl
+            GROUP BY h.doc_id
+        ) ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 20
     """
     rep_grams = (
         f"list_transform(generate_series(1, greatest(len(t) - 2, 1)), "
@@ -4937,8 +4981,11 @@ def _extension_oracles() -> dict[str, str]:
         FROM (SELECT doc_id, {toks} AS tk FROM documents)
     """
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        duck_compaction_sql,
         duck_zorder_sql,
     )
+
+    out["q_compaction_plan"] = duck_compaction_sql()
 
     out["q_zorder_layout"] = duck_zorder_sql()
     out["q_time_travel"] = f"""

@@ -149,3 +149,81 @@ def duck_zorder_sql(n_files: int = 64) -> str:
                 OR max_y < {BOX_Y_LO} OR min_y > {BOX_Y_HI}) AS can_prune
         FROM files
     """
+
+
+def compaction_plan(
+    events: DataFrame, target_bytes: int = 262_144
+) -> DataFrame:
+    """Small-file compaction planner — the ``rewrite_data_files`` /
+    ``OPTIMIZE`` bin-packing step of Iceberg/Delta table maintenance.  A
+    streaming ingest (the reference writes one commit per poll cycle)
+    leaves partitions full of small files; this plans which files merge
+    into which target-sized output, without reading data.
+
+    File inventory is metadata-shaped: one row per (partition, file) with
+    its byte size — here simulated deterministically from the events
+    table as (event_type, day) units sized by encoded row width, standing
+    in for the Iceberg manifest `file_size_in_bytes` listing.  The pack is
+    next-fit over files ordered (size DESC, day ASC) per partition:
+    ``group = floor(running_bytes_before / target)`` — one window cumsum,
+    deterministic everywhere, within one max-file-size of the greedy
+    first-fit plan.  Groups may overshoot ``target`` by at most one file,
+    the same guarantee Iceberg's binPack planner gives.
+
+    Scale shape: the planner runs over the FILE LISTING (metadata, ~1e6
+    rows per large table), never the data — one partition-local window
+    sort; the output is plan-sized. Returns one row per planned output
+    file: (event_type, group_id, n_files, total_bytes, largest_file).
+    """
+    files = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            F.lit(32) + F.length(F.coalesce(F.col("props"), F.lit("")))
+        ).cast("long").alias("bytes")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bytes").desc(), F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "event_type",
+        "day",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / F.lit(target_bytes)
+        ).cast("int").alias("group_id"),
+    )
+    return planned.groupBy("event_type", "group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.max("bytes").alias("largest_file"),
+    )
+
+
+def duck_compaction_sql(target_bytes: int = 262_144) -> str:
+    """DuckDB oracle twin of :func:`compaction_plan`."""
+    return f"""
+        WITH files AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(32 + length(coalesce(props, ''))) AS BIGINT)
+                       AS bytes
+            FROM events GROUP BY 1, 2
+        ), planned AS (
+            SELECT event_type, bytes,
+                   CAST(floor(coalesce(sum(bytes) OVER (
+                       PARTITION BY event_type
+                       ORDER BY bytes DESC, day ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {target_bytes}) AS INT) AS group_id
+            FROM files
+        )
+        SELECT event_type, group_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               max(bytes) AS largest_file
+        FROM planned GROUP BY 1, 2
+    """

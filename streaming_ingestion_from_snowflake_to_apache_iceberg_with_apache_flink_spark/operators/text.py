@@ -766,3 +766,80 @@ def distribution_drift(documents: DataFrame, k: int = 10) -> DataFrame:
     return top.crossJoin(F.broadcast(tvd)).select(
         "token", "c0", "c1", "drift_num", "tvd", "vocab"
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "join", "stream"),
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for a term-set query — the
+    classic sparse ranking function (Robertson & Zaragoza 2009) that a
+    training-data pipeline uses for corpus search, quality probes, and
+    retrieval-based decontamination.
+
+    Cross-engine exactness by pure rationals: with ``k1=1.2``, ``b=0.75``
+    folded into integers, each per-term score is
+
+        idf · tf_sat = (2N−2df+1)/(2df+1) · 44·tf·L / (20·tf·L + 6·L + 18·dl·N)
+
+    where ``N`` = corpus size, ``L`` = total token count, ``dl`` = doc
+    length — the log-free Robertson idf (same convention as
+    ``tfidf_topk``: no libm ``ln`` to disagree across engines).  Numerator
+    and denominator are exact bigints (< 2^53 through sf1, so the one
+    double division is correctly rounded and bit-identical in both
+    engines); each term contribution quantizes to a 1e-6 integer and the
+    per-doc sum is a bigint — order-independent.  At larger scale the
+    bigints exceed 2^53 and the products should move to double (ranking
+    stays stable; only the oracle-exactness trick weakens).
+
+    Plan shape: the doc length rides along the explode so tf already
+    carries ``dl`` out of its partial-agg groupBy (pre-filtered to the
+    query terms — the filter prunes the shuffle to query-term postings
+    only, so the shuffled relation is hits-sized, never corpus-sized);
+    df re-aggregates the tf table; the (N, L) scalars are one extra
+    corpus scan reduced to a single broadcast row (a scan is cheaper
+    than the corpus-sized doc_id shuffle join that looking lengths up
+    post-hoc would cost); the top-k is ``orderBy().limit()`` =
+    TakeOrderedAndProject.
+    """
+    terms = [t for t in query_terms]
+    toks = documents.selectExpr("doc_id", f"{_TOKENS} as t")
+    # corpus scalars: one row (N, L)
+    nl = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("total_len"),
+    )
+    hits = (
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n, l_, tf_, df_, dlc = (
+        F.col("n_docs"),
+        F.col("total_len"),
+        F.col("tf"),
+        F.col("df"),
+        F.col("dl"),
+    )
+    num = (2 * n - 2 * df_ + 1) * (44 * tf_ * l_)
+    den = (2 * df_ + 1) * (20 * tf_ * l_ + 6 * l_ + 18 * dlc * n)
+    term_e6 = F.floor(
+        (num.cast("double") / den.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        hits.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(nl))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_e6).alias("bm25_e6"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "bm25_e6", "n_hits")
+    )
