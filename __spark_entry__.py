@@ -2139,6 +2139,20 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_interval_join_run(spark, sf_dir)
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join through the runtime
+    (streaming/joins.stream_interval_outer_join_run): unmatched errors
+    emit NULL click columns only once the watermark certifies no match
+    can arrive; the oracle reproduces the emission horizon
+    (error_ts + 1 h < min-side watermark, strict)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        stream_interval_outer_join_run,
+    )
+
+    load_table(spark, sf_dir, "events")  # pins session confs for the stream
+    return stream_interval_outer_join_run(spark, sf_dir)
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order vs linear file layout with a min/max pruning audit
     (operators/layout.py): Morton-code clustering, equal-frequency file
@@ -2569,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": q_zorder_layout,
         "q_merge_delete": q_merge_delete,
         "q_stream_join": q_stream_join,
+        "q_stream_outer_join": q_stream_outer_join,
         "q_time_travel": q_time_travel,
         "q_python_source": q_python_source,
         "q_variant": q_variant,
@@ -5160,6 +5175,36 @@ def _extension_oracles() -> dict[str, str]:
          AND e.event_type = 'error' AND c.event_type = 'click'
          AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
                                 AND epoch_us(e.ts) + 3600000000
+    """
+    out["q_stream_outer_join"] = """
+        WITH wm AS (
+            SELECT least(
+                (SELECT epoch_us(max(ts)) // 1000 FROM events
+                 WHERE event_type = 'error'),
+                (SELECT epoch_us(max(ts)) // 1000 FROM events
+                 WHERE event_type = 'click')
+            ) - 3600000 AS wm_ms
+        )
+        SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+               epoch_ms(e.ts) AS error_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+        FROM events e JOIN events c
+          ON e.user_id = c.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                                AND epoch_us(e.ts) + 3600000000
+        UNION ALL
+        SELECT e.user_id, e.event_id AS error_id,
+               CAST(NULL AS BIGINT) AS click_id,
+               epoch_ms(e.ts) AS error_ts_ms,
+               CAST(NULL AS BIGINT) AS click_ts_ms
+        FROM events e CROSS JOIN wm
+        WHERE e.event_type = 'error'
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = e.user_id
+                AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                                       AND epoch_us(e.ts) + 3600000000)
+          AND epoch_us(e.ts) < (wm.wm_ms - 3600000) * 1000
     """
     out["q_merge_delete"] = """
         WITH pre AS (

@@ -61,11 +61,26 @@ def stream_interval_join(
     cond = F.lit(True)
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"__r_{k}"))
-    cond = cond & F.unix_micros(F.col(right_ts)).between(
-        F.unix_micros(F.col(left_ts)) + F.lit(lower_ms * 1000),
-        F.unix_micros(F.col(left_ts)) + F.lit(upper_ms * 1000),
-    )
+    cond = cond & _interval_cond(left_ts, right_ts, lower_ms, upper_ms)
     return lw.join(rw, cond, how).drop(*[f"__r_{k}" for k in keys])
+
+
+def _interval_cond(left_ts: str, right_ts: str, lower_ms: int, upper_ms: int):
+    """``left.ts + lower <= right.ts <= left.ts + upper`` as RAW timestamp
+    arithmetic.  This form matters: Spark's streaming join planner derives
+    the per-side STATE watermarks (what lets it evict join state and emit
+    outer-join nulls) only from direct timestamp-column range predicates —
+    an equivalent ``unix_micros(...)`` comparison is semantically identical
+    but opaque to the analyzer, leaving state unbounded (and outer joins
+    rejected outright).  Plain INTERVAL literals, specifically — even
+    ``make_dt_interval`` defeats the detection, because its value lands
+    under a ``cast(... as timestamp)`` the pattern-match won't look
+    through."""
+    lo = F.expr(f"INTERVAL '{lower_ms}' MILLISECOND")
+    hi = F.expr(f"INTERVAL '{upper_ms}' MILLISECOND")
+    return (F.col(right_ts) >= F.col(left_ts) + lo) & (
+        F.col(right_ts) <= F.col(left_ts) + hi
+    )
 
 
 def _file_stream(spark, source_dir: str, path_glob_filter: str) -> DataFrame:
@@ -131,10 +146,7 @@ def stream_interval_join_run(
     joined = lw.join(
         rw,
         (F.col("user_id") == F.col("c_user_id"))
-        & F.unix_micros(F.col("click_ts")).between(
-            F.unix_micros(F.col("error_ts")) - F.lit(3_600_000_000),
-            F.unix_micros(F.col("error_ts")) + F.lit(3_600_000_000),
-        ),
+        & _interval_cond("error_ts", "click_ts", -3_600_000, 3_600_000),
         "inner",
     ).select(
         "user_id",
@@ -190,6 +202,82 @@ def stream_static_join_run(
         agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
+
+
+def stream_interval_outer_join_run(
+    spark,
+    source_dir: str,
+    path_glob_filter: str = "events.parquet",
+    query_name: str = "stream_outer_mem",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """The error↔click interval join of :func:`stream_interval_join_run`
+    as a LEFT OUTER stream-stream join: errors with no click within ±1 h
+    emit once with NULL click columns — but only after the watermark
+    PROVES no matching click can still arrive.  This is the semantic the
+    batch left join cannot give a stream: the null row is a watermark-
+    certified negative, not an artifact of asking too early.
+
+    Emission contract (pinned by test against a hand-built fixture, and
+    what the oracle below reproduces): Spark holds an unmatched left row
+    until the global watermark passes its match horizon, so with both
+    sides watermarked ``delay`` and the AvailableNow drain's final
+    no-data micro-batch (which runs eviction at the terminal watermark),
+    the drained output is
+
+        inner-join rows (all of them)
+        ∪ unmatched errors with  error_ts + upper < min(max error_ts,
+                                    max click_ts) − delay   (strict)
+
+    — rows above the horizon stay in state, exactly as they would on a
+    live stream.  The match set itself is complete: state outlives every
+    candidate right row for any retained left.
+
+    At 100 TB this is the shape for "no follow-up within SLA" alerting;
+    state per key spans ``delay + (upper − lower)`` of event time on
+    each side, evicted by the opposite watermark.
+    """
+    errors = (
+        _file_stream(spark, source_dir, path_glob_filter)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+    )
+    clicks = (
+        _file_stream(spark, source_dir, path_glob_filter)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    lw = errors.withWatermark("error_ts", "1 hour")
+    rw = clicks.withWatermark("click_ts", "1 hour")
+    joined = lw.join(
+        rw,
+        (F.col("user_id") == F.col("c_user_id"))
+        & _interval_cond("error_ts", "click_ts", -3_600_000, 3_600_000),
+        "left_outer",
+    ).select(
+        "user_id",
+        "error_id",
+        "click_id",
+        (F.unix_micros("error_ts") / F.lit(1000)).cast("long").alias("error_ts_ms"),
+        (F.unix_micros("click_ts") / F.lit(1000)).cast("long").alias("click_ts_ms"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

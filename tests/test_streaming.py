@@ -276,3 +276,47 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_outer_join_emission_horizon(spark, tmp_path):
+    """Pins the left-outer emission contract the q_stream_outer_join
+    oracle encodes: an unmatched left emits its NULL row iff
+    error_ts + upper < min-side watermark (STRICT), rows at or above the
+    horizon stay in state, and matches always emit."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        stream_interval_outer_join_run,
+    )
+
+    rows = [
+        (1, "error", "2024-01-01 00:00:00"),  # matched by user-1 click
+        (1, "click", "2024-01-01 00:30:00"),
+        (2, "error", "2024-01-01 00:00:00"),  # unmatched, below horizon
+        (3, "error", "2024-01-01 09:30:00"),  # unmatched, above horizon
+        (4, "click", "2024-01-01 10:00:00"),
+        (5, "error", "2024-01-01 07:29:59"),  # expiry 1 s below wm: emits
+        (6, "error", "2024-01-01 07:30:00"),  # expiry == wm: withheld
+    ]
+    # wm = min(max error 09:30, max click 10:00) - 1 h = 08:30
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, tss string"
+        )
+        .select(
+            F.monotonically_increasing_id().alias("event_id"),
+            F.col("tss").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+    )
+    base = str(tmp_path / "oj_src")
+    df.write.mode("overwrite").parquet(base)
+    out = stream_interval_outer_join_run(
+        spark, base, path_glob_filter="*.parquet", query_name="oj_horizon"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {1, 2, 5}
+    assert by_user[1][0].click_id is not None
+    assert by_user[2][0].click_id is None
+    assert by_user[5][0].click_id is None
