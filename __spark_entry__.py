@@ -2059,6 +2059,43 @@ def q_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_out(df)
 
 
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's STREAMING face (sources/pysource.py
+    ShardedParquetStreamReader): per-shard high-watermark offsets (O7)
+    through the Structured Streaming offset log, one partition per
+    advanced shard per micro-batch (O3), sorted slice drain (O6),
+    AvailableNow → memory sink. The drained output must hash-match the
+    plain relation — the offset ledger provably covered every row exactly
+    once."""
+    import os
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+        pysource,
+    )
+
+    load_table(spark, sf_dir, "orders")  # pins session confs (UTC, ns)
+    pysource.register(spark)
+    name = f"pyss_{uuid.uuid4().hex[:8]}"
+    s = (
+        spark.readStream.format("sharded_parquet")
+        .option("path", os.path.join(sf_dir, "orders.parquet"))
+        .option("shard_column", ORDERS_SHARD)
+        .option("sort_column", ORDERS_SORT)
+        .load()
+    )
+    q = (
+        _orders_out(s)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).localCheckpoint(eager=True)
+
+
 def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured VARIANT path (Spark 4): parse_json(props) into a
     VARIANT, typed variant_get extraction, try_variant_get on an absent
@@ -2586,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_outer_join": q_stream_outer_join,
         "q_time_travel": q_time_travel,
         "q_python_source": q_python_source,
+        "q_python_stream_source": q_python_stream_source,
         "q_variant": q_variant,
         "q_stream_session": q_stream_session,
         "q_udtf_runs": q_udtf_runs,
@@ -5008,6 +5046,9 @@ def _extension_oracles() -> dict[str, str]:
         FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
     """
     out["q_python_source"] = f"""
+        SELECT {_ORDERS_OUT} FROM orders
+    """
+    out["q_python_stream_source"] = f"""
         SELECT {_ORDERS_OUT} FROM orders
     """
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (

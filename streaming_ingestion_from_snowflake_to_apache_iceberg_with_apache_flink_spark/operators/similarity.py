@@ -15,6 +15,12 @@
   make it deterministic, and the oracle replays them as literal arrays.
 * ``ivf_topk_cosine`` — IVF-flat with deterministic seed centroids; same
   story: approximate by cell restriction, exact against its oracle.
+
+Cache ownership: the iterative shapes (``kmeans_assign``,
+``semdedup_pairs``) ``persist()`` relations read more than once; as the
+returned DataFrames are lazy, CALLERS own cleanup —
+``spark.catalog.clearCache()`` after consuming a query (bench.py and the
+oracle harness do, per query), same contract as operators/tpch.py.
 """
 
 from __future__ import annotations

@@ -256,11 +256,22 @@ def sliding_distinct(
     )
 
 
+#: The in-box RocksDB state store provider (ships in Spark's jars; no
+#: extra dependency).  HDFS-backed in-memory state is the default, but at
+#: 100 TB/day streaming state (join buffers, dedup maps, session merges)
+#: outgrows executor heap — RocksDB spills state to local SSD with
+#: changelog checkpointing, which is the production backend choice.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def stream_dedup_run(
     spark,
     doubled_dir: str,
     query_name: str = "stream_dedup_mem",
     timeout_sec: int = 300,
+    state_backend: str | None = None,
 ) -> DataFrame:
     """Exactly-once-per-key dedup through the ACTUAL runtime: a file
     stream over a deliberately DOUBLED copy of the events (every row
@@ -272,7 +283,9 @@ def stream_dedup_run(
     State story: key state is evicted once the watermark passes the
     event's time + delay, which is what bounds the dedup map on an
     unbounded stream (the plain dropDuplicates would retain every key
-    forever)."""
+    forever).  ``state_backend=ROCKSDB_PROVIDER`` runs the same query on
+    the RocksDB state store (provider class is captured at query START,
+    so setting the conf around ``start()`` scopes it to this query)."""
     raw = spark.read.parquet(doubled_dir).schema
     stream = spark.readStream.schema(raw).parquet(doubled_dir)
     from pyspark.sql import types as T
@@ -282,12 +295,23 @@ def stream_dedup_run(
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if state_backend:
+        spark.conf.set(conf_key, state_backend)
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    finally:
+        if state_backend:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     return spark.table(query_name)

@@ -370,3 +370,46 @@ def test_spill_safe_confs_scaling():
 
     with _pytest.raises(ValueError):
         spill_safe_confs(0, 4)
+
+
+def test_python_stream_source_offset_protocol(spark):
+    """Pins the streaming connector's per-shard high-watermark contract
+    (sources/pysource.ShardedParquetStreamReader): two consecutive poll
+    cycles partition the shard's sorted rows into disjoint, exhaustive
+    [start, end) slices — the exactly-once ledger the reference keeps in
+    Flink state (O7), here driven through the reader API directly."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.pysource import (
+        ShardedParquetStreamReader,
+        _spark_ddl_of_parquet,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    schema = _parse_datatype_string(_spark_ddl_of_parquet(path))
+    r = ShardedParquetStreamReader(
+        schema,
+        {
+            "path": path,
+            "shard_column": "o_orderpriority",
+            "sort_column": "o_orderdate",
+        },
+    )
+    assert r.initialOffset() == {}
+    latest = r.latestOffset()
+    assert sum(latest.values()) == 1500 and len(latest) == 5
+
+    # cycle 1 advances every shard halfway; cycle 2 drains the rest
+    mid = {k: v // 2 for k, v in latest.items()}
+    p1 = r.partitions(r.initialOffset(), mid)
+    p2 = r.partitions(mid, latest)
+    assert {p.value for p in p1} == set(latest) == {p.value for p in p2}
+
+    key_col = schema.fieldNames().index("o_orderkey")
+    got1 = {row[key_col] for p in p1 for row in r.read(p)}
+    got2 = {row[key_col] for p in p2 for row in r.read(p)}
+    assert len(got1) == sum(mid.values())
+    assert not (got1 & got2)  # disjoint slices
+    assert len(got1 | got2) == 1500  # exhaustive
+
+    # a caught-up shard plans no partition (the empty-cycle no-op)
+    assert [p.value for p in r.partitions(latest, latest)] == [None]

@@ -320,3 +320,45 @@ def test_stream_outer_join_emission_horizon(spark, tmp_path):
     assert by_user[1][0].click_id is not None
     assert by_user[2][0].click_id is None
     assert by_user[5][0].click_id is None
+
+
+def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The same dedup query on the RocksDB state store (the production
+    backend once state outgrows executor heap): identical output, and the
+    run must actually engage RocksDB (provider conf verified inside the
+    scoped window + rocksdb instance dirs on disk)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        ROCKSDB_PROVIDER,
+        stream_dedup_run,
+    )
+
+    rows = [
+        (i, f"2024-01-01 0{i % 5}:00:00", i % 3, "click", 1.0, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, tss string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("tss").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    base = str(tmp_path / "doubled")
+    df.unionAll(df).write.mode("overwrite").parquet(base)
+    out = stream_dedup_run(
+        spark,
+        base,
+        query_name="rocksdb_dedup",
+        state_backend=ROCKSDB_PROVIDER,
+    )
+    assert sorted(r.event_id for r in out.collect()) == list(range(10))
+    # conf restored after the scoped run
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        != ROCKSDB_PROVIDER
+    )
