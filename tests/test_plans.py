@@ -977,3 +977,70 @@ def test_mode_per_key_window_group_limit(spark):
 
     df = mode_per_key(load_table(spark, SF, "events"))
     assert_window_group_limit(df)
+
+
+def test_bm25_broadcasts_small_sides_and_take_ordered(spark):
+    """BM25's heavy relation is the hits table: the df vocabulary and the
+    (N, L) scalar row must broadcast onto it, and the top-k must compile
+    to TakeOrderedAndProject, never a global sort."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        bm25_topk,
+    )
+
+    df = bm25_topk(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 2  # df vocab + (N, L) scalars
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_compaction_plan_runs_on_metadata_only(spark):
+    """The compaction planner must reduce events to the file inventory
+    before any window work: one partial-agg shuffle to build the listing,
+    one partition-local window over it, one final agg — and the events
+    scan must read only the three columns the inventory needs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    df = compaction_plan(load_table(spark, SF, "events"))
+    assert_read_schema_only(df, {"event_type", "ts", "props"})
+    plan = formatted_plan(df)
+    assert "partial" in plan  # listing built with map-side combine
+    assert "Window" in plan
+
+
+def test_stream_outer_join_state_watermarks_derived(spark, tmp_path):
+    """The interval condition must be analyzer-visible: the streaming
+    left-outer join plans only when Spark can derive per-side state
+    watermarks from it (the property _interval_cond exists to preserve —
+    a unix_micros() form fails analysis outright)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        _interval_cond,
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, SF, "events")
+    base = str(tmp_path / "wm_src")
+    ev.write.mode("overwrite").parquet(base)
+    schema = spark.read.parquet(base).schema
+    s = spark.readStream.schema(schema).parquet(base)
+    left = s.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("lid")
+    )
+    right = s.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("rid")
+    )
+    out = stream_interval_join(
+        left, right, "user_id", "lts", "rts", -3_600_000, 3_600_000,
+        how="left_outer",
+    )
+    # reaching .start() without AnalysisException proves the state
+    # watermark derivation; drain to keep the checkpoint dir clean
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
