@@ -1452,6 +1452,23 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_encode_counts(load_table(spark, sf_dir, "documents"), rounds=3)
 
 
+def _state_parts(spark: SparkSession, sf_dir: str, factor: int = 1) -> int:
+    """Streaming state partitions sized to the source volume
+    (session.stream_state_partitions): the events fixture is MBs here, so
+    a handful of state-store instances beats the batch-sized default by
+    3-4x in fixed per-instance overhead; at 100 TB/day the same formula
+    lands in the thousands. ``factor`` scales for sources staged larger
+    than the base file (e.g. the doubled dedup input)."""
+    import os
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
+        stream_state_partitions,
+    )
+
+    size = os.path.getsize(os.path.join(sf_dir, "events.parquet")) * factor
+    return stream_state_partitions(size, spark.sparkContext.defaultParallelism)
+
+
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows through the ACTUAL streaming runtime
     (streaming/windows.stream_tumbling_counts): file-stream source →
@@ -1464,7 +1481,10 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # load_table pins the session confs (nanosAsLong, UTC) the stream needs
     load_table(spark, sf_dir, "events")
-    return stream_tumbling_counts(spark, sf_dir, "events.parquet")
+    return stream_tumbling_counts(
+        spark, sf_dir, "events.parquet",
+        state_partitions=_state_parts(spark, sf_dir),
+    )
 
 
 def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1900,9 +1920,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="sgq_dedup_")
     try:
         events.unionAll(events).write.mode("overwrite").parquet(base)
-        out = _events_out(stream_dedup_run(spark, base)).localCheckpoint(
-            eager=True
-        )
+        out = _events_out(
+            stream_dedup_run(
+                spark,
+                base,
+                state_partitions=_state_parts(spark, sf_dir, factor=2),
+            )
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
@@ -2030,7 +2054,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, sf_dir, "events")  # pins session confs for the stream
-    return stream_session_windows(spark, sf_dir)
+    return stream_session_windows(
+        spark, sf_dir, state_partitions=_state_parts(spark, sf_dir)
+    )
 
 
 def q_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2173,7 +2199,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, sf_dir, "events")  # pins session confs for the stream
-    return stream_interval_join_run(spark, sf_dir)
+    return stream_interval_join_run(
+        spark, sf_dir, state_partitions=_state_parts(spark, sf_dir)
+    )
 
 
 def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2187,7 +2215,9 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_table(spark, sf_dir, "events")  # pins session confs for the stream
-    return stream_interval_outer_join_run(spark, sf_dir)
+    return stream_interval_outer_join_run(
+        spark, sf_dir, state_partitions=_state_parts(spark, sf_dir)
+    )
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,6 +109,7 @@ def stream_interval_join_run(
     path_glob_filter: str = "events.parquet",
     query_name: str = "stream_interval_mem",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The ±1 h error↔click interval join through the ACTUAL streaming
     runtime: two file-stream sides → watermarks → stream-stream inner
@@ -155,14 +156,17 @@ def stream_interval_join_run(
         (F.unix_micros("error_ts") / F.lit(1000)).cast("long").alias("error_ts_ms"),
         (F.unix_micros("click_ts") / F.lit(1000)).cast("long").alias("click_ts_ms"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    from . import scoped_state_partitions
+
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     return spark.table(query_name)
 
 
@@ -215,6 +219,7 @@ def stream_interval_outer_join_run(
     path_glob_filter: str = "events.parquet",
     query_name: str = "stream_outer_mem",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The error↔click interval join of :func:`stream_interval_join_run`
     as a LEFT OUTER stream-stream join: errors with no click within ±1 h
@@ -274,12 +279,15 @@ def stream_interval_outer_join_run(
         (F.unix_micros("error_ts") / F.lit(1000)).cast("long").alias("error_ts_ms"),
         (F.unix_micros("click_ts") / F.lit(1000)).cast("long").alias("click_ts_ms"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    from . import scoped_state_partitions
+
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     return spark.table(query_name)

@@ -149,6 +149,7 @@ def stream_tumbling_counts(
     length: str = "1 hour",
     query_name: str = "stream_tumbling_mem",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The tumbling-window aggregation as an ACTUAL Structured Streaming
     run: file-stream source → watermark → windowed agg → complete-mode
@@ -178,14 +179,17 @@ def stream_tumbling_counts(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     agg = tumbling_counts(with_watermark(stream, "ts"), length=length)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    from . import scoped_state_partitions
+
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     return spark.table(query_name)
 
 
@@ -196,6 +200,7 @@ def stream_session_windows(
     gap: str = "30 minutes",
     query_name: str = "stream_session_mem",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Gap-based session windows through the ACTUAL streaming runtime:
     file stream → watermark → ``F.session_window`` aggregation →
@@ -215,14 +220,17 @@ def stream_session_windows(
         _file_stream(spark, source_dir, path_glob_filter), "ts"
     )
     agg = session_windows(stream, gap=gap)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    from . import scoped_state_partitions
+
+    with scoped_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     return spark.table(query_name)
 
 
@@ -272,6 +280,7 @@ def stream_dedup_run(
     query_name: str = "stream_dedup_mem",
     timeout_sec: int = 300,
     state_backend: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Exactly-once-per-key dedup through the ACTUAL runtime: a file
     stream over a deliberately DOUBLED copy of the events (every row
@@ -299,15 +308,18 @@ def stream_dedup_run(
     prev = spark.conf.get(conf_key, None)
     if state_backend:
         spark.conf.set(conf_key, state_backend)
+    from . import scoped_state_partitions
+
     try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_sec)
+        with scoped_state_partitions(spark, state_partitions):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout_sec)
     finally:
         if state_backend:
             if prev is None:

@@ -470,3 +470,22 @@ def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
     drain()
     got = sorted(r.k for r in spark.read.parquet(sink).collect())
     assert got == list(range(24))  # new rows exactly once, no v1 re-emit
+
+
+def test_stream_state_partitions_sizing():
+    """State-partition sizing: clamped to [2, 4*cores], grows with state
+    volume at 64 MiB per instance."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
+        stream_state_partitions,
+    )
+
+    assert stream_state_partitions(2 << 20, 32) == 2  # MBs -> the floor
+    assert stream_state_partitions(0, 8) == 2
+    # 10 GiB of state -> 160 instances at 64 MiB each
+    assert stream_state_partitions(10 << 30, 1000) == 160
+    # 100 TB/day regime: capped by cluster cycle capacity
+    assert stream_state_partitions(100 << 40, 4000) == 16000
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_state_partitions(1, 0)
