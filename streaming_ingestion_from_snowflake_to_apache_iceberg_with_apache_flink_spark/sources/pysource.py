@@ -103,12 +103,13 @@ class ShardedParquetReader(DataSourceReader):
         order = pc.sort_indices(
             shard, sort_keys=[(self.sort_column, "ascending")]
         )
-        shard = shard.take(order)
+        shard = shard.take(order).select(self.columns)
         offset, n = 0, shard.num_rows
         while offset < n:  # the O6 LIMIT/OFFSET page loop
-            page = shard.slice(offset, self.page_size)
-            for row in page.to_pylist():
-                yield tuple(row[c] for c in self.columns)
+            # yield Arrow RecordBatches, not Python tuples: the engine
+            # ships them to the JVM zero-conversion (the documented fast
+            # path) — row-at-a-time to_pylist was ~2x the query wall time
+            yield from shard.slice(offset, self.page_size).to_batches()
             offset += self.page_size
 
 
@@ -213,8 +214,11 @@ class ShardedParquetStreamReader(DataSourceStreamReader):
         order = pc.sort_indices(
             shard, sort_keys=[(self.sort_column, "ascending")]
         )
-        page = shard.take(order).slice(
-            partition.start, partition.end - partition.start
+        page = (
+            shard.take(order)
+            .select(self.columns)
+            .slice(partition.start, partition.end - partition.start)
         )
-        for row in page.to_pylist():
-            yield tuple(row[c] for c in self.columns)
+        # Arrow RecordBatches straight to the JVM (same fast path as the
+        # batch reader above)
+        yield from page.to_batches()

@@ -404,9 +404,15 @@ def test_python_stream_source_offset_protocol(spark):
     p2 = r.partitions(mid, latest)
     assert {p.value for p in p1} == set(latest) == {p.value for p in p2}
 
-    key_col = schema.fieldNames().index("o_orderkey")
-    got1 = {row[key_col] for p in p1 for row in r.read(p)}
-    got2 = {row[key_col] for p in p2 for row in r.read(p)}
+    def keys_of(parts):
+        return {
+            k
+            for p in parts
+            for b in r.read(p)
+            for k in b.column("o_orderkey").to_pylist()
+        }
+
+    got1, got2 = keys_of(p1), keys_of(p2)
     assert len(got1) == sum(mid.values())
     assert not (got1 & got2)  # disjoint slices
     assert len(got1 | got2) == 1500  # exhaustive
