@@ -1661,3 +1661,51 @@ def test_semdedup_pairs_dimension_agnostic(spark):
     pairs = semdedup_pairs(emb, k=1, iters=1, threshold=0.5).collect()
     assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 1)}
     assert all(r.qsim is not None for r in pairs)
+
+
+def test_compaction_plan_overshoot_bound(spark):
+    """Next-fit guarantee: a planned group exceeds the target by at most
+    its largest member (the same bound Iceberg's binPack planner gives),
+    and no file is lost or double-planned."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        compaction_plan,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    target = 4096  # small target so the fixture yields many groups
+    plan = compaction_plan(events, target_bytes=target).collect()
+    assert plan
+    for r in plan:
+        assert r.total_bytes <= target + r.largest_file
+    # conservation: groups partition the file inventory exactly
+    n_files = (
+        events.selectExpr("event_type", "cast(ts as date) as day")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_files for r in plan) == n_files
+
+
+def test_bm25_score_properties(spark):
+    """BM25 sanity on a hand-built corpus: a doc containing a query term
+    outranks one without it; repeating the term raises the score but
+    saturates (k1 bound: doubling tf less than doubles the score)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark runs fast"),
+            (2, "spark runs fast today ok fine"),
+            (3, "ducks swim on the lake today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25_e6 for r in bm25_topk(docs, ("spark",), k=10).collect()}
+    assert set(got) == {1, 2}  # doc 3 never scores
+    assert got[1] > got[2] > 0
+    assert got[1] < 4 * got[2]  # saturation: 4x tf is far from 4x score
