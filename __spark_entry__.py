@@ -1846,6 +1846,16 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_embeddings(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by integer power iteration
+    (similarity.power_iteration_component): v is driver state broadcast
+    per round, one distributed pass per iteration (dim rows cross the
+    shuffle), every round value-checked via the unrolled oracle CTE."""
+    return sim.power_iteration_component(
+        load_table(spark, sf_dir, "embeddings"), iters=2
+    )
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join audit (sketch.bloom_join_audit): portable
     salted-h32 filter, per-segment positives vs exact membership — the
@@ -2601,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_join": q_bloom_join,
         "q_knn_classify": q_knn_classify,
         "q_kmeans": q_kmeans,
+        "q_pca_power": q_pca_power,
         "q_dup_substring": q_dup_substring,
         "q_source_overlap": q_source_overlap,
         "q_stream_window": q_stream_window,
@@ -5051,6 +5062,7 @@ def _extension_oracles() -> dict[str, str]:
         FROM o FULL OUTER JOIN e ON o.key = e.key
     """
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
+    out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
     out["q_semdedup"] = sim.duck_semdedup_sql(k=8, threshold=0.3)
     out["q_higher_order"] = f"""
         SELECT doc_id,

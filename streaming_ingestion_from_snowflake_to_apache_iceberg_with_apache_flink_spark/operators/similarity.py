@@ -704,3 +704,103 @@ def duck_semdedup_sql(k: int = 8, threshold: float = 0.3) -> str:
                   * {qn2.format(s='y')})::DOUBLE), 4) >= {threshold}
     """
     )
+
+
+def power_iteration_component(
+    embeddings: DataFrame, iters: int = 2, scale: int = 127
+) -> DataFrame:
+    """Top principal direction of the (uncentered) quantized embedding
+    cloud by POWER ITERATION — the classic distributed eigenvector loop
+    (v ← normalize(Aᵀ(Av))) that PCA-whitening and spectral-embedding
+    stages run before ANN indexing at corpus scale.
+
+    Spark-native iteration shape, same as ``kmeans_assign``: the vector
+    ``v`` is driver state (dim integers) broadcast as a literal array;
+    each round is ONE distributed pass — d = q·v per row (codegen'd
+    fold), then Σ d·q_j per dimension via posexplode + partial-agg
+    groupBy (dim rows cross the shuffle, never the corpus).  The driver
+    holds dim scalars per round, independent of corpus size.
+
+    Exactness: codes are int8, v is integer at every step (renormalized
+    to ``±scale`` via floor(s·scale/m + 0.5) with m = max|s| — every
+    double op identical in both engines since all operands stay < 2^53),
+    so the ``iters``-round loop is value-checked against an unrolled
+    oracle CTE, like the k-means loop.  Uncentered: the fixture's
+    quantized mean is ~0 and centering would cost an extra broadcast
+    join; the docline notes it so nobody mistakes this for full PCA.
+
+    Returns (dim, s, v): the final un-normalized accumulator and the
+    ±scale-normalized eigenvector estimate, dim 0-based.
+    """
+    q = embeddings.select(
+        "vec_id", _quantize_int8(F.col("embedding"), scale).alias("q")
+    ).persist()
+    first = embeddings.select(F.size("embedding").alias("d")).head()
+    if first is None:
+        raise ValueError("power_iteration_component: empty embeddings input")
+    dim = int(first["d"])
+    import math
+
+    v = [1] * dim
+    s: list[int] = []
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(int(x)).cast("bigint") for x in v])
+        d = F.aggregate(
+            F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        rows = (
+            q.select(d.alias("d"), F.posexplode("q").alias("dim", "qj"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("d") * F.col("qj")).alias("s"))
+            .collect()
+        )
+        s = [0] * dim
+        for r in rows:
+            s[r.dim] = int(r.s)
+        m = max(abs(x) for x in s) or 1
+        v = [int(math.floor(x * float(scale) / m + 0.5)) for x in s]
+    q.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, s[i], v[i]) for i in range(dim)], "dim int, s bigint, v bigint"
+    )
+
+
+def duck_power_iteration_sql(iters: int = 2, scale: int = 127, dim: int = 64) -> str:
+    """Unrolled oracle CTE of :func:`power_iteration_component`."""
+    km_q = (
+        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
+        f" least(127, floor(x * {scale} + 0.5))) AS BIGINT))"
+    )
+    ctes = [f"q AS (SELECT {km_q} AS q FROM embeddings)"]
+    prev_v = None
+    for it in range(1, iters + 1):
+        if prev_v is None:
+            dot = f"list_sum(list_transform(generate_series(1, {dim}), j -> q.q[j]))"
+        else:
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {dim}),"
+                f" j -> q.q[j] * {prev_v}.vl[j]))"
+            )
+        src = "q" if prev_v is None else f"q CROSS JOIN {prev_v}"
+        ctes.append(
+            f"s{it} AS (SELECT i - 1 AS dim, CAST(sum(d * qq[i]) AS BIGINT) AS s"
+            f" FROM (SELECT q.q AS qq, {dot} AS d FROM {src}),"
+            f" generate_series(1, {dim}) AS g(i) GROUP BY i)"
+        )
+        ctes.append(f"m{it} AS (SELECT max(abs(s)) AS m FROM s{it})")
+        ctes.append(
+            f"v{it} AS (SELECT dim, CAST(floor(s * {scale}.0 / m + 0.5)"
+            f" AS BIGINT) AS v FROM s{it} CROSS JOIN m{it})"
+        )
+        ctes.append(
+            f"vl{it} AS (SELECT list(v ORDER BY dim) AS vl FROM v{it})"
+        )
+        prev_v = f"vl{it}"
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + f"\n        SELECT s{iters}.dim AS dim, s{iters}.s AS s, v{iters}.v AS v"
+        + f" FROM s{iters} JOIN v{iters} USING (dim)"
+    )

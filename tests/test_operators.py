@@ -1709,3 +1709,25 @@ def test_bm25_score_properties(spark):
     assert set(got) == {1, 2}  # doc 3 never scores
     assert got[1] > got[2] > 0
     assert got[1] < 4 * got[2]  # saturation: 4x tf is far from 4x score
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    """On a cloud stretched along dims (0, 1), power iteration must
+    converge to that plane: the top-component weight concentrates on the
+    first two dims and the estimate is +-scale-normalized."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        power_iteration_component,
+    )
+
+    rows = []
+    for i in range(40):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        vec = [sign, sign * 0.9] + [0.01 * ((i + d) % 3 - 1) for d in range(6)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: (r.s, r.v) for r in power_iteration_component(emb, iters=3).collect()}
+    assert len(out) == 8
+    assert max(abs(v) for _, v in out.values()) == 127  # normalized
+    lead = min(abs(out[0][1]), abs(out[1][1]))
+    rest = max(abs(out[d][1]) for d in range(2, 8))
+    assert lead > 10 * rest  # weight concentrates on the planted plane
