@@ -58,11 +58,13 @@ _PA_TO_SPARK = {
 def _spark_ddl_of_parquet(path: str) -> str:
     """Footer schema → Spark DDL (the O8 row-decode contract: names bind
     by column name, types via an explicit whitelist — unknown types raise,
-    mirroring the reference's throw on unmapped types)."""
-    import pyarrow.parquet as pq
+    mirroring the reference's throw on unmapped types).  ``path`` may be a
+    single file or a directory of parquet files (the realistic staging
+    layout) — the dataset API unifies both."""
+    import pyarrow.dataset as ds
 
     fields = []
-    for f in pq.read_schema(path):
+    for f in ds.dataset(path, format="parquet").schema:
         t = str(f.type)
         if t.startswith("timestamp"):
             spark_t = "timestamp"
@@ -72,6 +74,26 @@ def _spark_ddl_of_parquet(path: str) -> str:
             raise TypeError(f"unsupported parquet type {t} for column {f.name}")
         fields.append(f"{f.name} {spark_t}")
     return ", ".join(fields)
+
+
+def _us_timestamps(table):
+    """Truncate ns-precision timestamp columns to µs before shipping Arrow
+    batches to the JVM: Spark's Arrow bridge rejects NANOSECOND, and ns
+    appears both in ns-written fixtures and in pyarrow's decoding of
+    Spark's own INT96 output.  Same truncation convention as
+    ``sources.parquet.load_table``."""
+    import pyarrow as pa
+
+    fields, changed = [], False
+    for f in table.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us", f.type.tz)))
+            changed = True
+        else:
+            fields.append(f)
+    if not changed:
+        return table
+    return table.cast(pa.schema(fields), safe=False)
 
 
 class _ShardPartition(InputPartition):
@@ -103,7 +125,7 @@ class ShardedParquetReader(DataSourceReader):
         order = pc.sort_indices(
             shard, sort_keys=[(self.sort_column, "ascending")]
         )
-        shard = shard.take(order).select(self.columns)
+        shard = _us_timestamps(shard.take(order).select(self.columns))
         offset, n = 0, shard.num_rows
         while offset < n:  # the O6 LIMIT/OFFSET page loop
             # yield Arrow RecordBatches, not Python tuples: the engine
@@ -214,7 +236,7 @@ class ShardedParquetStreamReader(DataSourceStreamReader):
         order = pc.sort_indices(
             shard, sort_keys=[(self.sort_column, "ascending")]
         )
-        page = (
+        page = _us_timestamps(
             shard.take(order)
             .select(self.columns)
             .slice(partition.start, partition.end - partition.start)
