@@ -352,6 +352,71 @@ class CatalogSink:
         finally:
             self.spark.conf.set(mode_key, prev)
 
+    def purge_keys(self, keys: DataFrame) -> None:
+        """GDPR-style hard delete: remove every row matching ``keys`` (on
+        the sink's equality/upsert fields) from the LIVE table AND from
+        every retained snapshot — the right-to-be-forgotten operation
+        snapshot stores make hard, because an ordinary delete commit
+        leaves the data readable through time travel.
+
+        Scale shape: both rewrites are pruned to the partitions the keys
+        live in (the equality fields contain the partition fields, the
+        upsert-config invariant), so the cost is touched-partitions
+        rewritten once — the equality-delete-compaction bound, not a full
+        table rewrite.  Partitions left EMPTY by the purge are dropped via
+        DDL (a dynamic overwrite cannot express "this partition now has
+        zero rows").  Under an Iceberg catalog issue ``DELETE FROM`` and
+        run snapshot expiry instead — tagged snapshots retain purged rows
+        until expired, which is exactly why this fallback rewrites its
+        history table in place.
+
+        Out-of-band maintenance: no epoch is consumed; ``read_as_of``
+        reconstructions afterwards are purge-consistent by construction.
+        """
+        kcols = list(self.cfg.upsert_fields)
+        if not kcols:
+            raise ValueError("purge_keys needs upsert_fields as the key set")
+        if self.iceberg:
+            keys.createOrReplaceTempView("__purge_keys")
+            on = " AND ".join(f"t.{k} = p.{k}" for k in kcols)
+            self.spark.sql(
+                f"DELETE FROM {self.table} t WHERE EXISTS ("
+                f"SELECT 1 FROM __purge_keys p WHERE {on})"
+            )
+            return
+        parts = list(self.cfg.partition_fields)
+        kset = keys.select(*kcols).distinct().localCheckpoint(eager=True)
+        targets = [(self.table, parts)]
+        if self.snapshots and self.spark.catalog.tableExists(self.history):
+            targets.append((self.history, ["__epoch"] + parts))
+        for name, pcols in targets:
+            tbl = self.spark.table(name)
+            scoped = (
+                tbl.join(F.broadcast(kset.select(*parts).distinct()), on=parts,
+                         how="left_semi")
+                if parts
+                else tbl
+            )
+            kept = scoped.join(F.broadcast(kset), on=kcols, how="left_anti")
+            cols = tbl.columns
+            materialized = kept.select(*cols).localCheckpoint(eager=True)
+            if pcols:
+                # partitions the purge emptied entirely: no kept row lands
+                # there, so the dynamic overwrite skips them — drop by DDL
+                before = scoped.select(*pcols).distinct()
+                after = materialized.select(*pcols).distinct()
+                for r in before.exceptAll(after).collect():
+                    spec = ", ".join(
+                        f"{c} = '{r[c]}'" if isinstance(r[c], str) else f"{c} = {r[c]}"
+                        for c in pcols
+                    )
+                    self.spark.sql(
+                        f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})"
+                    )
+            materialized.write.format("parquet").mode("overwrite").insertInto(
+                name, overwrite=True
+            )
+
     # -- exactly-once ledger ------------------------------------------------
 
     def last_epoch(self) -> int:

@@ -594,3 +594,50 @@ def test_ingest_through_python_datasource_connector(spark, staging, tmp_path):
     finally:
         for t in (ing.sink.table, ing.sink.commits, ing.sink.history):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_purge_keys_erases_live_and_history(spark, tmp_path):
+    """Right-to-be-forgotten: after purge_keys the key is gone from the
+    live table AND from every time-travel reconstruction; untouched rows
+    and epochs survive; an entirely-purged partition disappears."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.catalog import (
+        CatalogSink,
+    )
+
+    cfg = _cfg(_uniq("t_purge")).sink
+    sink = CatalogSink(spark, cfg, version_column="o_orderdate", snapshots=True)
+    orders = load_table(spark, SF, "orders")
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    try:
+        sink.write_batch(half, 1)
+        sink.write_batch(orders, 2)
+        victim = orders.orderBy("o_orderkey").limit(1).select(
+            "o_orderkey", "o_orderpriority"
+        )
+        vkey = victim.collect()[0].o_orderkey
+        sink.purge_keys(victim)
+        assert sink.read().filter(F.col("o_orderkey") == vkey).count() == 0
+        for e in (1, 2):
+            assert (
+                sink.read_as_of(e).filter(F.col("o_orderkey") == vkey).count()
+                == 0
+            ), f"epoch {e} still exposes the purged key"
+        # collateral check: everything else intact
+        assert sink.read().count() == orders.count() - 1
+        assert sink.read_as_of(2).count() == orders.count() - 1
+
+        # empty-partition case: purge an entire priority class
+        wipe = orders.filter(
+            F.col("o_orderpriority") == "5-LOW"
+        ).select("o_orderkey", "o_orderpriority")
+        n_wipe = wipe.count()
+        sink.purge_keys(wipe)
+        assert sink.read().filter(F.col("o_orderpriority") == "5-LOW").count() == 0
+        assert (
+            sink.read_as_of(2).filter(F.col("o_orderpriority") == "5-LOW").count()
+            == 0
+        )
+        assert sink.read().count() == orders.count() - 1 - n_wipe
+    finally:
+        for t in (sink.table, sink.commits, sink.history):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
