@@ -1846,6 +1846,14 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_embeddings(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negative_pairs):
+    within-cluster pairs with cosine in [0.1, 0.6) — the k-means cell as
+    candidate generator (LSH buckets would miss the mid-similarity band),
+    bounded pair space, exact integer similarity."""
+    return sim.hard_negative_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction by integer power iteration
     (similarity.power_iteration_component): v is driver state broadcast
@@ -2613,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_classify": q_knn_classify,
         "q_kmeans": q_kmeans,
         "q_pca_power": q_pca_power,
+        "q_hard_negatives": q_hard_negatives,
         "q_dup_substring": q_dup_substring,
         "q_source_overlap": q_source_overlap,
         "q_stream_window": q_stream_window,
@@ -5064,6 +5073,7 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
+    out["q_hard_negatives"] = sim.duck_hard_negative_sql()
     out["q_semdedup"] = sim.duck_semdedup_sql(k=8, threshold=0.3)
     out["q_higher_order"] = f"""
         SELECT doc_id,

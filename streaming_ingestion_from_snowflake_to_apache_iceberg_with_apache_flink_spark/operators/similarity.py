@@ -804,3 +804,37 @@ def duck_power_iteration_sql(iters: int = 2, scale: int = 127, dim: int = 64) ->
         + f"\n        SELECT s{iters}.dim AS dim, s{iters}.s AS s, v{iters}.v AS v"
         + f" FROM s{iters} JOIN v{iters} USING (dim)"
     )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    lo: float = 0.1,
+    hi: float = 0.6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: within-cluster pairs
+    whose cosine lands in ``[lo, hi)`` — similar enough to be confusable
+    (same k-means cell = same neighborhood), dissimilar enough to be true
+    negatives.  The standard pair source for embedding-model fine-tuning;
+    random negatives are too easy, near-dups (≥ ``hi``) are false
+    negatives — the band is the training signal.
+
+    Candidate generation matters here: LSH sign-bit buckets would MISS
+    most of the band (mid-similarity pairs differ in ≥2 sign bits), so
+    the generator is the k-means cell, same bounded pair space as
+    ``semdedup_pairs`` (Σ|cluster|², never N²) — in fact it IS
+    ``semdedup_pairs`` with the dedup threshold as the band floor and a
+    ceiling filter on top, so every exactness property carries over.
+    """
+    return semdedup_pairs(embeddings, k, iters, threshold=lo).filter(
+        F.col("qsim") < hi
+    )
+
+
+def duck_hard_negative_sql(
+    k: int = 8, lo: float = 0.1, hi: float = 0.6
+) -> str:
+    """Oracle twin of :func:`hard_negative_pairs`: the semdedup oracle
+    with the band ceiling applied outside."""
+    return f"SELECT * FROM ({duck_semdedup_sql(k, lo)}) WHERE qsim < {hi}"
