@@ -2485,8 +2485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_cusum q_autocorr q_partial_merge q_weighted_sample q_winsorize
     # q_cluster_terms q_fuzzy_join q_sketch_merge — plus the queries
     # round 4 added: q_bm25_topk q_compaction_plan q_stream_outer_join
-    # q_python_stream_source q_pca_power (49 total = one final
-    # 50-slot window).
+    # q_python_stream_source q_pca_power q_hard_negatives (50 total =
+    # exactly one final 50-slot window).
     q = {
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,

@@ -1731,3 +1731,50 @@ def test_power_iteration_finds_dominant_direction(spark):
     lead = min(abs(out[0][1]), abs(out[1][1]))
     rest = max(abs(out[d][1]) for d in range(2, 8))
     assert lead > 10 * rest  # weight concentrates on the planted plane
+
+
+def test_bm25_degenerate_inputs(spark):
+    """BM25 never errors on the inputs a corpus probe will hit: terms
+    absent from the corpus (df=0 path), and an empty corpus."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "only these words here")], "doc_id long, text string"
+    )
+    assert bm25_topk(docs, ("absent", "missing"), k=5).count() == 0
+    assert bm25_topk(docs.limit(0), ("spark",), k=5).count() == 0
+
+
+def test_compaction_plan_empty_input(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        compaction_plan,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(0)
+    assert compaction_plan(events).count() == 0
+
+
+def test_hard_negatives_band_is_exclusive(spark):
+    """Every mined pair sits strictly inside the band; pairs at or above
+    the ceiling (near-dups = false negatives) are excluded."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        hard_negative_pairs,
+        semdedup_pairs,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    band = hard_negative_pairs(emb, lo=0.1, hi=0.6).collect()
+    assert band
+    assert all(0.1 <= r.qsim < 0.6 for r in band)
+    dups = {
+        (r.vec_a, r.vec_b) for r in semdedup_pairs(emb, threshold=0.6).collect()
+    }
+    assert not ({(r.vec_a, r.vec_b) for r in band} & dups)
