@@ -741,6 +741,11 @@ def power_iteration_component(
     dim = int(first["d"])
     import math
 
+    # Per-round pass: d = q·v as an array fold, then Σ d·q_j per
+    # dimension via posexplode + partial-agg groupBy — only dim×cores
+    # partial rows cross the shuffle.  (A "flattened" variant with dim
+    # aggregate columns in one agg was measured 1.4× SLOWER: the
+    # dim×(dim+1)-term generated aggregate blows past codegen limits.)
     v = [1] * dim
     s: list[int] = []
     for _ in range(iters):
