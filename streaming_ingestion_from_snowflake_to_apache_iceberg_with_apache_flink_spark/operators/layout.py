@@ -186,7 +186,10 @@ def compaction_plan(
 
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.col("bytes").desc(), F.col("day").asc())
+        # NULLS LAST explicitly: Spark's ASC default is NULLS FIRST but
+        # DuckDB's is NULLS LAST — a NULL-day file tying on bytes would
+        # otherwise cumsum in a different order than the oracle
+        .orderBy(F.col("bytes").desc(), F.col("day").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     planned = files.select(
@@ -216,7 +219,7 @@ def duck_compaction_sql(target_bytes: int = 262_144) -> str:
             SELECT event_type, bytes,
                    CAST(floor(coalesce(sum(bytes) OVER (
                        PARTITION BY event_type
-                       ORDER BY bytes DESC, day ASC
+                       ORDER BY bytes DESC, day ASC NULLS LAST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) / {target_bytes}) AS INT) AS group_id
             FROM files

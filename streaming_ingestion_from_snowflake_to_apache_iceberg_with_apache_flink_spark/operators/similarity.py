@@ -795,7 +795,11 @@ def duck_power_iteration_sql(iters: int = 2, scale: int = 127, dim: int = 64) ->
             f" FROM (SELECT q.q AS qq, {dot} AS d FROM {src}),"
             f" generate_series(1, {dim}) AS g(i) GROUP BY i)"
         )
-        ctes.append(f"m{it} AS (SELECT max(abs(s)) AS m FROM s{it})")
+        # greatest(…, 1) mirrors the Python loop's `or 1` zero guard: an
+        # all-zero accumulator must normalize to v=0, not divide by zero
+        ctes.append(
+            f"m{it} AS (SELECT greatest(max(abs(s)), 1) AS m FROM s{it})"
+        )
         ctes.append(
             f"v{it} AS (SELECT dim, CAST(floor(s * {scale}.0 / m + 0.5)"
             f" AS BIGINT) AS v FROM s{it} CROSS JOIN m{it})"

@@ -405,11 +405,21 @@ class CatalogSink:
                 # there, so the dynamic overwrite skips them — drop by DDL
                 before = scoped.select(*pcols).distinct()
                 after = materialized.select(*pcols).distinct()
+
+                def _part_lit(val):
+                    # always a quoted, quote-escaped string literal: the
+                    # partition spec parser casts to the partition type, so
+                    # dates/ints round-trip; naked interpolation broke on
+                    # dates, quotes, and NULLs
+                    if val is None:
+                        raise ValueError(
+                            "purge_keys: NULL partition value cannot be "
+                            "dropped via partition spec"
+                        )
+                    return "'" + str(val).replace("'", "''") + "'"
+
                 for r in before.exceptAll(after).collect():
-                    spec = ", ".join(
-                        f"{c} = '{r[c]}'" if isinstance(r[c], str) else f"{c} = {r[c]}"
-                        for c in pcols
-                    )
+                    spec = ", ".join(f"`{c}` = {_part_lit(r[c])}" for c in pcols)
                     self.spark.sql(
                         f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})"
                     )

@@ -201,14 +201,18 @@ class ShardedParquetStreamReader(DataSourceStreamReader):
         return {}
 
     def latestOffset(self) -> dict:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         col = pq.read_table(self.path, columns=[self.shard_column]).column(0)
-        counts: dict = {}
-        for v in col.to_pylist():
-            k = str(v)
-            counts[k] = counts.get(k, 0) + 1
-        return counts
+        # vectorized value_counts: the poll stays dimension-sized on the
+        # driver (a to_pylist loop would materialize N Python objects per
+        # cycle — against a JDBC staging table this method is a
+        # GROUP BY shard COUNT(*) instead)
+        vc = pc.value_counts(col.combine_chunks())
+        return {
+            str(r["values"]): int(r["counts"]) for r in vc.to_pylist()
+        }
 
     def partitions(self, start: dict, end: dict):
         return [

@@ -156,18 +156,11 @@ def stream_interval_join_run(
         (F.unix_micros("error_ts") / F.lit(1000)).cast("long").alias("error_ts_ms"),
         (F.unix_micros("click_ts") / F.lit(1000)).cast("long").alias("click_ts_ms"),
     )
-    from . import scoped_state_partitions
+    from . import drain_to_memory
 
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_sec)
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark, joined, query_name, "append", timeout_sec, state_partitions
+    )
 
 
 def stream_static_join_run(
@@ -202,15 +195,9 @@ def stream_static_join_run(
             "value_e4"
         ),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return spark.table(query_name)
+    from . import drain_to_memory
+
+    return drain_to_memory(spark, agg, query_name, "complete", timeout_sec)
 
 
 def stream_interval_outer_join_run(
@@ -279,15 +266,8 @@ def stream_interval_outer_join_run(
         (F.unix_micros("error_ts") / F.lit(1000)).cast("long").alias("error_ts_ms"),
         (F.unix_micros("click_ts") / F.lit(1000)).cast("long").alias("click_ts_ms"),
     )
-    from . import scoped_state_partitions
+    from . import drain_to_memory
 
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_sec)
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark, joined, query_name, "append", timeout_sec, state_partitions
+    )

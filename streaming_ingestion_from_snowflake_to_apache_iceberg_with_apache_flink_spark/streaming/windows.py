@@ -179,18 +179,11 @@ def stream_tumbling_counts(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     agg = tumbling_counts(with_watermark(stream, "ts"), length=length)
-    from . import scoped_state_partitions
+    from . import drain_to_memory
 
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_sec)
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark, agg, query_name, "complete", timeout_sec, state_partitions
+    )
 
 
 def stream_session_windows(
@@ -220,18 +213,11 @@ def stream_session_windows(
         _file_stream(spark, source_dir, path_glob_filter), "ts"
     )
     agg = session_windows(stream, gap=gap)
-    from . import scoped_state_partitions
+    from . import drain_to_memory
 
-    with scoped_state_partitions(spark, state_partitions):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_sec)
-    return spark.table(query_name)
+    return drain_to_memory(
+        spark, agg, query_name, "complete", timeout_sec, state_partitions
+    )
 
 
 def sliding_distinct(
@@ -304,26 +290,19 @@ def stream_dedup_run(
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    conf_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(conf_key, None)
-    if state_backend:
-        spark.conf.set(conf_key, state_backend)
-    from . import scoped_state_partitions
+    from . import drain_to_memory
 
-    try:
-        with scoped_state_partitions(spark, state_partitions):
-            q = (
-                deduped.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(timeout_sec)
-    finally:
-        if state_backend:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
-    return spark.table(query_name)
+    extra = (
+        {"spark.sql.streaming.stateStore.providerClass": state_backend}
+        if state_backend
+        else None
+    )
+    return drain_to_memory(
+        spark,
+        deduped,
+        query_name,
+        "append",
+        timeout_sec,
+        state_partitions,
+        extra_confs=extra,
+    )
