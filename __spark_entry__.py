@@ -1846,6 +1846,14 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_embeddings(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION distinct set operators
+    (relational.set_ops_summary): per-type user sets reduced to
+    membership-checksummed counter rows — semi/anti-join plans, no row
+    multiplication."""
+    return rel.set_ops_summary(load_table(spark, sf_dir, "events"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (similarity.hard_negative_pairs):
     within-cluster pairs with cosine in [0.1, 0.6) — the k-means cell as
@@ -2485,8 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_cusum q_autocorr q_partial_merge q_weighted_sample q_winsorize
     # q_cluster_terms q_fuzzy_join q_sketch_merge — plus the queries
     # round 4 added: q_bm25_topk q_compaction_plan q_stream_outer_join
-    # q_python_stream_source q_pca_power q_hard_negatives (50 total =
-    # exactly one final 50-slot window).
+    # q_python_stream_source q_pca_power q_hard_negatives q_set_ops
+    # (51 pending: one 50-slot window in round 5 + 1 for round 6).
     q = {
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
@@ -2622,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_pca_power": q_pca_power,
         "q_hard_negatives": q_hard_negatives,
+        "q_set_ops": q_set_ops,
         "q_dup_substring": q_dup_substring,
         "q_source_overlap": q_source_overlap,
         "q_stream_window": q_stream_window,
@@ -5074,6 +5083,24 @@ def _extension_oracles() -> dict[str, str]:
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
     out["q_hard_negatives"] = sim.duck_hard_negative_sql()
+    out["q_set_ops"] = """
+        WITH c AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+        SELECT 'click_and_purchase' AS set_op,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(coalesce(sum(user_id), 0) AS BIGINT) AS sum_user_id
+        FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        UNION ALL
+        SELECT 'click_minus_purchase', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(user_id), 0) AS BIGINT)
+        FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        UNION ALL
+        SELECT 'click_or_purchase', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(user_id), 0) AS BIGINT)
+        FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)
+    """
     out["q_semdedup"] = sim.duck_semdedup_sql(k=8, threshold=0.3)
     out["q_higher_order"] = f"""
         SELECT doc_id,

@@ -960,3 +960,42 @@ def mode_per_key(
         .filter(F.col("__rn") == 1)
         .select(key, F.col(value).alias("mode_value"), "n")
     )
+
+
+def set_ops_summary(events: DataFrame) -> DataFrame:
+    """The relational set-operator surface as one audience analysis:
+    INTERSECT / EXCEPT / UNION (distinct semantics) over the per-type
+    user sets — "clicked and purchased", "clicked but never purchased",
+    "reached at all".  Each set reduces to (n_users, sum of ids) before
+    leaving its stage, so the output is three counter rows.
+
+    Plan shape at scale: each distinct user set is one partial-agg
+    shuffle on user_id; Spark plans INTERSECT/EXCEPT as left-semi /
+    left-anti joins over the deduped sets — no row multiplication, and
+    the checksum makes the value hash sensitive to membership, not just
+    cardinality."""
+
+    def users(et: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == et)
+            .select("user_id")
+            .distinct()
+        )
+
+    clicks, purch = users("click"), users("purchase")
+    sets = [
+        ("click_and_purchase", clicks.intersect(purch)),
+        ("click_minus_purchase", clicks.subtract(purch)),
+        ("click_or_purchase", clicks.union(purch).distinct()),
+    ]
+    out = None
+    for tag, s in sets:
+        row = s.agg(
+            F.lit(tag).alias("set_op"),
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_users"),
+            F.coalesce(F.sum("user_id"), F.lit(0)).cast("bigint").alias(
+                "sum_user_id"
+            ),
+        ).select("set_op", "n_users", "sum_user_id")
+        out = row if out is None else out.unionByName(row)
+    return out
