@@ -331,6 +331,14 @@ def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.global_topk(load_table(spark, sf_dir, "orders"), k=25)
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (text.dataset_card): corpus size, token
+    volume, language spread, exact-dup rate, emptiness — the release
+    stats every training-data pipeline records; single scan + one
+    distinct-content shuffle, integers/rationals throughout."""
+    return tx.dataset_card(load_table(spark, sf_dir, "documents"))
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.segment_counts_setops(load_table(spark, sf_dir, "customer"))
 
@@ -2494,7 +2502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_cluster_terms q_fuzzy_join q_sketch_merge — plus the queries
     # round 4 added: q_bm25_topk q_compaction_plan q_stream_outer_join
     # q_python_stream_source q_pca_power q_hard_negatives q_set_ops
-    # (51 pending: one 50-slot window in round 5 + 1 for round 6).
+    # q_dataset_card (52 pending: one 50-slot window in round 5 + 2
+    # for round 6).
     q = {
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
@@ -2591,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_total": q_running_total,
         "q_global_topk": q_global_topk,
         "q_set_ops": q_set_ops,
+        "q_dataset_card": q_dataset_card,
         "q_tumbling_window": q_tumbling_window,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_corpus": q_dedup_corpus,
@@ -3724,6 +3734,32 @@ def _extension_oracles() -> dict[str, str]:
             FROM hits h JOIN df USING (token) CROSS JOIN nl
             GROUP BY h.doc_id
         ) ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 20
+    """
+    out["q_dataset_card"] = f"""
+        WITH per AS (
+            SELECT len({toks}) AS n_tok, lang,
+                   md5(coalesce(text, '')) AS h,
+                   length(trim(coalesce(text, ''))) = 0 AS empty
+            FROM documents
+        ), lt AS (
+            SELECT lang AS top_lang, count(*) AS top_lang_docs FROM per
+            GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+                   CAST(count(*) FILTER (empty) AS BIGINT) AS n_empty_docs
+            FROM per
+        )
+        SELECT n_docs, total_tokens,
+               CAST(floor(total_tokens / n_docs) AS BIGINT) AS mean_tokens,
+               n_langs, top_lang,
+               CAST(floor(top_lang_docs * 1000000 / n_docs) AS BIGINT)
+                   AS top_lang_share_e6,
+               n_docs - n_unique AS n_dup_docs,
+               n_empty_docs
+        FROM tot CROSS JOIN lt
     """
     rep_grams = (
         f"list_transform(generate_series(1, greatest(len(t) - 2, 1)), "

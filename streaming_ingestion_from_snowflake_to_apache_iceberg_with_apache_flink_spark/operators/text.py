@@ -843,3 +843,59 @@ def bm25_topk(
         .limit(k)
         .select("doc_id", "bm25_e6", "n_hits")
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """The one-row dataset card a training run records next to its data:
+    corpus size, token volume, language spread, exact-duplicate rate, and
+    emptiness — the numbers every data release publishes (HuggingFace
+    dataset cards, Dolma/Pile papers) and every pipeline gate checks
+    before a run.
+
+    All integers/rationals: the dominant-language share ships as a
+    1e-6-quantized fraction (floor(count·1e6/total)), duplicate docs as
+    corpus minus distinct md5 contents.  Plan shape: ONE scan feeds every
+    per-doc measure; the distinct-content count is the only extra
+    shuffle (partial-agg on the md5); output is a single broadcast-sized
+    row."""
+    per_doc = documents.select(
+        F.size(F.expr(_TOKENS)).alias("n_tok"),
+        F.col("lang"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0).alias(
+            "empty"
+        ),
+    )
+    lang_top = (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"), F.col("c").alias("top_lang_docs")
+        )
+    )
+    totals = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_unique_contents"),
+        F.sum(F.col("empty").cast("bigint")).alias("n_empty_docs"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(lang_top))
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.floor(F.col("total_tokens") / F.col("n_docs")).alias(
+                "mean_tokens"
+            ),
+            "n_langs",
+            "top_lang",
+            F.floor(
+                F.col("top_lang_docs") * F.lit(1000000) / F.col("n_docs")
+            ).alias("top_lang_share_e6"),
+            (F.col("n_docs") - F.col("n_unique_contents")).alias("n_dup_docs"),
+            "n_empty_docs",
+        )
+    )
