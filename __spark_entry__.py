@@ -1854,11 +1854,13 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_embeddings(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION distinct set operators
     (relational.set_ops_summary): per-type user sets reduced to
     membership-checksummed counter rows — semi/anti-join plans, no row
-    multiplication."""
+    multiplication.  Named distinctly from ``q_set_ops`` (the customer
+    EXCEPT-ALL bag-semantics query) — the two exercise set vs bag
+    operator families and must both stay registered."""
     return rel.set_ops_summary(load_table(spark, sf_dir, "events"))
 
 
@@ -2486,24 +2488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round to move never-driver-checked queries into the window (all
     # queries are locally oracle-checked regardless,
     # tests/test_oracle_parity.py). Rounds 1-2 checked the q_distinct_shards
-    # window, round 3 the q_avro_contract window; _ROUND4_WINDOW below
-    # hoists 50 of the 94 still-unchecked names (the TPC-H block, the
-    # streaming runtime, storage, sources, and the feature queries).
-    # ROUND 5: hoist the remaining 44 (keep the rest in any order):
-    # q_calendar_fill q_pair_degree q_cooccurrence_lift q_late_data_audit
-    # q_vocab_coverage q_outer_join q_window_analytics q_minmax_by
-    # q_triangle_count q_key_skew q_map_battery q_higher_order q_unpivot
-    # q_median_mad q_group_concat q_column_profile q_skyline q_locf
-    # q_bloom_join q_knn_classify q_kmeans q_dup_substring
-    # q_source_overlap q_bpe_train q_bpe_apply q_semdedup q_null_battery
-    # q_log2_histogram q_threshold_curve q_hapax_docs q_dist_drift
-    # q_benford q_dow_profile q_weighted_jaccard q_clustering_coef q_ema
-    # q_cusum q_autocorr q_partial_merge q_weighted_sample q_winsorize
-    # q_cluster_terms q_fuzzy_join q_sketch_merge — plus the queries
-    # round 4 added: q_bm25_topk q_compaction_plan q_stream_outer_join
-    # q_python_stream_source q_pca_power q_hard_negatives q_set_ops
-    # q_dataset_card (52 pending: one 50-slot window in round 5 + 2
-    # for round 6).
+    # window, round 3 the q_avro_contract window, round 4 the TPC-H /
+    # streaming-runtime / storage / sources window (50/50 green each
+    # time). _ROUND5_WINDOW below hoists 50 of the last 52
+    # never-driver-checked names; the 2 deferred to round 6 are
+    # q_locf and q_ema (simple window-function shapes, lowest-risk
+    # checks to delay).
     q = {
         "q_avro_contract": q_avro_contract,
         "q_ts_similarity": q_ts_similarity,
@@ -2640,7 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_pca_power": q_pca_power,
         "q_hard_negatives": q_hard_negatives,
-        "q_set_ops": q_set_ops,
+        "q_user_set_ops": q_user_set_ops,
         "q_dup_substring": q_dup_substring,
         "q_source_overlap": q_source_overlap,
         "q_stream_window": q_stream_window,
@@ -2708,15 +2698,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stateful_offsets": q_stateful_offsets,
     }
-    missing = [n for n in _ROUND4_WINDOW if n not in q]
+    missing = [n for n in _ROUND5_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND4_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND4_WINDOW}, **q}
+        raise KeyError(f"_ROUND5_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND5_WINDOW}, **q}
 
 
-# The 50-slot driver-correctness window for round 4: every name here has
-# never been driver-checked (absent from CORRECTNESS_r01..r03). Dict
-# unpacking keeps these first; duplicates collapse to the front position.
+# The 50-slot driver-correctness window for round 5: every name here has
+# never been driver-checked (absent from CORRECTNESS_r01..r04) — the
+# final 52 minus the 2 deferred to round 6 (q_locf, q_ema). Dict
+# unpacking keeps these first.
+_ROUND5_WINDOW = [
+    # retrieval / clustering / embedding analytics (9)
+    "q_bm25_topk", "q_kmeans", "q_semdedup", "q_hard_negatives",
+    "q_pca_power", "q_knn_classify", "q_cluster_terms",
+    "q_weighted_jaccard", "q_source_overlap",
+    # streaming / connector newcomers (2)
+    "q_stream_outer_join", "q_python_stream_source",
+    # storage / layout (2)
+    "q_compaction_plan", "q_dataset_card",
+    # graph (3)
+    "q_triangle_count", "q_clustering_coef", "q_pair_degree",
+    # tokenizer training (3)
+    "q_bpe_train", "q_bpe_apply", "q_dup_substring",
+    # corpus statistics / drift (10)
+    "q_vocab_coverage", "q_hapax_docs", "q_dist_drift", "q_benford",
+    "q_log2_histogram", "q_threshold_curve", "q_column_profile",
+    "q_median_mad", "q_cooccurrence_lift", "q_dow_profile",
+    # time series (5)
+    "q_cusum", "q_autocorr", "q_calendar_fill", "q_late_data_audit",
+    "q_winsorize",
+    # relational / window shapes (11)
+    "q_outer_join", "q_window_analytics", "q_minmax_by", "q_key_skew",
+    "q_map_battery", "q_higher_order", "q_unpivot", "q_group_concat",
+    "q_skyline", "q_null_battery", "q_user_set_ops",
+    # joins / sampling / sketches (5)
+    "q_bloom_join", "q_fuzzy_join", "q_weighted_sample",
+    "q_partial_merge", "q_sketch_merge",
+]
+
+# Round 4's window, kept for the audit trail (all 50 driver-green in
+# CORRECTNESS_r04.json).
 _ROUND4_WINDOW = [
     # TPC-H relational battery (19)
     "q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
@@ -5119,7 +5141,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
     out["q_hard_negatives"] = sim.duck_hard_negative_sql()
-    out["q_set_ops"] = """
+    out["q_user_set_ops"] = """
         WITH c AS (SELECT DISTINCT user_id FROM events
                    WHERE event_type = 'click'),
              p AS (SELECT DISTINCT user_id FROM events
