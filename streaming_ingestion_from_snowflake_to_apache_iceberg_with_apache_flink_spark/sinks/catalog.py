@@ -85,9 +85,31 @@ class CatalogSink:
         self.commits = f"{cfg.db}.{cfg.table_name}__commits"
         self.history = f"{cfg.db}.{cfg.table_name}__history"
         self.iceberg = self._iceberg_available(spark)
-        # Iceberg overwrite-by-partition == Spark dynamic partition overwrite
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {cfg.db}")
+
+    def _overwrite_mode(self, mode: str):
+        """Scope ``spark.sql.sources.partitionOverwriteMode`` around ONE
+        write and restore it in ``finally`` — every overwrite site names
+        the mode it needs instead of trusting session state.  Relying on a
+        session-wide default was a data-loss hazard: if a crash (or any
+        other caller) left the conf ``static`` while a dynamic-overwrite
+        site ran, the write would erase every partition not present in
+        its batch — on the GDPR purge path that is mass deletion."""
+        import contextlib
+
+        key = "spark.sql.sources.partitionOverwriteMode"
+        spark = self.spark
+
+        @contextlib.contextmanager
+        def scoped():
+            prev = spark.conf.get(key, "static")
+            spark.conf.set(key, mode)
+            try:
+                yield
+            finally:
+                spark.conf.set(key, prev)
+
+        return scoped()
 
     # -- Iceberg branch (format-v2 merge-on-read parity) ---------------------
 
@@ -285,9 +307,10 @@ class CatalogSink:
         # the foreachBatch replay re-run the epoch, and an append would
         # then double every row of the epoch's snapshots. Overwriting the
         # same partitions is idempotent under replay.
-        snap.select(*cols).write.format("parquet").mode("overwrite").insertInto(
-            self.history, overwrite=True
-        )
+        with self._overwrite_mode("dynamic"):
+            snap.select(*cols).write.format("parquet").mode(
+                "overwrite"
+            ).insertInto(self.history, overwrite=True)
 
     def read_as_of(self, epoch: int) -> DataFrame:
         """The table's state as of commit ``epoch`` (inclusive) — Iceberg's
@@ -340,17 +363,12 @@ class CatalogSink:
         cols = self.spark.table(self.history).columns
         materialized = keep.select(*cols).localCheckpoint(eager=True)
         # static overwrite: expired epochs' partition directories must GO;
-        # the session-wide dynamic mode would leave them in place because
-        # no kept row lands in them.
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(mode_key)
-        self.spark.conf.set(mode_key, "static")
-        try:
+        # dynamic mode would leave them in place because no kept row lands
+        # in them.
+        with self._overwrite_mode("static"):
             materialized.write.format("parquet").mode("overwrite").insertInto(
                 self.history, overwrite=True
             )
-        finally:
-            self.spark.conf.set(mode_key, prev)
 
     def purge_keys(self, keys: DataFrame) -> None:
         """GDPR-style hard delete: remove every row matching ``keys`` (on
@@ -376,6 +394,20 @@ class CatalogSink:
         kcols = list(self.cfg.upsert_fields)
         if not kcols:
             raise ValueError("purge_keys needs upsert_fields as the key set")
+        # Validate BEFORE mutating anything: a NULL in any key field can
+        # never match the anti-join (such rows would silently survive the
+        # purge), and a NULL partition value cannot be expressed in a DROP
+        # PARTITION spec — failing mid-loop would leave a half-applied
+        # purge (live table rewritten, history not).
+        null_pred = None
+        for k in kcols:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        if keys.filter(null_pred).limit(1).count() > 0:
+            raise ValueError(
+                "purge_keys: NULL values in key fields "
+                f"{kcols} — NULL keys never match rows and cannot be purged"
+            )
         if self.iceberg:
             keys.createOrReplaceTempView("__purge_keys")
             on = " AND ".join(f"t.{k} = p.{k}" for k in kcols)
@@ -423,9 +455,13 @@ class CatalogSink:
                     self.spark.sql(
                         f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({spec})"
                     )
-            materialized.write.format("parquet").mode("overwrite").insertInto(
-                name, overwrite=True
-            )
+            # dynamic mode scoped HERE, not inherited from the session: a
+            # static overwrite at this point would erase every partition
+            # that contained no purge key.
+            with self._overwrite_mode("dynamic"):
+                materialized.write.format("parquet").mode("overwrite").insertInto(
+                    name, overwrite=True
+                )
 
     # -- exactly-once ledger ------------------------------------------------
 
@@ -491,7 +527,10 @@ class CatalogSink:
     def _overwrite(self, batch: DataFrame) -> DataFrame:
         # dynamic mode: only partitions present in `batch` are replaced —
         # the batch IS the touched partitions' post-state
-        self._aligned(batch).write.format("parquet").mode("overwrite").insertInto(self.table)
+        with self._overwrite_mode("dynamic"):
+            self._aligned(batch).write.format("parquet").mode(
+                "overwrite"
+            ).insertInto(self.table)
         return batch
 
     def _upsert(self, batch: DataFrame) -> DataFrame:
@@ -528,9 +567,10 @@ class CatalogSink:
         if not target_empty:
             # self-join on the target table: materialize before overwriting
             merged = merged.localCheckpoint(eager=True)
-        self._aligned(merged).write.format("parquet").mode(
-            "overwrite"
-        ).insertInto(self.table)
+        with self._overwrite_mode("dynamic"):
+            self._aligned(merged).write.format("parquet").mode(
+                "overwrite"
+            ).insertInto(self.table)
         # the checkpointed merge is exactly the touched partitions'
         # post-state — hand it to the snapshot path to skip the read-back
         return merged
@@ -568,9 +608,10 @@ class CatalogSink:
         parts = list(self.cfg.partition_fields)
         current = self.read()
         compacted = current.repartition(*parts) if parts else current.coalesce(1)
-        self._aligned(compacted.localCheckpoint(eager=True)).write.format(
-            "parquet"
-        ).mode("overwrite").insertInto(self.table)
+        with self._overwrite_mode("dynamic"):
+            self._aligned(compacted.localCheckpoint(eager=True)).write.format(
+                "parquet"
+            ).mode("overwrite").insertInto(self.table)
         return len(self._data_files())
 
     def _data_files(self) -> list[str]:

@@ -641,3 +641,57 @@ def test_purge_keys_erases_live_and_history(spark, tmp_path):
     finally:
         for t in (sink.table, sink.commits, sink.history):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_purge_keys_survives_static_session_mode(spark):
+    """The GDPR-path data-loss hazard (round-4 advice): every overwrite
+    site must scope partitionOverwriteMode itself.  With the session conf
+    forced to 'static' (simulating a crash between snapshot expiry's
+    set/restore, or any external caller), purge_keys must still remove
+    ONLY the purged key — not every partition that contained no key."""
+    cfg = _cfg(_uniq("t_purge_static")).sink
+    sink = CatalogSink(spark, cfg, version_column="o_orderdate", snapshots=True)
+    orders = load_table(spark, SF, "orders")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        sink.write_batch(orders, 1)
+        victim = orders.orderBy("o_orderkey").limit(1).select(
+            "o_orderkey", "o_orderpriority"
+        )
+        vkey = victim.collect()[0].o_orderkey
+        spark.conf.set(key, "static")  # hostile session state
+        sink.purge_keys(victim)
+        assert spark.conf.get(key) == "static", "conf not restored"
+        assert sink.read().filter(F.col("o_orderkey") == vkey).count() == 0
+        # the static-mode hazard: a full-table overwrite would have left
+        # only the victim's partition — every other partition must survive
+        assert sink.read().count() == orders.count() - 1
+        assert sink.read_as_of(1).count() == orders.count() - 1
+    finally:
+        spark.conf.set(key, prev)
+        for t in (sink.table, sink.commits, sink.history):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_purge_keys_null_key_rejected_before_mutation(spark):
+    """NULL key values can never match the purge anti-join (the rows would
+    silently survive), so purge_keys must validate up front and leave BOTH
+    tables untouched — no half-applied purge."""
+    cfg = _cfg(_uniq("t_purge_null")).sink
+    sink = CatalogSink(spark, cfg, version_column="o_orderdate", snapshots=True)
+    orders = load_table(spark, SF, "orders")
+    try:
+        sink.write_batch(orders, 1)
+        n_live = sink.read().count()
+        bad = spark.createDataFrame(
+            [(1, None), (None, "1-URGENT")],
+            "o_orderkey bigint, o_orderpriority string",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            sink.purge_keys(bad)
+        assert sink.read().count() == n_live, "live table mutated"
+        assert sink.read_as_of(1).count() == n_live, "history mutated"
+    finally:
+        for t in (sink.table, sink.commits, sink.history):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
