@@ -96,6 +96,27 @@ def _us_timestamps(table):
     return table.cast(pa.schema(fields), safe=False)
 
 
+def _shard_value_counts(path: str, shard_column: str) -> dict:
+    """The O1 poll, O(dimension) in DRIVER memory: stream the shard column
+    through ``pyarrow.dataset`` batches, folding each batch's value counts
+    into a running dict and dropping the batch.  The input is corpus-sized
+    but never materialized — per cycle the driver holds one Arrow batch
+    plus ``{shard_value: count}`` (dimension-sized), so the poll survives a
+    100 TB staging table where a monolithic ``pq.read_table`` of the column
+    is a driver OOM.  Against a JDBC staging table the same method shape is
+    ``SELECT shard, COUNT(*) GROUP BY shard`` pushed to the database
+    (``sources/jdbc.py``)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    counts: dict = {}
+    scanner = ds.dataset(path, format="parquet").scanner(columns=[shard_column])
+    for batch in scanner.to_batches():
+        for r in pc.value_counts(batch.column(0)).to_pylist():
+            counts[r["values"]] = counts.get(r["values"], 0) + int(r["counts"])
+    return counts
+
+
 class _ShardPartition(InputPartition):
     def __init__(self, value):
         self.value = value
@@ -110,10 +131,10 @@ class ShardedParquetReader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]
 
     def partitions(self):
-        import pyarrow.parquet as pq
-
-        col = pq.read_table(self.path, columns=[self.shard_column]).column(0)
-        return [_ShardPartition(v) for v in sorted(set(col.to_pylist()))]
+        return [
+            _ShardPartition(v)
+            for v in sorted(_shard_value_counts(self.path, self.shard_column))
+        ]
 
     def read(self, partition):
         import pyarrow.compute as pc
@@ -188,6 +209,18 @@ class ShardedParquetStreamReader(DataSourceStreamReader):
     determinism across resumed queries needs a stable total sort order —
     the reference's LIMIT/OFFSET drain assumes exactly the same of its
     ORDER BY column.
+
+    **Append-only-in-sort-order precondition** (stronger than "stable
+    sort", and load-bearing for exactly-once): count-based offsets
+    address the SORTED shard, so new rows must sort AFTER every
+    already-emitted row.  A late arrival with an earlier ``sort_column``
+    value would shift the sorted ``[start, end)`` slices on the next
+    poll — silently skipping some rows and re-emitting others.  This is
+    the staging-table contract the reference's LIMIT/OFFSET drain also
+    requires (an OFFSET past re-sorted data skips rows identically); a
+    staging feed that can deliver out-of-order sort keys needs
+    high-watermark offsets on the sort column itself, at the cost of
+    requiring it to be strictly monotone per shard.
     """
 
     def __init__(self, schema, options):
@@ -201,17 +234,13 @@ class ShardedParquetStreamReader(DataSourceStreamReader):
         return {}
 
     def latestOffset(self) -> dict:
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        col = pq.read_table(self.path, columns=[self.shard_column]).column(0)
-        # vectorized value_counts: the poll stays dimension-sized on the
-        # driver (a to_pylist loop would materialize N Python objects per
-        # cycle — against a JDBC staging table this method is a
-        # GROUP BY shard COUNT(*) instead)
-        vc = pc.value_counts(col.combine_chunks())
+        # dimension-sized poll in BOTH output and driver memory: batches
+        # stream through an incremental counter (_shard_value_counts) —
+        # against a JDBC staging table this method is a
+        # GROUP BY shard COUNT(*) pushed to the database instead
         return {
-            str(r["values"]): int(r["counts"]) for r in vc.to_pylist()
+            str(v): int(n)
+            for v, n in _shard_value_counts(self.path, self.shard_column).items()
         }
 
     def partitions(self, start: dict, end: dict):

@@ -495,3 +495,42 @@ def test_stream_state_partitions_sizing():
 
     with pytest.raises(ValueError):
         stream_state_partitions(1, 0)
+
+
+def test_shard_poll_never_materializes_full_column(monkeypatch):
+    """The O1 poll must stay O(dimension) in DRIVER memory (round-4
+    verdict): both the batch reader's partitions() and the stream
+    reader's latestOffset() stream the shard column through dataset
+    batches — a monolithic pq.read_table of the column would OOM the
+    driver at 100 TB staging scale.  Monkeypatching read_table to blow
+    up proves the poll path never takes it."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import _parse_datatype_string
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.pysource import (
+        ShardedParquetReader,
+        ShardedParquetStreamReader,
+        _spark_ddl_of_parquet,
+    )
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    schema = _parse_datatype_string(_spark_ddl_of_parquet(path))
+    opts = {
+        "path": path,
+        "shard_column": "o_orderpriority",
+        "sort_column": "o_orderdate",
+    }
+
+    def boom(*a, **k):
+        raise AssertionError("poll path materialized the column via pq.read_table")
+
+    monkeypatch.setattr(pq, "read_table", boom)
+
+    batch_parts = ShardedParquetReader(schema, opts).partitions()
+    assert len(batch_parts) == 5
+    assert sorted(p.value for p in batch_parts) == [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+
+    latest = ShardedParquetStreamReader(schema, opts).latestOffset()
+    assert sum(latest.values()) == 1500 and len(latest) == 5
