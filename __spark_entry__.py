@@ -1047,7 +1047,9 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.schema,
             path_glob_filter="orders.parquet",
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_ingest did not drain within 300s")
         sink = CatalogSink(spark, cfg.sink)
         ingested = _orders_out(sink.read()).localCheckpoint(eager=True)
     finally:
@@ -1934,7 +1936,9 @@ def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_stateful_offsets did not drain within 300s")
     return spark.table("q_stateful_offsets_mem")
 
 
@@ -2154,7 +2158,10 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # False = timeout: a partial drain must fail loudly, not hash-compare
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain within 300s")
     return spark.table(name).localCheckpoint(eager=True)
 
 

@@ -65,5 +65,11 @@ def drain_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        # awaitTermination returns False on timeout — a partially-drained
+        # memory table must never be returned as if complete
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"stream {query_name!r} did not drain within {timeout_sec}s"
+            )
     return spark.table(query_name)
