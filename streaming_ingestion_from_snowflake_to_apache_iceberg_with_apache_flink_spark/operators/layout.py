@@ -18,15 +18,18 @@ portable SQL (``&``, ``|``, ``<<`` on bigints) so DuckDB reproduces it bit
 for bit; file carving is ``ntile`` over the total (z, tiebreak) order —
 deterministic everywhere.
 
-Scale shape: the carve here uses an ``ntile`` window over the total order,
-which Spark plans as a single-partition sort — chosen because it makes file
-membership bit-deterministic for the oracle.  At real write scale the same
-carve is the writer's ``orderBy(z)`` (RangePartitioning: sampled split
-points, fully parallel sort) with file boundaries falling out of the range
-partitioner — identical layout quality, no global window; the audit
-aggregation is a partial agg per file id either way and the output is
-metadata-sized (n_files rows).  The fact table is scanned once per layout,
-never joined.
+Scale shape: file membership is the SQL ``ntile`` over the total
+(z, tiebreak) order, but computed PARALLEL — no single-partition window.
+``_global_ntile`` range-partitions by the sort key (the writer's
+``orderBy(z)`` shape), takes a per-range-partition ``row_number`` (window
+partitioned by physical partition id, so every partition ranks
+independently), adds collected per-partition offsets (metadata-sized: one
+count per range partition), and applies the exact ntile bucket formula to
+the resulting global rank.  The rank — and therefore file membership — is
+bit-deterministic and independent of the sampled range boundaries, which
+is what keeps the oracle's plain ``ntile`` as the ground truth.  The audit
+aggregation is a partial agg per file id and the output is metadata-sized
+(n_files rows).  The fact table is scanned once per layout, never joined.
 """
 
 from __future__ import annotations
@@ -73,6 +76,71 @@ BOX_X_LO, BOX_X_HI = 100, 300
 BOX_Y_LO, BOX_Y_HI = 2000, 6000
 
 
+def _global_ntile(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Exact SQL-``ntile(k)`` bucket ids over a UNIQUE total order,
+    computed without a single-partition window.
+
+    Three metadata-cheap steps:
+
+    1. range-partition by the sort key and pin the assignment
+       (``localCheckpoint`` — both downstream jobs must see identical
+       partitions; this materialization is the parallel sort a layout
+       write performs anyway);
+    2. ``row_number`` windowed BY PHYSICAL PARTITION ID — every range
+       partition ranks its own rows in parallel — plus collected
+       per-partition row counts (one long per partition, metadata-sized)
+       turned into rank offsets;
+    3. the exact ntile formula on the global rank: with N rows the first
+       ``N mod k`` buckets get ``ceil(N/k)`` rows, the rest ``floor(N/k)``
+       — bit-identical to the oracle's ``ntile`` because the order is
+       total (unique tiebreak), so ranks don't depend on the sampled
+       range boundaries.
+    """
+    from pyspark.sql import Window as W
+
+    part = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        int(r["__pid"]): int(r["cnt"])
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    n = acc
+    if n == 0:
+        return part.withColumn("file_id", F.lit(None).cast("int")).drop("__pid")
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for p in sorted(sizes) for x in (p, offsets[p])]
+            ),
+            F.col("__pid"),
+        ),
+        F.lit(0),
+    )
+    rn = (
+        F.row_number().over(W.partitionBy("__pid").orderBy(*order_cols)) + off
+    ).cast("bigint")
+    size, rem = n // k, n % k
+    big = size + 1
+
+    def _idiv(num, d: int):
+        # exact integer division as columns: subtract the remainder first
+        # so the double division is of an exact multiple (never a float
+        # rounding hazard on big ranks)
+        return ((num - F.pmod(num, F.lit(d))) / F.lit(d)).cast("bigint")
+
+    file_id = F.when(
+        rn <= rem * big, _idiv(rn - 1, big) + 1
+    ).otherwise(F.lit(rem) + _idiv(rn - rem * big - 1, max(size, 1)) + 1)
+    return part.withColumn("file_id", file_id.cast("int")).drop("__pid")
+
+
 def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
     """Per-(layout, file) min/max stats + box-pruning verdict for the
     linear vs Z-order layouts of the same rows.
@@ -82,8 +150,6 @@ def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
     provably misses the reference predicate on BOTH layouts' statistics
     — i.e. the file would be skipped by a min/max-pruning scan.
     """
-    from pyspark.sql import Window as W
-
     base = orders.select(
         F.expr(BX).alias("bx"),
         F.expr(BY).alias("by"),
@@ -91,9 +157,8 @@ def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
     ).withColumn("z", F.expr(zvalue_sql("bx", "by", _spark_shl)))
 
     def carve(df: DataFrame, order_cols: list, layout: str) -> DataFrame:
-        w = W.orderBy(*order_cols)
         return (
-            df.withColumn("file_id", F.ntile(n_files).over(w))
+            _global_ntile(df, order_cols, n_files)
             .groupBy("file_id")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),

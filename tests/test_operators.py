@@ -1778,3 +1778,32 @@ def test_hard_negatives_band_is_exclusive(spark):
         (r.vec_a, r.vec_b) for r in semdedup_pairs(emb, threshold=0.6).collect()
     }
     assert not ({(r.vec_a, r.vec_b) for r in band} & dups)
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    """_global_ntile (the parallel carve) must be bit-identical to the SQL
+    ntile window over the same unique total order — including the uneven
+    N % k remainder (big buckets first) and the N < k edge."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        _global_ntile,
+    )
+
+    # 1003 rows in scrambled order: remainder 1003 % 7 = 2 exercises the
+    # big-buckets-first rule; the value column is the unique sort key
+    rows = [(int(v),) for v in range(1003)]
+    df = spark.createDataFrame(rows, "v bigint").repartition(13)
+    for k in (7, 64, 2000):  # 2000 > N: ntile degenerates to rank
+        got = {
+            r.v: r.file_id
+            for r in _global_ntile(df, [F.col("v").asc()], k).collect()
+        }
+        want = {
+            r.v: r.nt
+            for r in df.withColumn(
+                "nt", F.ntile(k).over(W.orderBy(F.col("v").asc()))
+            ).collect()
+        }
+        assert got == want, f"k={k}: mismatch"

@@ -1043,3 +1043,22 @@ def test_stream_outer_join_state_watermarks_derived(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+
+
+def test_zorder_carve_windows_are_partitioned(spark):
+    """The round-4 scale flag: the carve must not plan a single-partition
+    WindowExec.  Every window spec in the executed plan is partitioned by
+    the physical-partition id, and the old global ntile is gone."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    df = zorder_layout(load_table(spark, SF, "orders"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" not in plan
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected window specs in the carve plan"
+    for s in specs:
+        assert s.startswith("__pid"), f"unpartitioned window spec: {s[:80]}"
