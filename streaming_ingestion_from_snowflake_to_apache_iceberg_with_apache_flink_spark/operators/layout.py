@@ -78,54 +78,23 @@ BOX_Y_LO, BOX_Y_HI = 2000, 6000
 
 def _global_ntile(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     """Exact SQL-``ntile(k)`` bucket ids over a UNIQUE total order,
-    computed without a single-partition window.
-
-    Three metadata-cheap steps:
-
-    1. range-partition by the sort key and pin the assignment
-       (``localCheckpoint`` — both downstream jobs must see identical
-       partitions; this materialization is the parallel sort a layout
-       write performs anyway);
-    2. ``row_number`` windowed BY PHYSICAL PARTITION ID — every range
-       partition ranks its own rows in parallel — plus collected
-       per-partition row counts (one long per partition, metadata-sized)
-       turned into rank offsets;
-    3. the exact ntile formula on the global rank: with N rows the first
-       ``N mod k`` buckets get ``ceil(N/k)`` rows, the rest ``floor(N/k)``
-       — bit-identical to the oracle's ``ntile`` because the order is
-       total (unique tiebreak), so ranks don't depend on the sampled
-       range boundaries.
+    computed without a single-partition window: the shared two-phase
+    global rank (``ranks.global_row_number`` — range-partition, pinned,
+    per-partition ``row_number``, broadcast-joined offsets; the offset
+    join is O(1) per row at ANY partition count, unlike a ``create_map``
+    literal which is O(P) per row and can fall out of codegen at
+    thousands of range partitions), then the exact ntile formula on the
+    global rank: with N rows the first ``N mod k`` buckets get
+    ``ceil(N/k)`` rows, the rest ``floor(N/k)`` — bit-identical to the
+    oracle's ``ntile`` because the order is total (unique tiebreak), so
+    ranks don't depend on the sampled range boundaries.
     """
-    from pyspark.sql import Window as W
+    from .ranks import global_row_number
 
-    part = (
-        df.repartitionByRange(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    sizes = {
-        int(r["__pid"]): int(r["cnt"])
-        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(sizes):
-        offsets[p] = acc
-        acc += sizes[p]
-    n = acc
+    ranked, n = global_row_number(df, order_cols, rank_col="__rank")
     if n == 0:
-        return part.withColumn("file_id", F.lit(None).cast("int")).drop("__pid")
-    off = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for p in sorted(sizes) for x in (p, offsets[p])]
-            ),
-            F.col("__pid"),
-        ),
-        F.lit(0),
-    )
-    rn = (
-        F.row_number().over(W.partitionBy("__pid").orderBy(*order_cols)) + off
-    ).cast("bigint")
+        return ranked.withColumn("file_id", F.lit(None).cast("int")).drop("__rank")
+    rn = F.col("__rank")
     size, rem = n // k, n % k
     big = size + 1
 
@@ -138,7 +107,7 @@ def _global_ntile(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     file_id = F.when(
         rn <= rem * big, _idiv(rn - 1, big) + 1
     ).otherwise(F.lit(rem) + _idiv(rn - rem * big - 1, max(size, 1)) + 1)
-    return part.withColumn("file_id", file_id.cast("int")).drop("__pid")
+    return ranked.withColumn("file_id", file_id.cast("int")).drop("__rank")
 
 
 def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:

@@ -1,0 +1,103 @@
+"""Parallel global ordering primitives: exact corpus-wide ``row_number``
+and prefix aggregates without a single-partition window.
+
+An unpartitioned ``Window.orderBy(...)`` funnels EVERY row through one
+task — the canonical Spark scale-killer: correct on 60k rows, dead at
+100 TB. But several operators genuinely need a total order (ntile file
+carving, serpentine bin packing, arrival-order prefix maxima). The fix is
+the classic two-phase distributed rank, the same shape a parallel
+``orderBy`` already uses (range partitioning + local sort):
+
+1. **range-partition** by the sort key, so partition *p* holds a
+   contiguous slice of the total order, and PIN the assignment
+   (``localCheckpoint`` — the offset job and the downstream job must
+   observe identical partitions; the materialization is the parallel sort
+   a layout writer performs anyway);
+2. **rank locally**: ``row_number`` windowed by the PHYSICAL partition id
+   — every range partition ranks its own slice in parallel;
+3. **offset globally**: per-partition aggregates are metadata-sized (one
+   value per partition); their running fold joins back as the offset via
+   a **broadcast hash join** on the partition id — O(1) per row
+   regardless of partition count (a ``create_map`` literal is O(P) per
+   row and blows past codegen limits at thousands of partitions).
+
+The resulting rank is bit-deterministic and independent of the sampled
+range boundaries *provided the order is total* (callers pass a unique
+tiebreak column), which is what lets a plain single-window oracle remain
+the ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: partition-id / offset bookkeeping columns; dropped before returning
+PID, OFF = "__pid", "__off"
+
+
+def pin_range_partitions(df: DataFrame, order_cols: list) -> DataFrame:
+    """Range-partition by the sort key, stamp the physical partition id,
+    and pin the assignment so every downstream job sees the same slices."""
+    return (
+        df.repartitionByRange(*order_cols)
+        .withColumn(PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def exclusive_prefix_df(
+    part: DataFrame, agg, fold, init
+) -> tuple[DataFrame, object]:
+    """EXCLUSIVE running fold of a per-partition aggregate, in slice order.
+
+    Collects ``agg`` per partition (metadata-sized: one row per range
+    partition), folds ``fold(acc, value)`` over partitions sorted by id,
+    and returns ``(tiny (pid, offset) DataFrame to broadcast-join back,
+    final accumulator)``. Partition *p*'s offset is the fold of all
+    partitions *before* it; the final accumulator covers every partition.
+    A ``None`` offset means "no prior value" (first partition under a
+    max/min fold).
+    """
+    per_part = {
+        int(r[PID]): r["v"] for r in part.groupBy(PID).agg(agg.alias("v")).collect()
+    }
+    rows, acc = [], init
+    for p in sorted(per_part):
+        rows.append((p, acc))
+        acc = fold(acc, per_part[p])
+    return (
+        part.sparkSession.createDataFrame(rows, schema=f"{PID} int, {OFF} bigint"),
+        acc,
+    )
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, rank_col: str = "__rank"
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global ``row_number`` over a total order, computed
+    parallel (see module docstring). ``order_cols`` must define a TOTAL
+    order (include a unique tiebreak) for the rank to be deterministic.
+
+    Returns ``(df + rank_col, total_row_count)`` — the count is free (the
+    final accumulator of the offset fold).
+    """
+    from pyspark.sql import Window as W
+
+    part = pin_range_partitions(df, order_cols)
+    offsets, n = exclusive_prefix_df(
+        part,
+        F.count(F.lit(1)),
+        lambda acc, v: acc + int(v),
+        0,
+    )
+    rn = (
+        F.row_number().over(W.partitionBy(PID).orderBy(*order_cols))
+        + F.coalesce(F.col(OFF), F.lit(0))
+    ).cast("bigint")
+    out = (
+        part.join(F.broadcast(offsets), PID, "left")
+        .withColumn(rank_col, rn)
+        .drop(PID, OFF)
+    )
+    return out, int(n)

@@ -108,20 +108,28 @@ def pack_bins(documents_with_len: DataFrame, n_bins: int = 8) -> DataFrame:
     approximation of bin packing for training shards (longest docs spread
     first, direction alternating so totals stay even).
 
-    Needs (doc_id, n_tokens). The global length rank is a single sort;
-    at 100 TB replace with a range-partitioned rank (sort within
-    length-quantile buckets) — the serpentine formula is unchanged.
+    Needs (doc_id, n_tokens). The global length rank is the shared
+    two-phase parallel rank (``ranks.global_row_number``: range-partition
+    by (n_tokens desc, doc_id), per-partition ``row_number``, broadcast-
+    joined offsets) — NO single-partition window ranks the corpus; the
+    serpentine formula operates on the exact global rank unchanged, so
+    the plain-window oracle stays the ground truth (the (n_tokens,
+    doc_id) order is total).
     """
-    from pyspark.sql import Window
+    from .ranks import global_row_number
 
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1: {n_bins}")
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
-    r = F.row_number().over(w) - 1
+    ranked, _n = global_row_number(
+        documents_with_len,
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        rank_col="__rank",
+    )
+    r = F.col("__rank") - 1
     fwd = F.pmod(r, F.lit(n_bins))
     rev = F.lit(n_bins - 1) - fwd
     direction_fwd = F.pmod(F.floor(r / F.lit(n_bins)), F.lit(2)) == 0
-    return documents_with_len.select(
+    return ranked.select(
         "doc_id",
         "n_tokens",
         F.when(direction_fwd, fwd).otherwise(rev).cast("int").alias("bin"),

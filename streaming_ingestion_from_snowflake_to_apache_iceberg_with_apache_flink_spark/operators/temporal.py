@@ -291,18 +291,42 @@ def late_data_audit(
     and worst lateness — the measurement that sizes a watermark delay
     before deploying it.
 
-    All time arithmetic is integer epoch-ms (portable); the running max is
-    one window over the arrival order — at scale arrival order is
-    per-partition ingestion order and this becomes a per-partition scan,
-    same semantics per stream shard.
+    All time arithmetic is integer epoch-ms (portable). The running max
+    is a PARALLEL prefix max — no single-partition window over the
+    corpus: range-partition by arrival order (pinned), per-partition
+    running max windowed by the physical partition id, then each
+    partition's prefix is offset by the max of all EARLIER partitions
+    (metadata-sized collect + broadcast join, the same two-phase shape as
+    ``ranks.global_row_number``). ``greatest`` skips NULLs, so the first
+    rows of partition 0 (no prior event anywhere) keep the exact NULL
+    semantics of the single-window form.
     """
-    arrive = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    from .ranks import OFF, PID, exclusive_prefix_df, pin_range_partitions
+
+    part = pin_range_partitions(
+        events.select("event_type", ts_ms("ts").alias("t"), "event_id"),
+        [F.col("event_id").asc()],
     )
-    flagged = events.select(
-        "event_type",
-        ts_ms("ts").alias("t"),
-        F.max(ts_ms("ts")).over(arrive).alias("seen"),
+    prior, _ = exclusive_prefix_df(
+        part,
+        F.max("t"),
+        lambda acc, v: acc
+        if v is None
+        else (int(v) if acc is None else max(int(acc), int(v))),
+        None,
+    )
+    arrive = (
+        Window.partitionBy(PID)
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        part.join(F.broadcast(prior), PID, "left")
+        .select(
+            "event_type",
+            "t",
+            F.greatest(F.max("t").over(arrive), F.col(OFF)).alias("seen"),
+        )
     ).select(
         "event_type",
         (F.col("t") < F.col("seen") - F.lit(delay_ms)).alias("late"),

@@ -69,10 +69,13 @@ def topk_similar_users(
             ).alias("cos_sim"),
         )
     )
+    # top-k via orderBy().limit(k) → TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows), NOT a corpus-wide single-partition
+    # window; ranking then runs over the k-row result only.
+    top = sims.orderBy(F.col("cos_sim").desc(), F.col("user_id").asc()).limit(k)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("user_id").asc())
     return (
-        sims.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("user_id", "cos_sim", "rank")
     )
 

@@ -1807,3 +1807,38 @@ def test_global_ntile_matches_sql_ntile(spark):
             ).collect()
         }
         assert got == want, f"k={k}: mismatch"
+
+
+def test_global_row_number_matches_single_window(spark):
+    """ranks.global_row_number is bit-identical to the single-partition
+    Window row_number over the same total order, at any partitioning."""
+    from pyspark.sql import Window
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    ranked, n = global_row_number(orders.repartition(13), cols)
+    assert n == orders.count()
+    want = {
+        r.o_orderkey: r.rn
+        for r in orders.select(
+            "o_orderkey", F.row_number().over(Window.orderBy(*cols)).alias("rn")
+        ).collect()
+    }
+    got = {r.o_orderkey: r["__rank"] for r in ranked.collect()}
+    assert got == want
+
+
+def test_global_row_number_empty_input(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    empty = load_table(spark, SF, "orders").filter(F.lit(False)).select("o_orderkey")
+    ranked, n = global_row_number(empty, [F.col("o_orderkey").asc()])
+    assert n == 0
+    assert ranked.count() == 0
+    assert "__rank" in ranked.columns
