@@ -464,98 +464,166 @@ def _int_sq_dist(q: Column, centroid: list[int]) -> Column:
     )
 
 
-def kmeans_assign(
-    embeddings: DataFrame, k: int = 8, iters: int = 2
-) -> DataFrame:
-    """Lloyd's k-means over int8-quantized embeddings, ``iters`` assignment
-    rounds with deterministic seeds (the k lowest vec_ids) — the trained-
-    centroid path the IVF index's docstring promises, and the clustering
-    stage of semantic dedup (SemDeDup-style). Integer codes + floor-avg
-    centroid updates keep every distance and every updated centroid exact,
-    so the iterative algorithm is value-checked against unrolled oracle
-    CTEs, not just smoke-tested.
-
-    Spark-native iteration shape: centroids are k×dim integers — driver
-    state, broadcast into each assignment pass as literal arrays (the
-    canonical Spark ML loop; the corpus is scanned once per round and
-    NEVER shuffled: assignment is a map-only argmin, the update is one
-    partial-agg groupBy of (cluster, dim) cells). Per round the driver
-    holds k·dim ints — independent of corpus size.
-
-    Returns the final assignment: (vec_id, q, cluster_id, dist).
-    """
-    e = embeddings.select(
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    # spread() first: quantization and the downstream argmin are
+    # interpreted array higher-order functions — per-row compute-heavy —
+    # and a small-file scan must not pin them to one core.
+    return spread(embeddings).select(
         "vec_id", _quantize_int8(F.col("embedding")).alias("q")
-    ).persist()
-    seeds = (
-        e.filter(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .collect()
     )
-    centroids: list[tuple[int, list[int]]] = [
-        (int(r.vec_id), list(r.q)) for r in seeds
-    ]
 
-    def assign(cur: list[tuple[int, list[int]]]) -> DataFrame:
-        # argmin via array_min over (dist, cid) structs — lexicographic
-        # struct ordering = min distance, ties to the smaller cluster id.
-        # The centroids enter as ONE typed nested Literal (F.lit on the
-        # nested python list), not k·dim individual Literal expression
-        # nodes wrapped in array() constructors: the expression tree is a
-        # single constant, so analysis + Janino compile cost is O(1) in
-        # k·dim — measured ~3× faster end-to-end than the per-element
-        # form at k=8, dim=64 (compile cost is per-plan, data-independent
-        # and was the dominant term).
-        cents = F.lit([[int(v) for v in c] for _, c in cur]).cast(
-            "array<array<bigint>>"
+
+def _assign_pass(e: DataFrame, cur: list[tuple[int, list[int]]]) -> DataFrame:
+    """One map-only argmin assignment of quantized rows to centroids.
+
+    argmin via array_min over (dist, cid) structs — lexicographic struct
+    ordering = min distance, ties to the smaller cluster id. The
+    centroids enter as ONE typed nested Literal (F.lit on the nested
+    python list), not k·dim individual Literal expression nodes wrapped
+    in array() constructors: the expression tree is a single constant, so
+    analysis + Janino compile cost is O(1) in k·dim — measured ~3× faster
+    end-to-end than the per-element form at k=8, dim=64 (compile cost is
+    per-plan, data-independent and was the dominant term).
+    """
+    cents = F.lit([[int(v) for v in c] for _, c in cur]).cast(
+        "array<array<bigint>>"
+    )
+    ids = F.lit([int(cid) for cid, _ in cur]).cast("array<int>")
+    best = F.array_min(
+        F.zip_with(
+            cents,
+            ids,
+            lambda c, cid: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, d: acc + d,
+                ).alias("dist"),
+                cid.alias("cid"),
+            ),
         )
-        ids = F.lit([int(cid) for cid, _ in cur]).cast("array<int>")
-        best = F.array_min(
-            F.zip_with(
-                cents,
-                ids,
-                lambda c, cid: F.struct(
-                    F.aggregate(
-                        F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y)),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, d: acc + d,
-                    ).alias("dist"),
-                    cid.alias("cid"),
-                ),
+    )
+    return e.select("vec_id", "q", best.alias("best")).select(
+        "vec_id",
+        "q",
+        F.col("best.cid").alias("cluster_id"),
+        F.col("best.dist").alias("dist"),
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> list[tuple[int, list[int]]]:
+    """TRAIN Lloyd's k-means over int8-quantized embeddings and return the
+    final centroids — k×dim integers of pure driver state, the natural
+    unit to memoize across sibling cluster-blocked queries (dedup +
+    hard-negative mining + cluster labeling): unlike a persisted
+    assignment DataFrame, driver-held centroids survive
+    ``spark.catalog.clearCache()`` and even a session restart, and they
+    are a deterministic function of (dataset, k, iters) — seeds are the k
+    lowest vec_ids, updates are exact floor-avg integers.
+
+    Spark-native iteration shape: centroids broadcast into each
+    assignment pass as one literal array (the canonical Spark ML loop;
+    the corpus is scanned once per round and NEVER shuffled: assignment
+    is a map-only argmin, the update is one partial-agg groupBy of
+    (cluster, dim) cells). Per round the driver holds k·dim ints —
+    independent of corpus size.
+    """
+    e = _quantized(embeddings).persist()
+    try:
+        seeds = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        centroids: list[tuple[int, list[int]]] = [
+            (int(r.vec_id), list(r.q)) for r in seeds
+        ]
+        for _ in range(iters - 1):
+            assigned = _assign_pass(e, centroids)
+            cells = (
+                assigned.select("cluster_id", F.posexplode("q").alias("dim", "v"))
+                .groupBy("cluster_id", "dim")
+                .agg(F.floor(F.avg("v")).alias("c"))
+                .groupBy("cluster_id")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs")
+                )
+                .collect()
             )
-        )
-        return e.select("vec_id", "q", best.alias("best")).select(
-            "vec_id",
-            "q",
-            F.col("best.cid").alias("cluster_id"),
-            F.col("best.dist").alias("dist"),
-        )
+            centroids = sorted(
+                (int(r.cluster_id), [int(s.c) for s in r.cs]) for r in cells
+            )
+        return centroids
+    finally:
+        e.unpersist()
 
-    for _ in range(iters - 1):
-        assigned = assign(centroids)
-        cells = (
-            assigned.select("cluster_id", F.posexplode("q").alias("dim", "v"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.floor(F.avg("v")).alias("c"))
-            .groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs"))
-            .collect()
-        )
-        centroids = sorted(
-            (int(r.cluster_id), [int(s.c) for s in r.cs]) for r in cells
-        )
-    return assign(centroids)
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """Final k-means assignment (vec_id, q, cluster_id, dist) — see
+    :func:`kmeans_centroids` for the training loop and exactness story.
+
+    ``centroids`` accepts a pretrained centroid list, reducing this to
+    ONE map-only argmin pass over the corpus (no iterative rounds, no
+    persist) — how sibling queries sharing a clustering avoid retraining
+    per query.
+    """
+    cur = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, k, iters)
+    )
+    return _assign_pass(_quantized(embeddings), cur)
 
 
 def kmeans_embeddings(
-    embeddings: DataFrame, k: int = 8, iters: int = 2
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster stats of the final k-means assignment (see
-    ``kmeans_assign``): (cluster_id, n_vectors, inertia)."""
-    final = kmeans_assign(embeddings, k, iters)
+    ``kmeans_assign``): (cluster_id, n_vectors, inertia).
+
+    ``assignment`` accepts a precomputed (persisted) ``kmeans_assign``
+    output so callers running several cluster-blocked queries over the
+    same corpus pay the iterative assignment ONCE, not once per query.
+    """
+    final = assignment if assignment is not None else kmeans_assign(
+        embeddings, k, iters
+    )
     return final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("dist").alias("inertia"),
+    )
+
+
+def cells_for(n_vectors: int, cap: int = 64) -> int:
+    """k ∝ √N cell-count heuristic for the cluster-blocked pair queries
+    (SemDeDup / hard-negative mining): with k = ⌊√N⌋ the average cell
+    holds ~√N vectors, so the within-cell pair space Σ|cluster|² stays
+    ~N^1.5 — self-bounding as the corpus grows, instead of N²/k with a
+    frozen k. Capped (centroids are driver state broadcast as one
+    literal: k·dim ints) and floored at 1.
+
+    ``math.isqrt`` is exact; the DuckDB twin (:func:`duck_cells_expr`)
+    uses ``floor(sqrt(N))`` on a correctly-rounded double — identical for
+    every realistic N (the double error is ≪ the gap to the next integer
+    until N approaches 2^52).
+    """
+    import math
+
+    return max(1, min(int(cap), math.isqrt(max(0, int(n_vectors)))))
+
+
+def duck_cells_expr(cap: int = 64) -> str:
+    """Oracle twin of :func:`cells_for` over the ``embeddings`` view, as a
+    scalar subquery usable wherever the CTEs take a literal k."""
+    return (
+        f"(SELECT greatest(1, least({cap}, "
+        "CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
     )
 
 
@@ -565,6 +633,7 @@ def semdedup_pairs(
     iters: int = 2,
     threshold: float = 0.3,
     dim: int | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. '23): semantic near-duplicate pairs found
     WITHIN k-means clusters — the clustering bounds the pair space to
@@ -576,6 +645,11 @@ def semdedup_pairs(
     integer squared norms (exact in both engines), one sqrt + one divide
     at the end — deterministic, so the approximate METHOD gets an exact
     oracle. Returns (cluster_id, vec_a, vec_b, qsim).
+
+    ``assignment`` accepts a precomputed ``kmeans_assign`` output
+    (vec_id, q, cluster_id, …) so sibling queries sharing the same
+    clustering (dedup + hard-negative mining + cluster labeling) run the
+    iterative assignment once.
     """
     if dim is None:
         # one-row probe, not an assumption: hardcoding the width would turn
@@ -598,8 +672,11 @@ def semdedup_pairs(
         F.size("q") == dim,
         F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v),
     ).otherwise(F.raise_error(F.lit(f"semdedup_pairs: embedding width != {dim}")))
+    base = assignment if assignment is not None else kmeans_assign(
+        embeddings, k, iters
+    )
     a = (
-        kmeans_assign(embeddings, k, iters)
+        base
         .select(
             "vec_id",
             "cluster_id",
@@ -632,9 +709,11 @@ def semdedup_pairs(
     )
 
 
-def duck_kmeans_cte(k: int = 8) -> str:
+def duck_kmeans_cte(k: int | str = 8) -> str:
     """Shared oracle CTE chain for the 2-round integer k-means: ends at
-    ``a2`` = (vec_id, q, cid, dist), the final assignment."""
+    ``a2`` = (vec_id, q, cid, dist), the final assignment. ``k`` may be a
+    literal int or a SQL scalar expression (e.g. :func:`duck_cells_expr`
+    for the k ∝ √N heuristic)."""
     km_q = (
         "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
         " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
@@ -674,7 +753,7 @@ def duck_kmeans_cte(k: int = 8) -> str:
         )"""
 
 
-def duck_kmeans_sql(k: int = 8) -> str:
+def duck_kmeans_sql(k: int | str = 8) -> str:
     return (
         duck_kmeans_cte(k)
         + """
@@ -685,7 +764,7 @@ def duck_kmeans_sql(k: int = 8) -> str:
     )
 
 
-def duck_semdedup_sql(k: int = 8, threshold: float = 0.3) -> str:
+def duck_semdedup_sql(k: int | str = 8, threshold: float = 0.3) -> str:
     qdot = (
         "list_sum(list_transform(generate_series(1, 64),"
         " i -> x.q[i] * y.q[i]))"
@@ -821,6 +900,7 @@ def hard_negative_pairs(
     iters: int = 2,
     lo: float = 0.1,
     hi: float = 0.6,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: within-cluster pairs
     whose cosine lands in ``[lo, hi)`` — similar enough to be confusable
@@ -836,13 +916,13 @@ def hard_negative_pairs(
     ``semdedup_pairs`` with the dedup threshold as the band floor and a
     ceiling filter on top, so every exactness property carries over.
     """
-    return semdedup_pairs(embeddings, k, iters, threshold=lo).filter(
-        F.col("qsim") < hi
-    )
+    return semdedup_pairs(
+        embeddings, k, iters, threshold=lo, assignment=assignment
+    ).filter(F.col("qsim") < hi)
 
 
 def duck_hard_negative_sql(
-    k: int = 8, lo: float = 0.1, hi: float = 0.6
+    k: int | str = 8, lo: float = 0.1, hi: float = 0.6
 ) -> str:
     """Oracle twin of :func:`hard_negative_pairs`: the semdedup oracle
     with the band ceiling applied outside."""

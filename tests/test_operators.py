@@ -1842,3 +1842,45 @@ def test_global_row_number_empty_input(spark):
     assert n == 0
     assert ranked.count() == 0
     assert "__rank" in ranked.columns
+
+
+def test_cells_for_heuristic(spark):
+    """k ∝ √N with floor 1 and cap 64; the DuckDB twin expression computes
+    the identical k over an embeddings view of the same size."""
+    import duckdb
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        cells_for,
+        duck_cells_expr,
+    )
+
+    assert cells_for(0) == 1
+    assert cells_for(1) == 1
+    assert cells_for(500) == 22
+    assert cells_for(2000) == 44
+    assert cells_for(10**6) == 64  # capped
+    assert cells_for(10**6, cap=2048) == 1000
+    for n in (0, 1, 7, 500, 2000, 4095, 4096):
+        got = duckdb.sql(
+            "WITH embeddings AS (SELECT * FROM range(" + str(n) + ")) "
+            "SELECT " + duck_cells_expr()
+        ).fetchone()[0]
+        assert int(got) == cells_for(n), n
+
+
+def test_kmeans_pretrained_centroids_match(spark):
+    """kmeans_assign(centroids=trained) is bit-identical to the
+    train-inside path — the memoized-share contract."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for _, c in cents)
+    a = sorted(map(tuple, kmeans_assign(emb, k=4, iters=2).drop("q").collect()))
+    b = sorted(
+        map(tuple, kmeans_assign(emb, centroids=cents).drop("q").collect())
+    )
+    assert a == b
