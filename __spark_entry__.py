@@ -71,6 +71,9 @@ _smp_duck_bucket = smp.duck_bucket_expr
 # pass instead of retraining the Lloyd loop per query.
 _KMEANS_MEMO: dict[tuple, object] = {}
 
+#: q_time_travel's deferred-drop staging tables, keyed by session id
+_TT_STAGED: dict[int, tuple] = {}
+
 
 def _emb_cells_k(spark: SparkSession, sf_dir: str) -> int:
     """Memoized k ∝ √N cell count (similarity.cells_for) for the pair
@@ -2280,7 +2283,18 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         CatalogSink,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    # Carry only the columns the proof needs (the oracle's projection +
+    # the shard/sort/key pipeline fields): commit cost is write volume ×
+    # fixed per-commit table writes, and the wide o_comment column would
+    # triple the bytes without strengthening the check.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
     table = f"q_tt_{uuid.uuid4().hex[:8]}"
     cfg = IcebergSinkConfig(
         db="default",
@@ -2295,13 +2309,23 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2000-01-01").cast("timestamp")
     d = F.col(ORDERS_SORT)
     batches = [orders.filter(d < cut), orders.filter(d >= cut)]
+    # Deferred cleanup: the PREVIOUS invocation's tables are dropped here
+    # (cheap DDL), so THIS invocation can return the as-of read lazily
+    # instead of paying a localCheckpoint materialization before dropping
+    # its own tables. Contract: the returned DataFrame is consumed before
+    # q_time_travel is called again (how the bench/driver/oracle harnesses
+    # run); at most one staging table-set outlives the query.
+    for t in _TT_STAGED.pop(id(spark), ()):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
         for e, b in enumerate(batches, start=1):
             sink.write_batch(b, e)
-        out = _orders_out(sink.read_as_of(1)).localCheckpoint(eager=True)
-    finally:
+        out = _orders_out(sink.read_as_of(1))
+    except BaseException:
         for t in (sink.table, sink.commits, sink.history):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+        raise
+    _TT_STAGED[id(spark)] = (sink.table, sink.commits, sink.history)
     return out
 
 
@@ -2779,10 +2803,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stateful_offsets": q_stateful_offsets,
     }
-    missing = [n for n in _ROUND5_WINDOW if n not in q]
+    missing = [n for n in _ROUND6_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND5_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND5_WINDOW}, **q}
+        raise KeyError(f"_ROUND6_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND6_WINDOW}, **q}
+
+
+# The round-6 driver-correctness window: q_ema + q_locf first (the final 2
+# never-driver-checked names — with them green, all 202 registered queries
+# have a driver CORRECTNESS row), then every query whose implementation
+# round 6 touched (two-phase global ranks, shared k-means training +
+# k=cells_for(N), driver-side commit ledger, deferred time-travel cleanup,
+# JDBC/pysource hardening) so the driver re-verifies each change at
+# sf0.01.
+_ROUND6_WINDOW = [
+    "q_ema", "q_locf",
+    # two-phase global rank / top-k rewrites
+    "q_pack_bins", "q_late_data_audit", "q_ts_similarity",
+    "q_zorder_layout",
+    # shared k-means family (k = cells_for(N) for the pair queries)
+    "q_kmeans", "q_semdedup", "q_hard_negatives", "q_cluster_terms",
+    # sink/ledger touched paths
+    "q_time_travel", "q_merge_delete", "q_stream_ingest",
+    "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
+    # connector paths (null-shard guard, quantized spread)
+    "q_python_source", "q_python_stream_source", "q_stateful_offsets",
+    "q_knn_classify", "q_topk_cosine", "q_ann_recall",
+    "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
+]
 
 
 # The 50-slot driver-correctness window for round 5: every name here has

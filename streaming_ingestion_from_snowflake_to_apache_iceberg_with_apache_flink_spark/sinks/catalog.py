@@ -31,8 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import threading
+
 from ..config import IcebergSinkConfig, UnsupportedOperationError
 from ..operators.merge import merge_upsert
+
+#: serializes set→write→restore of the session-global
+#: partitionOverwriteMode conf across writer threads (see _overwrite_mode)
+_OVERWRITE_MODE_LOCK = threading.RLock()
 
 
 def glue_catalog_confs(
@@ -94,7 +100,17 @@ class CatalogSink:
         session-wide default was a data-loss hazard: if a crash (or any
         other caller) left the conf ``static`` while a dynamic-overwrite
         site ran, the write would erase every partition not present in
-        its batch — on the GDPR purge path that is mass deletion."""
+        its batch — on the GDPR purge path that is mass deletion.
+
+        The conf is SESSION-global, so two writer threads in one
+        SparkSession could still interleave set/restore (e.g. a streaming
+        foreachBatch overwrite racing expire_snapshots' static write) and
+        execute a dynamic site under static — the process-wide lock below
+        makes the set→write→restore sequence atomic.  Serializing
+        overwrite WRITES (reads and non-overwrite writes are unaffected)
+        is the correct trade: on a real Iceberg catalog overwrite
+        atomicity comes from the table format and this fallback path is
+        not taken."""
         import contextlib
 
         key = "spark.sql.sources.partitionOverwriteMode"
@@ -102,12 +118,13 @@ class CatalogSink:
 
         @contextlib.contextmanager
         def scoped():
-            prev = spark.conf.get(key, "static")
-            spark.conf.set(key, mode)
-            try:
-                yield
-            finally:
-                spark.conf.set(key, prev)
+            with _OVERWRITE_MODE_LOCK:
+                prev = spark.conf.get(key, "static")
+                spark.conf.set(key, mode)
+                try:
+                    yield
+                finally:
+                    spark.conf.set(key, prev)
 
         return scoped()
 
@@ -465,23 +482,70 @@ class CatalogSink:
 
     # -- exactly-once ledger ------------------------------------------------
 
+    # The epoch ledger is METADATA — one row per commit — so its reads and
+    # appends are driver-side file operations, not distributed jobs: a
+    # one-row Spark write costs a full job-launch round trip (~0.5 s of
+    # scheduler latency at ANY data scale, three times per commit), which
+    # is why Iceberg's own commit protocol does its metadata writes on the
+    # driver. The ledger stays a registered parquet TABLE (external
+    # readers and expire_commits use spark.table) — the driver appends
+    # atomically (write temp + rename) into its location and refreshes the
+    # catalog's cached file listing. In-memory epoch set is a cache only;
+    # a fresh sink instance rebuilds it from the files (restart-safe under
+    # the documented single-writer-per-table contract).
+
+    def _ledger_location(self) -> str:
+        return self._managed_location(f"{self.cfg.table_name}__commits")
+
+    def _ledger_epochs(self) -> set[int]:
+        if getattr(self, "_epochs_cache", None) is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            loc = self._ledger_location()
+            epochs: set[int] = set()
+            for p in glob.glob(os.path.join(loc, "*")):
+                base = os.path.basename(p)
+                if not os.path.isfile(p) or base.startswith((".", "_")):
+                    continue
+                col = pq.read_table(p, columns=["epoch"]).column("epoch")
+                epochs.update(int(v) for v in col.to_pylist() if v is not None)
+            self._epochs_cache = epochs
+        return self._epochs_cache
+
+    def _ledger_invalidate(self) -> None:
+        self._epochs_cache = None
+
     def last_epoch(self) -> int:
         """Highest committed epoch (0 if none) — lets a restarted driver
         resume its epoch counter past what is already durable."""
-        if not self.spark.catalog.tableExists(self.commits):
-            return 0
-        row = self.spark.table(self.commits).agg(F.max("epoch")).head()
-        return int(row[0]) if row and row[0] is not None else 0
+        epochs = self._ledger_epochs()
+        return max(epochs) if epochs else 0
 
     def _committed(self, epoch: int) -> bool:
-        return (
-            self.spark.table(self.commits).filter(F.col("epoch") == epoch).count() > 0
-        )
+        return int(epoch) in self._ledger_epochs()
 
     def _record(self, epoch: int) -> None:
-        self.spark.createDataFrame([(epoch,)], "epoch long").write.format(
-            "parquet"
-        ).mode("append").saveAsTable(self.commits)
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        loc = self._ledger_location()
+        os.makedirs(loc, exist_ok=True)
+        name = f"epoch-{int(epoch)}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(loc, f".{name}.tmp")  # dot-prefixed: invisible to scans
+        pq.write_table(
+            pa.table({"epoch": pa.array([int(epoch)], type=pa.int64())}), tmp
+        )
+        os.rename(tmp, os.path.join(loc, name))  # atomic publish
+        self._ledger_epochs().add(int(epoch))
+        # drop the catalog's cached file listing so spark.table(commits)
+        # sees the new marker (driver-only, no job)
+        self.spark.catalog.refreshTable(self.commits)
 
     # -- modes (O12) --------------------------------------------------------
 
@@ -544,7 +608,13 @@ class CatalogSink:
         # exists only because the merged plan otherwise self-joins the
         # table being overwritten). Saves a full batch materialization
         # on exactly the commit that carries the most rows.
-        target_empty = current.isEmpty()
+        # Emptiness comes from the LEDGER, not a table scan (isEmpty is a
+        # distributed job; the ledger read is cached driver metadata):
+        # under the single-writer contract no committed epochs ⇒ the only
+        # possible target rows are a crashed write of THIS epoch's batch,
+        # and the bootstrap write below dynamic-overwrites exactly those
+        # partitions — replay-idempotent either way.
+        target_empty = not self._ledger_epochs()
         if parts and not target_empty:
             # restrict the rewrite to partitions the batch touches: the
             # MERGE ON <equality fields> target-side partition pruning
@@ -637,3 +707,4 @@ class CatalogSink:
         keep.localCheckpoint(eager=True).write.format("parquet").mode(
             "overwrite"
         ).insertInto(self.commits)
+        self._ledger_invalidate()  # rewritten by a Spark job, not _record

@@ -43,12 +43,24 @@ def read_distinct_shards(spark: SparkSession, cfg: SnowflakeSourceConfig) -> Dat
     )
 
 
+def _quote_literal(value: str) -> str:
+    """SQL string literal with embedded quotes escaped by doubling — the
+    ANSI form every JDBC backend (Snowflake, Derby, Postgres) accepts.
+    Spark's ``predicates=`` API takes WHERE fragments as text, so this is
+    the closest available analogue of the reference's parameter binding
+    (SnowflakeProcessFunction.java:97, ``setString``): a shard value
+    containing ``'`` must not break — or rewrite — the predicate."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def read_shards_parallel(
     spark: SparkSession, cfg: SnowflakeSourceConfig, shard_values: list[str]
 ) -> DataFrame:
     """O3+O6: one JDBC partition per shard value — the reference's keyBy
     fan-out (StreamingJob.java:95-103) as Spark input partitioning."""
-    predicates = [f"{cfg.shard_column} = '{v}'" for v in shard_values]
+    predicates = [
+        f"{cfg.shard_column} = {_quote_literal(v)}" for v in shard_values
+    ]
     return spark.read.jdbc(
         url=cfg.jdbc_url(),
         table=cfg.table,

@@ -113,6 +113,16 @@ def _shard_value_counts(path: str, shard_column: str) -> dict:
     scanner = ds.dataset(path, format="parquet").scanner(columns=[shard_column])
     for batch in scanner.to_batches():
         for r in pc.value_counts(batch.column(0)).to_pylist():
+            if r["values"] is None:
+                # A NULL shard has no key to partition or offset-track by
+                # (sorted() over mixed None/str keys raises far from the
+                # cause, and latestOffset would emit an ambiguous 'None'
+                # entry). The reference's keyBy has the same blind spot —
+                # fail the poll with the actual contract violation.
+                raise ValueError(
+                    f"NULL value in shard column {shard_column!r}: every row"
+                    " must carry a non-null shard key (keyBy contract)"
+                )
             counts[r["values"]] = counts.get(r["values"], 0) + int(r["counts"])
     return counts
 

