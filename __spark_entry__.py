@@ -601,6 +601,17 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.pack_bins(tc, n_bins=8)
 
 
+def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget contiguous sharding (sampling.token_budget_shards):
+    shard boundary every 10k tokens of doc-id-ordered cumulative count —
+    the parallel-prefix-sum sibling of q_pack_bins' global rank; per-shard
+    manifest output."""
+    tc = tx.token_count(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return smp.token_budget_shards(tc, capacity=10_000)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language carve-out (sampling.stratified_take):
     the 20 smallest-hash docs per lang."""
@@ -2605,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_text": q_normalize_text,
         "q_bigram_topk": q_bigram_topk,
         "q_pack_bins": q_pack_bins,
+        "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf_topk": q_tfidf_topk,
         "q_bm25_topk": q_bm25_topk,
@@ -2818,9 +2830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # sf0.01.
 _ROUND6_WINDOW = [
     "q_ema", "q_locf",
-    # two-phase global rank / top-k rewrites
-    "q_pack_bins", "q_late_data_audit", "q_ts_similarity",
-    "q_zorder_layout",
+    # two-phase global rank / prefix-sum / top-k rewrites
+    "q_pack_bins", "q_token_budget_shards", "q_late_data_audit",
+    "q_ts_similarity", "q_zorder_layout",
     # shared k-means family (k = cells_for(N) for the pair queries)
     "q_kmeans", "q_semdedup", "q_hard_negatives", "q_cluster_terms",
     # sink/ledger touched paths
@@ -3806,6 +3818,23 @@ def _extension_oracles() -> dict[str, str]:
                CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
                          ELSE 7 - (r % 8) END AS INT) AS bin
         FROM r
+    """
+    out["q_token_budget_shards"] = f"""
+        WITH tc AS (
+            SELECT doc_id, len({toks})::INT AS n_tokens FROM documents
+        ), s AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start
+            FROM tc
+        )
+        SELECT CAST(floor(start / 10000) AS INT) AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM s GROUP BY 1
     """
     out["q_stratified_sample"] = f"""
         WITH ranked AS (

@@ -136,6 +136,62 @@ def pack_bins(documents_with_len: DataFrame, n_bins: int = 8) -> DataFrame:
     )
 
 
+def token_budget_shards(
+    documents_with_len: DataFrame, capacity: int = 10_000
+) -> DataFrame:
+    """Token-budget contiguous sharding — the scalable form of greedy
+    sequence packing: walk the corpus in a stable total order (doc_id),
+    accumulate token counts, and cut a shard boundary every ``capacity``
+    tokens. A doc belongs to the shard its START offset falls in (exact
+    greedy first-fit is inherently sequential; boundary-cutting by
+    cumulative offset is the form that parallelizes and is what
+    fixed-token training shards actually need). Emits the per-shard
+    manifest: (shard, n_docs, total_tokens, min_doc, max_doc).
+
+    The running offset is a PARALLEL exclusive prefix sum — the same
+    two-phase shape as ``ranks.global_row_number``: range-partition by
+    doc_id (pinned), per-partition running sum windowed by the physical
+    partition id, plus each partition's broadcast-joined offset = sum of
+    all earlier partitions (metadata-sized). No single-partition window
+    touches the corpus; the plain-window oracle stays the ground truth.
+    """
+    from pyspark.sql import Window
+
+    from .ranks import OFF, PID, exclusive_prefix_df, pin_range_partitions
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1: {capacity}")
+    part = pin_range_partitions(
+        documents_with_len.select("doc_id", "n_tokens"),
+        [F.col("doc_id").asc()],
+    )
+    prior, _total = exclusive_prefix_df(
+        part,
+        F.sum("n_tokens"),
+        lambda acc, v: acc + (0 if v is None else int(v)),
+        0,
+    )
+    w = (
+        Window.partitionBy(PID)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.coalesce(
+        F.col(OFF), F.lit(0)
+    )
+    assigned = part.join(F.broadcast(prior), PID, "left").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / F.lit(capacity)).cast("int").alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def temperature_weights(documents: DataFrame, stratum_col: str = "lang") -> DataFrame:
     """Temperature-based multinomial rebalancing weights per stratum
     (mT5/XLM-R style: sample language l with p_l ∝ n_l^α, α<1 upweights

@@ -1884,3 +1884,38 @@ def test_kmeans_pretrained_centroids_match(spark):
         map(tuple, kmeans_assign(emb, centroids=cents).drop("q").collect())
     )
     assert a == b
+
+
+def test_token_budget_shards_contiguous_and_exhaustive(spark):
+    """Shards are contiguous doc-id ranges, cover every doc exactly once,
+    and every shard STARTS within its capacity block (a doc may straddle
+    the boundary; the next doc opens the next shard)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    cap = 2000
+    tc = tx.token_count(load_table(spark, SF, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    out = sorted(
+        smp.token_budget_shards(tc, capacity=cap).collect(),
+        key=lambda r: r.shard,
+    )
+    assert [r.shard for r in out] == list(range(len(out)))
+    assert sum(r.n_docs for r in out) == tc.count()
+    total = tc.agg(F.sum("n_tokens")).head()[0]
+    assert sum(r.total_tokens for r in out) == total
+    # contiguity: ranges do not interleave
+    for a, b in zip(out, out[1:]):
+        assert a.max_doc < b.min_doc
+    # each shard's start offset lies in its capacity block
+    start = 0
+    for r in out:
+        assert start // cap == r.shard
+        start += r.total_tokens
+    with pytest.raises(ValueError):
+        smp.token_budget_shards(tc, capacity=0)

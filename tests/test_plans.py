@@ -1140,3 +1140,17 @@ def test_topk_similar_users_takeordered(spark):
     df = topk_similar_users(load_table(spark, SF, "events"), 0, 10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:400]
+
+
+def test_token_budget_shards_prefix_sum_is_partitioned(spark):
+    """The running token offset is the two-phase parallel prefix sum —
+    every window in the plan is partitioned by the physical partition
+    id, never a corpus-wide single-partition window."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id", "length(text) as n_tokens"
+    )
+    _partitioned_window_specs(smp.token_budget_shards(docs, capacity=5000))
