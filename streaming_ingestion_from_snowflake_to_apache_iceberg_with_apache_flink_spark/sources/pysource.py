@@ -147,11 +147,25 @@ class ShardedParquetReader(DataSourceReader):
         ]
 
     def read(self, partition):
+        # Memory bound: ONE SHARD's projected columns live in this
+        # executor while it pages (the sort needs the full shard; pages
+        # bound what is EMITTED, not what is held) — the same per-shard
+        # working-set bound as the reference's per-key process function.
+        # Column pruning is pushed into the scan (columns=), so the bound
+        # is projected-shard-sized, never full-row-width; a skewed
+        # mega-shard beyond executor memory needs the JDBC binding, where
+        # ORDER BY + LIMIT/OFFSET push the sort to the database
+        # (sources/jdbc.py), or a sub-shard key.
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        cols = list(
+            dict.fromkeys([*self.columns, self.sort_column])
+        )
         shard = pq.read_table(
-            self.path, filters=[(self.shard_column, "=", partition.value)]
+            self.path,
+            columns=cols,
+            filters=[(self.shard_column, "=", partition.value)],
         )
         order = pc.sort_indices(
             shard, sort_keys=[(self.sort_column, "ascending")]
@@ -270,11 +284,20 @@ class ShardedParquetStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition.value is None:
             return
+        # Same per-shard executor memory bound as the batch reader above:
+        # the sorted PROJECTED shard is held while its [start, end) slice
+        # is emitted (columns= prunes at the scan). See the batch
+        # reader's note for the mega-shard escape hatches.
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        cols = list(
+            dict.fromkeys([*self.columns, self.sort_column])
+        )
         shard = pq.read_table(
-            self.path, filters=[(self.shard_column, "=", partition.value)]
+            self.path,
+            columns=cols,
+            filters=[(self.shard_column, "=", partition.value)],
         )
         order = pc.sort_indices(
             shard, sort_keys=[(self.sort_column, "ascending")]
