@@ -46,18 +46,22 @@ def pin_range_partitions(df: DataFrame, order_cols: list) -> DataFrame:
     )
 
 
-def exclusive_prefix_df(
-    part: DataFrame, agg, fold, init
-) -> tuple[DataFrame, object]:
+#: below this partition count the offsets attach as one constant-folded
+#: literal map (O(P) per row, but P is bounded and the expression is a
+#: single constant — no broadcast-exchange job); above it, a broadcast
+#: hash join keeps per-row cost O(1) at thousands of range partitions
+LITERAL_OFFSETS_MAX = 128
+
+
+def exclusive_prefix(part: DataFrame, agg, fold, init) -> tuple[list, object]:
     """EXCLUSIVE running fold of a per-partition aggregate, in slice order.
 
     Collects ``agg`` per partition (metadata-sized: one row per range
     partition), folds ``fold(acc, value)`` over partitions sorted by id,
-    and returns ``(tiny (pid, offset) DataFrame to broadcast-join back,
-    final accumulator)``. Partition *p*'s offset is the fold of all
-    partitions *before* it; the final accumulator covers every partition.
-    A ``None`` offset means "no prior value" (first partition under a
-    max/min fold).
+    and returns ``([(pid, offset), …], final accumulator)``. Partition
+    *p*'s offset is the fold of all partitions *before* it; the final
+    accumulator covers every partition. A ``None`` offset means "no prior
+    value" (first partition under a max/min fold).
     """
     per_part = {
         int(r[PID]): r["v"] for r in part.groupBy(PID).agg(agg.alias("v")).collect()
@@ -66,6 +70,35 @@ def exclusive_prefix_df(
     for p in sorted(per_part):
         rows.append((p, acc))
         acc = fold(acc, per_part[p])
+    return rows, acc
+
+
+def with_offsets(part: DataFrame, rows: list) -> DataFrame:
+    """Attach each row's partition offset as the ``OFF`` column (NULL where
+    the offset is None / the partition is unknown). Small partition counts
+    inline the offsets as a literal map; large counts broadcast-join — see
+    ``LITERAL_OFFSETS_MAX``. Either way the lookup is metadata-sized and
+    never reshuffles ``part``."""
+    nonnull = [(p, int(v)) for p, v in rows if v is not None]
+    if len(rows) <= LITERAL_OFFSETS_MAX:
+        if not nonnull:
+            return part.withColumn(OFF, F.lit(None).cast("bigint"))
+        m = F.create_map(*[F.lit(x) for p, v in nonnull for x in (p, v)])
+        return part.withColumn(
+            OFF, F.element_at(m, F.col(PID)).cast("bigint")
+        )
+    off_df = part.sparkSession.createDataFrame(
+        rows, schema=f"{PID} int, {OFF} bigint"
+    )
+    return part.join(F.broadcast(off_df), PID, "left")
+
+
+def exclusive_prefix_df(
+    part: DataFrame, agg, fold, init
+) -> tuple[DataFrame, object]:
+    """Back-compat composition of :func:`exclusive_prefix` into the tiny
+    (pid, offset) DataFrame form."""
+    rows, acc = exclusive_prefix(part, agg, fold, init)
     return (
         part.sparkSession.createDataFrame(rows, schema=f"{PID} int, {OFF} bigint"),
         acc,
@@ -85,7 +118,7 @@ def global_row_number(
     from pyspark.sql import Window as W
 
     part = pin_range_partitions(df, order_cols)
-    offsets, n = exclusive_prefix_df(
+    rows, n = exclusive_prefix(
         part,
         F.count(F.lit(1)),
         lambda acc, v: acc + int(v),
@@ -96,7 +129,7 @@ def global_row_number(
         + F.coalesce(F.col(OFF), F.lit(0))
     ).cast("bigint")
     out = (
-        part.join(F.broadcast(offsets), PID, "left")
+        with_offsets(part, rows)
         .withColumn(rank_col, rn)
         .drop(PID, OFF)
     )

@@ -157,7 +157,13 @@ def token_budget_shards(
     """
     from pyspark.sql import Window
 
-    from .ranks import OFF, PID, exclusive_prefix_df, pin_range_partitions
+    from .ranks import (
+        OFF,
+        PID,
+        exclusive_prefix,
+        pin_range_partitions,
+        with_offsets,
+    )
 
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1: {capacity}")
@@ -165,7 +171,7 @@ def token_budget_shards(
         documents_with_len.select("doc_id", "n_tokens"),
         [F.col("doc_id").asc()],
     )
-    prior, _total = exclusive_prefix_df(
+    rows, _total = exclusive_prefix(
         part,
         F.sum("n_tokens"),
         lambda acc, v: acc + (0 if v is None else int(v)),
@@ -179,7 +185,7 @@ def token_budget_shards(
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.coalesce(
         F.col(OFF), F.lit(0)
     )
-    assigned = part.join(F.broadcast(prior), PID, "left").select(
+    assigned = with_offsets(part, rows).select(
         "doc_id",
         "n_tokens",
         F.floor(start / F.lit(capacity)).cast("int").alias("shard"),

@@ -340,7 +340,11 @@ def quantize_embeddings(embeddings: DataFrame, scale: int = 127) -> DataFrame:
             F.least(F.lit(scale), F.floor(x * scale + F.lit(0.5))),
         ),
     )
-    e = embeddings.select("vec_id", to_double("embedding").alias("x"), q.alias("q"))
+    # spread: the per-row array folds below are interpreted — a one-file
+    # scan must not pin them to a single core (no-op at real scale)
+    e = spread(embeddings).select(
+        "vec_id", to_double("embedding").alias("x"), q.alias("q")
+    )
     qnorm2 = F.aggregate(
         F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
     )
@@ -811,7 +815,7 @@ def power_iteration_component(
     Returns (dim, s, v): the final un-normalized accumulator and the
     ±scale-normalized eigenvector estimate, dim 0-based.
     """
-    q = embeddings.select(
+    q = spread(embeddings).select(
         "vec_id", _quantize_int8(F.col("embedding"), scale).alias("q")
     ).persist()
     first = embeddings.select(F.size("embedding").alias("d")).head()

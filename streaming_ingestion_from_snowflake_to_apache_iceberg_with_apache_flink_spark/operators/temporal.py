@@ -301,13 +301,19 @@ def late_data_audit(
     rows of partition 0 (no prior event anywhere) keep the exact NULL
     semantics of the single-window form.
     """
-    from .ranks import OFF, PID, exclusive_prefix_df, pin_range_partitions
+    from .ranks import (
+        OFF,
+        PID,
+        exclusive_prefix,
+        pin_range_partitions,
+        with_offsets,
+    )
 
     part = pin_range_partitions(
         events.select("event_type", ts_ms("ts").alias("t"), "event_id"),
         [F.col("event_id").asc()],
     )
-    prior, _ = exclusive_prefix_df(
+    rows, _ = exclusive_prefix(
         part,
         F.max("t"),
         lambda acc, v: acc
@@ -321,7 +327,7 @@ def late_data_audit(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = (
-        part.join(F.broadcast(prior), PID, "left")
+        with_offsets(part, rows)
         .select(
             "event_type",
             "t",

@@ -1919,3 +1919,31 @@ def test_token_budget_shards_contiguous_and_exhaustive(spark):
         start += r.total_tokens
     with pytest.raises(ValueError):
         smp.token_budget_shards(tc, capacity=0)
+
+
+def test_with_offsets_broadcast_path_matches_literal(spark):
+    """with_offsets' two attachment strategies (literal map vs broadcast
+    join) are value-identical; global_row_number stays exact when forced
+    through the broadcast path."""
+    from pyspark.sql import Window
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        ranks,
+    )
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    cols = [F.col("o_orderkey").asc()]
+    want = {
+        r.o_orderkey: r.rn
+        for r in orders.select(
+            "o_orderkey", F.row_number().over(Window.orderBy(*cols)).alias("rn")
+        ).collect()
+    }
+    prev = ranks.LITERAL_OFFSETS_MAX
+    try:
+        ranks.LITERAL_OFFSETS_MAX = 0  # force the broadcast-join path
+        ranked, n = ranks.global_row_number(orders, cols)
+        got = {r.o_orderkey: r["__rank"] for r in ranked.collect()}
+    finally:
+        ranks.LITERAL_OFFSETS_MAX = prev
+    assert n == len(want) and got == want
