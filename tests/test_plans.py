@@ -303,7 +303,11 @@ def test_quantize_no_shuffle(spark):
     )
 
     df = sim.quantize_embeddings(load_table(spark, SF, "embeddings"))
-    assert count_exchanges(df) == 0
+    # no KEY shuffle: the only exchange allowed is spread()'s round-robin
+    # fan-out of the tiny test file (a no-op at real partition counts)
+    plan = formatted_plan(df)
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_bpe_pairs_take_ordered_vocab_sized(spark):
