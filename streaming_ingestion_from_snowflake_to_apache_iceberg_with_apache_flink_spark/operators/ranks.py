@@ -16,10 +16,12 @@ the classic two-phase distributed rank, the same shape a parallel
 2. **rank locally**: ``row_number`` windowed by the PHYSICAL partition id
    — every range partition ranks its own slice in parallel;
 3. **offset globally**: per-partition aggregates are metadata-sized (one
-   value per partition); their running fold joins back as the offset via
-   a **broadcast hash join** on the partition id — O(1) per row
-   regardless of partition count (a ``create_map`` literal is O(P) per
-   row and blows past codegen limits at thousands of partitions).
+   value per partition); their running fold attaches back as the offset
+   — as a constant-folded literal map while the partition count is small
+   (no extra job), switching to a **broadcast hash join** on the
+   partition id beyond ``LITERAL_OFFSETS_MAX`` (an unbounded
+   ``create_map`` literal is O(P) per row and blows past codegen limits
+   at thousands of partitions).
 
 The resulting rank is bit-deterministic and independent of the sampled
 range boundaries *provided the order is total* (callers pass a unique
@@ -91,18 +93,6 @@ def with_offsets(part: DataFrame, rows: list) -> DataFrame:
         rows, schema=f"{PID} int, {OFF} bigint"
     )
     return part.join(F.broadcast(off_df), PID, "left")
-
-
-def exclusive_prefix_df(
-    part: DataFrame, agg, fold, init
-) -> tuple[DataFrame, object]:
-    """Back-compat composition of :func:`exclusive_prefix` into the tiny
-    (pid, offset) DataFrame form."""
-    rows, acc = exclusive_prefix(part, agg, fold, init)
-    return (
-        part.sparkSession.createDataFrame(rows, schema=f"{PID} int, {OFF} bigint"),
-        acc,
-    )
 
 
 def global_row_number(
