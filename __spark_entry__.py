@@ -2129,6 +2129,18 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(load_table(spark, sf_dir, "orders"))
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (quality.k_anonymity_audit): QI groups =
+    (event_type, day, value/5 bucket); per-type group counters and the
+    suppression rate at k=5 — the governance gate before publishing
+    event-level data."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    return k_anonymity_audit(load_table(spark, sf_dir, "events"), k=5)
+
+
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations battery (quality.dq_checks): uniqueness,
     not-null, referential integrity, accepted values, range — one
@@ -2807,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf_runs": q_udtf_runs,
         "q_hist_quantiles": q_hist_quantiles,
         "q_dq_checks": q_dq_checks,
+        "q_k_anonymity": q_k_anonymity,
         "q_stream_static": q_stream_static,
         "q_cep_patterns": q_cep_patterns,
         "q_nearest_join": q_nearest_join,
@@ -2842,6 +2855,8 @@ _ROUND6_WINDOW = [
     "q_python_source", "q_python_stream_source", "q_stateful_offsets",
     "q_knn_classify", "q_topk_cosine", "q_ann_recall",
     "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
+    # round-6 additions
+    "q_k_anonymity",
 ]
 
 
@@ -5444,6 +5459,25 @@ def _extension_oracles() -> dict[str, str]:
         GROUP BY 1, 2
     """
     out["q_dq_checks"] = DUCK_DQ_SQL
+    out["q_k_anonymity"] = """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('day', ts)) AS day_ms,
+                   CAST(floor(value / 5.0) AS BIGINT) AS vb,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               sum(c)::BIGINT AS n_rows,
+               count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN c < 5 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_small_groups,
+               sum(CASE WHEN c < 5 THEN c ELSE 0 END)::BIGINT
+                   AS rows_at_risk,
+               round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)
+                     / sum(c), 6) AS suppression_rate
+        FROM g GROUP BY event_type
+    """
     out["q_udtf_runs"] = """
         WITH tok AS (
             SELECT doc_id,

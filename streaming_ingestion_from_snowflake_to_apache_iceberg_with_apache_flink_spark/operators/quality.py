@@ -110,3 +110,57 @@ DUCK_DQ_SQL = """
            count(*) FILTER (o_totalprice <= 0) = 0
     FROM orders
 """
+
+
+def k_anonymity_audit(events: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit of a release projection — the data-governance
+    gate a pipeline runs before publishing event-level data: any
+    quasi-identifier combination shared by fewer than ``k`` rows
+    re-identifies its subjects, so those rows must be suppressed or
+    generalized. Quasi-identifiers here are the classic generalized
+    triple (event_type, event day, value bucketed to 5s) — categorical +
+    temporal + numeric, each coarsened exactly the way a release would
+    coarsen them.
+
+    Emits one row per event_type: rows, distinct QI groups, groups below
+    k, rows at risk, and the suppression percentage (1e-6-quantized) —
+    the number the governance decision is made on.
+
+    Scale shape: one partial-aggregable groupBy on the QI triple (the
+    only corpus-sized shuffle), then a per-type rollup of group counters
+    (|types| × |days| × |buckets| rows — metadata-sized at any corpus
+    scale). Nothing row-level survives the first aggregation.
+    """
+    day_ms = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(1000)).cast(
+        "long"
+    )
+    bucket = F.floor(F.col("value") / F.lit(5.0)).cast("long")
+    groups = (
+        events.select(
+            "event_type", day_ms.alias("day_ms"), bucket.alias("vb")
+        )
+        .groupBy("event_type", "day_ms", "vb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    small = F.col("c") < k
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(small.cast("int")).cast("bigint").alias("n_small_groups"),
+            F.sum(F.when(small, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_groups",
+            "n_small_groups",
+            "rows_at_risk",
+            F.round(
+                F.col("rows_at_risk") / F.col("n_rows"), 6
+            ).alias("suppression_rate"),
+        )
+    )

@@ -1947,3 +1947,24 @@ def test_with_offsets_broadcast_path_matches_literal(spark):
     finally:
         ranks.LITERAL_OFFSETS_MAX = prev
     assert n == len(want) and got == want
+
+
+def test_k_anonymity_accounting(spark):
+    """Per-type counters are self-consistent: rows_at_risk counts exactly
+    the rows of sub-k groups, k=1 risks nothing, and a huge k risks
+    everything."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    events = load_table(spark, SF, "events")
+    out = {r.event_type: r for r in k_anonymity_audit(events, k=5).collect()}
+    assert sum(r.n_rows for r in out.values()) == events.count()
+    for r in out.values():
+        assert 0 <= r.rows_at_risk <= r.n_rows
+        assert r.n_small_groups <= r.n_groups
+        assert abs(r.suppression_rate - round(r.rows_at_risk / r.n_rows, 6)) < 1e-9
+    none = k_anonymity_audit(events, k=1).collect()
+    assert all(r.rows_at_risk == 0 for r in none)
+    allr = k_anonymity_audit(events, k=10**9).collect()
+    assert all(r.rows_at_risk == r.n_rows for r in allr)
