@@ -2337,7 +2337,13 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of paying a localCheckpoint materialization before dropping
     # its own tables. Contract: the returned DataFrame is consumed before
     # q_time_travel is called again (how the bench/driver/oracle harnesses
-    # run); at most one staging table-set outlives the query.
+    # run); at most one staging table-set outlives the query. A previous
+    # PROCESS's surviving set is swept once per session (uuid names mean
+    # it can't be this session's).
+    if id(spark) not in _TT_STAGED:
+        for t in spark.catalog.listTables("default"):
+            if t.name.startswith("q_tt_"):
+                spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
     for t in _TT_STAGED.pop(id(spark), ()):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
