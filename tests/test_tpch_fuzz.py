@@ -134,3 +134,50 @@ def test_q19_disjunction_always_matches_reference_filter(spark, duck):
                AND l_quantity BETWEEN 20.0 AND 40.0)
     """
     compare(df, duck, sql, "q19")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=60),
+    capacity=st.integers(min_value=1, max_value=400),
+    n_bins=st.integers(min_value=1, max_value=9),
+)
+def test_rank_machinery_matches_python_reference(spark, lens, capacity, n_bins):
+    """The two-phase rank/prefix-sum operators agree with a sequential
+    Python reference on arbitrary token-length lists — the property the
+    plain-window oracles encode, held over the input space."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int") if rows else (
+        spark.range(0).selectExpr("id as doc_id", "cast(id as int) as n_tokens")
+    )
+
+    got_shards = {
+        r.shard: (r.n_docs, r.total_tokens, r.min_doc, r.max_doc)
+        for r in smp.token_budget_shards(df, capacity=capacity).collect()
+    }
+    want: dict = {}
+    start = 0
+    for i, n in rows:
+        s = start // capacity
+        d = want.setdefault(s, [0, 0, i, i])
+        d[0] += 1
+        d[1] += n
+        d[3] = i
+        start += n
+    assert got_shards == {s: tuple(v) for s, v in want.items()}
+
+    got_bins = {r.doc_id: r.bin for r in smp.pack_bins(df, n_bins=n_bins).collect()}
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want_bins = {}
+    for r, (i, _n) in enumerate(order):
+        fwd = r % n_bins
+        want_bins[i] = fwd if (r // n_bins) % 2 == 0 else n_bins - 1 - fwd
+    assert got_bins == want_bins
