@@ -33,8 +33,25 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
-    force(spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1000))
+    # warmup: JVM + parquet footer caches, plus one window + one partial
+    # aggregation so the codegen/exchange machinery the first measured
+    # query hits is already hot — without this, whichever query happens to
+    # run first absorbs ~0.3 s of residual JIT and reads as a regression
+    # whenever the dict order changes.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(5000)
+    force(warm)
+    force(
+        warm.select(
+            "o_orderkey",
+            _F.row_number()
+            .over(_W.partitionBy("o_orderpriority").orderBy("o_orderkey"))
+            .alias("rn"),
+        )
+    )
+    force(warm.groupBy("o_orderpriority").agg(_F.sum("o_totalprice")))
 
     # best-of-2 per query: the second run reuses JVM JIT + codegen caches,
     # so the min is the steady-state number (single runs vary ±20% locally).
