@@ -30,6 +30,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: (sf_dir, name) → (session, DataFrame). DataFrames are immutable and the
+#: fixture files never change, so reusing the scan relation is safe; it
+#: skips a parquet footer read + relation build per call (hundreds of
+#: calls per bench/oracle sweep). Keyed per session — a new session
+#: invalidates the entry. Conf pinning below still runs on EVERY call:
+#: callers use load_table to (re)pin session semantics.
+_TABLE_MEMO: dict[tuple, tuple] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -44,9 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_MEMO[key] = (spark, df)
     return df
 
 

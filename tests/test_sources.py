@@ -586,3 +586,19 @@ def test_null_shard_value_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL value in shard column"):
         _shard_value_counts(path, "shard")
+
+
+def test_load_table_memoizes_per_session(spark):
+    """Same (session, sf_dir, table) returns the same DataFrame object;
+    different sf_dirs stay distinct; conf pinning still runs on hits."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources.parquet import (
+        load_table,
+    )
+
+    a = load_table(spark, "/root/testdata/sf0.001", "orders")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    b = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert a is b
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"  # re-pinned
+    c = load_table(spark, "/root/testdata/sf0.01", "orders")
+    assert c is not a and c.count() != -1
