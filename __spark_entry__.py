@@ -1425,6 +1425,18 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(load_table(spark, sf_dir, "documents"))
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel of the n-gram-Jaccard near-dup graph
+    (dedup.kcore_peel, k=2): drops weakly-linked nodes round by round,
+    leaving the dense duplicate mesh with per-node final degrees —
+    iterative graph algebra as a static DAG, unrolled-CTE oracle."""
+    return dd.kcore_peel(
+        dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents")),
+        k=2,
+        rounds=3,
+    )
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2675,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_bpe_pair_merge": q_bpe_pair_merge,
         "q_pagerank_neardup": q_pagerank_neardup,
+        "q_kcore": q_kcore,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -2862,7 +2875,7 @@ _ROUND6_WINDOW = [
     "q_knn_classify", "q_topk_cosine", "q_ann_recall",
     "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
     # round-6 additions
-    "q_k_anonymity",
+    "q_k_anonymity", "q_kcore",
 ]
 
 
@@ -4741,6 +4754,9 @@ def _extension_oracles() -> dict[str, str]:
         " FROM r3 CROSS JOIN nn"
     )
     out["q_pagerank_neardup"] = "\n".join(pr)
+    out["q_kcore"] = dd.duck_kcore_sql(
+        out["q_dedup_ngram_jaccard"], k=2, rounds=3
+    )
     out["q_avro_contract"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(lang AS VARCHAR) AS lang,

@@ -601,6 +601,89 @@ def pair_degree_histogram(pairs: DataFrame) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """``rounds`` fixed peel rounds of k-core decomposition over the
+    near-dup pair graph: each round drops every node whose degree in the
+    CURRENT edge set is below ``k`` and restricts the edges to surviving
+    endpoints. The k-core (fixpoint) is the limit of this peel; a fixed
+    round count keeps the iterative algorithm an exactly-checkable static
+    DAG (unrolled oracle CTEs, same contract as the k-means / PageRank /
+    CC loops). Dedup pipelines read the core as the "dense plagiarism
+    mesh": nodes that survive peeling sit in tightly interlinked
+    duplicate clusters, not just pairwise matches.
+
+    Returns (doc_id, degree): surviving endpoints with their degree in
+    the final restricted edge set.
+
+    Scale shape: per round one partial-agg degree count plus two
+    semi-joins keyed on the edge endpoints — all shuffles are
+    edge-set-sized and the edge set shrinks monotonically; each round is
+    pinned (persist + count) so round r+1 scans a materialized edge set
+    instead of re-deriving the whole peel chain.
+    """
+    bidir = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    edges = bidir.persist()
+    edges.count()  # materialize the pair computation once
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= k)
+            .select("a")
+        )
+        nxt = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .persist()
+        )
+        nxt.count()
+        edges.unpersist()
+        edges = nxt
+    return (
+        edges.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col("a").alias("doc_id"), "degree")
+    )
+
+
+def duck_kcore_sql(pair_sql: str, k: int = 2, rounds: int = 3) -> str:
+    """Unrolled oracle twin of :func:`kcore_peel` over the same pair SQL."""
+    parts = [
+        f"WITH pairs AS ({pair_sql}),",
+        "e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f", n{r + 1} AS (SELECT a FROM (SELECT a, count(*) AS c"
+            f" FROM e{r} GROUP BY a) WHERE c >= {k})"
+            f", e{r + 1} AS (SELECT e.a, e.b FROM e{r} e"
+            f" JOIN n{r + 1} x ON e.a = x.a"
+            f" JOIN n{r + 1} y ON e.b = y.a)"
+        )
+    parts.append(
+        f" SELECT a AS doc_id, count(*)::BIGINT AS degree"
+        f" FROM e{rounds} GROUP BY a"
+    )
+    return "\n".join(parts)
+
+
 def pagerank_pairs(
     pairs: DataFrame, iters: int = 3, damping: float = 0.85
 ) -> DataFrame:

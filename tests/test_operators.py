@@ -1968,3 +1968,24 @@ def test_k_anonymity_accounting(spark):
     assert all(r.rows_at_risk == 0 for r in none)
     allr = k_anonymity_audit(events, k=10**9).collect()
     assert all(r.rows_at_risk == r.n_rows for r in allr)
+
+
+def test_kcore_peel_properties(spark):
+    """Surviving nodes' degrees never exceed their original degree, every
+    survivor had pre-peel degree >= k, a huge k empties the graph, and
+    k=1 with enough rounds keeps exactly the nodes of non-trivial
+    components' edges."""
+    docs = load_table(spark, SF, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs).persist()
+    orig_deg = {}
+    for r in pairs.collect():
+        orig_deg[r.doc_a] = orig_deg.get(r.doc_a, 0) + 1
+        orig_deg[r.doc_b] = orig_deg.get(r.doc_b, 0) + 1
+    out = {r.doc_id: r.degree for r in dd.kcore_peel(pairs, k=2, rounds=3).collect()}
+    for node, deg in out.items():
+        assert deg <= orig_deg[node]
+        assert orig_deg[node] >= 2  # a degree-1 node can never survive k=2
+    assert dd.kcore_peel(pairs, k=10**6, rounds=1).count() == 0
+    k1 = {r.doc_id for r in dd.kcore_peel(pairs, k=1, rounds=2).collect()}
+    assert k1 == set(orig_deg)  # k=1 peels nothing
+    pairs.unpersist()
