@@ -1542,6 +1542,13 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_encode_counts(load_table(spark, sf_dir, "documents"), rounds=3)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (text.bpe_fertility): BPE symbols
+    per whitespace word after 3 trained merges — the multilingual
+    token-budget metric; vocabulary-level encode, |langs|-row rollup."""
+    return tx.bpe_fertility(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
 def _state_parts(spark: SparkSession, sf_dir: str, factor: int = 1) -> int:
     """Streaming state partitions sized to the source volume
     (session.stream_state_partitions): the events fixture is MBs here, so
@@ -2784,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_window": q_stream_window,
         "q_bpe_train": q_bpe_train,
         "q_bpe_apply": q_bpe_apply,
+        "q_bpe_fertility": q_bpe_fertility,
         "q_semdedup": q_semdedup,
         "q_cogroup": q_cogroup,
         "q_null_battery": q_null_battery,
@@ -2875,7 +2883,7 @@ _ROUND6_WINDOW = [
     "q_knn_classify", "q_topk_cosine", "q_ann_recall",
     "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
     # round-6 additions
-    "q_k_anonymity", "q_kcore",
+    "q_k_anonymity", "q_kcore", "q_bpe_fertility",
 ]
 
 
@@ -4927,6 +4935,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_stream_window"] = out["q_tumbling_window"]
     out["q_bpe_train"] = tx.duck_bpe_train_sql(rounds=3)
     out["q_bpe_apply"] = tx.duck_bpe_apply_sql(rounds=3)
+    out["q_bpe_fertility"] = tx.duck_bpe_fertility_sql(rounds=3)
     _sh8 = H.duck_shingles(H.duck_tokens("text"), 8)
     out["q_dup_substring"] = f"""
         WITH sh AS (

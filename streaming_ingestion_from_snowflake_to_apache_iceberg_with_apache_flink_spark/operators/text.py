@@ -722,6 +722,55 @@ def duck_bpe_apply_sql(rounds: int = 3) -> str:
     )
 
 
+def bpe_fertility(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """Tokenizer fertility per language — BPE symbols emitted per
+    whitespace word — the tokenizer-evaluation metric multilingual
+    pipelines watch (a high-fertility language pays more of the token
+    budget per word and trains on proportionally less text). Trains
+    ``rounds`` merges on the corpus (``bpe_train_merges``), encodes at
+    the vocabulary level (``bpe_encode_counts``), and rolls the per-doc
+    counts up by language.
+
+    Scale shape: inherits the vocabulary-level encode (no corpus-wide
+    string merging); the rollup adds one metadata-sized groupBy over
+    |langs| rows beyond the per-doc aggregation.
+    """
+    per_doc = bpe_encode_counts(documents, rounds)
+    return (
+        per_doc.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_symbols").cast("bigint").alias("n_bpe_symbols"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_symbols",
+            F.round(
+                F.col("n_bpe_symbols") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+def duck_bpe_fertility_sql(rounds: int = 3) -> str:
+    """Oracle twin of :func:`bpe_fertility`: the per-doc encode SQL rolled
+    up by language."""
+    return f"""
+        SELECT d.lang,
+               count(*)::BIGINT AS n_docs,
+               sum(b.n_words)::BIGINT AS n_words,
+               sum(b.n_bpe_symbols)::BIGINT AS n_bpe_symbols,
+               round(sum(b.n_bpe_symbols) / sum(b.n_words), 6) AS fertility
+        FROM ({duck_bpe_apply_sql(rounds)}) b
+        JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """
+
+
 def distribution_drift(documents: DataFrame, k: int = 10) -> DataFrame:
     """Corpus drift monitor: total-variation distance between the token
     distributions of two corpus snapshots (doc_id parity splits stand in

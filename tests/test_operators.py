@@ -1989,3 +1989,25 @@ def test_kcore_peel_properties(spark):
     k1 = {r.doc_id for r in dd.kcore_peel(pairs, k=1, rounds=2).collect()}
     assert k1 == set(orig_deg)  # k=1 peels nothing
     pairs.unpersist()
+
+
+def test_bpe_fertility_consistency(spark):
+    """Per-lang rollup reconciles with the per-doc encode; fertility >= 1
+    only when merges shrink nothing (symbols per word start at word
+    length), and every corpus language appears."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    per_doc = tx.bpe_encode_counts(docs, rounds=3)
+    rolled = {r.lang: r for r in tx.bpe_fertility(docs, rounds=3).collect()}
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert set(rolled) == langs
+    tot = per_doc.agg(
+        F.sum("n_words").alias("w"), F.sum("n_bpe_symbols").alias("s")
+    ).head()
+    assert sum(r.n_words for r in rolled.values()) == tot.w
+    assert sum(r.n_bpe_symbols for r in rolled.values()) == tot.s
+    for r in rolled.values():
+        assert r.fertility >= 1.0  # a word is always >= 1 symbol
