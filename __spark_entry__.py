@@ -1437,6 +1437,13 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LSH-method recall vs the exact near-dup ground truth
+    per Jaccard threshold (dedup.lsh_recall_audit) — the measurement that
+    justifies banding before deploying it at corpus scale."""
+    return dd.lsh_recall_audit(load_table(spark, sf_dir, "documents"))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2695,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pair_merge": q_bpe_pair_merge,
         "q_pagerank_neardup": q_pagerank_neardup,
         "q_kcore": q_kcore,
+        "q_lsh_recall": q_lsh_recall,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -2883,7 +2891,7 @@ _ROUND6_WINDOW = [
     "q_knn_classify", "q_topk_cosine", "q_ann_recall",
     "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
     # round-6 additions
-    "q_k_anonymity", "q_kcore", "q_bpe_fertility",
+    "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
 ]
 
 
@@ -4762,6 +4770,9 @@ def _extension_oracles() -> dict[str, str]:
         " FROM r3 CROSS JOIN nn"
     )
     out["q_pagerank_neardup"] = "\n".join(pr)
+    out["q_lsh_recall"] = dd.duck_lsh_recall_sql(
+        out["q_dedup_ngram_jaccard"], out["q_dedup_minhash_lsh"]
+    )
     out["q_kcore"] = dd.duck_kcore_sql(
         out["q_dedup_ngram_jaccard"], k=2, rounds=3
     )

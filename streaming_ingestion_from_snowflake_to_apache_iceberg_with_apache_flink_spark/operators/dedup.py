@@ -585,6 +585,78 @@ def minhash_estimate_audit(
     )
 
 
+def lsh_recall_audit(
+    documents: DataFrame,
+    thresholds: tuple = (0.2, 0.3, 0.4, 0.5),
+) -> DataFrame:
+    """End-to-end recall of the banded-MinHash near-dup METHOD against the
+    exact inverted-index ground truth, per exact-Jaccard threshold — the
+    trust measurement that decides whether the bands×rows layout can
+    replace the exact join at corpus scale (where the exact join itself
+    becomes the audit you run on a sample).
+
+    For every exact pair (``ngram_jaccard_pairs``), checks whether the
+    full LSH pipeline (``minhash_lsh_pairs``: banding + bucket cap + est
+    threshold) would have emitted it, then rolls up recall per exact
+    threshold. Both legs are the REAL operators — the audit measures the
+    method as deployed, banding losses and bucket-cap drops included.
+
+    Scale shape: the join is pair-list-sized on both sides (never the
+    corpus); the threshold explode multiplies the pair list by a handful
+    of literals before a partial-agg rollup to |thresholds| rows.
+    """
+    exact = ngram_jaccard_pairs(documents)
+    found = (
+        minhash_lsh_pairs(documents)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(found, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in thresholds])
+    ).alias("threshold")
+    return (
+        j.select("jaccard", "hit", t)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_found"),
+        )
+        .select(
+            "threshold",
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+def duck_lsh_recall_sql(
+    exact_sql: str, lsh_sql: str, thresholds: tuple = (0.2, 0.3, 0.4, 0.5)
+) -> str:
+    """Oracle twin of :func:`lsh_recall_audit` composed from the two legs'
+    own oracle SQL."""
+    tlist = ", ".join(str(float(x)) for x in thresholds)
+    return f"""
+        WITH exact AS ({exact_sql}), lsh AS ({lsh_sql}),
+        j AS (
+            SELECT e.jaccard,
+                   CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM exact e LEFT JOIN lsh l
+              ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+        ), t AS (SELECT unnest([{tlist}]) AS threshold)
+        SELECT t.threshold,
+               count(*)::BIGINT AS n_true,
+               sum(hit)::BIGINT AS n_found,
+               round(sum(hit) / count(*), 6) AS recall
+        FROM j JOIN t ON j.jaccard >= t.threshold
+        GROUP BY t.threshold
+    """
+
+
 def pair_degree_histogram(pairs: DataFrame) -> DataFrame:
     """Degree distribution of the near-dup pair graph: how many docs have
     exactly d near-duplicates — the shape diagnostic that separates

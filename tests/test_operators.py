@@ -2011,3 +2011,18 @@ def test_bpe_fertility_consistency(spark):
     assert sum(r.n_bpe_symbols for r in rolled.values()) == tot.s
     for r in rolled.values():
         assert r.fertility >= 1.0  # a word is always >= 1 symbol
+
+
+def test_lsh_recall_audit_bounds(spark):
+    """Recall is within [0,1], monotone threshold rows are consistent
+    (n_true non-increasing in threshold), and n_found <= n_true."""
+    docs = load_table(spark, SF, "documents")
+    rows = sorted(dd.lsh_recall_audit(docs).collect(), key=lambda r: r.threshold)
+    assert rows, "expected at least one threshold row"
+    prev_true = None
+    for r in rows:
+        assert 0 <= r.n_found <= r.n_true
+        assert 0.0 <= r.recall <= 1.0
+        if prev_true is not None:
+            assert r.n_true <= prev_true
+        prev_true = r.n_true
