@@ -1444,6 +1444,18 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_recall_audit(load_table(spark, sf_dir, "documents"))
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit across the content-hash train/val/test split
+    (curation.split_leakage): per held-out split, the fraction of docs
+    sharing an 8-gram with any training doc - the governance number that
+    decides whether a decontamination pass must run."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        split_leakage,
+    )
+
+    return split_leakage(load_table(spark, sf_dir, "documents"))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2703,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_neardup": q_pagerank_neardup,
         "q_kcore": q_kcore,
         "q_lsh_recall": q_lsh_recall,
+        "q_split_leakage": q_split_leakage,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -2892,6 +2905,7 @@ _ROUND6_WINDOW = [
     "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
     # round-6 additions
     "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
+    "q_split_leakage",
 ]
 
 
@@ -4773,6 +4787,35 @@ def _extension_oracles() -> dict[str, str]:
     out["q_lsh_recall"] = dd.duck_lsh_recall_sql(
         out["q_dedup_ngram_jaccard"], out["q_dedup_minhash_lsh"]
     )
+    _b = _smp_duck_bucket("doc_id")
+    _g8 = f"list_transform({H.duck_shingles(H.duck_tokens('text'), 8)}, s -> {H.duck_h32('s')})"
+    out["q_split_leakage"] = f"""
+        WITH lab AS (
+            SELECT doc_id,
+                   CASE WHEN {_b} < 9000 THEN 'train'
+                        WHEN {_b} < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ), g AS (
+            SELECT doc_id, unnest({_g8}) AS g FROM documents
+        ), lg AS (
+            SELECT g.doc_id, g.g, lab.split FROM g JOIN lab USING (doc_id)
+        ), tg AS (
+            SELECT DISTINCT g FROM lg WHERE split = 'train'
+        ), leaked AS (
+            SELECT DISTINCT l.doc_id, l.split
+            FROM lg l JOIN tg USING (g) WHERE l.split <> 'train'
+        ), base AS (
+            SELECT split, count(*)::BIGINT AS n_docs
+            FROM lab WHERE split <> 'train' GROUP BY split
+        ), lk AS (
+            SELECT split, count(*)::BIGINT AS n_leaked FROM leaked GROUP BY split
+        )
+        SELECT b.split, b.n_docs,
+               coalesce(lk.n_leaked, 0)::BIGINT AS n_leaked,
+               round(coalesce(lk.n_leaked, 0) / b.n_docs, 6) AS leak_rate
+        FROM base b LEFT JOIN lk USING (split)
+    """
     out["q_kcore"] = dd.duck_kcore_sql(
         out["q_dedup_ngram_jaccard"], k=2, rounds=3
     )

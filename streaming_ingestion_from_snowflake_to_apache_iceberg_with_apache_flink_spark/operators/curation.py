@@ -134,3 +134,51 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def split_leakage(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Eval-leakage audit across the standard content-hash train/val/test
+    split: for each held-out split, the fraction of its documents sharing
+    at least one word ``n``-gram with ANY training document — the leakage
+    a per-document hash split cannot prevent (near-duplicate documents
+    hash to different splits), and the number that decides whether a
+    decontamination pass must run before the eval set is trusted.
+
+    Scale shape: n-grams are hashed bigints; the train-side distinct gram
+    set is the only relation crossing the held-out explode (semi-join —
+    broadcast under AQE while it fits, hash join beyond); per-split
+    counters aggregate doc-level flags, so nothing row-level survives
+    past the distinct. Doc counts come from the labeled corpus itself, so
+    shingle-less short docs still count in the denominator.
+    """
+    from .dedup import _hashed_shingles
+    from .sampling import hash_split
+
+    labeled = hash_split(documents.select("doc_id"), "doc_id")
+    grams = _hashed_shingles(documents, n).selectExpr(
+        "doc_id", "explode(shingles) as g"
+    )
+    lg = grams.join(labeled, "doc_id")
+    train_g = lg.filter(F.col("split") == "train").select("g").distinct()
+    leaked = (
+        lg.filter(F.col("split") != "train")
+        .join(train_g, "g", "left_semi")
+        .select("doc_id", "split")
+        .distinct()
+    )
+    base = (
+        labeled.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    lk = leaked.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaked")
+    )
+    return base.join(lk, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+        F.round(
+            F.coalesce("n_leaked", F.lit(0)) / F.col("n_docs"), 6
+        ).alias("leak_rate"),
+    )

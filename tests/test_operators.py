@@ -2026,3 +2026,29 @@ def test_lsh_recall_audit_bounds(spark):
         if prev_true is not None:
             assert r.n_true <= prev_true
         prev_true = r.n_true
+
+
+def test_split_leakage_consistency(spark):
+    """Denominators equal the hash_split populations (short docs
+    included); leaked counts bounded; rates reconcile."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        split_leakage,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = {r.split: r for r in split_leakage(docs).collect()}
+    assert set(out) <= {"val", "test"}
+    pops = {
+        r.split: r.c
+        for r in smp.hash_split(docs.select("doc_id"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for split, r in out.items():
+        assert r.n_docs == pops[split]
+        assert 0 <= r.n_leaked <= r.n_docs
+        assert abs(r.leak_rate - round(r.n_leaked / r.n_docs, 6)) < 1e-9
