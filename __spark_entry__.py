@@ -1456,6 +1456,14 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(load_table(spark, sf_dir, "documents"))
 
 
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity card (similarity.cluster_balance over the
+    memoized shared k=8 assignment): Gini impurity + effective cluster
+    count of the corpus's k-means distribution - the mode-collapse check
+    before trusting a curation mix."""
+    return sim.cluster_balance(_kmeans_assignment(spark, sf_dir, 8))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2716,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_lsh_recall": q_lsh_recall,
         "q_split_leakage": q_split_leakage,
+        "q_cluster_balance": q_cluster_balance,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -2905,7 +2914,7 @@ _ROUND6_WINDOW = [
     "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
     # round-6 additions
     "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
-    "q_split_leakage",
+    "q_split_leakage", "q_cluster_balance",
 ]
 
 
@@ -4816,6 +4825,7 @@ def _extension_oracles() -> dict[str, str]:
                round(coalesce(lk.n_leaked, 0) / b.n_docs, 6) AS leak_rate
         FROM base b LEFT JOIN lk USING (split)
     """
+    out["q_cluster_balance"] = sim.duck_cluster_balance_sql(k=8)
     out["q_kcore"] = dd.duck_kcore_sql(
         out["q_dedup_ngram_jaccard"], k=2, rounds=3
     )

@@ -604,6 +604,51 @@ def kmeans_embeddings(
     )
 
 
+def cluster_balance(assignment: DataFrame) -> DataFrame:
+    """Embedding-space diversity card from a k-means assignment: one row
+    with the corpus size, occupied cluster count, Gini impurity of the
+    cluster distribution (1 − Σcᵢ²/N²) and the effective cluster count
+    (N²/Σcᵢ² — the inverse Simpson index) — the balance check a curation
+    pipeline runs to see whether its corpus collapses into a few dense
+    modes or spreads across the embedding space. All ratios are integer
+    rationals with one division at the end (cross-engine exact after
+    1e-6 quantization); the input is any (…, cluster_id) assignment,
+    typically the memoized shared one.
+
+    Scale shape: one partial-agg groupBy to (cluster, count) — k rows —
+    then a k-row rollup; nothing else touches the corpus.
+    """
+    counts = assignment.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # doubles for the N² product: int64 would overflow past N ≈ 3·10⁹
+    # (a real corpus size); below 2^53 the doubles are exact anyway, so
+    # the oracle check loses nothing at test scale
+    n2 = F.sum("c").cast("double") * F.sum("c").cast("double")
+    s2 = F.sum(F.col("c") * F.col("c")).cast("double")
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.round(F.lit(1.0) - s2 / n2, 6).alias("gini"),
+        F.round(n2 / s2, 6).alias("eff_clusters"),
+    )
+
+
+def duck_cluster_balance_sql(k: int | str = 8) -> str:
+    """Oracle twin of :func:`cluster_balance` over the shared k-means CTE."""
+    return (
+        duck_kmeans_cte(k)
+        + """
+        , cc AS (SELECT cid, count(*) AS c FROM a2 GROUP BY cid)
+        SELECT sum(c)::BIGINT AS n_vectors,
+               count(*)::BIGINT AS n_clusters,
+               round(1.0 - sum(c * c) / (sum(c) * sum(c)), 6) AS gini,
+               round((sum(c) * sum(c)) / sum(c * c), 6) AS eff_clusters
+        FROM cc
+    """
+    )
+
+
 def cells_for(n_vectors: int, cap: int = 64) -> int:
     """k ∝ √N cell-count heuristic for the cluster-blocked pair queries
     (SemDeDup / hard-negative mining): with k = ⌊√N⌋ the average cell

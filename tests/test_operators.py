@@ -2052,3 +2052,21 @@ def test_split_leakage_consistency(spark):
         assert r.n_docs == pops[split]
         assert 0 <= r.n_leaked <= r.n_docs
         assert abs(r.leak_rate - round(r.n_leaked / r.n_docs, 6)) < 1e-9
+
+
+def test_cluster_balance_bounds(spark):
+    """0 <= gini < 1, 1 <= eff_clusters <= n_clusters, and a degenerate
+    single-cluster assignment scores zero diversity."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        cluster_balance,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    r = cluster_balance(kmeans_assign(emb, k=8, iters=2)).head()
+    assert 0.0 <= r.gini < 1.0
+    assert 1.0 <= r.eff_clusters <= r.n_clusters
+    assert r.n_vectors == emb.count()
+    one = spark.createDataFrame([(i, 0) for i in range(7)], "vec_id int, cluster_id int")
+    d = cluster_balance(one).head()
+    assert d.gini == 0.0 and d.eff_clusters == 1.0 and d.n_clusters == 1
