@@ -711,7 +711,7 @@ def kcore_peel(
         .select("e.a", "e.b")
     )
     edges = bidir.persist()
-    edges.count()  # materialize the pair computation once
+    n_edges = edges.count()  # materialize the pair computation once
     for _ in range(rounds):
         keep = (
             edges.groupBy("a")
@@ -724,9 +724,15 @@ def kcore_peel(
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .persist()
         )
-        nxt.count()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            # fixpoint: no node fell below k, so every remaining round is
+            # the identity — identical to running them (the oracle still
+            # unrolls the full count), at zero cost
+            nxt.unpersist()
+            break
         edges.unpersist()
-        edges = nxt
+        edges, n_edges = nxt, n_next
     return (
         edges.groupBy("a")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
