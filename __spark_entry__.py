@@ -96,6 +96,21 @@ def _kmeans_centroids_cached(
     return _KMEANS_MEMO[key]  # type: ignore[return-value]
 
 
+def _bpe_rules_cached(spark: SparkSession, sf_dir: str, rounds: int = 3) -> list:
+    """Memoized BPE merge rules (driver strings, deterministic per
+    corpus+rounds) shared by the train/apply/fertility queries — same
+    rationale as the k-means centroid memo."""
+    key = (sf_dir, "bpe_rules", rounds)
+    if key not in _KMEANS_MEMO:
+        _KMEANS_MEMO[key] = [
+            (r.left_sym, r.right_sym)
+            for r in tx.bpe_train_merges(
+                load_table(spark, sf_dir, "documents"), rounds
+            ).collect()
+        ]
+    return _KMEANS_MEMO[key]  # type: ignore[return-value]
+
+
 def _kmeans_assignment(
     spark: SparkSession, sf_dir: str, k: int, iters: int = 2
 ) -> DataFrame:
@@ -1566,14 +1581,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode (text.bpe_encode_counts): train 3 merges, encode every
     doc at the vocabulary level — per-doc word vs BPE symbol counts."""
-    return tx.bpe_encode_counts(load_table(spark, sf_dir, "documents"), rounds=3)
+    return tx.bpe_encode_counts(
+        load_table(spark, sf_dir, "documents"),
+        rounds=3,
+        rules=_bpe_rules_cached(spark, sf_dir, 3),
+    )
 
 
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language (text.bpe_fertility): BPE symbols
     per whitespace word after 3 trained merges — the multilingual
     token-budget metric; vocabulary-level encode, |langs|-row rollup."""
-    return tx.bpe_fertility(load_table(spark, sf_dir, "documents"), rounds=3)
+    return tx.bpe_fertility(
+        load_table(spark, sf_dir, "documents"),
+        rounds=3,
+        rules=_bpe_rules_cached(spark, sf_dir, 3),
+    )
 
 
 def _state_parts(spark: SparkSession, sf_dir: str, factor: int = 1) -> int:

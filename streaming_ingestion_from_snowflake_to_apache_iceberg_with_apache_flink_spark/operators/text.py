@@ -646,7 +646,9 @@ def duck_bpe_train_sql(rounds: int = 3) -> str:
     return _duck_bpe_rounds(rounds) + "\n" + sel
 
 
-def bpe_encode_counts(documents: DataFrame, rounds: int = 3) -> DataFrame:
+def bpe_encode_counts(
+    documents: DataFrame, rounds: int = 3, rules=None
+) -> DataFrame:
     """BPE tokenizer APPLY (encode): train ``rounds`` merges on the corpus
     (``bpe_train_merges``), then encode every document with the learned
     rules — per doc, the whitespace word count vs the BPE symbol count
@@ -658,18 +660,28 @@ def bpe_encode_counts(documents: DataFrame, rounds: int = 3) -> DataFrame:
     merges over the corpus; the vocabulary side broadcasts (Heaps' law,
     same justification as tfidf_topk).
     """
-    rules = bpe_train_merges(documents, rounds).collect()
+    # ``rules`` accepts pretrained (left_sym, right_sym) merge pairs —
+    # tokenizer training state is a handful of driver strings, the same
+    # memoizable unit as k-means centroids, so sibling queries (train /
+    # apply / fertility) pay the training rounds once.
+    if rules is None:
+        rules = [
+            (r.left_sym, r.right_sym)
+            for r in bpe_train_merges(documents, rounds).collect()
+        ]
+    else:
+        rules = [tuple(r)[:2] for r in rules]
     dt = (
         documents.selectExpr("doc_id", f"explode({_TOKENS}) as w")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     sym = F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  "))
-    for r in rules:
+    for left, right in rules:
         sym = F.replace(
             sym,
-            F.lit(f" {r.left_sym}  {r.right_sym} "),
-            F.lit(f" {r.left_sym}{r.right_sym} "),
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}{right} "),
         )
     vs = dt.select("w").distinct().select(
         "w", F.size(F.split(F.trim(sym), "  ")).alias("n_sym")
@@ -722,7 +734,9 @@ def duck_bpe_apply_sql(rounds: int = 3) -> str:
     )
 
 
-def bpe_fertility(documents: DataFrame, rounds: int = 3) -> DataFrame:
+def bpe_fertility(
+    documents: DataFrame, rounds: int = 3, rules=None
+) -> DataFrame:
     """Tokenizer fertility per language — BPE symbols emitted per
     whitespace word — the tokenizer-evaluation metric multilingual
     pipelines watch (a high-fertility language pays more of the token
@@ -735,7 +749,7 @@ def bpe_fertility(documents: DataFrame, rounds: int = 3) -> DataFrame:
     string merging); the rollup adds one metadata-sized groupBy over
     |langs| rows beyond the per-doc aggregation.
     """
-    per_doc = bpe_encode_counts(documents, rounds)
+    per_doc = bpe_encode_counts(documents, rounds, rules=rules)
     return (
         per_doc.join(documents.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
