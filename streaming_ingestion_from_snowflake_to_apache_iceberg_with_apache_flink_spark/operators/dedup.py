@@ -604,8 +604,14 @@ def lsh_recall_audit(
     Scale shape: the join is pair-list-sized on both sides (never the
     corpus); the threshold explode multiplies the pair list by a handful
     of literals before a partial-agg rollup to |thresholds| rows.
+
+    The exact leg's cut-off follows ``min(thresholds)`` — an audit
+    threshold below the truth set's own floor would silently undercount
+    the denominator.
     """
-    exact = ngram_jaccard_pairs(documents)
+    if not thresholds:
+        raise ValueError("lsh_recall_audit: need at least one threshold")
+    exact = ngram_jaccard_pairs(documents, threshold=min(float(t) for t in thresholds))
     found = (
         minhash_lsh_pairs(documents)
         .select("doc_a", "doc_b")
@@ -638,7 +644,8 @@ def duck_lsh_recall_sql(
     exact_sql: str, lsh_sql: str, thresholds: tuple = (0.2, 0.3, 0.4, 0.5)
 ) -> str:
     """Oracle twin of :func:`lsh_recall_audit` composed from the two legs'
-    own oracle SQL."""
+    own oracle SQL. ``exact_sql``'s Jaccard cut-off must equal
+    ``min(thresholds)`` (the operator pins its exact leg the same way)."""
     tlist = ", ".join(str(float(x)) for x in thresholds)
     return f"""
         WITH exact AS ({exact_sql}), lsh AS ({lsh_sql}),
