@@ -812,3 +812,40 @@ def test_iceberg_commit_discipline_stub_catalog(spark):
         assert any("VERSION AS OF 'epoch_2'" in s for s in stub.log)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS default.{table}__commits")
+
+
+def test_overwrite_mode_scoping_is_thread_atomic(spark):
+    """Two threads scoping different partitionOverwriteMode values through
+    the same session must never observe each other's mode inside their
+    scope, and the session conf is restored afterward — the data-loss
+    interleave _overwrite_mode's lock exists to prevent."""
+    import threading
+
+    table = _uniq("ovw_lock")
+    cfg = _cfg(table).sink
+    sink = CatalogSink(spark, cfg)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "static")
+    seen, errors = [], []
+
+    def worker(mode):
+        try:
+            for _ in range(10):
+                with sink._overwrite_mode(mode):
+                    observed = spark.conf.get(key)
+                    if observed != mode:
+                        seen.append((mode, observed))
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(m,))
+        for m in ("dynamic", "static", "dynamic", "static")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert not seen, f"mode leaked across scopes: {seen[:3]}"
+    assert spark.conf.get(key, "static") == before
