@@ -1480,6 +1480,13 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cluster_balance(_kmeans_assignment(spark, sf_dir, 8))
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content novelty (dedup.ngram_novelty): fraction of a doc's
+    distinct 3-grams first seen in this doc - the crawl-increment metric
+    pairwise dedup misses (a unique doc assembled from known n-grams)."""
+    return dd.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2749,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_recall": q_lsh_recall,
         "q_split_leakage": q_split_leakage,
         "q_cluster_balance": q_cluster_balance,
+        "q_ngram_novelty": q_ngram_novelty,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -2938,7 +2946,7 @@ _ROUND6_WINDOW = [
     "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
     # round-6 additions
     "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
-    "q_split_leakage", "q_cluster_balance",
+    "q_split_leakage", "q_cluster_balance", "q_ngram_novelty",
 ]
 
 
@@ -4848,6 +4856,30 @@ def _extension_oracles() -> dict[str, str]:
                coalesce(lk.n_leaked, 0)::BIGINT AS n_leaked,
                round(coalesce(lk.n_leaked, 0) / b.n_docs, 6) AS leak_rate
         FROM base b LEFT JOIN lk USING (split)
+    """
+    out["q_ngram_novelty"] = f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform({sh3},
+                       s -> {H.duck_h32('s')})) AS hs
+            FROM documents
+        ), e AS (
+            SELECT doc_id, unnest(hs) AS g FROM sh
+        ), f AS (
+            SELECT g, min(doc_id) AS first_doc FROM e GROUP BY g
+        ), per AS (
+            SELECT e.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM e JOIN f USING (g) GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+               CASE WHEN per.n_grams > 0
+                    THEN round(per.n_novel / per.n_grams, 6) END AS novelty
+        FROM documents d LEFT JOIN per USING (doc_id)
     """
     out["q_cluster_balance"] = sim.duck_cluster_balance_sql(k=8)
     out["q_kcore"] = dd.duck_kcore_sql(

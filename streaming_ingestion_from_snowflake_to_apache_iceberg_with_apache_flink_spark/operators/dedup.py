@@ -664,6 +664,49 @@ def duck_lsh_recall_sql(
     """
 
 
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document content novelty: the fraction of a doc's DISTINCT
+    word n-grams whose FIRST corpus occurrence (min doc_id) is this doc —
+    the crawl-increment measurement ("how much genuinely new text does
+    each addition contribute?") that complements pairwise dedup: a doc
+    can be pairwise-unique yet assembled entirely from n-grams the corpus
+    already holds.
+
+    Scale shape: one inverted-index shuffle on the hashed gram computes
+    each gram's first owner (partial-agg min); the ownership join back
+    rides the same gram partitioning; the per-doc rollup is the only
+    other exchange. Doc-less grams never exist and gram-less docs stay in
+    the output via the corpus left join (novelty NULL, counts 0).
+    """
+    grams = _hashed_shingles(documents, n).selectExpr(
+        "doc_id", "explode(array_distinct(shingles)) as g"
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )
+
+
 def pair_degree_histogram(pairs: DataFrame) -> DataFrame:
     """Degree distribution of the near-dup pair graph: how many docs have
     exactly d near-duplicates — the shape diagnostic that separates

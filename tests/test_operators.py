@@ -2070,3 +2070,25 @@ def test_cluster_balance_bounds(spark):
     one = spark.createDataFrame([(i, 0) for i in range(7)], "vec_id int, cluster_id int")
     d = cluster_balance(one).head()
     assert d.gini == 0.0 and d.eff_clusters == 1.0 and d.n_clusters == 1
+
+
+def test_ngram_novelty_accounting(spark):
+    """Every corpus doc appears; the lowest doc_id owning any gram has
+    novelty 1.0; per-gram novelty sums reconcile with the distinct gram
+    count (each gram is novel for exactly one doc)."""
+    docs = load_table(spark, SF, "documents")
+    out = {r.doc_id: r for r in dd.ngram_novelty(docs).collect()}
+    assert set(out) == {r.doc_id for r in docs.select("doc_id").collect()}
+    with_grams = {d: r for d, r in out.items() if r.n_grams > 0}
+    first_doc = min(with_grams)
+    assert with_grams[first_doc].novelty == 1.0
+    n_distinct_grams = (
+        dd._hashed_shingles(docs, 3)
+        .selectExpr("explode(array_distinct(shingles)) as g")
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in out.values()) == n_distinct_grams
+    for r in out.values():
+        assert 0 <= r.n_novel <= r.n_grams
