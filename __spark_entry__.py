@@ -1487,6 +1487,19 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_novelty(load_table(spark, sf_dir, "documents"))
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (timeseries.retention_cohorts): users
+    keyed by first active day; per (cohort, day-offset<=7) the returning
+    distinct-user count and retention rate - two partial-agg shuffles
+    over (user, day) distincts, offset-0 rows self-check as cohort
+    sizes."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2757,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_leakage": q_split_leakage,
         "q_cluster_balance": q_cluster_balance,
         "q_ngram_novelty": q_ngram_novelty,
+        "q_retention_cohorts": q_retention_cohorts,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -2947,6 +2961,7 @@ _ROUND6_WINDOW = [
     # round-6 additions
     "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
     "q_split_leakage", "q_cluster_balance", "q_ngram_novelty",
+    "q_retention_cohorts",
 ]
 
 
@@ -4856,6 +4871,31 @@ def _extension_oracles() -> dict[str, str]:
                coalesce(lk.n_leaked, 0)::BIGINT AS n_leaked,
                round(coalesce(lk.n_leaked, 0) / b.n_docs, 6) AS leak_rate
         FROM base b LEFT JOIN lk USING (split)
+    """
+    out["q_retention_cohorts"] = """
+        WITH ua AS (
+            SELECT DISTINCT user_id,
+                   epoch_ms(date_trunc('day', ts)) AS day_ms
+            FROM events
+        ), cohort AS (
+            SELECT user_id, min(day_ms) AS cohort_ms FROM ua GROUP BY user_id
+        ), act AS (
+            SELECT ua.user_id, c.cohort_ms,
+                   CAST((ua.day_ms - c.cohort_ms) / 86400000 AS INT)
+                       AS day_offset
+            FROM ua JOIN cohort c USING (user_id)
+            WHERE (ua.day_ms - c.cohort_ms) / 86400000 <= 7
+        ), sizes AS (
+            SELECT cohort_ms, count(*)::BIGINT AS n_users
+            FROM cohort GROUP BY cohort_ms
+        ), ret AS (
+            SELECT cohort_ms, day_offset,
+                   count(DISTINCT user_id)::BIGINT AS n_active
+            FROM act GROUP BY cohort_ms, day_offset
+        )
+        SELECT r.cohort_ms, r.day_offset, r.n_active, s.n_users,
+               round(r.n_active / s.n_users, 6) AS retention
+        FROM ret r JOIN sizes s USING (cohort_ms)
     """
     out["q_ngram_novelty"] = f"""
         WITH sh AS (

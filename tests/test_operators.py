@@ -2092,3 +2092,24 @@ def test_ngram_novelty_accounting(spark):
     assert sum(r.n_novel for r in out.values()) == n_distinct_grams
     for r in out.values():
         assert 0 <= r.n_novel <= r.n_grams
+
+
+def test_retention_cohorts_self_checks(spark):
+    """Offset-0 rows equal cohort sizes (retention 1.0); rates bounded;
+    cohort sizes sum to the distinct user count."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    events = load_table(spark, SF, "events")
+    rows = retention_cohorts(events).collect()
+    assert rows
+    zero = [r for r in rows if r.day_offset == 0]
+    for r in zero:
+        assert r.n_active == r.n_users and r.retention == 1.0
+    for r in rows:
+        assert 0 < r.n_active <= r.n_users
+        assert 0.0 < r.retention <= 1.0
+        assert 0 <= r.day_offset <= 7
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_users for r in zero) == n_users
