@@ -1158,3 +1158,58 @@ def test_token_budget_shards_prefix_sum_is_partitioned(spark):
         "doc_id", "length(text) as n_tokens"
     )
     _partitioned_window_specs(smp.token_budget_shards(docs, capacity=5000))
+
+
+def test_k_anonymity_no_windows_two_aggs(spark):
+    """The QI audit is pure partial-aggregation: no window over raw
+    events, exactly one corpus-sized hash exchange (the QI groupBy; the
+    per-type rollup reuses metadata-sized rows)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    df = k_anonymity_audit(load_table(spark, SF, "events"), k=5)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_retention_cohorts_no_raw_window(spark):
+    """Cohorting is groupBy algebra — no window anywhere, no cross
+    product; joins are equi-joins on user/cohort keys."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    df = retention_cohorts(load_table(spark, SF, "events"))
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_split_leakage_semi_join_shape(spark):
+    """The held-out explode meets the train grams through a LEFT SEMI
+    join (existence, never row multiplication), and nothing plans a
+    cartesian product."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        split_leakage,
+    )
+
+    df = split_leakage(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_ngram_novelty_no_window_no_cartesian(spark):
+    """First-ownership is a min-agg + equi-join on the gram key — no
+    window, no cross product; the corpus join back is a LEFT outer on
+    doc_id."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    df = ngram_novelty(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
