@@ -72,8 +72,23 @@ _smp_duck_bucket = smp.duck_bucket_expr
 # memoized this way.
 _TRAINED_STATE_MEMO: dict[tuple, object] = {}
 
-#: q_time_travel's deferred-drop staging tables, keyed by session id
-_TT_STAGED: dict[int, tuple] = {}
+#: deferred-drop staging tables for the sink-backed queries, keyed by
+#: (session id, query tag); see q_time_travel's cleanup note
+_TT_STAGED: dict[tuple, tuple] = {}
+
+
+def _drop_staged(spark: SparkSession, tag: str, prefix: str) -> None:
+    """Drop the previous invocation's staging tables for ``tag`` (cheap
+    DDL) and, once per session, sweep any leftover ``prefix``-named
+    tables a previous PROCESS left behind (uuid names cannot collide with
+    this session's live set)."""
+    key = (id(spark), tag)
+    if key not in _TT_STAGED:
+        for t in spark.catalog.listTables("default"):
+            if t.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
+    for t in _TT_STAGED.pop(key, ()):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def _emb_cells_k(spark: SparkSession, sf_dir: str) -> int:
@@ -2430,12 +2445,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run); at most one staging table-set outlives the query. A previous
     # PROCESS's surviving set is swept once per session (uuid names mean
     # it can't be this session's).
-    if id(spark) not in _TT_STAGED:
-        for t in spark.catalog.listTables("default"):
-            if t.name.startswith("q_tt_"):
-                spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
-    for t in _TT_STAGED.pop(id(spark), ()):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _drop_staged(spark, "tt", "q_tt_")
     try:
         for e, b in enumerate(batches, start=1):
             sink.write_batch(b, e)
@@ -2444,7 +2454,68 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (sink.table, sink.commits, sink.history):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         raise
-    _TT_STAGED[id(spark)] = (sink.table, sink.commits, sink.history)
+    _TT_STAGED[(id(spark), "tt")] = (sink.table, sink.commits, sink.history)
+    return out
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog view between two sink versions (CatalogSink.diff_versions
+    - Iceberg changelog-scan parity): epoch 1 commits pre-2000 orders,
+    epoch 2 upserts the full table with urgent-priority prices bumped;
+    the diff classifies every key as inserted / updated / unchanged
+    (deleted absent by construction) and the query reports conservation
+    counters + key checksums per class. Same deferred-drop staging
+    pattern as q_time_travel."""
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+        IcebergSinkConfig,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.catalog import (
+        CatalogSink,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    table = f"q_sdiff_{uuid.uuid4().hex[:8]}"
+    cfg = IcebergSinkConfig(
+        db="default",
+        table_name=table,
+        partition_fields=(ORDERS_SHARD,),
+        upsert_fields=(ORDERS_KEY, ORDERS_SHARD),
+        operation="upsert",
+    )
+    sink = CatalogSink(spark, cfg, version_column=ORDERS_SORT, snapshots=True)
+    cut = F.lit("2000-01-01").cast("timestamp")
+    bump = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col(ORDERS_SHARD) == "1-URGENT", F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    _drop_staged(spark, "sdiff", "q_sdiff_")
+    try:
+        sink.write_batch(orders.filter(F.col(ORDERS_SORT) < cut), 1)
+        sink.write_batch(bump, 2)
+        out = (
+            sink.diff_versions(1, 2)
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(ORDERS_KEY).cast("bigint").alias("key_sum"),
+            )
+        )
+    except BaseException:
+        for t in (sink.table, sink.commits, sink.history):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        raise
+    _TT_STAGED[(id(spark), "sdiff")] = (sink.table, sink.commits, sink.history)
     return out
 
 
@@ -2915,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_join": q_stream_join,
         "q_stream_outer_join": q_stream_outer_join,
         "q_time_travel": q_time_travel,
+        "q_snapshot_diff": q_snapshot_diff,
         "q_python_source": q_python_source,
         "q_python_stream_source": q_python_stream_source,
         "q_variant": q_variant,
@@ -2961,7 +3033,7 @@ _ROUND6_WINDOW = [
     # round-6 additions
     "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
     "q_split_leakage", "q_cluster_balance", "q_ngram_novelty",
-    "q_retention_cohorts",
+    "q_retention_cohorts", "q_snapshot_diff",
 ]
 
 
@@ -4871,6 +4943,22 @@ def _extension_oracles() -> dict[str, str]:
                coalesce(lk.n_leaked, 0)::BIGINT AS n_leaked,
                round(coalesce(lk.n_leaked, 0) / b.n_docs, 6) AS leak_rate
         FROM base b LEFT JOIN lk USING (split)
+    """
+    out["q_snapshot_diff"] = """
+        WITH pre AS (
+            SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        )
+        SELECT 'inserted' AS change_type, count(*)::BIGINT AS n_rows,
+               coalesce(sum(o_orderkey), 0)::BIGINT AS key_sum
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        UNION ALL
+        SELECT 'updated', count(*)::BIGINT,
+               coalesce(sum(o_orderkey), 0)::BIGINT
+        FROM pre WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'unchanged', count(*)::BIGINT,
+               coalesce(sum(o_orderkey), 0)::BIGINT
+        FROM pre WHERE o_orderpriority <> '1-URGENT'
     """
     out["q_retention_cohorts"] = """
         WITH ua AS (

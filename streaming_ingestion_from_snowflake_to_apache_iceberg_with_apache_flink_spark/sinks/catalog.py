@@ -357,6 +357,51 @@ class CatalogSink:
             .drop("__epoch", "__max_e")
         )
 
+    def diff_versions(self, from_epoch: int, to_epoch: int) -> DataFrame:
+        """Changelog view between two committed versions — Iceberg's
+        changelog scan (``table_changes`` / CDC read) on the snapshot
+        fallback: every row keyed by the sink's equality fields is
+        classified ``inserted`` (absent at ``from_epoch``), ``deleted``
+        (absent at ``to_epoch``), ``updated`` (present in both, any
+        non-key column differs — NULL-safe comparison), or ``unchanged``.
+
+        Scale shape: one full-outer equi-join of the two as-of states on
+        the equality keys (both sides are snapshot reconstructions that
+        scan only touched-partition history); classification is a
+        map-side projection. Downstream CDC consumers filter out
+        ``unchanged`` — kept here so audits can assert conservation
+        (counts sum to the union of both states).
+        """
+        keys = list(self.cfg.upsert_fields)
+        a = self.read_as_of(from_epoch)
+        b = self.read_as_of(to_epoch)
+        vals = [c for c in a.columns if c not in keys]
+        al = a.select(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(c).alias(f"__a_{c}") for c in vals],
+            F.lit(1).alias("__in_a"),
+        )
+        bl = b.select(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(c).alias(f"__b_{c}") for c in vals],
+            F.lit(1).alias("__in_b"),
+        )
+        j = al.join(bl, on=keys, how="full_outer")
+        changed = None
+        for c in vals:
+            d = ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+            changed = d if changed is None else (changed | d)
+        change = (
+            F.when(F.col("__in_a").isNull(), F.lit("inserted"))
+            .when(F.col("__in_b").isNull(), F.lit("deleted"))
+            .when(
+                changed if changed is not None else F.lit(False),
+                F.lit("updated"),
+            )
+            .otherwise(F.lit("unchanged"))
+        )
+        return j.select(*keys, change.alias("change_type"))
+
     def expire_snapshots(self, keep_last: int = 100) -> None:
         """Iceberg ``expire_snapshots`` parity for the fallback history:
         drop snapshots older than the trailing window EXCEPT each

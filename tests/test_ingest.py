@@ -849,3 +849,43 @@ def test_overwrite_mode_scoping_is_thread_atomic(spark):
     assert not errors
     assert not seen, f"mode leaked across scopes: {seen[:3]}"
     assert spark.conf.get(key, "static") == before
+
+
+def test_diff_versions_classifies_changes(spark, tmp_path):
+    """Changelog between two committed versions: inserted / deleted /
+    updated / unchanged classification with NULL-safe value comparison,
+    and counts conserve the union of both states."""
+    table = _uniq("diff")
+    cfg = _cfg(table).sink
+    sink = CatalogSink(spark, cfg, version_column="O_ORDERDATE", snapshots=True)
+    schema = (
+        "o_orderkey long, o_orderpriority string, o_orderdate string, v string"
+    )
+    e1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01", "x"), (2, "A", "2024-01-01", "y"),
+         (3, "B", "2024-01-01", None)],
+        schema,
+    ).withColumnRenamed("o_orderdate", "O_ORDERDATE")
+    # epoch2: key 1 updated, key 2 unchanged, key 3 null->value update,
+    # key 4 inserted; deletions need tombstones so none here
+    e2 = spark.createDataFrame(
+        [(1, "A", "2024-01-01", "x2"), (2, "A", "2024-01-01", "y"),
+         (3, "B", "2024-01-01", "z"), (4, "B", "2024-01-01", "w")],
+        schema,
+    ).withColumnRenamed("o_orderdate", "O_ORDERDATE")
+    try:
+        sink.write_batch(e1, 1)
+        sink.write_batch(e2, 2)
+        got = {
+            (r.o_orderkey, r.o_orderpriority): r.change_type
+            for r in sink.diff_versions(1, 2).collect()
+        }
+        assert got == {
+            (1, "A"): "updated",
+            (2, "A"): "unchanged",
+            (3, "B"): "updated",
+            (4, "B"): "inserted",
+        }
+    finally:
+        for t in (sink.table, sink.commits, sink.history):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
