@@ -8,6 +8,7 @@ from __future__ import annotations
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -181,3 +182,123 @@ def test_rank_machinery_matches_python_reference(spark, lens, capacity, n_bins):
         fwd = r % n_bins
         want_bins[i] = fwd if (r // n_bins) % 2 == 0 else n_bins - 1 - fwd
     assert got_bins == want_bins
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),      # user
+            st.integers(min_value=0, max_value=4),      # day
+            st.sampled_from(["a", "b"]),                # type
+            st.integers(min_value=-20, max_value=20),   # value (int-exact)
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_k_anonymity_matches_python_reference(spark, rows, k):
+    """The QI audit agrees with a sequential reference on arbitrary event
+    sets — group keys, sub-k classification, and suppression accounting."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    data = [
+        (i, f"2024-01-0{d + 1} 00:00:00", u, t, float(v))
+        for i, (u, d, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.event_type: (r.n_rows, r.n_groups, r.n_small_groups, r.rows_at_risk)
+        for r in k_anonymity_audit(df, k=k).collect()
+    }
+    import datetime
+
+    groups: dict = {}
+    for i, (u, d, t, v) in enumerate(rows):
+        day = datetime.datetime(2024, 1, d + 1, tzinfo=datetime.timezone.utc)
+        qi = (t, int(day.timestamp() * 1000), v // 5)
+        groups[qi] = groups.get(qi, 0) + 1
+    want: dict = {}
+    for (t, _day, _vb), c in groups.items():
+        n_rows, n_groups, n_small, risk = want.get(t, (0, 0, 0, 0))
+        want[t] = (
+            n_rows + c,
+            n_groups + 1,
+            n_small + (1 if c < k else 0),
+            risk + (c if c < k else 0),
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # user
+            st.integers(min_value=0, max_value=8),  # day
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_retention_matches_python_reference(spark, rows):
+    """Cohort retention agrees with a sequential reference on arbitrary
+    (user, day) activity sets, including the max-offset cut."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    data = [
+        (i, f"2024-01-0{d + 1} 12:00:00", u, "e", 0.0)
+        for i, (u, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.cohort_ms, r.day_offset): (r.n_active, r.n_users)
+        for r in retention_cohorts(df, max_offset=7).collect()
+    }
+    import datetime
+
+    def day_ms(d):
+        return int(
+            datetime.datetime(
+                2024, 1, d + 1, tzinfo=datetime.timezone.utc
+            ).timestamp()
+            * 1000
+        )
+
+    by_user: dict = {}
+    for u, d in rows:
+        by_user.setdefault(u, set()).add(d)
+    cohort = {u: min(ds) for u, ds in by_user.items()}
+    sizes: dict = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {}
+    for u, ds in by_user.items():
+        c = cohort[u]
+        for d in ds:
+            off = d - c
+            if off <= 7:
+                key = (day_ms(c), off)
+                want[key] = want.get(key, 0) + 1
+    want = {
+        key: (n, sizes[[cd for cd in sizes if day_ms(cd) == key[0]][0]])
+        for key, n in want.items()
+    }
+    assert got == want
