@@ -1503,11 +1503,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle (timeseries.retention_cohorts): users
-    keyed by first active day; per (cohort, day-offset<=7) the returning
-    distinct-user count and retention rate - two partial-agg shuffles
-    over (user, day) distincts, offset-0 rows self-check as cohort
-    sizes."""
+    """Retention-RATE view (timeseries.retention_cohorts): q_retention's
+    counting triangle (sessions.retention_cohorts — the shared kernel)
+    capped at day-offset<=7 with cohort sizes joined back from its own
+    offset-0 rows and the retention fraction emitted; offset-0 rows
+    self-check at 1.0."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
         retention_cohorts,
     )

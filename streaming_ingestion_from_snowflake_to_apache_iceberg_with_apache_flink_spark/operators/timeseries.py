@@ -291,43 +291,25 @@ def autocorr_daily(events: DataFrame) -> DataFrame:
 
 
 def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
-    """Cohort retention: users grouped by their FIRST active day; for each
-    cohort and day-offset (0..``max_offset``), how many cohort members
-    were active again and what fraction of the cohort that is — the
-    classic activation/retention triangle every event-analytics stack
-    ships, here as two partial-agg shuffles over (user, day) distincts
-    (no window touches raw events; offset-0 rows are the cohort sizes
-    themselves, a built-in self-check).
-
-    All time arithmetic is integer epoch-ms on day boundaries, so offsets
-    are exact cross-engine.
+    """RATE view of the cohort retention triangle: the per-(cohort,
+    day-offset) returning-user counts come from the existing counting
+    kernel (``sessions.retention_cohorts`` — two partial-agg shuffles
+    over (user, day) distincts, no raw-row window); this view caps the
+    offset, joins each cohort's size back on, and emits the retention
+    fraction. Cohort sizes are the triangle's OWN offset-0 rows (every
+    member is active on day 0 by definition), so no extra corpus pass —
+    and those rows reading retention 1.0 is a built-in self-check.
     """
-    day_ms = (
-        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(1000)
-    ).cast("long")
-    ua = events.select("user_id", day_ms.alias("day_ms")).distinct()
-    cohort = ua.groupBy("user_id").agg(F.min("day_ms").alias("cohort_ms"))
-    act = (
-        ua.join(cohort, "user_id")
-        .select(
-            "user_id",
-            "cohort_ms",
-            ((F.col("day_ms") - F.col("cohort_ms")) / F.lit(86_400_000))
-            .cast("int")
-            .alias("day_offset"),
-        )
-        .filter(F.col("day_offset") <= max_offset)
+    from .sessions import retention_cohorts as _triangle
+
+    tri = _triangle(events).filter(F.col("day_offset") <= max_offset)
+    sizes = tri.filter(F.col("day_offset") == 0).select(
+        "cohort_day_ms", F.col("n_users").alias("cohort_n")
     )
-    sizes = cohort.groupBy("cohort_ms").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users")
-    )
-    ret = act.groupBy("cohort_ms", "day_offset").agg(
-        F.count_distinct("user_id").cast("bigint").alias("n_active")
-    )
-    return ret.join(sizes, "cohort_ms").select(
-        "cohort_ms",
+    return tri.join(sizes, "cohort_day_ms").select(
+        F.col("cohort_day_ms").alias("cohort_ms"),
         "day_offset",
-        "n_active",
-        "n_users",
-        F.round(F.col("n_active") / F.col("n_users"), 6).alias("retention"),
+        F.col("n_users").cast("bigint").alias("n_active"),
+        F.col("cohort_n").cast("bigint").alias("n_users"),
+        F.round(F.col("n_users") / F.col("cohort_n"), 6).alias("retention"),
     )
