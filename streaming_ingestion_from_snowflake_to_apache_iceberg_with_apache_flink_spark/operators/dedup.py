@@ -598,7 +598,9 @@ def lsh_recall_audit(
     For every exact pair (``ngram_jaccard_pairs``), checks whether the
     full LSH pipeline (``minhash_lsh_pairs``: banding + bucket cap + est
     threshold) would have emitted it, then rolls up recall per exact
-    threshold. Both legs are the REAL operators — the audit measures the
+    threshold. Complements ``minhash_estimate_audit`` (per-candidate
+    estimate ERROR): that measures how accurate the estimates are on the
+    pairs banding finds; this measures how much truth banding MISSES. Both legs are the REAL operators — the audit measures the
     method as deployed, banding losses and bucket-cap drops included.
 
     Scale shape: the join is pair-list-sized on both sides (never the
@@ -670,7 +672,9 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     the crawl-increment measurement ("how much genuinely new text does
     each addition contribute?") that complements pairwise dedup: a doc
     can be pairwise-unique yet assembled entirely from n-grams the corpus
-    already holds.
+    already holds. Complements ``substring_dup_fraction`` (how much of a
+    doc is REPEATED elsewhere): novelty asks the forward question — how
+    much of the corpus's distinct content this doc introduced.
 
     Scale shape: one inverted-index shuffle on the hashed gram computes
     each gram's first owner (partial-agg min); the ownership join back
