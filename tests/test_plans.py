@@ -1213,3 +1213,38 @@ def test_ngram_novelty_no_window_no_cartesian(spark):
     plan = formatted_plan(df)
     assert "windowspecdefinition" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_diff_versions_equi_join_only(spark, tmp_path):
+    """The changelog diff is one full-outer EQUI-join on the equality
+    keys — no cartesian/nested-loop, no raw-row window."""
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+        IcebergSinkConfig,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.catalog import (
+        CatalogSink,
+    )
+
+    table = f"plan_diff_{uuid.uuid4().hex[:8]}"
+    cfg = IcebergSinkConfig(
+        db="default",
+        table_name=table,
+        partition_fields=("o_orderpriority",),
+        upsert_fields=("o_orderkey", "o_orderpriority"),
+        operation="upsert",
+    )
+    sink = CatalogSink(spark, cfg, version_column="o_orderdate", snapshots=True)
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    try:
+        sink.write_batch(orders.limit(50), 1)
+        sink.write_batch(orders.limit(80), 2)
+        plan = formatted_plan(sink.diff_versions(1, 2))
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert "FullOuter" in plan
+    finally:
+        for t in (sink.table, sink.commits, sink.history):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
