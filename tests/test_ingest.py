@@ -886,6 +886,14 @@ def test_diff_versions_classifies_changes(spark, tmp_path):
             (3, "B"): "updated",
             (4, "B"): "inserted",
         }
+        # the reverse diff sees the same history from the other side:
+        # the epoch-2 insert becomes a deletion
+        rev = {
+            (r.o_orderkey, r.o_orderpriority): r.change_type
+            for r in sink.diff_versions(2, 1).collect()
+        }
+        assert rev[(4, "B")] == "deleted"
+        assert rev[(2, "A")] == "unchanged"
     finally:
         for t in (sink.table, sink.commits, sink.history):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
