@@ -110,11 +110,15 @@ def pack_bins(documents_with_len: DataFrame, n_bins: int = 8) -> DataFrame:
 
     Needs (doc_id, n_tokens). The global length rank is the shared
     two-phase parallel rank (``ranks.global_row_number``: range-partition
-    by (n_tokens desc, doc_id), per-partition ``row_number``, broadcast-
-    joined offsets) — NO single-partition window ranks the corpus; the
-    serpentine formula operates on the exact global rank unchanged, so
-    the plain-window oracle stays the ground truth (the (n_tokens,
-    doc_id) order is total).
+    by (n_tokens desc, doc_id), per-partition ``row_number``, hybrid
+    literal/broadcast offsets) — NO single-partition window ranks the
+    corpus; the serpentine formula operates on the exact global rank
+    unchanged, so the plain-window oracle stays the ground truth (the
+    (n_tokens, doc_id) order is total). Measured rent at sf0.1: ~0.3 s of
+    fixed metadata jobs (range sampling + pinned checkpoint + offset
+    collect) over the single-window form it replaced — the price of not
+    funneling the corpus through one task, amortized to noise at any
+    real scale.
     """
     from .ranks import global_row_number
 
