@@ -2460,12 +2460,14 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog view between two sink versions (CatalogSink.diff_versions
-    - Iceberg changelog-scan parity): epoch 1 commits pre-2000 orders,
-    epoch 2 upserts the full table with urgent-priority prices bumped;
-    the diff classifies every key as inserted / updated / unchanged
-    (deleted absent by construction) and the query reports conservation
-    counters + key checksums per class. Same deferred-drop staging
-    pattern as q_time_travel."""
+    - Iceberg changelog-scan parity): over the URGENT+MEDIUM slice of
+    orders (two priorities exercise both partitions without paying full
+    table write volume twice), epoch 1 commits pre-2000 rows, epoch 2
+    upserts the slice with urgent prices bumped; the diff classifies
+    every key as inserted / updated / unchanged (deleted absent by
+    construction - the reverse diff and tombstone paths are unit-tested)
+    and the query reports conservation counters + key checksums per
+    class. Same deferred-drop staging pattern as q_time_travel."""
     import uuid
 
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
@@ -2475,13 +2477,17 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         CatalogSink,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col(ORDERS_SHARD).isin("1-URGENT", "3-MEDIUM"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
     table = f"q_sdiff_{uuid.uuid4().hex[:8]}"
     cfg = IcebergSinkConfig(
@@ -4945,12 +4951,15 @@ def _extension_oracles() -> dict[str, str]:
         FROM base b LEFT JOIN lk USING (split)
     """
     out["q_snapshot_diff"] = """
-        WITH pre AS (
-            SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        WITH scoped AS (
+            SELECT * FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        ), pre AS (
+            SELECT * FROM scoped WHERE o_orderdate < TIMESTAMP '2000-01-01'
         )
         SELECT 'inserted' AS change_type, count(*)::BIGINT AS n_rows,
                coalesce(sum(o_orderkey), 0)::BIGINT AS key_sum
-        FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        FROM scoped WHERE o_orderdate >= TIMESTAMP '2000-01-01'
         UNION ALL
         SELECT 'updated', count(*)::BIGINT,
                coalesce(sum(o_orderkey), 0)::BIGINT
