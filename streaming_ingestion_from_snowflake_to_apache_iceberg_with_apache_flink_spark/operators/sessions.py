@@ -113,14 +113,18 @@ def retention_cohorts(
     the classic triangle retention matrix, exact integers throughout.
 
     Two partial-agg shuffles on the user key (first-day, then distinct
-    active days) + one broadcast of the per-user cohort back onto the
-    activity days; counts shuffle only (cohort, offset) pairs."""
+    active days) + an equi-join of the per-user cohort back onto the
+    activity days — both sides are already hash-partitioned on the user
+    key, and the cohort side is USER-DIMENSION-sized, so the join is left
+    to the optimizer (AQE broadcasts it while it fits; a forced broadcast
+    would OOM the driver at billions of users); counts shuffle only
+    (cohort, offset) pairs."""
     day = F.date_trunc("day", F.col(ts_column))
     first = events.groupBy(key).agg(F.min(day).alias("cohort_day"))
     active = events.select(key, day.alias("active_day")).distinct()
     day_ms = lambda c: (F.unix_micros(F.col(c)) / F.lit(1000)).cast("long")  # noqa: E731
     return (
-        active.join(F.broadcast(first), key)
+        active.join(first, key)
         .select(
             day_ms("cohort_day").alias("cohort_day_ms"),
             ((day_ms("active_day") - day_ms("cohort_day")) / F.lit(86400000))
