@@ -1515,6 +1515,19 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size precomputation (relational.join_cardinality):
+    orders x customer output size, matching-key count, and the max
+    single-key contribution - computed from (key, count) tables at
+    distinct-key cardinality, never by running the join."""
+    return rel.join_cardinality(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2848,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_balance": q_cluster_balance,
         "q_ngram_novelty": q_ngram_novelty,
         "q_retention_cohorts": q_retention_cohorts,
+        "q_join_cardinality": q_join_cardinality,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3039,7 +3053,7 @@ _ROUND6_WINDOW = [
     # round-6 additions
     "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
     "q_split_leakage", "q_cluster_balance", "q_ngram_novelty",
-    "q_retention_cohorts", "q_snapshot_diff",
+    "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
 ]
 
 
@@ -4968,6 +4982,23 @@ def _extension_oracles() -> dict[str, str]:
         SELECT 'unchanged', count(*)::BIGINT,
                coalesce(sum(o_orderkey), 0)::BIGINT
         FROM pre WHERE o_orderpriority <> '1-URGENT'
+    """
+    out["q_join_cardinality"] = """
+        WITH lc AS (
+            SELECT o_custkey AS k, count(*) AS cl FROM orders GROUP BY 1
+        ), rc AS (
+            SELECT c_custkey AS k, count(*) AS cr FROM customer GROUP BY 1
+        ), matched AS (SELECT lc.cl, rc.cr FROM lc JOIN rc USING (k))
+        SELECT (SELECT count(*) FROM orders)::BIGINT AS n_left,
+               (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+                   AS n_left_keys,
+               (SELECT count(*) FROM customer)::BIGINT AS n_right,
+               (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT
+                   AS n_right_keys,
+               count(*)::BIGINT AS n_matching_keys,
+               coalesce(sum(cl * cr), 0)::BIGINT AS join_rows,
+               coalesce(max(cl * cr), 0)::BIGINT AS max_key_rows
+        FROM matched
     """
     out["q_retention_cohorts"] = """
         WITH ua AS (

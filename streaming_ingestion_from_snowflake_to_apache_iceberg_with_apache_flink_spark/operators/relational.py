@@ -999,3 +999,59 @@ def set_ops_summary(events: DataFrame) -> DataFrame:
         ).select("set_op", "n_users", "sum_user_id")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def join_cardinality(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Exact inner-join cardinality WITHOUT running the join: Σ over
+    matching keys of count_left(k)·count_right(k) — the planner-style
+    precomputation a pipeline runs before committing to an expensive join
+    (a skewed key that would explode the output shows up here as a cheap
+    counter, not as a dead executor). One row: each side's row and
+    distinct-key counts, the number of matching keys, the exact join
+    output size, and the max single-key contribution (the skew witness).
+
+    Scale shape: each side collapses to (key, count) in one partial-agg
+    shuffle; the count tables join on the key at DISTINCT-KEY cardinality
+    — never row cardinality — and reduce to one row of counters.
+    """
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    both = lc.join(rc, "k")
+    totals = (
+        both.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+            F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias("join_rows"),
+            F.max(F.col("cl") * F.col("cr")).cast("bigint").alias(
+                "max_key_rows"
+            ),
+        )
+    )
+    l_tot = left.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left"),
+        F.count_distinct(F.col(left_key)).cast("bigint").alias("n_left_keys"),
+    )
+    r_tot = right.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right"),
+        F.count_distinct(F.col(right_key)).cast("bigint").alias("n_right_keys"),
+    )
+    return (
+        l_tot.crossJoin(r_tot)
+        .crossJoin(totals)
+        .select(
+            "n_left",
+            "n_left_keys",
+            "n_right",
+            "n_right_keys",
+            "n_matching_keys",
+            F.coalesce("join_rows", F.lit(0)).cast("bigint").alias("join_rows"),
+            F.coalesce("max_key_rows", F.lit(0))
+            .cast("bigint")
+            .alias("max_key_rows"),
+        )
+    )

@@ -2113,3 +2113,25 @@ def test_retention_cohorts_self_checks(spark):
         assert 0 <= r.day_offset <= 7
     n_users = events.select("user_id").distinct().count()
     assert sum(r.n_users for r in zero) == n_users
+
+
+def test_join_cardinality_matches_actual_join(spark):
+    """The precomputed size equals the actually-executed inner join's row
+    count, and the skew witness bounds every key's contribution."""
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    r = rel.join_cardinality(orders, customer, "o_custkey", "c_custkey").head()
+    actual = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
+    assert r.join_rows == actual
+    assert r.n_matching_keys <= min(r.n_left_keys, r.n_right_keys)
+    assert r.max_key_rows <= r.join_rows
+    # disjoint keys -> zero everywhere
+    z = rel.join_cardinality(
+        orders.withColumn("o_custkey", F.col("o_custkey") + 10**9),
+        customer,
+        "o_custkey",
+        "c_custkey",
+    ).head()
+    assert z.join_rows == 0 and z.n_matching_keys == 0 and z.max_key_rows == 0
