@@ -1528,6 +1528,45 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lag scan (timeseries.xcorr_lag): Pearson r of
+    each ordered event-type pair's daily counts at lags 0..7 — the
+    lead/lag detector, from the same exact-integer six-sum kernel as
+    q_autocorr."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        xcorr_lag,
+    )
+
+    return xcorr_lag(load_table(spark, sf_dir, "events"))
+
+
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test of each event type's mean value vs the
+    rest of the stream (timeseries.ab_ztest): one exact-cents pass, the
+    complement's moments by global-minus-group subtraction — no second
+    scan."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        ab_ztest,
+    )
+
+    return ab_ztest(load_table(spark, sf_dir, "events"))
+
+
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix solver (sampling.mixture_waterfill): water-fill half
+    the corpus' characters across sources in closed form — saturation is
+    an exact integer predicate, the water line is one scalar pair."""
+    return smp.mixture_waterfill(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-filter thresholds at a 3/4 keep rate
+    (text.quality_calibration): order-statistic on the exact score
+    histogram, so no percentile-interpolation exposure and no skew of
+    the language mix."""
+    return tx.quality_calibration(load_table(spark, sf_dir, "documents"))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2862,6 +2901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_novelty": q_ngram_novelty,
         "q_retention_cohorts": q_retention_cohorts,
         "q_join_cardinality": q_join_cardinality,
+        "q_xcorr_lag": q_xcorr_lag,
+        "q_ab_ztest": q_ab_ztest,
+        "q_mixture_waterfill": q_mixture_waterfill,
+        "q_quality_calibration": q_quality_calibration,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3054,6 +3097,8 @@ _ROUND6_WINDOW = [
     "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
     "q_split_leakage", "q_cluster_balance", "q_ngram_novelty",
     "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
+    "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
+    "q_quality_calibration",
 ]
 
 
@@ -5048,6 +5093,125 @@ def _extension_oracles() -> dict[str, str]:
                CASE WHEN per.n_grams > 0
                     THEN round(per.n_novel / per.n_grams, 6) END AS novelty
         FROM documents d LEFT JOIN per USING (doc_id)
+    """
+    out["q_xcorr_lag"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), lags AS (
+            SELECT unnest(range(0, 8)) AS lag_days
+        ), p AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   l.lag_days, a.n AS x, b.n AS y
+            FROM ev a CROSS JOIN lags l
+            JOIN ev b ON b.event_type <> a.event_type
+                     AND b.day = a.day + l.lag_days
+        ), s AS (
+            SELECT type_a, type_b, lag_days, count(*) AS m,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM p GROUP BY 1, 2, 3
+        )
+        SELECT type_a, type_b, lag_days, m,
+               round((m * sxy - sx * sy)
+                     / nullif(sqrt((m * sxx - sx * sx)::DOUBLE)
+                              * sqrt((m * syy - sy * sy)::DOUBLE), 0.0), 6)
+                   AS xcorr
+        FROM s
+    """
+    out["q_ab_ztest"] = """
+        WITH c AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
+            FROM events
+        ), g AS (
+            SELECT event_type, count(*)::BIGINT AS n1,
+                   sum(cv)::BIGINT AS sx1, sum(cv * cv)::BIGINT AS sxx1
+            FROM c GROUP BY 1
+        ), t AS (
+            SELECT count(*)::BIGINT AS nt, sum(cv)::BIGINT AS sxt,
+                   sum(cv * cv)::BIGINT AS sxxt
+            FROM c
+        ), j AS (
+            SELECT g.*, t.nt - g.n1 AS n2, t.sxt - g.sx1 AS sx2,
+                   t.sxxt - g.sxx1 AS sxx2
+            FROM g CROSS JOIN t
+        )
+        SELECT event_type, n1 AS n,
+               round(sx1 / n1 / 100.0, 4) AS mean_value,
+               round(sx2 / n2 / 100.0, 4) AS mean_rest,
+               round((sx1 / n1 / 100.0 - sx2 / n2 / 100.0)
+                     / sqrt((sxx1 - sx1::DOUBLE * sx1 / n1::DOUBLE)
+                                / nullif((n1 - 1)::DOUBLE, 0.0) / 10000.0 / n1
+                            + (sxx2 - sx2::DOUBLE * sx2 / n2::DOUBLE)
+                                / nullif((n2 - 1)::DOUBLE, 0.0) / 10000.0 / n2),
+                     4) + 0.0 AS z_score
+        FROM j
+    """
+    out["q_mixture_waterfill"] = """
+        WITH avail AS (
+            SELECT source, sum(n_chars)::BIGINT AS avail_chars
+            FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT sum(avail_chars)::BIGINT AS total_chars,
+                   count(*)::BIGINT AS n_sources,
+                   ((sum(avail_chars)::BIGINT * 1) // 2)::BIGINT AS budget
+            FROM avail
+        ), ranked AS (
+            SELECT a.*, t.n_sources, t.budget,
+                   row_number() OVER (ORDER BY avail_chars ASC, source ASC)
+                       AS i,
+                   sum(avail_chars)
+                       OVER (ORDER BY avail_chars ASC, source ASC)::BIGINT
+                       AS cum
+            FROM avail a CROSS JOIN tot t
+        ), sat AS (
+            SELECT *, (avail_chars * (n_sources - i + 1)
+                       <= budget - (cum - avail_chars)) AS saturated
+            FROM ranked
+        ), line AS (
+            SELECT sum(CASE WHEN saturated THEN 1 ELSE 0 END)::BIGINT
+                       AS k_sat,
+                   coalesce(sum(CASE WHEN saturated THEN avail_chars END),
+                            0)::BIGINT AS sat_chars
+            FROM sat
+        )
+        SELECT source, avail_chars, saturated,
+               round(CASE WHEN saturated THEN avail_chars::DOUBLE
+                          ELSE (budget - sat_chars)
+                               / nullif((n_sources - k_sat)::DOUBLE, 0.0)
+                     END, 2) AS alloc_chars,
+               round(CASE WHEN saturated THEN avail_chars::DOUBLE
+                          ELSE (budget - sat_chars)
+                               / nullif((n_sources - k_sat)::DOUBLE, 0.0)
+                     END / avail_chars, 6) AS sample_rate
+        FROM sat CROSS JOIN line
+    """
+    out["q_quality_calibration"] = f"""
+        WITH q AS (
+            SELECT lang, quality FROM ({out['q_quality_score']})
+            WHERE quality IS NOT NULL
+        ), h AS (
+            SELECT lang, quality, count(*)::BIGINT AS c
+            FROM q GROUP BY 1, 2
+        ), t AS (
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   ((3 * count(*)::BIGINT + 3) // 4)::BIGINT AS keep_target
+            FROM q GROUP BY 1
+        ), cm AS (
+            SELECT h.lang, h.quality,
+                   sum(c) OVER (PARTITION BY h.lang
+                                ORDER BY h.quality DESC)::BIGINT AS cum,
+                   t.n_docs, t.keep_target
+            FROM h JOIN t USING (lang)
+        )
+        SELECT lang, n_docs, keep_target,
+               max(quality) AS threshold,
+               min(cum)::BIGINT AS n_kept,
+               round(min(cum) / n_docs, 6) AS keep_rate
+        FROM cm WHERE cum >= keep_target
+        GROUP BY lang, n_docs, keep_target
     """
     out["q_cluster_balance"] = sim.duck_cluster_balance_sql(k=8)
     out["q_kcore"] = dd.duck_kcore_sql(

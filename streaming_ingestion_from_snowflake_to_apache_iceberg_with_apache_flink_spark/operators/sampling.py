@@ -18,7 +18,7 @@ The salt parameter decorrelates different splits over the same corpus
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -370,5 +370,89 @@ def winsorize_prices(lineitem: DataFrame, pct: int = 99) -> DataFrame:
             F.max("cap").alias("cap_cents"),
             F.sum("c").alias("sum_cents"),
             F.sum("capped").alias("sum_capped_cents"),
+        )
+    )
+
+
+def mixture_waterfill(documents: DataFrame, budget_num: int = 1, budget_den: int = 2) -> DataFrame:
+    """Water-filling allocation of a global character budget across
+    sources — the training-mix solver: give every source an equal share,
+    but a source with less material than its share contributes all of it
+    and the slack re-spreads over the richer sources.
+
+    Budget = ⌊total_chars · budget_num / budget_den⌋ (data-derived so the
+    oracle can state it as the same scalar subquery).
+
+    Closed form instead of iteration: with sources sorted by availability
+    ascending, source i is saturated (takes all it has) iff
+    ``avail_i · (S − i + 1) ≤ B − cum_{i−1}`` — an EXACT integer
+    predicate; saturation is prefix-closed under this order, so the
+    water line is one global pair of scalars (k = #saturated,
+    sat = their total) and every unsaturated source gets
+    ``(B − sat) / (S − k)``. No per-source iteration, no driver loop.
+
+    Scale shape: one partial-agg shuffle collapses the corpus to
+    source-dimension rows; the ascending-order window and the scalar
+    cross-join both run on that tiny table. The 100 TB cost is exactly
+    one groupBy(source).
+    """
+    avail = documents.groupBy("source").agg(
+        F.sum("n_chars").alias("avail_chars")
+    )
+    tot = avail.agg(
+        F.sum("avail_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_sources"),
+    ).select(
+        "*",
+        F.expr(f"(total_chars * {budget_num}) div {budget_den}")
+        .cast("bigint")
+        .alias("budget"),
+    )
+    w = Window.orderBy(F.col("avail_chars").asc(), F.col("source").asc())
+    ranked = (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "*",
+            F.row_number().over(w).alias("i"),
+            F.sum("avail_chars").over(w).alias("cum"),
+        )
+        .select(
+            "*",
+            (
+                F.col("avail_chars") * (F.col("n_sources") - F.col("i") + 1)
+                <= F.col("budget") - (F.col("cum") - F.col("avail_chars"))
+            ).alias("saturated"),
+        )
+    )
+    line = ranked.agg(
+        F.sum(F.col("saturated").cast("bigint")).alias("k_sat"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("avail_chars"))), F.lit(0)
+        ).alias("sat_chars"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(line))
+        .select(
+            "source",
+            "avail_chars",
+            "saturated",
+            F.when(F.col("saturated"), F.col("avail_chars").cast("double"))
+            .otherwise(
+                (F.col("budget") - F.col("sat_chars"))
+                / F.nullif(
+                    (F.col("n_sources") - F.col("k_sat")).cast("double"),
+                    F.lit(0.0),
+                )
+            )
+            .alias("alloc_raw"),
+        )
+        .select(
+            "source",
+            "avail_chars",
+            "saturated",
+            F.round("alloc_raw", 2).alias("alloc_chars"),
+            F.round(F.col("alloc_raw") / F.col("avail_chars"), 6).alias(
+                "sample_rate"
+            ),
         )
     )

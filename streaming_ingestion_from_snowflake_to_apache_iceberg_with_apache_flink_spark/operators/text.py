@@ -962,3 +962,61 @@ def dataset_card(documents: DataFrame) -> DataFrame:
             "n_empty_docs",
         )
     )
+
+
+def quality_calibration(
+    documents: DataFrame, keep_num: int = 3, keep_den: int = 4
+) -> DataFrame:
+    """Per-language quality-filter calibration: the score threshold that
+    keeps the top ``keep_num/keep_den`` of EACH language — so one global
+    cutoff doesn't silently skew the language mix (low-resource languages
+    score systematically lower on an English-tuned heuristic).
+
+    Threshold is an ORDER STATISTIC on the 6-decimal score grid, not an
+    interpolated percentile: scores histogram exactly (≤1e6 distinct
+    values), a per-language cumulative count over the HISTOGRAM (never
+    the corpus) finds the smallest suffix reaching the keep target, and
+    ties at the threshold keep everything at that value — deterministic
+    cross-engine, no interpolation-formula exposure.
+
+    Scale shape: two partial-agg shuffles over the corpus (per-(lang,
+    score) histogram + per-lang totals); the window runs on the
+    histogram, whose size is bounded by the score grid, not the corpus.
+    """
+    q = (
+        quality_score(documents)
+        .select("lang", "quality")
+        # a null score (empty-token doc) has no place on the grid, and
+        # null ordering inside the cum window differs across engines
+        .filter(F.col("quality").isNotNull())
+    )
+    hist = q.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("c"))
+    totals = q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = totals.select(
+        "*",
+        F.expr(f"({keep_num} * n_docs + {keep_den - 1}) div {keep_den}")
+        .cast("bigint")
+        .alias("keep_target"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc())
+    cum = hist.select(
+        "lang", "quality", F.sum("c").over(w).alias("cum")
+    ).join(F.broadcast(totals), "lang")
+    return (
+        cum.filter(F.col("cum") >= F.col("keep_target"))
+        .groupBy("lang", "n_docs", "keep_target")
+        .agg(
+            F.max("quality").alias("threshold"),
+            F.min("cum").cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "keep_target",
+            "threshold",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
+        )
+    )

@@ -313,3 +313,131 @@ def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
         F.col("cohort_n").cast("bigint").alias("n_users"),
         F.round(F.col("n_users") / F.col("cohort_n"), 6).alias("retention"),
     )
+
+
+def xcorr_lag(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Cross-correlation scan between event types' daily count series:
+    Pearson r of (type_a's day-t count, type_b's day-(t+lag) count) for
+    every ordered type pair a ≠ b and every lag in [0, max_lag] — the
+    lead/lag detector ("signups spike 2 days after campaign events").
+
+    Exactness: the aggregate is the same six exact-integer sums as
+    ``autocorr_daily`` (Σx, Σy, Σxy, Σx², Σy², m); the only doubles are
+    the final closed-form r, rounded once. Zero-variance legs emit null.
+
+    Scale shape: the event scan collapses to a (type × day) table in ONE
+    partial-agg shuffle; everything after runs on that metadata-sized
+    table — the lag fan-out is a broadcast of (max_lag+1) literals and
+    the pair join is day-table × day-table, both tiny at any corpus
+    size. No raw-row window, no corpus re-scan per lag.
+    """
+    day = events.groupBy(
+        "event_type",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lags = F.explode(F.sequence(F.lit(0), F.lit(max_lag))).alias("lag")
+    a = day.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day_a"),
+        F.col("n").alias("x"),
+    ).select("*", lags)
+    b = day.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("type_b") != F.col("type_a"))
+        & (F.col("day_b") == F.col("day_a") + F.col("lag")),
+    )
+    s = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("bigint").alias("lag_days"),
+        "m",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("xcorr"),
+    )
+
+
+def ab_ztest(events: DataFrame) -> DataFrame:
+    """Two-sample z-test of each event type's mean ``value`` against the
+    REST of the stream — the guardrail-metric screen an experimentation
+    pipeline runs per variant.
+
+    One pass: values enter as exact cents (round(value·100) as bigint),
+    so per-type (n, Σx, Σx²) aggregate exactly; the complement's moments
+    are global-minus-group integer subtractions off ONE broadcast scalar
+    row — no second corpus scan, no self-join. The only doubles are the
+    final means/variances/z closed forms, each rounded once.
+
+    z = (m̄₁ − m̄₂) / √(s₁²/n₁ + s₂²/n₂)  (Welch, sample variances).
+    """
+    cents = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    g = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("cv").alias("sx1"),
+        F.sum(F.col("cv") * F.col("cv")).alias("sxx1"),
+    )
+    tot = cents.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum("cv").alias("sxt"),
+        F.sum(F.col("cv") * F.col("cv")).alias("sxxt"),
+    )
+    j = g.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        (F.col("sxt") - F.col("sx1")).alias("sx2"),
+        (F.col("sxxt") - F.col("sxx1")).alias("sxx2"),
+    )
+
+    def _mean(s, n):
+        return F.col(s) / F.col(n) / F.lit(100.0)
+
+    def _var(sxx, sx, n):
+        # sample variance in value units: cents² → /1e4. Σx enters the
+        # square as a double (Σx < 2^53 so the cast is exact) because the
+        # bigint product Σx·Σx overflows at corpus scale.
+        return (
+            (
+                F.col(sxx)
+                - F.col(sx).cast("double")
+                * F.col(sx)
+                / F.col(n).cast("double")
+            )
+            / F.nullif((F.col(n) - F.lit(1)).cast("double"), F.lit(0.0))
+            / F.lit(10_000.0)
+        )
+
+    z = (_mean("sx1", "n1") - _mean("sx2", "n2")) / F.sqrt(
+        _var("sxx1", "sx1", "n1") / F.col("n1")
+        + _var("sxx2", "sx2", "n2") / F.col("n2")
+    )
+    return j.select(
+        "event_type",
+        F.col("n1").alias("n"),
+        F.round(_mean("sx1", "n1"), 4).alias("mean_value"),
+        F.round(_mean("sx2", "n2"), 4).alias("mean_rest"),
+        # + 0.0 canonicalizes IEEE −0.0 (a type's mean a hair under the
+        # rest's rounds to −0.0 in one engine, 0.0 in the other)
+        (F.round(z, 4) + F.lit(0.0)).alias("z_score"),
+    )

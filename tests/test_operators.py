@@ -2135,3 +2135,145 @@ def test_join_cardinality_matches_actual_join(spark):
         "c_custkey",
     ).head()
     assert z.join_rows == 0 and z.n_matching_keys == 0 and z.max_key_rows == 0
+
+
+def test_xcorr_lag_zero_lag_symmetry(spark):
+    """At lag 0 Pearson r is symmetric in the pair, m is the common-day
+    count, and every r lies in [-1, 1] after rounding."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    ev = load_table(spark, SF, "events")
+    r = tse.xcorr_lag(ev, max_lag=2).collect()
+    by_key = {(x.type_a, x.type_b, x.lag_days): x for x in r}
+    zero = [k for k in by_key if k[2] == 0]
+    assert zero, "no lag-0 rows"
+    for ta, tb, _ in zero:
+        a, b = by_key[(ta, tb, 0)], by_key[(tb, ta, 0)]
+        assert a.m == b.m
+        assert a.xcorr == b.xcorr  # Pearson is pair-symmetric at lag 0
+    for x in r:
+        if x.xcorr is not None:
+            assert -1.0 <= x.xcorr <= 1.0
+
+
+def test_xcorr_lag_matches_pandas(spark):
+    """One pair/lag cross-checked against an independent pandas Pearson."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    ev = load_table(spark, SF, "events")
+    day = (
+        ev.groupBy(
+            "event_type",
+            F.expr("cast(floor(unix_micros(ts) / 86400000000) as bigint)").alias(
+                "day"
+            ),
+        )
+        .count()
+        .toPandas()
+    )
+    types = sorted(day.event_type.unique())[:2]
+    a = day[day.event_type == types[0]].set_index("day")["count"]
+    b = day[day.event_type == types[1]].set_index("day")["count"]
+    lag = 1
+    import pandas as pd
+
+    j = pd.concat([a, b.set_axis(b.index - lag)], axis=1, join="inner")
+    expected = j.corr().iloc[0, 1]
+    got = (
+        tse.xcorr_lag(ev, max_lag=2)
+        .filter(
+            (F.col("type_a") == types[0])
+            & (F.col("type_b") == types[1])
+            & (F.col("lag_days") == lag)
+        )
+        .head()
+    )
+    assert got.m == len(j)
+    assert abs(got.xcorr - round(float(expected), 6)) <= 1e-6
+
+
+def test_ab_ztest_moment_conservation(spark):
+    """Each type's (n, mean) and its complement's reconstruct the global
+    mean exactly; z has the sign of (mean_value − mean_rest)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = tse.ab_ztest(ev).collect()
+    n_tot = sum(r.n for r in rows)
+    for r in rows:
+        blended = (
+            r.mean_value * r.n + r.mean_rest * (n_tot - r.n)
+        ) / n_tot
+        global_mean = sum(x.mean_value * x.n for x in rows) / n_tot
+        assert abs(blended - global_mean) < 1e-3
+        if r.z_score not in (None, 0.0):
+            assert (r.z_score > 0) == (r.mean_value > r.mean_rest)
+
+
+def test_mixture_waterfill_closed_form(spark):
+    """Skewed synthetic corpus: poor sources saturate, the rich one gets
+    the whole remaining budget, and allocations sum to the budget."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 10), ("c", 3, 1000)],
+        "source string, doc_id int, n_chars int",
+    )
+    out = {r.source: r for r in smp.mixture_waterfill(docs).collect()}
+    # budget = 1020 // 2 = 510; fair share 170 > 10 -> a, b saturate;
+    # c gets 510 - 20 = 490
+    assert out["a"].saturated and out["b"].saturated
+    assert not out["c"].saturated
+    assert out["a"].alloc_chars == 10.0 and out["b"].alloc_chars == 10.0
+    assert out["c"].alloc_chars == 490.0
+    assert abs(out["c"].sample_rate - 0.49) < 1e-9
+    total = sum(r.alloc_chars for r in out.values())
+    assert abs(total - 510.0) < 1e-6
+
+
+def test_mixture_waterfill_budget_exhausts_corpus(spark):
+    """Budget >= total chars: every source saturates, rate 1.0, and the
+    n_sources == k_sat division guard yields no nulls/infs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 1, 7), ("b", 2, 9)], "source string, doc_id int, n_chars int"
+    )
+    rows = smp.mixture_waterfill(docs, budget_num=1, budget_den=1).collect()
+    assert all(r.saturated for r in rows)
+    assert all(r.sample_rate == 1.0 for r in rows)
+
+
+def test_quality_calibration_order_statistic(spark):
+    """n_kept is exactly the count of docs at-or-above the threshold, it
+    meets the per-language keep target, and rates agree."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    cal = {r.lang: r for r in tx.quality_calibration(docs).collect()}
+    scored = tx.quality_score(docs).select("lang", "quality").collect()
+    from collections import defaultdict
+
+    per_lang = defaultdict(list)
+    for r in scored:
+        per_lang[r.lang].append(r.quality)
+    for lang, r in cal.items():
+        vals = per_lang[lang]
+        assert r.n_docs == len(vals)
+        assert r.keep_target == -(-3 * len(vals) // 4)  # ceil(3n/4)
+        n_at_or_above = sum(1 for v in vals if v >= r.threshold)
+        assert r.n_kept == n_at_or_above
+        assert r.n_kept >= r.keep_target
+        assert abs(r.keep_rate - round(r.n_kept / r.n_docs, 6)) <= 1e-9
