@@ -1567,6 +1567,31 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_calibration(load_table(spark, sf_dir, "documents"))
 
 
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class kNN eval battery (similarity.knn_eval): support /
+    predicted / confusion-diagonal counts + precision/recall/F1 over the
+    vec_id % 5 eval slice; F1 by the rational 2·tp/(n_true+n_pred)."""
+    return sim.knn_eval(load_table(spark, sf_dir, "embeddings"), probe_mod=5, k=5)
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (similarity.rank_fusion) of the BM25 top-20
+    (sparse) and probe-0's exact-cosine top-20 (dense) — hybrid retrieval
+    without score calibration."""
+    from pyspark.sql import Window
+
+    bm = tx.bm25_topk(load_table(spark, sf_dir, "documents"), k=20)
+    wa = Window.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
+    bm_ranked = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(wa).cast("int").alias("rank"),
+    )
+    cos = sim.topk_cosine_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), [0], k=20
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    return sim.rank_fusion(bm_ranked, cos)
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the n-gram-Jaccard near-dup graph
     (dedup.pagerank_pairs): ranks the hub document of each duplicate
@@ -2905,6 +2930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ab_ztest": q_ab_ztest,
         "q_mixture_waterfill": q_mixture_waterfill,
         "q_quality_calibration": q_quality_calibration,
+        "q_knn_eval": q_knn_eval,
+        "q_rank_fusion": q_rank_fusion,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3098,7 +3125,7 @@ _ROUND6_WINDOW = [
     "q_split_leakage", "q_cluster_balance", "q_ngram_novelty",
     "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
-    "q_quality_calibration",
+    "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
 ]
 
 
@@ -5212,6 +5239,87 @@ def _extension_oracles() -> dict[str, str]:
                round(min(cum) / n_docs, 6) AS keep_rate
         FROM cm WHERE cum >= keep_target
         GROUP BY lang, n_docs, keep_target
+    """
+    out["q_knn_eval"] = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+        ), knn AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, neighbor_id) AS rank
+                FROM (
+                    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                           round({duck_cosine('p.pe', 'c.ce', 64)}, 4) AS sim
+                    FROM (SELECT vec_id, emb AS pe FROM e
+                          WHERE vec_id % 5 = 0) p
+                    JOIN (SELECT vec_id, emb AS ce FROM e) c
+                      ON c.vec_id <> p.vec_id
+                )
+            ) WHERE rank <= 5
+        ), v AS (
+            SELECT n.probe_id, e2.label, count(*) AS n_votes
+            FROM knn n JOIN embeddings e2 ON n.neighbor_id = e2.vec_id
+            GROUP BY 1, 2
+        ), w AS (
+            SELECT probe_id, label AS pred_label,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY n_votes DESC, label) AS rn
+            FROM v
+        ), pred AS (
+            SELECT t.label AS true_label, w.pred_label
+            FROM w JOIN embeddings t ON w.probe_id = t.vec_id WHERE w.rn = 1
+        ), tr AS (
+            SELECT true_label AS label, count(*)::BIGINT AS n_true,
+                   sum(CASE WHEN pred_label = true_label
+                            THEN 1 ELSE 0 END)::BIGINT AS tp
+            FROM pred GROUP BY 1
+        ), pr AS (
+            SELECT pred_label AS label, count(*)::BIGINT AS n_pred
+            FROM pred GROUP BY 1
+        ), j AS (
+            SELECT coalesce(tr.label, pr.label) AS label,
+                   coalesce(n_true, 0)::BIGINT AS n_true,
+                   coalesce(n_pred, 0)::BIGINT AS n_pred,
+                   coalesce(tp, 0)::BIGINT AS tp
+            FROM tr FULL OUTER JOIN pr ON tr.label = pr.label
+        )
+        SELECT label, n_true, n_pred, tp,
+               round(tp / nullif(n_pred, 0), 6) AS prec,
+               round(tp / nullif(n_true, 0), 6) AS rec,
+               round(2 * tp / nullif(n_true + n_pred, 0), 6) AS f1
+        FROM j
+    """
+    out["q_rank_fusion"] = f"""
+        WITH bm AS ({out['q_bm25_topk']}),
+        a AS (
+            SELECT doc_id AS id,
+                   CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id)
+                        AS INT) AS rank_a
+            FROM bm
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), cosl AS (
+            SELECT neighbor_id AS id, CAST(rank AS INT) AS rank_b FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY sim DESC, neighbor_id) AS rank
+                FROM (
+                    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                           round({duck_cosine('p.pe', 'c.ce', 64)}, 4) AS sim
+                    FROM (SELECT vec_id, emb AS pe FROM e WHERE vec_id = 0) p
+                    JOIN (SELECT vec_id, emb AS ce FROM e) c
+                      ON c.vec_id <> p.vec_id
+                )
+            ) WHERE rank <= 20
+        ), f AS (
+            SELECT coalesce(a.id, cosl.id) AS id, a.rank_a, cosl.rank_b,
+                   coalesce(1.0 / (60 + a.rank_a), 0.0)
+                   + coalesce(1.0 / (60 + cosl.rank_b), 0.0) AS s
+            FROM a FULL OUTER JOIN cosl ON a.id = cosl.id
+        )
+        SELECT id, rank_a, rank_b, round(s, 6) AS rrf_score,
+               CAST(row_number() OVER (ORDER BY s DESC, id) AS INT)
+                   AS fused_rank
+        FROM (SELECT * FROM f ORDER BY s DESC, id LIMIT 20)
     """
     out["q_cluster_balance"] = sim.duck_cluster_balance_sql(k=8)
     out["q_kcore"] = dd.duck_kcore_sql(

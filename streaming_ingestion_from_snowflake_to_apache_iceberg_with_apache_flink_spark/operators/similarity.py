@@ -976,3 +976,104 @@ def duck_hard_negative_sql(
     """Oracle twin of :func:`hard_negative_pairs`: the semdedup oracle
     with the band ceiling applied outside."""
     return f"SELECT * FROM ({duck_semdedup_sql(k, lo)}) WHERE qsim < {hi}"
+
+
+def knn_eval(
+    embeddings: DataFrame, probe_mod: int = 5, k: int = 5
+) -> DataFrame:
+    """Per-class evaluation battery of the kNN classifier over the
+    deterministic eval slice ``vec_id % probe_mod == 0``: support,
+    predicted count, confusion diagonal, precision, recall, and F1 —
+    the model-eval report card a labeling / distillation pipeline runs
+    per release.
+
+    Exactness: every input to a ratio is an exact integer count; F1 uses
+    the rational identity F1 = 2·tp / (n_true + n_pred) (no p·r/(p+r)
+    float chain), so each metric is one correctly-rounded division.
+
+    Scale shape: the probe set is the eval slice (driver state is its id
+    list — eval-set-sized, bounded like a labelled benchmark, not
+    corpus-sized); scoring inherits ``knn_classify``'s broadcast-probe /
+    never-shuffle-corpus plan, and the metric rollup runs on |probes|
+    rows then |classes| rows.
+    """
+    probe_ids = [
+        int(r.vec_id)
+        for r in embeddings.filter(F.col("vec_id") % probe_mod == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    pred = knn_classify(embeddings, probe_ids, k).select(
+        "true_label", "pred_label"
+    )
+    tr = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            (F.col("pred_label") == F.col("true_label")).cast("bigint")
+        ).alias("tp"),
+    )
+    pr = pred.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = tr.join(pr, "label", "full_outer").select(
+        "label",
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+    )
+    return j.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(F.col("tp") / F.nullif(F.col("n_pred"), F.lit(0)), 6).alias(
+            "prec"
+        ),
+        F.round(F.col("tp") / F.nullif(F.col("n_true"), F.lit(0)), 6).alias(
+            "rec"
+        ),
+        F.round(
+            2 * F.col("tp")
+            / F.nullif(F.col("n_true") + F.col("n_pred"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+def rank_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k_rrf: int = 60,
+    topn: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
+    ranked id lists: score(id) = Σ_lists 1/(k_rrf + rank), full-outer on
+    id so appearing in either list suffices — the standard way a
+    retrieval pipeline combines a sparse (BM25) and a dense (embedding)
+    ranking without score calibration.
+
+    Inputs are (id, rank) DataFrames. Determinism: each contribution is
+    one exact integer division 1/(k+r) and the sum has a fixed two-term
+    order, so the double compares identically cross-engine; ties break
+    on id. The fused rank is a window over the ALREADY-fused id set —
+    list-sized, not corpus-sized (the idiom: window after limit).
+    """
+    a = ranked_a.select(F.col("id"), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col("id"), F.col("rank").alias("rank_b"))
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0))
+    fused = (
+        a.join(b, "id", "full_outer")
+        .select("id", "rank_a", "rank_b", score.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("id").asc())
+        .limit(topn)
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+    return fused.select(
+        "id",
+        "rank_a",
+        "rank_b",
+        F.round("s", 6).alias("rrf_score"),
+        F.row_number().over(w).cast("int").alias("fused_rank"),
+    )

@@ -2277,3 +2277,36 @@ def test_quality_calibration_order_statistic(spark):
         assert r.n_kept == n_at_or_above
         assert r.n_kept >= r.keep_target
         assert abs(r.keep_rate - round(r.n_kept / r.n_docs, 6)) <= 1e-9
+
+
+def test_knn_eval_count_identities(spark):
+    """Σn_true = Σn_pred = |eval slice|; Σtp = overall correct; F1 sits
+    between min and max of precision/recall (harmonic-mean property)."""
+    emb = load_table(spark, SF, "embeddings")
+    rows = sim.knn_eval(emb, probe_mod=5, k=5).collect()
+    n_probes = emb.filter(F.col("vec_id") % 5 == 0).count()
+    assert sum(r.n_true for r in rows) == n_probes
+    assert sum(r.n_pred for r in rows) == n_probes
+    for r in rows:
+        assert r.tp <= min(r.n_true, r.n_pred)
+        if r.prec is not None and r.rec is not None and r.tp > 0:
+            assert min(r.prec, r.rec) - 1e-6 <= r.f1 <= max(r.prec, r.rec) + 1e-6
+
+
+def test_rank_fusion_properties(spark):
+    """An id ranked #1 in both lists tops the fusion; ids in only one
+    list still appear; fused ranks are 1..topn without gaps."""
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "id bigint, rank int"
+    )
+    b = spark.createDataFrame(
+        [(10, 1), (13, 2), (11, 3)], "id bigint, rank int"
+    )
+    out = sim.rank_fusion(a, b, k_rrf=60, topn=10).collect()
+    by_rank = sorted(out, key=lambda r: r.fused_rank)
+    assert [r.fused_rank for r in by_rank] == list(range(1, len(out) + 1))
+    assert by_rank[0].id == 10  # double #1 wins
+    ids = {r.id for r in out}
+    assert {10, 11, 12, 13} == ids
+    solo = next(r for r in out if r.id == 13)
+    assert solo.rank_a is None and solo.rank_b == 2
