@@ -392,47 +392,50 @@ def mixture_waterfill(documents: DataFrame, budget_num: int = 1, budget_den: int
     ``(B − sat) / (S − k)``. No per-source iteration, no driver loop.
 
     Scale shape: one partial-agg shuffle collapses the corpus to
-    source-dimension rows; the ascending-order window and the scalar
-    cross-join both run on that tiny table. The 100 TB cost is exactly
-    one groupBy(source).
+    source-dimension rows; everything after is TWO window passes over
+    that tiny table, kept in the SAME plan branch — the global scalars
+    (total, budget, water line) are unbounded windows, not agg +
+    crossJoin, because each crossJoin branch would re-execute the
+    corpus-scan subtree (measured: the two-crossJoin form planned 8
+    scans of documents). The 100 TB cost is exactly one
+    groupBy(source).
     """
     avail = documents.groupBy("source").agg(
         F.sum("n_chars").alias("avail_chars")
     )
-    tot = avail.agg(
-        F.sum("avail_chars").alias("total_chars"),
-        F.count(F.lit(1)).alias("n_sources"),
-    ).select(
+    w = Window.orderBy(F.col("avail_chars").asc(), F.col("source").asc())
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = avail.select(
         "*",
-        F.expr(f"(total_chars * {budget_num}) div {budget_den}")
+        F.row_number().over(w).alias("i"),
+        F.sum("avail_chars").over(w).alias("cum"),
+        F.count(F.lit(1)).over(wall).alias("n_sources"),
+        F.expr(
+            f"(sum(avail_chars) over () * {budget_num}) div {budget_den}"
+        )
         .cast("bigint")
         .alias("budget"),
+    ).select(
+        "*",
+        (
+            F.col("avail_chars") * (F.col("n_sources") - F.col("i") + 1)
+            <= F.col("budget") - (F.col("cum") - F.col("avail_chars"))
+        ).alias("saturated"),
     )
-    w = Window.orderBy(F.col("avail_chars").asc(), F.col("source").asc())
-    ranked = (
-        avail.crossJoin(F.broadcast(tot))
-        .select(
-            "*",
-            F.row_number().over(w).alias("i"),
-            F.sum("avail_chars").over(w).alias("cum"),
-        )
-        .select(
-            "*",
-            (
-                F.col("avail_chars") * (F.col("n_sources") - F.col("i") + 1)
-                <= F.col("budget") - (F.col("cum") - F.col("avail_chars"))
-            ).alias("saturated"),
-        )
-    )
-    line = ranked.agg(
-        F.sum(F.col("saturated").cast("bigint")).alias("k_sat"),
+    lined = ranked.select(
+        "*",
+        F.sum(F.col("saturated").cast("bigint")).over(wall).alias("k_sat"),
         F.coalesce(
-            F.sum(F.when(F.col("saturated"), F.col("avail_chars"))), F.lit(0)
+            F.sum(F.when(F.col("saturated"), F.col("avail_chars"))).over(
+                wall
+            ),
+            F.lit(0),
         ).alias("sat_chars"),
     )
     return (
-        ranked.crossJoin(F.broadcast(line))
-        .select(
+        lined.select(
             "source",
             "avail_chars",
             "saturated",

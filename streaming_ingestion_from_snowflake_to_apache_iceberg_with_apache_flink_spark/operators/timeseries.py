@@ -398,16 +398,19 @@ def ab_ztest(events: DataFrame) -> DataFrame:
         F.sum("cv").alias("sx1"),
         F.sum(F.col("cv") * F.col("cv")).alias("sxx1"),
     )
-    tot = cents.agg(
-        F.count(F.lit(1)).alias("nt"),
-        F.sum("cv").alias("sxt"),
-        F.sum(F.col("cv") * F.col("cv")).alias("sxxt"),
+    # Global moments as an unbounded window over the PER-TYPE aggregate:
+    # the rollup is exact (moments are associative), the window input is
+    # the |types|-row table (never the corpus), and keeping it in the
+    # same plan branch means the events scan runs exactly once — a
+    # second agg + crossJoin would execute the scan subtree twice.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = g.crossJoin(F.broadcast(tot)).select(
+    j = g.select(
         "*",
-        (F.col("nt") - F.col("n1")).alias("n2"),
-        (F.col("sxt") - F.col("sx1")).alias("sx2"),
-        (F.col("sxxt") - F.col("sxx1")).alias("sxx2"),
+        (F.sum("n1").over(wall) - F.col("n1")).alias("n2"),
+        (F.sum("sx1").over(wall) - F.col("sx1")).alias("sx2"),
+        (F.sum("sxx1").over(wall) - F.col("sxx1")).alias("sxx2"),
     )
 
     def _mean(s, n):

@@ -1248,3 +1248,84 @@ def test_diff_versions_equi_join_only(spark, tmp_path):
     finally:
         for t in (sink.table, sink.commits, sink.history):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_xcorr_lag_hash_join_on_day_key(spark):
+    """The lag pair join keys on day_b = day_a + lag — an expression
+    equi-join, so the plan hash-joins (never a cartesian over day
+    tables) and the only corpus-sized work is the (type, day) agg."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        xcorr_lag,
+    )
+
+    plan = formatted_plan(xcorr_lag(load_table(spark, SF, "events")))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_ab_ztest_single_corpus_scan(spark):
+    """Complement moments come from the unbounded window over the
+    per-type aggregate — the events scan appears ONCE in the plan (a
+    second agg branch would scan twice)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        ab_ztest,
+    )
+
+    plan = formatted_plan(ab_ztest(load_table(spark, SF, "events")))
+    # one Location: line per physical scan node (the node name itself
+    # appears twice per scan in formatted output: tree + detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_mixture_waterfill_single_corpus_scan(spark):
+    """The 100 TB cost is exactly one groupBy(source): the documents
+    scan appears once; every window/join after runs on source-dimension
+    rows."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        mixture_waterfill,
+    )
+
+    plan = formatted_plan(mixture_waterfill(load_table(spark, SF, "documents")))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_quality_calibration_window_on_histogram_only(spark):
+    """Every window is partitioned by lang (the histogram cum), and the
+    per-lang totals attach via broadcast join — no corpus-sized shuffle
+    beyond the two partial aggs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        quality_calibration,
+    )
+
+    plan = formatted_plan(quality_calibration(load_table(spark, SF, "documents")))
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "expected the histogram cum window"
+    for s in specs:
+        assert s.startswith("lang"), f"window not partitioned by lang: {s[:60]}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_eval_probe_side_broadcast(spark):
+    """The brute-force scoring join broadcasts the probe/neighbor side
+    into the corpus scan (BroadcastNestedLoopJoin is the INTENDED plan
+    for the θ-join; the corpus is streamed, never shuffled)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        knn_eval,
+    )
+
+    plan = formatted_plan(knn_eval(load_table(spark, SF, "embeddings")))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_fusion_take_ordered(spark):
+    """The fused top-n plans as TakeOrderedAndProject (orderBy().limit()
+    — never a global sort of the fused set)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        rank_fusion,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id bigint, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "id bigint, rank int")
+    plan = formatted_plan(rank_fusion(a, b))
+    assert "TakeOrderedAndProject" in plan
