@@ -2310,3 +2310,54 @@ def test_rank_fusion_properties(spark):
     assert {10, 11, 12, 13} == ids
     solo = next(r for r in out if r.id == 13)
     assert solo.rank_a is None and solo.rank_b == 2
+
+
+@pytest.mark.parametrize(
+    "opname",
+    [
+        "xcorr_lag",
+        "ab_ztest",
+        "mixture_waterfill",
+        "quality_calibration",
+        "knn_eval",
+        "pack_bins_docs",
+    ],
+)
+def test_partitioning_invariance(spark, opname):
+    """The 1000-executor property: every operator's result multiset is
+    identical when the input arrives re-partitioned and re-ordered (an
+    11-way round-robin reshuffle) — no hidden dependence on row order,
+    partition count, or which partition a row lands in."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    builders = {
+        "xcorr_lag": lambda df: tse.xcorr_lag(df, max_lag=2),
+        "ab_ztest": tse.ab_ztest,
+        "mixture_waterfill": smp.mixture_waterfill,
+        "quality_calibration": tx.quality_calibration,
+        "knn_eval": lambda df: sim.knn_eval(df, probe_mod=5, k=5),
+        "pack_bins_docs": lambda df: smp.pack_bins(
+            df.select("doc_id", F.col("n_chars").alias("n_tokens"))
+        ),
+    }
+    table = {
+        "xcorr_lag": "events",
+        "ab_ztest": "events",
+        "mixture_waterfill": "documents",
+        "quality_calibration": "documents",
+        "knn_eval": "embeddings",
+        "pack_bins_docs": "documents",
+    }[opname]
+    base = load_table(spark, SF, table)
+    fn = builders[opname]
+    a = sorted(map(tuple, fn(base).collect()))
+    b = sorted(map(tuple, fn(base.repartition(11)).collect()))
+    assert a == b
