@@ -2361,3 +2361,67 @@ def test_partitioning_invariance(spark, opname):
     a = sorted(map(tuple, fn(base).collect()))
     b = sorted(map(tuple, fn(base.repartition(11)).collect()))
     assert a == b
+
+
+def _waterfill_reference(avails, budget):
+    """Iterative textbook water-fill: equal shares, saturate, repeat."""
+    unsat = dict(avails)
+    alloc = {}
+    remaining = budget
+    while unsat:
+        share = remaining / len(unsat)
+        newly = {s: a for s, a in unsat.items() if a <= share}
+        if not newly:
+            for s in unsat:
+                alloc[s] = share
+            return alloc
+        for s, a in newly.items():
+            alloc[s] = float(a)
+            remaining -= a
+            del unsat[s]
+    return alloc
+
+
+def test_mixture_waterfill_matches_iterative_reference(spark):
+    """The closed-form saturation predicate reproduces the iterative
+    water-fill on adversarial availability profiles (ties, extremes,
+    single-source, all-equal)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=7),
+        st.sampled_from([(1, 4), (1, 2), (3, 4), (1, 1)]),
+    )
+    def check(avails, frac):
+        rows = [
+            (f"s{i}", j, a)
+            for i, a in enumerate(avails)
+            for j in [i]
+        ]
+        docs = spark.createDataFrame(
+            rows, "source string, doc_id int, n_chars int"
+        )
+        num, den = frac
+        got = {
+            r.source: r
+            for r in smp.mixture_waterfill(docs, num, den).collect()
+        }
+        budget = sum(avails) * num // den
+        ref = _waterfill_reference(
+            {f"s{i}": a for i, a in enumerate(avails)}, budget
+        )
+        assert set(got) == set(ref)
+        for s, want in ref.items():
+            assert abs(got[s].alloc_chars - want) <= 0.01, (s, got[s], want)
+
+    check()
