@@ -1567,6 +1567,18 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_calibration(load_table(spark, sf_dir, "documents"))
 
 
+def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend battery (timeseries.trend_robust): Mann–Kendall S
+    (integer sign-sum over day pairs) + Theil–Sen slope (order-statistic
+    lower median of pairwise slopes) per event type — the
+    outlier-resistant trend a burst day cannot hijack."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        trend_robust,
+    )
+
+    return trend_robust(load_table(spark, sf_dir, "events"))
+
+
 def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class kNN eval battery (similarity.knn_eval): support /
     predicted / confusion-diagonal counts + precision/recall/F1 over the
@@ -2932,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_calibration": q_quality_calibration,
         "q_knn_eval": q_knn_eval,
         "q_rank_fusion": q_rank_fusion,
+        "q_trend_robust": q_trend_robust,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3126,6 +3139,7 @@ _ROUND6_WINDOW = [
     "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
     "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
+    "q_trend_robust",
 ]
 
 
@@ -5239,6 +5253,34 @@ def _extension_oracles() -> dict[str, str]:
                round(min(cum) / n_docs, 6) AS keep_rate
         FROM cm WHERE cum >= keep_target
         GROUP BY lang, n_docs, keep_target
+    """
+    out["q_trend_robust"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), evd AS (
+            SELECT *, count(*) OVER (PARTITION BY event_type) AS n_days
+            FROM ev
+        ), pairs AS (
+            SELECT a.event_type, a.n_days, a.day AS day_a, b.day AS day_b,
+                   CASE WHEN b.n > a.n THEN 1
+                        WHEN b.n < a.n THEN -1 ELSE 0 END::BIGINT AS sgn,
+                   (b.n - a.n) / (b.day - a.day) AS slope
+            FROM evd a JOIN evd b
+              ON b.event_type = a.event_type AND b.day > a.day
+        ), ranked AS (
+            SELECT event_type, n_days, slope,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY slope, day_a, day_b) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_pairs,
+                   sum(sgn) OVER (PARTITION BY event_type)::BIGINT AS s_stat
+            FROM pairs
+        )
+        SELECT event_type, n_days, n_pairs, s_stat,
+               round(slope, 6) AS sen_slope
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
     """
     out["q_knn_eval"] = f"""
         WITH e AS (

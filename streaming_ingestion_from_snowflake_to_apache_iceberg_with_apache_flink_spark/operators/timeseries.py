@@ -444,3 +444,81 @@ def ab_ztest(events: DataFrame) -> DataFrame:
         # rest's rounds to −0.0 in one engine, 0.0 in the other)
         (F.round(z, 4) + F.lit(0.0)).alias("z_score"),
     )
+
+
+def trend_robust(events: DataFrame) -> DataFrame:
+    """Robust trend battery per event type over the daily-count series:
+    the Mann–Kendall S statistic (Σ sign(n_j − n_i) over ordered day
+    pairs — monotone-trend direction, pure integers) and the Theil–Sen
+    slope (lower-median of all pairwise slopes — the outlier-resistant
+    trend rate a burst day cannot hijack, unlike OLS).
+
+    Exactness: S is a CASE-sum of {−1,0,1}; each slope is one division
+    of two small exact integers and the median is an ORDER STATISTIC
+    (row (m+1)÷2 under (slope, day_a, day_b) — no even-count averaging,
+    no interpolation), so every output is deterministic cross-engine.
+
+    Scale shape: the corpus collapses to the (type × day) table in ONE
+    partial-agg shuffle; the pair self-join and the per-type windows run
+    on that calendar-bounded table (≤ days² rows per type, independent
+    of corpus size). The per-type scalars (pair count, S, day count)
+    ride as windows in the SAME plan branch — no second scan.
+    """
+    ev = events.groupBy(
+        "event_type",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    evd = ev.select("*", F.count(F.lit(1)).over(wt).alias("n_days"))
+    a = evd.select(
+        F.col("event_type"),
+        F.col("day").alias("day_a"),
+        F.col("n").alias("na"),
+        "n_days",
+    )
+    b = evd.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("type_b") == F.col("event_type"))
+        & (F.col("day_b") > F.col("day_a")),
+    ).select(
+        "event_type",
+        "n_days",
+        "day_a",
+        "day_b",
+        F.when(F.col("nb") > F.col("na"), F.lit(1))
+        .when(F.col("nb") < F.col("na"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("sgn"),
+        ((F.col("nb") - F.col("na")) / (F.col("day_b") - F.col("day_a"))).alias(
+            "slope"
+        ),
+    )
+    wo = Window.partitionBy("event_type").orderBy("slope", "day_a", "day_b")
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pairs.select(
+        "event_type",
+        "n_days",
+        "slope",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_pairs"),
+        F.sum("sgn").over(wall).alias("s_stat"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.round("slope", 6).alias("sen_slope"),
+    )

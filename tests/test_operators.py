@@ -2425,3 +2425,45 @@ def test_mixture_waterfill_matches_iterative_reference(spark):
             assert abs(got[s].alloc_chars - want) <= 0.01, (s, got[s], want)
 
     check()
+
+
+def test_trend_robust_matches_python_reference(spark):
+    """Mann–Kendall S and the lower-median Theil–Sen slope agree with a
+    direct Python computation on the collected daily series."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_type: r for r in tse.trend_robust(ev).collect()}
+    day = (
+        ev.groupBy(
+            "event_type",
+            F.expr("cast(floor(unix_micros(ts) / 86400000000) as bigint)").alias("day"),
+        )
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(dict)
+    for r in day:
+        series[r.event_type][r.day] = r["count"]
+    for t, s in series.items():
+        days = sorted(s)
+        if len(days) < 2:
+            assert t not in got
+            continue
+        slopes, S = [], 0
+        for i, da in enumerate(days):
+            for db in days[i + 1 :]:
+                diff = s[db] - s[da]
+                S += (diff > 0) - (diff < 0)
+                slopes.append((s[db] - s[da]) / (db - da))
+        slopes = sorted(slopes)
+        want = slopes[(len(slopes) + 1) // 2 - 1]
+        r = got[t]
+        assert r.n_days == len(days)
+        assert r.n_pairs == len(slopes)
+        assert r.s_stat == S
+        assert abs(r.sen_slope - round(want, 6)) <= 1e-6
