@@ -2321,6 +2321,7 @@ def test_rank_fusion_properties(spark):
         "quality_calibration",
         "knn_eval",
         "pack_bins_docs",
+        "trend_robust",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2344,6 +2345,7 @@ def test_partitioning_invariance(spark, opname):
         "mixture_waterfill": smp.mixture_waterfill,
         "quality_calibration": tx.quality_calibration,
         "knn_eval": lambda df: sim.knn_eval(df, probe_mod=5, k=5),
+        "trend_robust": tse.trend_robust,
         "pack_bins_docs": lambda df: smp.pack_bins(
             df.select("doc_id", F.col("n_chars").alias("n_tokens"))
         ),
@@ -2354,6 +2356,7 @@ def test_partitioning_invariance(spark, opname):
         "mixture_waterfill": "documents",
         "quality_calibration": "documents",
         "knn_eval": "embeddings",
+        "trend_robust": "events",
         "pack_bins_docs": "documents",
     }[opname]
     base = load_table(spark, SF, table)
