@@ -127,6 +127,19 @@ def _bpe_rules_cached(spark: SparkSession, sf_dir: str, rounds: int = 3) -> list
     return _TRAINED_STATE_MEMO[key]  # type: ignore[return-value]
 
 
+def _pq_books_cached(
+    spark: SparkSession, sf_dir: str, m: int = 4, k: int = 16
+) -> list:
+    """Memoized PQ codebooks (m·k·(dim/m) driver ints, deterministic per
+    corpus+m+k) — same rationale as the k-means centroid memo."""
+    key = (sf_dir, "pq_books", m, k)
+    if key not in _TRAINED_STATE_MEMO:
+        _TRAINED_STATE_MEMO[key] = sim.pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"), m=m, k=k
+        )
+    return _TRAINED_STATE_MEMO[key]  # type: ignore[return-value]
+
+
 def _kmeans_assignment(
     spark: SparkSession, sf_dir: str, k: int, iters: int = 2
 ) -> DataFrame:
@@ -1567,6 +1580,18 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_calibration(load_table(spark, sf_dir, "documents"))
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (similarity.pq_codebooks + pq_encode): four
+    16-dim subspace codebooks (k=16, shared Lloyd's kernel, memoized
+    driver state) encode every vector to 4 codes + exact integer
+    quantization error — the IVF-PQ compression stage of billion-vector
+    ANN."""
+    return sim.pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        _pq_books_cached(spark, sf_dir, m=4, k=16),
+    )
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend battery (timeseries.trend_robust): Mann–Kendall S
     (integer sign-sum over day pairs) + Theil–Sen slope (order-statistic
@@ -2945,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_eval": q_knn_eval,
         "q_rank_fusion": q_rank_fusion,
         "q_trend_robust": q_trend_robust,
+        "q_pq_encode": q_pq_encode,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3139,7 +3165,7 @@ _ROUND6_WINDOW = [
     "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
     "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
-    "q_trend_robust",
+    "q_trend_robust", "q_pq_encode",
 ]
 
 
@@ -5254,6 +5280,7 @@ def _extension_oracles() -> dict[str, str]:
         FROM cm WHERE cum >= keep_target
         GROUP BY lang, n_docs, keep_target
     """
+    out["q_pq_encode"] = sim.duck_pq_sql(m=4, k=16)
     out["q_trend_robust"] = """
         WITH ev AS (
             SELECT event_type,

@@ -534,7 +534,18 @@ def kmeans_centroids(
     (cluster, dim) cells). Per round the driver holds k·dim ints —
     independent of corpus size.
     """
-    e = _quantized(embeddings).persist()
+    return _lloyd(_quantized(embeddings), k, iters)
+
+
+def _lloyd(
+    codes: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's iteration over an integer-code table (vec_id, q) — the
+    kernel behind :func:`kmeans_centroids` (full-vector clustering) and
+    :func:`pq_codebooks` (per-subspace clustering): seeds are the k
+    lowest vec_ids' codes, updates are exact floor-avg integers, driver
+    state is k·|q| ints per round."""
+    e = codes.persist()
     try:
         seeds = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         centroids: list[tuple[int, list[int]]] = [
@@ -1077,3 +1088,135 @@ def rank_fusion(
         F.round("s", 6).alias("rrf_score"),
         F.row_number().over(w).cast("int").alias("fused_rank"),
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 4, k: int = 16, iters: int = 2
+) -> list[list[tuple[int, list[int]]]]:
+    """TRAIN product-quantization codebooks: split the int8-quantized
+    vector into ``m`` contiguous subspaces and run the shared Lloyd's
+    kernel in each — the IVF-PQ companion (Jégou et al. 2011) that makes
+    billion-vector ANN storable: m log2(k)-bit codes per vector instead
+    of dim floats.
+
+    Returns ``m`` centroid lists of driver state (m·k·(dim/m) ints —
+    independent of corpus size, memoizable across queries/sessions like
+    the full-vector centroids). Seeds per subspace are the k lowest
+    vec_ids' slices, so training is a deterministic function of
+    (dataset, m, k, iters).
+    """
+    e = _quantized(embeddings)
+    dim = 64
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    return [
+        _lloyd(
+            e.select("vec_id", F.slice("q", j * sub + 1, sub).alias("q")),
+            k,
+            iters,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+) -> DataFrame:
+    """PQ-encode every vector against trained codebooks: per subspace
+    the argmin-distance code (ties to the smaller code id, same struct
+    ordering as ``_assign_pass``) plus the total quantization error —
+    the lossy-compression audit (err distribution decides whether m/k
+    are adequate before the index ships).
+
+    Scale shape: ONE map-only pass — all m argmins evaluate inside the
+    same projection with the codebooks entering as m nested Literals;
+    the corpus is scanned once and never shuffled. Distances are exact
+    bigint integers end to end.
+    """
+    e = _quantized(embeddings)
+    m = len(books)
+    sub = 64 // m
+    cols = [F.col("vec_id")]
+    errs = []
+    for j, book in enumerate(books):
+        cents = F.lit([[int(v) for v in c] for _, c in book]).cast(
+            "array<array<bigint>>"
+        )
+        ids = F.lit([int(cid) for cid, _ in book]).cast("array<int>")
+        qj = F.slice("q", j * sub + 1, sub)
+        best = F.array_min(
+            F.zip_with(
+                cents,
+                ids,
+                lambda c, cid: F.struct(
+                    F.aggregate(
+                        F.zip_with(qj, c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    cid.alias("cid"),
+                ),
+            )
+        )
+        cols.append(F.col(f"_b{j}.cid").alias(f"code_{j}"))
+        errs.append(F.col(f"_b{j}.dist"))
+        e = e.select("*", best.alias(f"_b{j}"))
+    total = errs[0]
+    for x in errs[1:]:
+        total = total + x
+    return e.select(*cols, total.alias("err"))
+
+
+def duck_pq_sql(m: int = 4, k: int = 16) -> str:
+    """Oracle twin of pq_codebooks + pq_encode: per subspace the same
+    2-round integer Lloyd's CTE chain as :func:`duck_kmeans_cte` on the
+    sliced codes, joined back into one row per vector."""
+    sub = 64 // m
+    km_q = (
+        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
+        " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {sub}),"
+        " i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i])))"
+    )
+    parts = [f"WITH full_q AS (SELECT vec_id, {km_q} AS fq FROM embeddings)"]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f""", q{j} AS (
+            SELECT vec_id, fq[{lo}:{hi}] AS q FROM full_q
+        ), c0_{j} AS (SELECT vec_id AS cid, q AS c FROM q{j} WHERE vec_id < {k}),
+        d1_{j} AS (
+            SELECT q.vec_id, q.q, c.cid, {dist} AS dist
+            FROM q{j} q CROSS JOIN c0_{j} c
+        ), a1_{j} AS (
+            SELECT vec_id, q, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn FROM d1_{j}
+            ) WHERE rn = 1
+        ), c1cell_{j} AS (
+            SELECT cid, i AS dim, CAST(floor(avg(q[i])) AS BIGINT) AS cv
+            FROM a1_{j}, generate_series(1, {sub}) AS g(i)
+            GROUP BY cid, i
+        ), c1_{j} AS (
+            SELECT cid, list(cv ORDER BY dim) AS c FROM c1cell_{j} GROUP BY cid
+        ), d2_{j} AS (
+            SELECT q.vec_id, q.q, c.cid, {dist} AS dist
+            FROM q{j} q CROSS JOIN c1_{j} c
+        ), a2_{j} AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn FROM d2_{j}
+            ) WHERE rn = 1
+        )"""
+        )
+    codes = ", ".join(f"CAST(a2_{j}.cid AS INT) AS code_{j}" for j in range(m))
+    err = " + ".join(f"a2_{j}.dist" for j in range(m))
+    joins = " ".join(f"JOIN a2_{j} USING (vec_id)" for j in range(1, m))
+    return "".join(parts) + f"""
+        SELECT vec_id, {codes}, ({err})::BIGINT AS err
+        FROM a2_0 {joins}
+    """

@@ -2470,3 +2470,45 @@ def test_trend_robust_matches_python_reference(spark):
         assert r.n_pairs == len(slopes)
         assert r.s_stat == S
         assert abs(r.sen_slope - round(want, 6)) <= 1e-6
+
+
+def test_pq_encode_matches_bruteforce(spark):
+    """Every vector's per-subspace code is the true argmin over its
+    codebook (ties to the smaller code id) and err is the sum of the
+    four subspace distances — checked in pure Python on a sample."""
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_codebooks(emb, m=4, k=16)
+    out = {r.vec_id: r for r in sim.pq_encode(emb, books).collect()}
+    rows = emb.orderBy("vec_id").limit(20).collect()
+
+    def quant(v):
+        import math
+        return [max(-127, min(127, math.floor(x * 127 + 0.5))) for x in v]
+
+    for r in rows:
+        q = quant(r.embedding)
+        total = 0
+        for j, book in enumerate(books):
+            qj = q[j * 16 : (j + 1) * 16]
+            dists = [
+                (sum((a - b) * (a - b) for a, b in zip(qj, c)), cid)
+                for cid, c in book
+            ]
+            d, cid = min(dists)
+            got = out[r.vec_id]
+            assert got[f"code_{j}"] == cid, (r.vec_id, j)
+            total += d
+        assert out[r.vec_id].err == total
+
+
+def test_pq_codebooks_are_deterministic_driver_state(spark):
+    """Training twice yields identical codebooks (pure function of the
+    dataset), and each book is k×(dim/m) bounded driver state."""
+    emb = load_table(spark, SF, "embeddings")
+    b1 = sim.pq_codebooks(emb, m=4, k=16)
+    b2 = sim.pq_codebooks(emb, m=4, k=16)
+    assert b1 == b2
+    assert len(b1) == 4
+    for book in b1:
+        assert len(book) == 16
+        assert all(len(c) == 16 for _, c in book)
