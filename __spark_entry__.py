@@ -1592,6 +1592,19 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (similarity.pq_adc_topk): probe 0's
+    per-subspace distance tables (m·k driver ints) + m array lookups per
+    vector — the query-time payoff of PQ compression; exact bigint
+    distances, TakeOrderedAndProject top-10."""
+    return sim.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _pq_books_cached(spark, sf_dir, m=4, k=16),
+        probe_id=0,
+        k=10,
+    )
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend battery (timeseries.trend_robust): Mann–Kendall S
     (integer sign-sum over day pairs) + Theil–Sen slope (order-statistic
@@ -2971,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_fusion": q_rank_fusion,
         "q_trend_robust": q_trend_robust,
         "q_pq_encode": q_pq_encode,
+        "q_pq_adc_topk": q_pq_adc_topk,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3165,7 +3179,7 @@ _ROUND6_WINDOW = [
     "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
     "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
-    "q_trend_robust", "q_pq_encode",
+    "q_trend_robust", "q_pq_encode", "q_pq_adc_topk",
 ]
 
 
@@ -5281,6 +5295,7 @@ def _extension_oracles() -> dict[str, str]:
         GROUP BY lang, n_docs, keep_target
     """
     out["q_pq_encode"] = sim.duck_pq_sql(m=4, k=16)
+    out["q_pq_adc_topk"] = sim.duck_pq_adc_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_trend_robust"] = """
         WITH ev AS (
             SELECT event_type,

@@ -1169,10 +1169,11 @@ def pq_encode(
     return e.select(*cols, total.alias("err"))
 
 
-def duck_pq_sql(m: int = 4, k: int = 16) -> str:
-    """Oracle twin of pq_codebooks + pq_encode: per subspace the same
-    2-round integer Lloyd's CTE chain as :func:`duck_kmeans_cte` on the
-    sliced codes, joined back into one row per vector."""
+def _duck_pq_chain(m: int = 4, k: int = 16) -> str:
+    """Shared PQ oracle CTE chain: per subspace ``j`` the same 2-round
+    integer Lloyd's progression as :func:`duck_kmeans_cte` on the sliced
+    codes, ending at ``a2_j`` (vec_id, cid, dist) and the trained
+    centroid list ``c1_j``."""
     sub = 64 // m
     km_q = (
         "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
@@ -1213,10 +1214,112 @@ def duck_pq_sql(m: int = 4, k: int = 16) -> str:
             ) WHERE rn = 1
         )"""
         )
+    return "".join(parts)
+
+
+def duck_pq_sql(m: int = 4, k: int = 16) -> str:
+    """Oracle twin of pq_codebooks + pq_encode: one row per vector with
+    its m codes and total quantization error."""
     codes = ", ".join(f"CAST(a2_{j}.cid AS INT) AS code_{j}" for j in range(m))
     err = " + ".join(f"a2_{j}.dist" for j in range(m))
     joins = " ".join(f"JOIN a2_{j} USING (vec_id)" for j in range(1, m))
-    return "".join(parts) + f"""
+    return _duck_pq_chain(m, k) + f"""
         SELECT vec_id, {codes}, ({err})::BIGINT AS err
         FROM a2_0 {joins}
     """
+
+
+def duck_pq_adc_sql(
+    m: int = 4, k: int = 16, probe_id: int = 0, topk: int = 10
+) -> str:
+    """Oracle twin of :func:`pq_adc_topk`: per subspace, the probe's
+    sliced code meets the trained centroid list ``c1_j`` to form the
+    distance table; each vector's ADC is the sum of its codes' table
+    entries; top-k by (adc, vec_id)."""
+    sub = 64 // m
+    chain = [_duck_pq_chain(m, k)]
+    chain.append(
+        f", probe AS (SELECT fq FROM full_q WHERE vec_id = {probe_id})"
+    )
+    for j in range(m):
+        lo = j * sub
+        pdist = (
+            f"list_sum(list_transform(generate_series(1, {sub}),"
+            f" i -> (p.fq[{lo} + i] - c.c[i]) * (p.fq[{lo} + i] - c.c[i])))"
+        )
+        chain.append(
+            f""", pd_{j} AS (
+            SELECT c.cid, {pdist} AS d FROM c1_{j} c CROSS JOIN probe p
+        )"""
+        )
+    adc = " + ".join(f"pd_{j}.d" for j in range(m))
+    joins = " ".join(
+        f"JOIN pd_{j} ON pd_{j}.cid = a2_{j}.cid" for j in range(m)
+    )
+    a2_joins = " ".join(f"JOIN a2_{j} USING (vec_id)" for j in range(1, m))
+    return "".join(chain) + f"""
+        , adc AS (
+            SELECT vec_id, ({adc})::BIGINT AS adc_dist
+            FROM a2_0 {a2_joins} {joins}
+            WHERE vec_id <> {probe_id}
+        )
+        SELECT vec_id, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY adc_dist, vec_id) AS INT) AS rank
+            FROM adc
+        ) WHERE rank <= {topk}
+    """
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    probe_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the ADC search of Jégou
+    2011): the probe stays exact, each subspace contributes a k-entry
+    distance table (probe slice vs trained centroids — m·k driver
+    integers), and a vector's distance is the sum of its codes' table
+    entries.
+
+    This is WHY PQ exists at 100 TB: after encoding, the scan touches m
+    small ints per vector and the per-vector work is m array lookups —
+    no float vector is read at query time. Exactness: tables and sums
+    are bigint end to end; ties break on vec_id; top-k is
+    ``orderBy().limit(k)`` (TakeOrderedAndProject), ranked after the
+    limit.
+    """
+    m = len(books)
+    sub = 64 // m
+    probe = (
+        _quantized(embeddings).filter(F.col("vec_id") == probe_id).collect()
+    )
+    if not probe:
+        raise ValueError(f"probe vec_id {probe_id} not found")
+    pq = [int(v) for v in probe[0].q]
+    enc = pq_encode(embeddings, books)
+    adc = None
+    for j, book in enumerate(books):
+        cids = [cid for cid, _ in sorted(book)]
+        if cids != list(range(len(book))):
+            raise ValueError(f"subspace {j}: non-contiguous code ids {cids}")
+        pj = pq[j * sub : (j + 1) * sub]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(pj, c))
+            for _, c in sorted(book)
+        ]
+        t = F.element_at(
+            F.lit(table).cast("array<bigint>"), F.col(f"code_{j}") + 1
+        )
+        adc = t if adc is None else adc + t
+    scored = enc.filter(F.col("vec_id") != probe_id).select(
+        "vec_id", adc.alias("adc_dist")
+    )
+    top = scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return top.select(
+        "vec_id",
+        "adc_dist",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -2512,3 +2512,43 @@ def test_pq_codebooks_are_deterministic_driver_state(spark):
     for book in b1:
         assert len(book) == 16
         assert all(len(c) == 16 for _, c in book)
+
+
+def test_pq_adc_matches_bruteforce_table_sum(spark):
+    """Each returned ADC distance equals the Python-side sum of the
+    probe's subspace distance tables over that vector's codes, and the
+    list is the true bottom-k under (adc, vec_id)."""
+    import math
+
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_codebooks(emb, m=4, k=16)
+    got = sim.pq_adc_topk(emb, books, probe_id=0, k=10).collect()
+    rows = emb.collect()
+
+    def quant(v):
+        return [max(-127, min(127, math.floor(x * 127 + 0.5))) for x in v]
+
+    pq = quant(next(r.embedding for r in rows if r.vec_id == 0))
+    tables = []
+    for j, book in enumerate(books):
+        pj = pq[j * 16 : (j + 1) * 16]
+        tables.append(
+            {cid: sum((a - b) * (a - b) for a, b in zip(pj, c))
+             for cid, c in book}
+        )
+    adcs = {}
+    for r in rows:
+        if r.vec_id == 0:
+            continue
+        q = quant(r.embedding)
+        total = 0
+        for j, book in enumerate(books):
+            qj = q[j * 16 : (j + 1) * 16]
+            _, cid = min(
+                (sum((a - b) * (a - b) for a, b in zip(qj, c)), cid)
+                for cid, c in book
+            )
+            total += tables[j][cid]
+        adcs[r.vec_id] = total
+    want = sorted(adcs.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    assert [(r.vec_id, r.adc_dist) for r in sorted(got, key=lambda r: r.rank)] == want
