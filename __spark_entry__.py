@@ -1605,6 +1605,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ deployment gate (similarity.pq_recall): ADC top-10 vs the
+    exact int8-L2 top-10 for probe 0 — overlap count + recall, the
+    sibling of q_lsh_recall/q_ann_recall for the compressed index."""
+    return sim.pq_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        _pq_books_cached(spark, sf_dir, m=4, k=16),
+        probe_id=0,
+        k=10,
+    )
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend battery (timeseries.trend_robust): Mann–Kendall S
     (integer sign-sum over day pairs) + Theil–Sen slope (order-statistic
@@ -2985,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trend_robust": q_trend_robust,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
+        "q_pq_recall": q_pq_recall,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3179,7 +3192,7 @@ _ROUND6_WINDOW = [
     "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
     "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
-    "q_trend_robust", "q_pq_encode", "q_pq_adc_topk",
+    "q_trend_robust", "q_pq_encode", "q_pq_adc_topk", "q_pq_recall",
 ]
 
 
@@ -5296,6 +5309,7 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_pq_encode"] = sim.duck_pq_sql(m=4, k=16)
     out["q_pq_adc_topk"] = sim.duck_pq_adc_sql(m=4, k=16, probe_id=0, topk=10)
+    out["q_pq_recall"] = sim.duck_pq_recall_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_trend_robust"] = """
         WITH ev AS (
             SELECT event_type,

@@ -1323,3 +1323,79 @@ def pq_adc_topk(
         "adc_dist",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    probe_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Recall audit of ADC search against the EXACT int8-L2 top-k for
+    the same probe — the deployment gate for a chosen (m, k) codebook
+    size, sibling of ``lsh_recall`` / the IVF recall audit: how much of
+    the true neighborhood does the compressed index keep?
+
+    One row: (probe_id, k, n_hits, recall). Both legs are exact bigint
+    distance rankings with vec_id ties, so the overlap count is
+    deterministic; recall is the single rational n_hits/k.
+    """
+    adc = pq_adc_topk(embeddings, books, probe_id, k).select("vec_id")
+    probe = (
+        _quantized(embeddings).filter(F.col("vec_id") == probe_id).collect()
+    )
+    pq = [int(v) for v in probe[0].q]
+    plit = F.lit(pq).cast("array<bigint>")
+    exact = (
+        _quantized(embeddings)
+        .filter(F.col("vec_id") != probe_id)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q"), plit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id")
+    )
+    return adc.join(exact, "vec_id").agg(
+        F.lit(probe_id).alias("probe_id"),
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / F.lit(k), 6).alias("recall"),
+    )
+
+
+def duck_pq_recall_sql(
+    m: int = 4, k: int = 16, probe_id: int = 0, topk: int = 10
+) -> str:
+    """Oracle twin of :func:`pq_recall`: the ADC list (shared chain) vs
+    the exact int8-L2 bottom-k, overlap counted."""
+    km_q = (
+        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
+        " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
+    )
+    return f"""
+        WITH adc AS ({duck_pq_adc_sql(m, k, probe_id, topk)}),
+        eq AS (SELECT vec_id, {km_q} AS q FROM embeddings),
+        ep AS (SELECT q FROM eq WHERE vec_id = {probe_id}),
+        ex AS (
+            SELECT vec_id FROM (
+                SELECT eq.vec_id,
+                       row_number() OVER (ORDER BY
+                           list_sum(list_transform(generate_series(1, 64),
+                               i -> (eq.q[i] - ep.q[i])
+                                    * (eq.q[i] - ep.q[i]))),
+                           eq.vec_id) AS rn
+                FROM eq CROSS JOIN ep
+                WHERE eq.vec_id <> {probe_id}
+            ) WHERE rn <= {topk}
+        )
+        SELECT {probe_id} AS probe_id, {topk} AS k,
+               count(*)::BIGINT AS n_hits,
+               round(count(*) / {topk}, 6) AS recall
+        FROM adc JOIN ex USING (vec_id)
+    """

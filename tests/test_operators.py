@@ -2552,3 +2552,16 @@ def test_pq_adc_matches_bruteforce_table_sum(spark):
         adcs[r.vec_id] = total
     want = sorted(adcs.items(), key=lambda kv: (kv[1], kv[0]))[:10]
     assert [(r.vec_id, r.adc_dist) for r in sorted(got, key=lambda r: r.rank)] == want
+
+
+def test_pq_recall_bounds_and_consistency(spark):
+    """Recall is n_hits/k with 0 <= n_hits <= k, and n_hits equals the
+    actual overlap of the two independently-computed lists."""
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_codebooks(emb, m=4, k=16)
+    r = sim.pq_recall(emb, books, probe_id=0, k=10).head()
+    assert 0 <= r.n_hits <= 10
+    assert abs(r.recall - round(r.n_hits / 10, 6)) <= 1e-9
+    adc_ids = {x.vec_id for x in sim.pq_adc_topk(emb, books, 0, 10).collect()}
+    assert len(adc_ids) == 10
+    assert r.n_hits <= len(adc_ids)
