@@ -383,8 +383,9 @@ def ab_ztest(events: DataFrame) -> DataFrame:
 
     One pass: values enter as exact cents (round(value·100) as bigint),
     so per-type (n, Σx, Σx²) aggregate exactly; the complement's moments
-    are global-minus-group integer subtractions off ONE broadcast scalar
-    row — no second corpus scan, no self-join. The only doubles are the
+    are global-minus-group integer subtractions, with the global sums
+    attached as unbounded windows over the per-type aggregate — no
+    second corpus scan, no self-join. The only doubles are the
     final means/variances/z closed forms, each rounded once.
 
     z = (m̄₁ − m̄₂) / √(s₁²/n₁ + s₂²/n₂)  (Welch, sample variances).
