@@ -1617,6 +1617,19 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC end to end (similarity.ivfpq_topk): probe 0 visits its 2
+    closest seed cells and ranks candidates by the m-lookup asymmetric
+    distance — the composed production ANN stack (cell restriction ×
+    PQ compression), exact integers throughout."""
+    return sim.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _pq_books_cached(spark, sf_dir, m=4, k=16),
+        probe_id=0,
+        k=10,
+    )
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend battery (timeseries.trend_robust): Mann–Kendall S
     (integer sign-sum over day pairs) + Theil–Sen slope (order-statistic
@@ -2998,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
+        "q_ivfpq_topk": q_ivfpq_topk,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3193,6 +3207,7 @@ _ROUND6_WINDOW = [
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
     "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
     "q_trend_robust", "q_pq_encode", "q_pq_adc_topk", "q_pq_recall",
+    "q_ivfpq_topk",
 ]
 
 
@@ -5310,6 +5325,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_pq_encode"] = sim.duck_pq_sql(m=4, k=16)
     out["q_pq_adc_topk"] = sim.duck_pq_adc_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_pq_recall"] = sim.duck_pq_recall_sql(m=4, k=16, probe_id=0, topk=10)
+    out["q_ivfpq_topk"] = sim.duck_ivfpq_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_trend_robust"] = """
         WITH ev AS (
             SELECT event_type,

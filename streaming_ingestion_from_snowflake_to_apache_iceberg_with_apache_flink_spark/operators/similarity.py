@@ -1290,29 +1290,13 @@ def pq_adc_topk(
     ``orderBy().limit(k)`` (TakeOrderedAndProject), ranked after the
     limit.
     """
-    m = len(books)
-    sub = 64 // m
     probe = (
         _quantized(embeddings).filter(F.col("vec_id") == probe_id).collect()
     )
     if not probe:
         raise ValueError(f"probe vec_id {probe_id} not found")
-    pq = [int(v) for v in probe[0].q]
     enc = pq_encode(embeddings, books)
-    adc = None
-    for j, book in enumerate(books):
-        cids = [cid for cid, _ in sorted(book)]
-        if cids != list(range(len(book))):
-            raise ValueError(f"subspace {j}: non-contiguous code ids {cids}")
-        pj = pq[j * sub : (j + 1) * sub]
-        table = [
-            sum((a - b) * (a - b) for a, b in zip(pj, c))
-            for _, c in sorted(book)
-        ]
-        t = F.element_at(
-            F.lit(table).cast("array<bigint>"), F.col(f"code_{j}") + 1
-        )
-        adc = t if adc is None else adc + t
+    adc = _adc_tables(books, [int(v) for v in probe[0].q])
     scored = enc.filter(F.col("vec_id") != probe_id).select(
         "vec_id", adc.alias("adc_dist")
     )
@@ -1399,3 +1383,175 @@ def duck_pq_recall_sql(
                round(count(*) / {topk}, 6) AS recall
         FROM adc JOIN ex USING (vec_id)
     """
+
+
+def _adc_tables(
+    books: list[list[tuple[int, list[int]]]], probe_q: list[int]
+) -> "Column":
+    """The ADC scoring expression over a PQ-encoded relation: per
+    subspace the probe's k-entry distance table as an array literal,
+    indexed by that row's ``code_j`` column; the sum is the asymmetric
+    distance (exact bigints throughout)."""
+    m = len(books)
+    sub = 64 // m
+    adc = None
+    for j, book in enumerate(books):
+        cids = [cid for cid, _ in sorted(book)]
+        if cids != list(range(len(book))):
+            raise ValueError(f"subspace {j}: non-contiguous code ids {cids}")
+        pj = probe_q[j * sub : (j + 1) * sub]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(pj, c))
+            for _, c in sorted(book)
+        ]
+        t = F.element_at(
+            F.lit(table).cast("array<bigint>"), F.col(f"code_{j}") + 1
+        )
+        adc = t if adc is None else adc + t
+    return adc
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[int]]]],
+    probe_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """The production ANN stack end to end — IVF cell restriction +
+    PQ/ADC scoring (Jégou 2011's IVFADC): the probe visits only its
+    ``n_probe_cells`` closest inverted lists, and candidates inside
+    them are ranked by the m-lookup asymmetric distance, never by
+    reading float vectors.
+
+    Composition of the audited pieces: cell assignment is
+    ``ivf_topk_cosine``'s deterministic seed-centroid argmax (broadcast
+    seeds, corpus never shuffled), scoring is ``pq_adc_topk``'s table
+    lookups over the one-pass PQ encoding. At 100 TB the scan cost per
+    query is |corpus|·n_probe_cells/n_cells rows × m small ints.
+    Output: (vec_id, cell, adc_dist, rank) — exact integers, ties on
+    vec_id.
+    """
+    e = spread(embeddings).select(
+        "vec_id",
+        to_double("embedding").alias("e"),
+        norm(to_double("embedding")).alias("n"),
+    ).persist()
+    seeds = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("e").alias("se"),
+        F.col("n").alias("sn"),
+    )
+    scored = e.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        _sim_prenorm(F.col("e"), F.col("se"), F.col("n"), F.col("sn")).alias(
+            "csim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("seed_id").asc()
+    )
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", F.col("seed_id").alias("cell")
+    )
+    probe_cells = ranked.filter(
+        (F.col("vec_id") == probe_id) & (F.col("crn") <= n_probe_cells)
+    ).select(F.col("seed_id").alias("cell"))
+    probe = (
+        _quantized(embeddings).filter(F.col("vec_id") == probe_id).collect()
+    )
+    if not probe:
+        raise ValueError(f"probe vec_id {probe_id} not found")
+    adc = _adc_tables(books, [int(v) for v in probe[0].q])
+    cands = (
+        pq_encode(embeddings, books)
+        .join(assign, "vec_id")
+        .join(F.broadcast(probe_cells), "cell", "left_semi")
+        .filter(F.col("vec_id") != probe_id)
+        .select("vec_id", "cell", adc.alias("adc_dist"))
+    )
+    top = cands.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(k)
+    wr = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return top.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        "adc_dist",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )
+
+
+def duck_ivfpq_sql(
+    m: int = 4,
+    k: int = 16,
+    probe_id: int = 0,
+    topk: int = 10,
+    n_cells: int = 16,
+    n_probe_cells: int = 2,
+) -> str:
+    """Oracle twin of :func:`ivfpq_topk`: IVF seed-cosine assignment CTE
+    (same shape as the q_similarity_ivf oracle) + the shared PQ chain +
+    probe distance tables, joined and bottom-k ranked."""
+    sub = 64 // m
+    chain = [_duck_pq_chain(m, k)]
+    chain.append(
+        f""", ec AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), seeds AS (
+            SELECT vec_id AS seed_id, emb AS se FROM ec
+            WHERE vec_id < {n_cells}
+        ), cscore AS (
+            SELECT ec.vec_id, seed_id,
+                   round({_ivf_cos()}, 4) AS csim
+            FROM ec CROSS JOIN seeds
+        ), cranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, seed_id) AS crn
+            FROM cscore
+        ), assign AS (
+            SELECT vec_id, seed_id AS cell FROM cranked WHERE crn = 1
+        ), pcells AS (
+            SELECT seed_id AS cell FROM cranked
+            WHERE vec_id = {probe_id} AND crn <= {n_probe_cells}
+        ), probe AS (SELECT fq FROM full_q WHERE vec_id = {probe_id})"""
+    )
+    for j in range(m):
+        lo = j * sub
+        pdist = (
+            f"list_sum(list_transform(generate_series(1, {sub}),"
+            f" i -> (p.fq[{lo} + i] - c.c[i]) * (p.fq[{lo} + i] - c.c[i])))"
+        )
+        chain.append(
+            f""", pd_{j} AS (
+            SELECT c.cid, {pdist} AS d FROM c1_{j} c CROSS JOIN probe p
+        )"""
+        )
+    adc = " + ".join(f"pd_{j}.d" for j in range(m))
+    pd_joins = " ".join(
+        f"JOIN pd_{j} ON pd_{j}.cid = a2_{j}.cid" for j in range(m)
+    )
+    a2_joins = " ".join(f"JOIN a2_{j} USING (vec_id)" for j in range(1, m))
+    return "".join(chain) + f"""
+        , cand AS (
+            SELECT a2_0.vec_id, assign.cell, ({adc})::BIGINT AS adc_dist
+            FROM a2_0 {a2_joins} {pd_joins}
+            JOIN assign ON assign.vec_id = a2_0.vec_id
+            WHERE assign.cell IN (SELECT cell FROM pcells)
+              AND a2_0.vec_id <> {probe_id}
+        )
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY adc_dist, vec_id) AS INT) AS rank
+            FROM cand
+        ) WHERE rank <= {topk}
+    """
+
+
+def _ivf_cos() -> str:
+    """Cosine between ``ec.emb`` and ``seeds.se`` in the IVF oracle CTEs
+    — same fold shape as functions.vectors.duck_cosine at dim 64."""
+    from ..functions.vectors import duck_cosine
+
+    return duck_cosine("ec.emb", "se", 64)

