@@ -1329,3 +1329,36 @@ def test_rank_fusion_take_ordered(spark):
     b = spark.createDataFrame([(2, 1), (3, 2)], "id bigint, rank int")
     plan = formatted_plan(rank_fusion(a, b))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_encode_single_pass(spark):
+    """PQ encoding is one map-only pass: the embeddings scan appears
+    once and there is no aggregate exchange (codebooks are literals)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_codebooks(emb, m=4, k=16)
+    plan = formatted_plan(pq_encode(emb, books))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "windowspecdefinition" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_ivfpq_semi_join_and_broadcast(spark):
+    """The cell restriction is a LEFT SEMI against the broadcast probe
+    cells; candidate scoring shuffles nothing corpus-sized (the only
+    joins are on vec_id/cell keys)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_codebooks(emb, m=4, k=16)
+    plan = formatted_plan(ivfpq_topk(emb, books, probe_id=0, k=10))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
