@@ -1630,6 +1630,18 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix
+    (sessions.markov_transitions): exact pair counts from one
+    user-partitioned lead + P(next|current) over the |types|² matrix —
+    the clickstream flow-diagram kernel."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        markov_transitions,
+    )
+
+    return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend battery (timeseries.trend_robust): Mann–Kendall S
     (integer sign-sum over day pairs) + Theil–Sen slope (order-statistic
@@ -3012,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
         "q_ivfpq_topk": q_ivfpq_topk,
+        "q_markov_transitions": q_markov_transitions,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3207,7 +3220,7 @@ _ROUND6_WINDOW = [
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
     "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
     "q_trend_robust", "q_pq_encode", "q_pq_adc_topk", "q_pq_recall",
-    "q_ivfpq_topk",
+    "q_ivfpq_topk", "q_markov_transitions",
 ]
 
 
@@ -5326,6 +5339,21 @@ def _extension_oracles() -> dict[str, str]:
     out["q_pq_adc_topk"] = sim.duck_pq_adc_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_pq_recall"] = sim.duck_pq_recall_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_ivfpq_topk"] = sim.duck_ivfpq_sql(m=4, k=16, probe_id=0, topk=10)
+    out["q_markov_transitions"] = """
+        WITH s AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS dst
+            FROM events
+        ), c AS (
+            SELECT src, dst, count(*) AS n
+            FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               sum(n) OVER (PARTITION BY src)::BIGINT AS src_total,
+               round(n / sum(n) OVER (PARTITION BY src), 6) AS p
+        FROM c
+    """
     out["q_trend_robust"] = """
         WITH ev AS (
             SELECT event_type,

@@ -251,3 +251,45 @@ def cep_patterns(events: DataFrame) -> DataFrame:
         F.regexp_count("seq", F.lit("pe")).alias("n_err_after_buy"),
         runs.cast("int").alias("longest_click_run"),
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type transition matrix over user timelines:
+    P(next = b | current = a) — the Sankey/flow-diagram staple product
+    analytics builds from every clickstream, complementing
+    ``event_paths`` (which enumerates top SEQUENCES; this normalizes
+    one-step dynamics).
+
+    Exactness: transition counts are exact integers; each probability
+    is one division of the pair count by its row's windowed source
+    total, rounded once.
+
+    Scale shape: ONE lead per user timeline (the same user-partitioned
+    sort ``event_paths`` shares — partitioned by user, so parallel
+    across users at any scale), then a partial-agg groupBy to the
+    |types|² pair table; the per-source totals ride as a window over
+    that tiny matrix, same plan branch.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("src"),
+        )
+        .select("src", F.lead("src").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.sum("n").over(wt).cast("bigint").alias("src_total"),
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )

@@ -2588,3 +2588,32 @@ def test_ivfpq_is_cell_restricted_adc(spark):
     # bottom-k property within the returned set
     dists = [r.adc_dist for r in got]
     assert dists == sorted(dists)
+
+
+def test_markov_transitions_row_stochastic(spark):
+    """Per-source probabilities sum to 1 (row-stochastic matrix) and the
+    pair counts tally with a direct per-user walk."""
+    from collections import Counter, defaultdict
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        markov_transitions,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = markov_transitions(ev).collect()
+    by_src = defaultdict(float)
+    for r in rows:
+        by_src[r.src] += r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
+    timeline = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    per_user = defaultdict(list)
+    for r in timeline:
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    got = {(r.src, r.dst): r.n for r in rows}
+    assert got == dict(want)
