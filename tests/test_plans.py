@@ -1261,6 +1261,9 @@ def test_xcorr_lag_hash_join_on_day_key(spark):
     plan = formatted_plan(xcorr_lag(load_table(spark, SF, "events")))
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "windowspecdefinition" not in plan
+    # both join sides read the PINNED day table, not a re-run of the
+    # corpus agg subtree
+    assert "InMemoryTableScan" in plan
 
 
 def test_ab_ztest_single_corpus_scan(spark):
