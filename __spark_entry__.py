@@ -1072,6 +1072,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_recall(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall audit
+    (similarity.matryoshka_recall): recall@10 of 16-dim-prefix cosine
+    search against the full 64-dim exact ranking — one corpus scan
+    computes both similarities, the intersection is one conditional
+    aggregation over the doubly-ranked pairs."""
+    return sim.matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=10, prefix_dim=16
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction with per-kind match counts (text.redact_pii) over
     deterministically seeded contact strings."""
@@ -1652,6 +1663,18 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return trend_robust(load_table(spark, sf_dir, "events"))
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection (timeseries.changepoint_daily):
+    binary segmentation's first split per event type — the day boundary
+    maximizing S1²/n1 + S2²/n2 − S²/n over exact integer prefix sums,
+    with segment means either side of the located regime change."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        changepoint_daily,
+    )
+
+    return changepoint_daily(load_table(spark, sf_dir, "events"))
 
 
 def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2424,6 +2447,35 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel (quality.filter_funnel): the Gopher-style
+    rule cascade with per-stage survival accounting — one scan computes
+    every cumulative-conjunction counter, the stage unpivot runs on the
+    resulting scalar row."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        filter_funnel,
+    )
+
+    return filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-graph referential-integrity profile
+    (quality.referential_audit): per FK edge of the star schema, orphan
+    and coverage counters computed on key-dimension-sized relations —
+    one key-only partial-agg shuffle per edge, nothing row-sized crosses
+    a stage boundary."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        FK_EDGES,
+        referential_audit,
+    )
+
+    names = {t for child, _, parent, _ in FK_EDGES for t in (child, parent)}
+    return referential_audit(
+        {t: load_table(spark, sf_dir, t) for t in sorted(names)}
+    )
+
+
 def q_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via SQL LATERAL (operators/udtfs.TokenRunLength):
     per-doc token run-length encoding — variable-fanout imperative
@@ -3020,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_eval": q_knn_eval,
         "q_rank_fusion": q_rank_fusion,
         "q_trend_robust": q_trend_robust,
+        "q_changepoint": q_changepoint,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3028,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
+        "q_matryoshka_recall": q_matryoshka_recall,
         "q_pii_redact": q_pii_redact,
         "q_bigram_lm": q_bigram_lm,
         "q_quantile_buckets": q_quantile_buckets,
@@ -3177,6 +3231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf_runs": q_udtf_runs,
         "q_hist_quantiles": q_hist_quantiles,
         "q_dq_checks": q_dq_checks,
+        "q_filter_funnel": q_filter_funnel,
+        "q_referential_audit": q_referential_audit,
         "q_k_anonymity": q_k_anonymity,
         "q_stream_static": q_stream_static,
         "q_cep_patterns": q_cep_patterns,
@@ -3220,7 +3276,8 @@ _ROUND6_WINDOW = [
     "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
     "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
     "q_trend_robust", "q_pq_encode", "q_pq_adc_topk", "q_pq_recall",
-    "q_ivfpq_topk", "q_markov_transitions",
+    "q_ivfpq_topk", "q_markov_transitions", "q_changepoint",
+    "q_filter_funnel", "q_referential_audit", "q_matryoshka_recall",
 ]
 
 
@@ -4753,6 +4810,33 @@ def _extension_oracles() -> dict[str, str]:
                round(coalesce(f.n_found, 0) / b.n_true, 4) AS recall
         FROM base b LEFT JOIN found f USING (probe_id)
     """
+    out["q_matryoshka_recall"] = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   round({duck_cosine('p.pe', 'c.ce', 64)}, 4) AS sim_full,
+                   round({duck_cosine('p.pe', 'c.ce', 16)}, 4) AS sim_prefix
+            FROM (SELECT vec_id, emb AS pe FROM e WHERE vec_id < 10) p
+            JOIN (SELECT vec_id, emb AS ce FROM e) c
+              ON c.vec_id <> p.vec_id
+        ), ranked AS (
+            SELECT probe_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY sim_full DESC, neighbor_id) AS rf,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY sim_prefix DESC, neighbor_id) AS rp
+            FROM scored
+        )
+        SELECT probe_id, CAST(16 AS INT) AS prefix_dim,
+               sum(CASE WHEN rf <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_true,
+               sum(CASE WHEN rf <= 10 AND rp <= 10
+                        THEN 1 ELSE 0 END)::BIGINT AS n_found,
+               round(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END)
+                     / sum(CASE WHEN rf <= 10 THEN 1 ELSE 0 END), 4)
+                   AS recall
+        FROM ranked GROUP BY probe_id
+    """
     seeded = (
         "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
         " '@mail.example or +1-555-',"
@@ -5381,6 +5465,38 @@ def _extension_oracles() -> dict[str, str]:
         SELECT event_type, n_days, n_pairs, s_stat,
                round(slope, 6) AS sen_slope
         FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """
+    out["q_changepoint"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), pref AS (
+            SELECT event_type, day,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS n1,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY day
+                       )::DOUBLE AS s1,
+                   count(*) OVER (PARTITION BY event_type) AS n_days,
+                   sum(c) OVER (PARTITION BY event_type)::DOUBLE AS s
+            FROM daily
+        ), cand AS (
+            SELECT event_type, day, n_days, n1, s1,
+                   n_days - n1 AS n2, s - s1 AS s2,
+                   s1 * s1 / n1 + (s - s1) * (s - s1) / (n_days - n1)
+                       - s * s / n_days AS gain
+            FROM pref WHERE n1 < n_days
+        ), best AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY gain DESC, day) AS rn
+            FROM cand
+        )
+        SELECT event_type, n_days::BIGINT AS n_days, day AS split_day,
+               round(s1 / n1, 4) AS mean_before,
+               round(s2 / n2, 4) AS mean_after,
+               round(gain, 4) AS gain
+        FROM best WHERE rn = 1
     """
     out["q_knn_eval"] = f"""
         WITH e AS (
@@ -6100,6 +6216,8 @@ def _extension_oracles() -> dict[str, str]:
     """
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
         DUCK_DQ_SQL,
+        duck_filter_funnel_sql,
+        duck_referential_audit_sql,
     )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
         duck_histogram_quantiles_sql,
@@ -6192,6 +6310,8 @@ def _extension_oracles() -> dict[str, str]:
         GROUP BY 1, 2
     """
     out["q_dq_checks"] = DUCK_DQ_SQL
+    out["q_filter_funnel"] = duck_filter_funnel_sql()
+    out["q_referential_audit"] = duck_referential_audit_sql()
     out["q_k_anonymity"] = """
         WITH g AS (
             SELECT event_type,

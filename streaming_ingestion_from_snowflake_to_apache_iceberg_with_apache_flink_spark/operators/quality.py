@@ -164,3 +164,238 @@ def k_anonymity_audit(events: DataFrame, k: int = 5) -> DataFrame:
             ).alias("suppression_rate"),
         )
     )
+
+
+#: ordered (rule_name, spark_predicate_sql, duck_predicate_sql) stages of
+#: the document-quality cascade — Gopher-rule-shaped bounds re-expressed
+#: over the fixture corpus. Spark/Duck twins differ only where the engines'
+#: regex dialects do (DuckDB needs the explicit 'g' flag).
+FUNNEL_STAGES: tuple[tuple[str, str, str], ...] = (
+    ("chars_in_50_20000", "n_chars BETWEEN 50 AND 20000", None),
+    (
+        "words_ge_10",
+        "size(filter(split(text, ' '), x -> x != '')) >= 10",
+        "len(list_filter(string_split(text, ' '), x -> x != '')) >= 10",
+    ),
+    (
+        "mean_word_len_in_2_12",
+        "length(replace(text, ' ', ''))"
+        " / size(filter(split(text, ' '), x -> x != '')) BETWEEN 2 AND 12",
+        "length(replace(text, ' ', ''))"
+        " / len(list_filter(string_split(text, ' '), x -> x != ''))"
+        " BETWEEN 2 AND 12",
+    ),
+    (
+        "alpha_ratio_ge_06",
+        "length(regexp_replace(text, '[^A-Za-z]', '')) / n_chars >= 0.6",
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars"
+        " >= 0.6",
+    ),
+    (
+        "has_stopword",
+        "lower(text) LIKE '% the %' OR lower(text) LIKE '% and %'"
+        " OR lower(text) LIKE '% of %'",
+        None,
+    ),
+)
+
+
+def filter_funnel(documents: DataFrame) -> DataFrame:
+    """Quality-filter funnel over the document corpus — the Gopher-style
+    rule cascade (char bounds → word count → mean word length → alpha
+    ratio → stopword presence) with per-stage survival accounting: stage
+    i's entrants are stage i−1's survivors, so the output is the curve a
+    curation run publishes ("rule X removed Y% of what reached it").
+
+    One row per stage: (stage, rule, n_enter, n_pass, n_fail,
+    pass_rate). ``pass_rate`` is 1e-4-quantized; a stage with zero
+    entrants reports rate 0 rather than NULL.
+
+    Scale shape: ONE full scan computes every rule predicate and the
+    cumulative-conjunction counters as a partial-aggregable conditional
+    sum — a single map-side-combined aggregate to ONE driver row — then
+    the per-stage unpivot (``stack``) runs on that scalar row. No
+    shuffle carries row-level data; corpus size only widens the scan.
+    """
+    preds = [F.expr(spark_sql) for _, spark_sql, _ in FUNNEL_STAGES]
+    cum = []
+    acc = None
+    for p in preds:
+        acc = p if acc is None else (acc & p)
+        cum.append(acc)
+    agg = documents.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum(c.cast("int")).cast("bigint").alias(f"p{i + 1}")
+            for i, c in enumerate(cum)
+        ],
+    )
+    stage_rows = ", ".join(
+        f"{i + 1}, '{name}', {'n0' if i == 0 else f'p{i}'}, p{i + 1}"
+        for i, (name, _, _) in enumerate(FUNNEL_STAGES)
+    )
+    n = len(FUNNEL_STAGES)
+    staged = agg.select(
+        F.expr(
+            f"stack({n}, {stage_rows}) AS (stage, rule, n_enter, n_pass)"
+        )
+    )
+    return staged.select(
+        F.col("stage").cast("int").alias("stage"),
+        "rule",
+        F.col("n_enter").cast("bigint").alias("n_enter"),
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        (F.col("n_enter") - F.col("n_pass")).cast("bigint").alias("n_fail"),
+        F.when(F.col("n_enter") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_pass") / F.col("n_enter"), 4))
+        .alias("pass_rate"),
+    )
+
+
+def duck_filter_funnel_sql() -> str:
+    """DuckDB twin of ``filter_funnel`` — same cumulative-conjunction
+    counters, same stage unpivot."""
+    conds = []
+    acc_parts: list[str] = []
+    for name, spark_sql, duck_sql in FUNNEL_STAGES:
+        acc_parts.append(f"({duck_sql or spark_sql})")
+        conds.append(" AND ".join(acc_parts))
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT AS p{i + 1}"
+        for i, c in enumerate(conds)
+    )
+    stages = "\n            UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{name}' AS rule, "
+        f"{'n0' if i == 0 else f'p{i}'} AS n_enter, p{i + 1} AS n_pass "
+        "FROM agg"
+        for i, (name, _, _) in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+        WITH agg AS (
+            SELECT count(*)::BIGINT AS n0,
+               {sums}
+            FROM documents
+        ), staged AS (
+            {stages}
+        )
+        SELECT stage::INT AS stage, rule, n_enter, n_pass,
+               (n_enter - n_pass)::BIGINT AS n_fail,
+               CASE WHEN n_enter = 0 THEN 0.0
+                    ELSE round(n_pass / n_enter, 4) END AS pass_rate
+        FROM staged
+    """
+
+
+#: the fixture star schema's FK edges: (child, fk_col, parent, pk_col)
+FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Join-graph referential-integrity profile of the star schema — per
+    FK edge: child row volume, NULL-key rows, orphan rows (non-NULL keys
+    that resolve to no parent), parent key count, parent keys actually
+    referenced, and the referencing coverage ratio. The audit a pipeline
+    runs before trusting its join graph: orphans mean silent row loss in
+    every inner join downstream; low coverage means a dimension is
+    mostly dead weight.
+
+    Scale shape, per edge: the child collapses to (key, row_count) in ONE
+    key-only partial-agg shuffle; the parent to its distinct key set; the
+    FULL OUTER join then runs on key-dimension-sized relations (never
+    child-row-sized), and everything reduces to counters before leaving
+    the stage. No broadcast is forced — at 100 TB the orders/part parents
+    are not broadcastable and AQE picks the strategy per edge.
+    """
+    out = None
+    for child, fk, parent, pk in FK_EDGES:
+        ck = (
+            tables[child]
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pks = tables[parent].select(F.col(pk).alias("pk")).distinct()
+        j = ck.join(pks, F.col("k") == F.col("pk"), "full_outer")
+        child_row = F.col("cnt").isNotNull()
+        row = j.agg(
+            F.coalesce(F.sum(F.when(child_row, F.col("cnt"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_child_rows"),
+            F.coalesce(
+                F.sum(F.when(child_row & F.col("k").isNull(), F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_null_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        child_row
+                        & F.col("k").isNotNull()
+                        & F.col("pk").isNull(),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+            F.count("pk").cast("bigint").alias("n_parent_keys"),
+            F.sum((child_row & F.col("pk").isNotNull()).cast("int"))
+            .cast("bigint")
+            .alias("n_referenced_keys"),
+        ).select(
+            F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk"),
+            "*",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "fk",
+        "n_child_rows",
+        "n_null_rows",
+        "n_orphan_rows",
+        "n_parent_keys",
+        "n_referenced_keys",
+        F.when(F.col("n_parent_keys") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("n_referenced_keys") / F.col("n_parent_keys"), 4)
+        )
+        .alias("coverage"),
+    )
+
+
+def duck_referential_audit_sql() -> str:
+    """DuckDB twin of ``referential_audit`` — one CTE pair per FK edge,
+    same FULL OUTER reduction, UNION ALL over the edges."""
+    blocks = []
+    for child, fk, parent, pk in FK_EDGES:
+        blocks.append(f"""
+        SELECT '{child}.{fk}->{parent}.{pk}' AS fk,
+               coalesce(sum(cnt) FILTER (cnt IS NOT NULL), 0)::BIGINT
+                   AS n_child_rows,
+               coalesce(sum(cnt) FILTER (cnt IS NOT NULL AND k IS NULL),
+                        0)::BIGINT AS n_null_rows,
+               coalesce(sum(cnt) FILTER (cnt IS NOT NULL AND k IS NOT NULL
+                        AND pk IS NULL), 0)::BIGINT AS n_orphan_rows,
+               count(pk)::BIGINT AS n_parent_keys,
+               sum(CASE WHEN cnt IS NOT NULL AND pk IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_referenced_keys,
+               CASE WHEN count(pk) = 0 THEN 0.0
+                    ELSE round(sum(CASE WHEN cnt IS NOT NULL
+                                        AND pk IS NOT NULL
+                                        THEN 1 ELSE 0 END)
+                               / count(pk), 4) END AS coverage
+        FROM (
+            SELECT * FROM
+                (SELECT {fk} AS k, count(*) AS cnt FROM {child} GROUP BY 1)
+                FULL OUTER JOIN
+                (SELECT DISTINCT {pk} AS pk FROM {parent}) ON k = pk
+        )""")
+    return "\nUNION ALL".join(blocks)

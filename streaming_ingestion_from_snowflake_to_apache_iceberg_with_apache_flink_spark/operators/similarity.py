@@ -1555,3 +1555,87 @@ def _ivf_cos() -> str:
     from ..functions.vectors import duck_cosine
 
     return duck_cosine("ec.emb", "se", 64)
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    prefix_dim: int = 16,
+) -> DataFrame:
+    """Recall@k of PREFIX-dimension search against the full-dimension
+    exact ranking — the Matryoshka-representation audit: if the first
+    ``prefix_dim`` coordinates carry enough signal, a retrieval funnel
+    can scan the corpus at prefix width (4× less I/O and FLOPs at 16/64)
+    and rerank only survivors at full width. Per probe: the true top-k
+    (full cosine), the prefix top-k (cosine over ``slice(emb, 1, p)``),
+    and |intersection|/k.
+
+    One corpus scan computes BOTH similarities per (probe, candidate)
+    pair — the probe side is broadcast, so nothing shuffles until the
+    per-probe window ranks — and the intersection is ONE conditional
+    aggregation over the doubly-ranked pairs (count rf≤k vs rf≤k∧rp≤k):
+    no self-join, no second scan. Scale: identical shape to
+    ``topk_cosine_bruteforce`` plus one extra fold per pair.
+    """
+    probes = _with_norm(
+        embeddings.filter(F.col("vec_id").isin(probe_ids)), "probe_id", "pe"
+    ).select(
+        "probe_id",
+        "pe",
+        "pe_n",
+        norm(F.slice(F.col("pe"), 1, prefix_dim)).alias("pp_n"),
+    )
+    corpus = _with_norm(spread(embeddings), "neighbor_id", "ce").select(
+        "neighbor_id",
+        "ce",
+        "ce_n",
+        norm(F.slice(F.col("ce"), 1, prefix_dim)).alias("cp_n"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _sim_prenorm(
+                F.col("pe"), F.col("ce"), F.col("pe_n"), F.col("ce_n")
+            ).alias("sim_full"),
+            _sim_prenorm(
+                F.slice(F.col("pe"), 1, prefix_dim),
+                F.slice(F.col("ce"), 1, prefix_dim),
+                F.col("pp_n"),
+                F.col("cp_n"),
+            ).alias("sim_prefix"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_full").desc(), F.col("neighbor_id").asc()
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_prefix").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select(
+        "probe_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    in_full = F.col("rf") <= k
+    in_pref = F.col("rp") <= k
+    return (
+        ranked.groupBy("probe_id")
+        .agg(
+            F.sum(in_full.cast("int")).cast("bigint").alias("n_true"),
+            F.sum((in_full & in_pref).cast("int"))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .select(
+            "probe_id",
+            F.lit(prefix_dim).cast("int").alias("prefix_dim"),
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 4).alias("recall"),
+        )
+    )

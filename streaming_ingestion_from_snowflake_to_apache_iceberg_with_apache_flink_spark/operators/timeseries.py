@@ -539,3 +539,79 @@ def trend_robust(events: DataFrame) -> DataFrame:
         "s_stat",
         F.round("slope", 6).alias("sen_slope"),
     )
+
+
+def changepoint_daily(events: DataFrame) -> DataFrame:
+    """Single-changepoint detection per event type over the daily-count
+    series — binary segmentation's first split: the day boundary that
+    maximizes the between-segment variance reduction
+
+        gain(t) = S1²/n1 + S2²/n2 − S²/n
+
+    (equivalently: the split minimizing pooled SSE around the two segment
+    means — the CUSUM/level-shift detector a pipeline runs when
+    ``cusum_daily`` flags drift but the WHERE of the regime change is
+    needed). Emits, per type, the best split boundary (last day of the
+    left segment), the two segment means, and the gain.
+
+    Exactness: prefix sums S1/S2 are exact integers (bigint counts); the
+    gain is three IEEE divisions + two additions on integer-valued
+    doubles — bit-identical cross-engine — and the argmax tie-breaks on
+    the earliest day, so the selected row is deterministic even when two
+    splits tie exactly.
+
+    Scale shape: the corpus collapses to the (type × day) table in ONE
+    partial-agg shuffle; every window below is PARTITIONED by event_type
+    over that calendar-bounded series (≤ days rows per type, independent
+    of corpus size), so no global-window stage exists and types scan
+    their series in parallel.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pref = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("n1"),
+        F.sum("c").over(wo).cast("double").alias("s1"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        F.sum("c").over(wall).cast("double").alias("s"),
+    )
+    cand = pref.filter(F.col("n1") < F.col("n_days")).select(
+        "event_type",
+        "day",
+        "n_days",
+        "n1",
+        "s1",
+        (F.col("n_days") - F.col("n1")).alias("n2"),
+        (F.col("s") - F.col("s1")).alias("s2"),
+        (
+            F.col("s1") * F.col("s1") / F.col("n1")
+            + (F.col("s") - F.col("s1"))
+            * (F.col("s") - F.col("s1"))
+            / (F.col("n_days") - F.col("n1"))
+            - F.col("s") * F.col("s") / F.col("n_days")
+        ).alias("gain"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), F.col("day").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").alias("split_day"),
+            F.round(F.col("s1") / F.col("n1"), 4).alias("mean_before"),
+            F.round(F.col("s2") / F.col("n2"), 4).alias("mean_after"),
+            F.round("gain", 4).alias("gain"),
+        )
+    )

@@ -2322,6 +2322,9 @@ def test_rank_fusion_properties(spark):
         "knn_eval",
         "pack_bins_docs",
         "trend_robust",
+        "changepoint",
+        "filter_funnel",
+        "matryoshka_recall",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2339,6 +2342,10 @@ def test_partitioning_invariance(spark, opname):
         timeseries as tse,
     )
 
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        filter_funnel as _ff_builder,
+    )
+
     builders = {
         "xcorr_lag": lambda df: tse.xcorr_lag(df, max_lag=2),
         "ab_ztest": tse.ab_ztest,
@@ -2346,6 +2353,11 @@ def test_partitioning_invariance(spark, opname):
         "quality_calibration": tx.quality_calibration,
         "knn_eval": lambda df: sim.knn_eval(df, probe_mod=5, k=5),
         "trend_robust": tse.trend_robust,
+        "changepoint": tse.changepoint_daily,
+        "filter_funnel": _ff_builder,
+        "matryoshka_recall": lambda df: sim.matryoshka_recall(
+            df, list(range(5)), k=10, prefix_dim=16
+        ),
         "pack_bins_docs": lambda df: smp.pack_bins(
             df.select("doc_id", F.col("n_chars").alias("n_tokens"))
         ),
@@ -2357,6 +2369,9 @@ def test_partitioning_invariance(spark, opname):
         "quality_calibration": "documents",
         "knn_eval": "embeddings",
         "trend_robust": "events",
+        "changepoint": "events",
+        "filter_funnel": "documents",
+        "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
     }[opname]
     base = load_table(spark, SF, table)
@@ -2617,3 +2632,105 @@ def test_markov_transitions_row_stochastic(spark):
             want[(a, b)] += 1
     got = {(r.src, r.dst): r.n for r in rows}
     assert got == dict(want)
+
+
+def test_changepoint_matches_python_reference(spark):
+    """The located split and gain agree with a direct Python scan over
+    the collected per-type daily series (exact prefix-sum arithmetic on
+    both sides)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.event_type: r for r in tse.changepoint_daily(ev).collect()}
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr(
+                "cast(floor(unix_micros(ts) / 86400000000) as bigint)"
+            ).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.c))
+    for etype, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        s = float(sum(c for _, c in pts))
+        best = None
+        s1 = 0.0
+        for i, (day, c) in enumerate(pts[:-1], start=1):
+            s1 += c
+            gain = s1 * s1 / i + (s - s1) * (s - s1) / (n - i) - s * s / n
+            if best is None or gain > best[0]:
+                best = (gain, day, i, s1)
+        r = got[etype]
+        assert r.split_day == best[1], (etype, r, best)
+        assert abs(r.gain - round(best[0], 4)) < 1e-9
+        assert abs(r.mean_before - round(best[3] / best[2], 4)) < 1e-9
+
+
+def test_filter_funnel_is_a_funnel(spark):
+    """Stage chaining: stage 1 enters the whole corpus, stage i's
+    entrants are stage i−1's survivors, passes never exceed entrants,
+    and the declared stage order is preserved."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        FUNNEL_STAGES,
+        filter_funnel,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    rows = sorted(filter_funnel(docs).collect(), key=lambda r: r.stage)
+    assert [r.rule for r in rows] == [n for n, _, _ in FUNNEL_STAGES]
+    assert rows[0].n_enter == docs.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_enter == prev.n_pass
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_enter
+        assert r.n_fail == r.n_enter - r.n_pass
+
+
+def test_referential_audit_counts_injected_orphans(spark):
+    """The fixture star schema is orphan-free; removing half the
+    customers makes exactly the orders pointing at them orphans, and
+    coverage/parent counters track the shrunken dimension."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        FK_EDGES,
+        referential_audit,
+    )
+
+    names = {t for c, _, p, _ in FK_EDGES for t in (c, p)}
+    tables = {t: load_table(spark, SF, t) for t in names}
+    clean = referential_audit(tables).collect()
+    assert all(r.n_orphan_rows == 0 and r.n_null_rows == 0 for r in clean)
+    assert all(0 < r.coverage <= 1.0 for r in clean)
+
+    half = tables["customer"].filter(F.col("c_custkey") % 2 == 0)
+    rows = {
+        r.fk: r
+        for r in referential_audit({**tables, "customer": half}).collect()
+    }
+    edge = rows["orders.o_custkey->customer.c_custkey"]
+    orders = tables["orders"]
+    want_orphans = orders.filter(F.col("o_custkey") % 2 == 1).count()
+    assert edge.n_orphan_rows == want_orphans
+    assert edge.n_parent_keys == half.count()
+    assert edge.n_child_rows == orders.count()
+
+
+def test_matryoshka_recall_full_prefix_is_exact(spark):
+    """prefix_dim == the full width makes both rankings identical, so
+    recall is exactly 1.0 for every probe; at 16 dims recall stays in
+    [0, 1] and n_true == k."""
+    emb = load_table(spark, SF, "embeddings")
+    full = sim.matryoshka_recall(emb, list(range(5)), k=10, prefix_dim=64)
+    assert all(r.recall == 1.0 for r in full.collect())
+    part = sim.matryoshka_recall(emb, list(range(5)), k=10, prefix_dim=16)
+    for r in part.collect():
+        assert r.n_true == 10
+        assert 0.0 <= r.recall <= 1.0
+        assert r.prefix_dim == 16

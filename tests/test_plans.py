@@ -1365,3 +1365,77 @@ def test_ivfpq_semi_join_and_broadcast(spark):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_changepoint_windows_partitioned_by_type(spark):
+    """Every window in the changepoint plan is PARTITIONED by event_type
+    (the calendar-bounded per-type series) — no corpus-wide
+    single-partition WindowExec, no cross product."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        changepoint_daily,
+    )
+
+    df = changepoint_daily(load_table(spark, SF, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "expected window specs in the changepoint plan"
+    for s in specs:
+        assert s.startswith("event_type"), f"unpartitioned window: {s[:80]}"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_filter_funnel_single_scan_no_window(spark):
+    """The funnel is ONE corpus scan reduced to a scalar row by a
+    partial-aggregable conditional sum; the stage unpivot runs on that
+    row — no window, no join, no second scan."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        filter_funnel,
+    )
+
+    df = filter_funnel(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_referential_audit_no_window_no_cartesian(spark):
+    """Every FK edge reduces to key-dimension-sized relations before its
+    FULL OUTER equi-join — no window anywhere, no cross product, and no
+    forced broadcast (AQE owns the strategy per edge)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        FK_EDGES,
+        referential_audit,
+    )
+
+    names = {t for c, _, p, _ in FK_EDGES for t in (c, p)}
+    df = referential_audit({t: load_table(spark, SF, t) for t in names})
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_matryoshka_recall_broadcast_one_scan_partitioned_windows(spark):
+    """The probe side broadcasts into a single corpus scan that computes
+    BOTH similarity widths; each rank window is partitioned by probe_id;
+    the intersection is a conditional aggregation (no self-join, so the
+    corpus location appears once)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    df = matryoshka_recall(
+        load_table(spark, SF, "embeddings"), list(range(10)), k=10, prefix_dim=16
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs
+    for s in specs:
+        assert s.startswith("probe_id"), f"unpartitioned window: {s[:80]}"
+    # exactly two scans: the broadcast probe side (vec_id filter pushed
+    # to parquet) and ONE corpus scan — the dual-width audit must not add
+    # a third
+    fplan = formatted_plan(df)
+    assert fplan.count("Location: InMemoryFileIndex") == 2, fplan
