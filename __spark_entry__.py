@@ -716,6 +716,21 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab(load_table(spark, sf_dir, "documents"), k=100)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (text.zipf_fit): OLS of ln(freq) on ln(rank) over
+    the top-100 vocabulary — slope/intercept/R² from algebraic moments of
+    the k-row relation; the only corpus-sized work is vocab's one
+    explode+groupBy shuffle."""
+    return tx.zipf_fit(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram entropy + perplexity (text.lang_entropy):
+    H = ln(T) − (Σ c·ln c)/T over the (lang, token) counts — one explode
+    partial-agg shuffle, type-sized reductions."""
+    return tx.lang_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact group percentiles (relational.group_percentiles): interpolated
     p50/p95/p99, same (n-1)*q formula as DuckDB quantile_cont."""
@@ -3151,6 +3166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_interval_join": q_interval_join,
         "q_vocab_topk": q_vocab_topk,
+        "q_zipf_fit": q_zipf_fit,
+        "q_lang_entropy": q_lang_entropy,
         "q_percentiles": q_percentiles,
         "q_label_centroids": q_label_centroids,
         "q_grouping_sets": q_grouping_sets,
@@ -3278,6 +3295,7 @@ _ROUND6_WINDOW = [
     "q_trend_robust", "q_pq_encode", "q_pq_adc_topk", "q_pq_recall",
     "q_ivfpq_topk", "q_markov_transitions", "q_changepoint",
     "q_filter_funnel", "q_referential_audit", "q_matryoshka_recall",
+    "q_zipf_fit", "q_lang_entropy",
 ]
 
 
@@ -6311,6 +6329,8 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_dq_checks"] = DUCK_DQ_SQL
     out["q_filter_funnel"] = duck_filter_funnel_sql()
+    out["q_zipf_fit"] = tx.duck_zipf_fit_sql(k=100)
+    out["q_lang_entropy"] = tx.duck_lang_entropy_sql()
     out["q_referential_audit"] = duck_referential_audit_sql()
     out["q_k_anonymity"] = """
         WITH g AS (

@@ -10,7 +10,7 @@ generators (functions.hashing), so "heuristic" does not mean "unchecked".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -1020,3 +1020,141 @@ def quality_calibration(
             F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
         )
     )
+
+
+def zipf_fit(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS regression of
+    ln(freq) on ln(rank) over the top-``k`` terms — slope ≈ −1 is the
+    Zipf signature; a flatter slope flags boilerplate-heavy or
+    deduplicated-to-death corpora, a steeper one a vocabulary collapsed
+    onto few types. Emits one row: term count, fitted slope/intercept,
+    and R².
+
+    The OLS moments (Σx, Σy, Σxx, Σxy, Σyy) are algebraic aggregates of
+    the k-row vocabulary relation, so everything after the corpus-wide
+    token count (``vocab``'s one explode+groupBy shuffle with a
+    TakeOrderedAndProject head) is driver-trivial; the rank window runs
+    on the k-row result, never the corpus (the ``event_paths`` post-limit
+    idiom). Rounded where cross-partition FP accumulation order could
+    differ between engines.
+    """
+    v = vocab(documents, k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    xy = v.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    m = xy.agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+def duck_zipf_fit_sql(k: int = 100) -> str:
+    """DuckDB twin of ``zipf_fit`` — same top-k vocabulary, same OLS
+    moments and rounding."""
+    return f"""
+        WITH v AS (
+            SELECT token, count(*) AS freq FROM (
+                SELECT unnest({H.duck_tokens("lower(text)")}) AS token
+                FROM documents
+            ) WHERE token != ''
+            GROUP BY token ORDER BY freq DESC, token LIMIT {k}
+        ), xy AS (
+            SELECT ln((row_number() OVER (ORDER BY freq DESC, token)
+                       )::DOUBLE) AS x,
+                   ln(freq::DOUBLE) AS y
+            FROM v
+        ), m AS (
+            SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM xy
+        )
+        SELECT n::BIGINT AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM m
+    """
+
+
+def lang_entropy(documents: DataFrame) -> DataFrame:
+    """Per-language unigram token entropy and perplexity — the
+    vocabulary-diversity card a multilingual corpus publishes per
+    language: H = ln(T) − (Σ c·ln c)/T over the token distribution
+    (nats), perplexity = e^H (the effective vocabulary size a unigram LM
+    sees). A language whose perplexity collapses relative to its type
+    count is template/boilerplate-dominated.
+
+    Scale shape: ONE explode → (lang, token) partial-agg shuffle (type
+    cardinality crosses the wire, not token count); the per-language
+    reduction Σ c·ln c is algebraic over the type-sized relation, and the
+    language dimension is metadata-sized. Rounded where cross-partition
+    FP accumulation order could differ.
+    """
+    toks = F.expr(H.spark_tokens("lower(text)"))
+    counts = (
+        documents.select("lang", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_lang = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclnc"
+        ),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("sclnc") / F.col(
+        "n_tokens"
+    )
+    return per_lang.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.round(h, 4).alias("entropy_nats"),
+        F.round(F.exp(h), 2).alias("perplexity"),
+    )
+
+
+def duck_lang_entropy_sql() -> str:
+    """DuckDB twin of ``lang_entropy``."""
+    return f"""
+        WITH counts AS (
+            SELECT lang, token, count(*) AS c FROM (
+                SELECT lang, unnest({H.duck_tokens("lower(text)")}) AS token
+                FROM documents
+            ) WHERE token != ''
+            GROUP BY lang, token
+        ), per_lang AS (
+            SELECT lang, sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   sum(c::DOUBLE * ln(c::DOUBLE)) AS sclnc
+            FROM counts GROUP BY lang
+        )
+        SELECT lang, n_tokens, n_types,
+               round(ln(n_tokens::DOUBLE) - sclnc / n_tokens, 4)
+                   AS entropy_nats,
+               round(exp(ln(n_tokens::DOUBLE) - sclnc / n_tokens), 2)
+                   AS perplexity
+        FROM per_lang
+    """

@@ -2325,6 +2325,8 @@ def test_rank_fusion_properties(spark):
         "changepoint",
         "filter_funnel",
         "matryoshka_recall",
+        "zipf_fit",
+        "lang_entropy",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2354,6 +2356,8 @@ def test_partitioning_invariance(spark, opname):
         "knn_eval": lambda df: sim.knn_eval(df, probe_mod=5, k=5),
         "trend_robust": tse.trend_robust,
         "changepoint": tse.changepoint_daily,
+        "zipf_fit": lambda df: tx.zipf_fit(df, k=50),
+        "lang_entropy": tx.lang_entropy,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2370,6 +2374,8 @@ def test_partitioning_invariance(spark, opname):
         "knn_eval": "embeddings",
         "trend_robust": "events",
         "changepoint": "events",
+        "zipf_fit": "documents",
+        "lang_entropy": "documents",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -2734,3 +2740,34 @@ def test_matryoshka_recall_full_prefix_is_exact(spark):
         assert r.n_true == 10
         assert 0.0 <= r.recall <= 1.0
         assert r.prefix_dim == 16
+
+
+def test_zipf_fit_is_zipfian_on_fixture(spark):
+    """The fixture vocabulary is frequency-skewed: fitted slope is
+    negative, R² lies in [0, 1], and n_terms == k when the vocabulary is
+    large enough."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    n_vocab = tx.vocab(docs, k=50).count()
+    r = tx.zipf_fit(docs, k=50).collect()[0]
+    assert r.n_terms == n_vocab  # fixture vocab is smaller than k
+    assert r.slope < 0
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_lang_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(n_types) (uniform-distribution bound) and
+    1 ≤ perplexity ≤ n_types for every language."""
+    import math
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    for r in tx.lang_entropy(load_table(spark, SF, "documents")).collect():
+        assert 0.0 <= r.entropy_nats <= math.log(r.n_types) + 1e-9, r
+        assert 1.0 <= r.perplexity <= r.n_types + 1e-6, r
+        assert r.n_types <= r.n_tokens

@@ -1439,3 +1439,34 @@ def test_matryoshka_recall_broadcast_one_scan_partitioned_windows(spark):
     # a third
     fplan = formatted_plan(df)
     assert fplan.count("Location: InMemoryFileIndex") == 2, fplan
+
+
+def test_zipf_fit_takeordered_no_corpus_window(spark):
+    """The vocabulary head is TakeOrderedAndProject (per-partition top-k,
+    driver merge); the rank window runs on the k-row result, so the plan
+    has exactly one corpus scan and no cartesian."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        zipf_fit,
+    )
+
+    df = zipf_fit(load_table(spark, SF, "documents"), k=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    fplan = formatted_plan(df)
+    assert fplan.count("Location: InMemoryFileIndex") == 1, fplan
+
+
+def test_lang_entropy_pure_aggregation(spark):
+    """Entropy is algebraic aggregation over the (lang, token) counts —
+    no window, no join, no cross product; one corpus scan."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        lang_entropy,
+    )
+
+    df = lang_entropy(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
