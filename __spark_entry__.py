@@ -799,6 +799,18 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_avg(load_table(spark, sf_dir, "events"))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token sketch (sketch.hll_distinct_tokens):
+    256 registers, harmonic-mean estimator + linear-counting small-range
+    correction, audited against the exact distinct count — the mergeable
+    fixed-memory cardinality sketch of the 100 TB path."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        hll_distinct_tokens,
+    )
+
+    return hll_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-token sketch (operators.sketch): deterministic
     approximate count-distinct with an exact oracle — estimate and exact
@@ -1656,6 +1668,18 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (sessions.attribution):
+    last-touch and linear credit of purchase conversions to the user's
+    in-lookback click/view touches — one user-keyed equi-join, per-
+    conversion partitioned windows, integer micro-credit sums."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        attribution,
+    )
+
+    return attribution(load_table(spark, sf_dir, "events"))
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix
     (sessions.markov_transitions): exact pair counts from one
@@ -1867,6 +1891,23 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # load_table pins the session confs (nanosAsLong, UTC) the stream needs
     load_table(spark, sf_dir, "events")
     return stream_tumbling_counts(
+        spark, sf_dir, "events.parquet",
+        state_partitions=_state_parts(spark, sf_dir),
+    )
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k per tumbling window through the ACTUAL streaming
+    runtime (streaming/windows.stream_windowed_topk): watermark-bounded
+    streaming counts drained AvailableNow, then the batch rank head over
+    the metadata-sized sink table — the split streams force (ranks
+    retract; an update-mode agg cannot emit them)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.windows import (
+        stream_windowed_topk,
+    )
+
+    load_table(spark, sf_dir, "events")
+    return stream_windowed_topk(
         spark, sf_dir, "events.parquet",
         state_partitions=_state_parts(spark, sf_dir),
     )
@@ -3043,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_sliding_window": q_sliding_window,
         "q_distinct_sketch": q_distinct_sketch,
+        "q_hll_distinct": q_hll_distinct,
         "q_dedup_clusters": q_dedup_clusters,
         "q_event_funnel": q_event_funnel,
         "q_retention": q_retention,
@@ -3093,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_recall": q_pq_recall,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_markov_transitions": q_markov_transitions,
+        "q_attribution": q_attribution,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
@@ -3190,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_substring": q_dup_substring,
         "q_source_overlap": q_source_overlap,
         "q_stream_window": q_stream_window,
+        "q_stream_topk": q_stream_topk,
         "q_bpe_train": q_bpe_train,
         "q_bpe_apply": q_bpe_apply,
         "q_bpe_fertility": q_bpe_fertility,
@@ -3295,7 +3339,8 @@ _ROUND6_WINDOW = [
     "q_trend_robust", "q_pq_encode", "q_pq_adc_topk", "q_pq_recall",
     "q_ivfpq_topk", "q_markov_transitions", "q_changepoint",
     "q_filter_funnel", "q_referential_audit", "q_matryoshka_recall",
-    "q_zipf_fit", "q_lang_entropy",
+    "q_zipf_fit", "q_lang_entropy", "q_hll_distinct", "q_attribution",
+    "q_stream_topk",
 ]
 
 
@@ -4480,10 +4525,12 @@ def _extension_oracles() -> dict[str, str]:
         FROM hop GROUP BY 1, 2
     """
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        duck_hll_sql,
         duck_kmv_sql,
     )
 
     out["q_distinct_sketch"] = duck_kmv_sql()
+    out["q_hll_distinct"] = duck_hll_sql()
     # transitive closure over the SAME pair SQL the Spark query clusters —
     # components are small, so the closure stays tiny
     out["q_dedup_clusters"] = f"""
@@ -5441,6 +5488,35 @@ def _extension_oracles() -> dict[str, str]:
     out["q_pq_adc_topk"] = sim.duck_pq_adc_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_pq_recall"] = sim.duck_pq_recall_sql(m=4, k=16, probe_id=0, topk=10)
     out["q_ivfpq_topk"] = sim.duck_ivfpq_sql(m=4, k=16, probe_id=0, topk=10)
+    out["q_attribution"] = """
+        WITH conv AS (
+            SELECT user_id AS cu, event_id AS conv_id, ts AS cts
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id AS tu, event_id AS touch_id,
+                   event_type AS touch_type, ts AS tts
+            FROM events WHERE event_type IN ('click', 'view')
+        ), pairs AS (
+            SELECT conv_id, touch_type, touch_id, tts
+            FROM conv JOIN touch
+              ON cu = tu AND tts < cts
+             AND tts >= cts - INTERVAL 86400000 MILLISECONDS
+        ), ranked AS (
+            SELECT conv_id, touch_type,
+                   row_number() OVER (PARTITION BY conv_id
+                       ORDER BY tts DESC, touch_id) AS recency_rank,
+                   count(*) OVER (PARTITION BY conv_id) AS n_touches
+            FROM pairs
+        )
+        SELECT touch_type,
+               count(DISTINCT conv_id)::BIGINT AS n_conversions,
+               count(*)::BIGINT AS n_touches_credited,
+               sum(CASE WHEN recency_rank = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS last_touch_conversions,
+               round(sum(floor(1000000.0 / n_touches)) / 1000000.0, 4)
+                   AS linear_credit
+        FROM ranked GROUP BY touch_type ORDER BY touch_type
+    """
     out["q_markov_transitions"] = """
         WITH s AS (
             SELECT event_type AS src,
@@ -5769,6 +5845,21 @@ def _extension_oracles() -> dict[str, str]:
                    GROUP BY c_mktsegment) nt USING (c_mktsegment)
     """
     out["q_stream_window"] = out["q_tumbling_window"]
+    out["q_stream_topk"] = """
+        WITH counts AS (
+            SELECT event_type,
+                   epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, window_start_ms, n_events, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY window_start_ms
+                ORDER BY n_events DESC, event_type) AS INT) AS rank
+            FROM counts
+        ) WHERE rank <= 3
+    """
+
     out["q_bpe_train"] = tx.duck_bpe_train_sql(rounds=3)
     out["q_bpe_apply"] = tx.duck_bpe_apply_sql(rounds=3)
     out["q_bpe_fertility"] = tx.duck_bpe_fertility_sql(rounds=3)

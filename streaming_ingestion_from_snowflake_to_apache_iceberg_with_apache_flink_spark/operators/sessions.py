@@ -293,3 +293,84 @@ def markov_transitions(events: DataFrame) -> DataFrame:
         F.sum("n").over(wt).cast("bigint").alias("src_total"),
         F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_ms: int = 86_400_000,
+) -> DataFrame:
+    """Multi-touch conversion attribution over user timelines: every
+    ``conversion_type`` event distributes credit to the same user's
+    preceding ``touch_types`` events inside the lookback window —
+    last-touch (all credit to the latest touch) and linear (1/n to each
+    of the n touches) side by side, rolled up per touch event type. The
+    marketing-attribution kernel every clickstream warehouse runs.
+
+    One row per touch type: conversions it participated in, touches
+    credited, last-touch conversion count, linear credit (per-touch
+    credit 1e-6-quantized to integer micro-credits, summed exactly).
+
+    Scale shape: touches meet conversions through ONE user-keyed
+    equi-join (both sides pre-filtered by event type before the
+    shuffle); the in-window predicate prunes pairs inside the join
+    stage; the per-conversion window (rank latest touch, count touches)
+    is PARTITIONED by the conversion id, and the final rollup is a
+    metadata-sized groupBy on touch type. Nothing corpus-sized crosses
+    an unpartitioned boundary; a user's pair fan-out is bounded by their
+    in-window touch count, the same bound the sessionize operators carry.
+    """
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {lookback_ms} MILLISECONDS")
+        ),
+    )
+    wc = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "conv_id",
+        "touch_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("conv_id").orderBy(
+                F.col("tts").desc(), F.col("touch_id").asc()
+            )
+        )
+        .alias("recency_rank"),
+        F.count(F.lit(1)).over(wc).alias("n_touches"),
+    )
+    return (
+        ranked.groupBy("touch_type")
+        .agg(
+            F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches_credited"),
+            F.sum((F.col("recency_rank") == 1).cast("int"))
+            .cast("bigint")
+            .alias("last_touch_conversions"),
+            # per-touch credit floor(1e6/n) in integer micro-credits:
+            # the division is one deterministic IEEE op, the SUM is exact
+            # bigint arithmetic — no cross-partition FP accumulation
+            # order to diverge from the oracle
+            F.round(
+                F.sum(F.floor(F.lit(1_000_000.0) / F.col("n_touches")))
+                / F.lit(1_000_000.0),
+                4,
+            ).alias("linear_credit"),
+        )
+        .orderBy("touch_type")
+    )

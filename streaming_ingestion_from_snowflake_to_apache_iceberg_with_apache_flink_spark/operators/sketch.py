@@ -431,3 +431,113 @@ def duck_histogram_quantiles_sql() -> str:
                     <= exact_c) AS within_bound
         FROM est JOIN exact ON pct = p2
     """
+
+
+#: HyperLogLog layout: 2^HLL_B registers over the h32 hash — bucket =
+#: top HLL_B bits, rho = leading-zero rank of the remaining bits + 1.
+HLL_B = 8
+HLL_M = 1 << HLL_B
+#: remaining hash width after the bucket bits (h32 is 32 bits)
+_HLL_W = 32 - HLL_B
+#: Flajolet et al. bias constant α_m for m = 256 — written as the same
+#: literal arithmetic in Spark and the oracle so the doubles agree
+_HLL_ALPHA = f"(0.7213 / (1 + 1.079 / {HLL_M}))"
+
+
+def hll_distinct_tokens(documents: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-token estimate vs the exact count — the
+    canonical fixed-memory cardinality sketch (2^b registers, max of
+    leading-zero ranks per register, harmonic-mean estimator with the
+    linear-counting small-range correction) next to the KMV order-
+    statistic estimator above; both are audits of the estimator the
+    100 TB path would keep per partition and merge (register-wise max is
+    associative and commutative, so partial aggregation IS the merge).
+
+    One row: (m, n_occupied, n_est, n_exact, rel_err). Deterministic:
+    md5-derived h32 hashes, integer rho via the binary-string length
+    (both engines print minimal binary), register sums of exact binary
+    fractions 2^-rho (order-independent in IEEE), one estimator branch
+    chosen on identical doubles.
+
+    Scale shape: the register table is ONE partial-agg groupBy on the
+    bucket (≤ m rows cross the wire per partition — the sketch property);
+    the exact leg (a distinct count) exists only to audit rel_err and
+    would be dropped in production.
+    """
+    tok = H.spark_tokens("text")
+    hashes = spread(documents).selectExpr(
+        f"explode(array_distinct({tok})) as token"
+    ).selectExpr(H.spark_h32("token") + " as h")
+    regs = hashes.selectExpr(
+        f"h div {1 << _HLL_W} as bucket",
+        f"h % {1 << _HLL_W} as w",
+    ).selectExpr(
+        "bucket",
+        f"case when w = 0 then {_HLL_W + 1} "
+        f"else {_HLL_W + 1} - length(bin(w)) end as rho",
+    ).groupBy("bucket").agg(F.max("rho").alias("mrho"))
+    sketch = regs.agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s_occ"),
+    )
+    exact = hashes.agg(F.countDistinct("h").alias("n_exact"))
+    m = HLL_M
+    return (
+        sketch.crossJoin(exact)
+        .selectExpr(
+            f"{m} as m",
+            "cast(n_occ as int) as n_occupied",
+            f"{_HLL_ALPHA} * {m} * {m} / (s_occ + ({m} - n_occ)) as e_raw",
+            f"{m} - n_occ as v",
+            "n_exact",
+        )
+        .selectExpr(
+            "m",
+            "n_occupied",
+            f"round(case when e_raw <= 2.5 * {m} and v > 0 "
+            f"then {m} * ln({m} / v) else e_raw end, 4) as n_est",
+            "n_exact",
+            f"cast(round((case when e_raw <= 2.5 * {m} and v > 0 "
+            f"then {m} * ln({m} / v) else e_raw end - n_exact) / n_exact, 4)"
+            " as double) as rel_err",
+        )
+    )
+
+
+def duck_hll_sql() -> str:
+    """DuckDB twin of ``hll_distinct_tokens`` (shared constants)."""
+    tok = H.duck_tokens("text")
+    m, w_bits = HLL_M, _HLL_W
+    est = (
+        f"CASE WHEN e_raw <= 2.5 * {m} AND v > 0 "
+        f"THEN {m} * ln({m} / v) ELSE e_raw END"
+    )
+    return f"""
+        WITH hashes AS (
+            SELECT {H.duck_h32("token")} AS h
+            FROM (SELECT unnest(list_distinct({tok})) AS token
+                  FROM documents)
+        ), regs AS (
+            SELECT h // {1 << w_bits} AS bucket,
+                   max(CASE WHEN h % {1 << w_bits} = 0 THEN {w_bits + 1}
+                       ELSE {w_bits + 1} - length(bin(h % {1 << w_bits}))
+                       END) AS mrho
+            FROM hashes GROUP BY 1
+        ), sk AS (
+            SELECT count(*) AS n_occ, sum(pow(2.0, -mrho)) AS s_occ
+            FROM regs
+        ), ex AS (SELECT count(DISTINCT h) AS n_exact FROM hashes),
+        raw AS (
+            SELECT {m} AS m, n_occ::INT AS n_occupied,
+                   {_HLL_ALPHA} * {m} * {m} / (s_occ + ({m} - n_occ))
+                       AS e_raw,
+                   {m} - n_occ AS v, n_exact
+            FROM sk CROSS JOIN ex
+        )
+        SELECT m, n_occupied,
+               round({est}, 4) AS n_est,
+               n_exact,
+               CAST(round(({est} - n_exact) / n_exact, 4) AS DOUBLE)
+                   AS rel_err
+        FROM raw
+    """

@@ -306,3 +306,44 @@ def stream_dedup_run(
         state_partitions,
         extra_confs=extra,
     )
+
+
+def stream_windowed_topk(
+    spark,
+    source_dir: str,
+    path_glob_filter: str = "events.parquet",
+    length: str = "1 hour",
+    k: int = 3,
+    query_name: str = "stream_topk_mem",
+    timeout_sec: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Trending-items top-k per tumbling window through the ACTUAL
+    streaming runtime: the per-(window, key) counts run as a Structured
+    Streaming aggregation (watermark-bounded state, AvailableNow drain —
+    exactly ``stream_tumbling_counts``); the rank head then runs as a
+    batch window over the DRAINED result. That split is the production
+    shape: streams cannot rank inside an update-mode aggregation (a
+    row_number over a streaming agg is unsupported precisely because
+    ranks retract), so the dashboard ranks the sink table — here
+    |windows|·|keys| rows, metadata-sized at any corpus scale, windowed
+    PARTITIONED by window."""
+    from pyspark.sql import Window
+
+    counts = stream_tumbling_counts(
+        spark,
+        source_dir,
+        path_glob_filter,
+        length=length,
+        query_name=query_name,
+        timeout_sec=timeout_sec,
+        state_partitions=state_partitions,
+    )
+    w = Window.partitionBy("window_start_ms").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.select("event_type", "window_start_ms", "n_events")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -2327,6 +2327,8 @@ def test_rank_fusion_properties(spark):
         "matryoshka_recall",
         "zipf_fit",
         "lang_entropy",
+        "attribution",
+        "hll_distinct",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2347,6 +2349,12 @@ def test_partitioning_invariance(spark, opname):
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
         filter_funnel as _ff_builder,
     )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        attribution as _attr_builder,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        hll_distinct_tokens as _hll_builder,
+    )
 
     builders = {
         "xcorr_lag": lambda df: tse.xcorr_lag(df, max_lag=2),
@@ -2358,6 +2366,8 @@ def test_partitioning_invariance(spark, opname):
         "changepoint": tse.changepoint_daily,
         "zipf_fit": lambda df: tx.zipf_fit(df, k=50),
         "lang_entropy": tx.lang_entropy,
+        "attribution": _attr_builder,
+        "hll_distinct": _hll_builder,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2376,6 +2386,8 @@ def test_partitioning_invariance(spark, opname):
         "changepoint": "events",
         "zipf_fit": "documents",
         "lang_entropy": "documents",
+        "attribution": "events",
+        "hll_distinct": "documents",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -2771,3 +2783,40 @@ def test_lang_entropy_bounds(spark):
         assert 0.0 <= r.entropy_nats <= math.log(r.n_types) + 1e-9, r
         assert 1.0 <= r.perplexity <= r.n_types + 1e-6, r
         assert r.n_types <= r.n_tokens
+
+
+def test_attribution_identities(spark):
+    """Last-touch totals across touch types equal the number of
+    converted conversions; linear credit sums to that same total (up to
+    micro-credit truncation); credited touches bound last-touch wins."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        attribution,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = attribution(ev).collect()
+    n_conv_with_touch = sum(r.last_touch_conversions for r in rows)
+    assert n_conv_with_touch > 0
+    linear_total = sum(r.linear_credit for r in rows)
+    # Σ linear credit = one unit per converted conversion, minus ≤1e-6·n
+    # floor truncation per touch
+    assert n_conv_with_touch - 0.01 <= linear_total <= n_conv_with_touch
+    for r in rows:
+        assert r.last_touch_conversions <= r.n_conversions
+        assert r.n_conversions <= r.n_touches_credited
+
+
+def test_hll_tracks_exact_count(spark):
+    """The HLL estimate lands within the ~1.04/√m ± tolerance band of the
+    exact distinct count on the fixture corpus (m=256 → σ≈6.5%), and the
+    register count never exceeds m."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        HLL_M,
+        hll_distinct_tokens,
+    )
+
+    r = hll_distinct_tokens(load_table(spark, SF, "documents")).collect()[0]
+    assert r.m == HLL_M
+    assert 0 < r.n_occupied <= HLL_M
+    assert abs(r.rel_err) < 0.25  # 4σ at m=256
+    assert r.n_est > 0

@@ -1470,3 +1470,34 @@ def test_lang_entropy_pure_aggregation(spark):
     assert "Join" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_attribution_equi_join_partitioned_windows(spark):
+    """Touches meet conversions through a user-keyed equi-join (no
+    cartesian/nested-loop); both rank and touch-count windows are
+    partitioned by the conversion id."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        attribution,
+    )
+
+    df = attribution(load_table(spark, SF, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs
+    for s in specs:
+        assert s.startswith("conv_id"), f"unpartitioned window: {s[:80]}"
+
+
+def test_hll_register_table_pure_aggregation(spark):
+    """The sketch leg is groupBy(bucket) partial aggregation — at most m
+    rows per partition cross the wire; no window anywhere; the exact
+    audit leg is the only distinct."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        hll_distinct_tokens,
+    )
+
+    df = hll_distinct_tokens(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
