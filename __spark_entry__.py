@@ -1680,6 +1680,18 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution(load_table(spark, sf_dir, "events"))
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition (timeseries.seasonal_decompose):
+    7-day-MA trend, day-of-week seasonal, residual — exact integer
+    numerators over 7·cnt until the final division, every window
+    partitioned by type or (type, dow)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(load_table(spark, sf_dir, "events"))
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix
     (sessions.markov_transitions): exact pair counts from one
@@ -3130,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_fusion": q_rank_fusion,
         "q_trend_robust": q_trend_robust,
         "q_changepoint": q_changepoint,
+        "q_seasonal_decompose": q_seasonal_decompose,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3340,7 +3353,7 @@ _ROUND6_WINDOW = [
     "q_ivfpq_topk", "q_markov_transitions", "q_changepoint",
     "q_filter_funnel", "q_referential_audit", "q_matryoshka_recall",
     "q_zipf_fit", "q_lang_entropy", "q_hll_distinct", "q_attribution",
-    "q_stream_topk",
+    "q_stream_topk", "q_seasonal_decompose",
 ]
 
 
@@ -5516,6 +5529,34 @@ def _extension_oracles() -> dict[str, str]:
                round(sum(floor(1000000.0 / n_touches)) / 1000000.0, 4)
                    AS linear_credit
         FROM ranked GROUP BY touch_type ORDER BY touch_type
+    """
+    out["q_seasonal_decompose"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), framed AS (
+            SELECT event_type, day, c,
+                   sum(c) OVER w AS s7, count(*) OVER w AS n7,
+                   day % 7 AS dow
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), detr AS (
+            SELECT event_type, day, c, s7, dow, 7 * c - s7 AS detr7
+            FROM framed WHERE n7 = 7
+        ), comp AS (
+            SELECT event_type, day, c, s7, detr7,
+                   sum(detr7) OVER (PARTITION BY event_type, dow) AS sd7,
+                   count(*) OVER (PARTITION BY event_type, dow) AS cnt
+            FROM detr
+        )
+        SELECT event_type, day, c::BIGINT AS n_events,
+               round(s7 / 7.0, 4) AS trend,
+               round(sd7 / (7.0 * cnt), 4) AS seasonal,
+               round((detr7 * cnt - sd7) / (7.0 * cnt), 4) AS residual
+        FROM comp
     """
     out["q_markov_transitions"] = """
         WITH s AS (

@@ -615,3 +615,73 @@ def changepoint_daily(events: DataFrame) -> DataFrame:
             F.round("gain", 4).alias("gain"),
         )
     )
+
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """STL-lite additive decomposition of each event type's daily-count
+    series: trend = centered 7-day moving average, seasonal = per
+    day-of-week mean of the detrended series, residual = remainder —
+    emitted for every day with a full trend window. The classical
+    decomposition a capacity planner runs before alerting on "drops"
+    that are just weekends.
+
+    Exactness: every component is kept as an exact integer numerator
+    over the common denominator 7·cnt until the final division —
+    detr7 = 7c − Σ₇c is a bigint, the seasonal numerator is a bigint
+    sum of bigints, residual7·cnt likewise — so the three emitted
+    doubles are single IEEE divisions, bit-identical cross-engine, with
+    no accumulation-order exposure anywhere.
+
+    Scale shape: the corpus collapses to (type × day) in ONE partial-agg
+    shuffle; the moving-average window is PARTITIONED by event_type, the
+    seasonal window by (event_type, dow) — every window runs on a
+    calendar-bounded series regardless of corpus size.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        (F.col("day") % 7).alias("dow"),
+    ).filter(F.col("n7") == 7)
+    detr = framed.select(
+        "event_type",
+        "day",
+        "c",
+        "s7",
+        "dow",
+        (F.lit(7) * F.col("c") - F.col("s7")).alias("detr7"),
+    )
+    wd = Window.partitionBy("event_type", "dow")
+    comp = detr.select(
+        "event_type",
+        "day",
+        "c",
+        "s7",
+        "detr7",
+        F.sum("detr7").over(wd).alias("sd7"),
+        F.count(F.lit(1)).over(wd).alias("cnt"),
+    )
+    denom = F.lit(7.0) * F.col("cnt")
+    return comp.select(
+        "event_type",
+        "day",
+        F.col("c").cast("bigint").alias("n_events"),
+        F.round(F.col("s7") / F.lit(7.0), 4).alias("trend"),
+        F.round(F.col("sd7") / denom, 4).alias("seasonal"),
+        F.round(
+            (F.col("detr7") * F.col("cnt") - F.col("sd7")) / denom, 4
+        ).alias("residual"),
+    )

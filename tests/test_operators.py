@@ -2329,6 +2329,7 @@ def test_rank_fusion_properties(spark):
         "lang_entropy",
         "attribution",
         "hll_distinct",
+        "seasonal_decompose",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2368,6 +2369,7 @@ def test_partitioning_invariance(spark, opname):
         "lang_entropy": tx.lang_entropy,
         "attribution": _attr_builder,
         "hll_distinct": _hll_builder,
+        "seasonal_decompose": tse.seasonal_decompose,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2388,6 +2390,7 @@ def test_partitioning_invariance(spark, opname):
         "lang_entropy": "documents",
         "attribution": "events",
         "hll_distinct": "documents",
+        "seasonal_decompose": "events",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -2820,3 +2823,21 @@ def test_hll_tracks_exact_count(spark):
     assert 0 < r.n_occupied <= HLL_M
     assert abs(r.rel_err) < 0.25  # 4σ at m=256
     assert r.n_est > 0
+
+
+def test_seasonal_decompose_reconstructs(spark):
+    """trend + seasonal + residual reconstructs the observed daily count
+    to rounding precision, and per-(type, dow) residual means are ~0 by
+    construction."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    rows = tse.seasonal_decompose(load_table(spark, SF, "events")).collect()
+    assert rows
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        assert abs((r.trend + r.seasonal + r.residual) - r.n_events) < 3e-4, r
+        groups.setdefault((r.event_type, r.day % 7), []).append(r.residual)
+    for key, res in groups.items():
+        assert abs(sum(res) / len(res)) < 1e-3, (key, res)

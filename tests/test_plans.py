@@ -1501,3 +1501,18 @@ def test_hll_register_table_pure_aggregation(spark):
     plan = formatted_plan(df)
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_seasonal_decompose_windows_partitioned(spark):
+    """Both decomposition windows are partitioned (by event_type, then
+    (event_type, dow)) — no corpus-wide single-partition WindowExec."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    df = seasonal_decompose(load_table(spark, SF, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs
+    for s in specs:
+        assert s.startswith("event_type"), f"unpartitioned window: {s[:80]}"
