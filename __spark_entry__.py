@@ -2285,6 +2285,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness audit (similarity.centroid_drift): per-cluster
+    population shift + squared centroid walk between the two vec_id-
+    parity epochs, over the SAME shared assignment the cluster family
+    persists — exact integer centroids, one metadata-sized explode."""
+    return sim.centroid_drift(_kmeans_assignment(spark, sf_dir, 8))
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer k-means (similarity.kmeans_embeddings): 2 Lloyd rounds over
     int8 codes, deterministic seeds — iterative driver loop whose every
@@ -3240,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_join": q_bloom_join,
         "q_knn_classify": q_knn_classify,
         "q_kmeans": q_kmeans,
+        "q_centroid_drift": q_centroid_drift,
         "q_pca_power": q_pca_power,
         "q_hard_negatives": q_hard_negatives,
         "q_user_set_ops": q_user_set_ops,
@@ -3353,7 +3362,7 @@ _ROUND6_WINDOW = [
     "q_ivfpq_topk", "q_markov_transitions", "q_changepoint",
     "q_filter_funnel", "q_referential_audit", "q_matryoshka_recall",
     "q_zipf_fit", "q_lang_entropy", "q_hll_distinct", "q_attribution",
-    "q_stream_topk", "q_seasonal_decompose",
+    "q_stream_topk", "q_seasonal_decompose", "q_centroid_drift",
 ]
 
 
@@ -6311,6 +6320,7 @@ def _extension_oracles() -> dict[str, str]:
         FROM o FULL OUTER JOIN e ON o.key = e.key
     """
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
+    out["q_centroid_drift"] = sim.duck_centroid_drift_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
     out["q_hard_negatives"] = sim.duck_hard_negative_sql(k=sim.duck_cells_expr())
     out["q_user_set_ops"] = """

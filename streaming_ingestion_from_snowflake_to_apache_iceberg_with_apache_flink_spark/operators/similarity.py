@@ -1639,3 +1639,101 @@ def matryoshka_recall(
             F.round(F.col("n_found") / F.col("n_true"), 4).alias("recall"),
         )
     )
+
+
+def centroid_drift(assignment: DataFrame) -> DataFrame:
+    """Index-staleness audit between two corpus epochs: split the
+    assigned vectors by ``vec_id`` parity (epoch A/B — the stand-in for
+    "index build" vs "data since"), and per shared cluster report the
+    population shift and the squared L2 distance between the two epochs'
+    integer mean centroids. A cluster whose centroid walks or whose
+    population flips is where an IVF/PQ index has gone stale and
+    recall silently decays — the signal that schedules a re-train.
+
+    Exactness: counts are bigints; per-epoch mean centroids use the same
+    floor(avg) integer quantization as the k-means update itself, so the
+    shift is an exact integer sum of squared deltas; only the population
+    drift ratio divides, once, at the end.
+
+    Scale shape: consumes a precomputed ``kmeans_assign`` output (the
+    shared assignment the sibling cluster queries persist); the dimension
+    explode shuffles (cluster × epoch × dim) rows — k·2·64, metadata-
+    sized — after a map-side partial average over the corpus.
+    """
+    epoch = assignment.select(
+        "cluster_id",
+        (F.col("vec_id") % 2).alias("epoch"),
+        F.posexplode("q").alias("dim", "qv"),
+    )
+    cells = epoch.groupBy("cluster_id", "epoch", "dim").agg(
+        F.floor(F.avg("qv")).cast("bigint").alias("cv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_epoch = cells.groupBy("cluster_id", "epoch").agg(
+        F.sum(F.col("cv") * F.col("cv")).alias("ss"),
+        F.collect_list(F.struct("dim", "cv")).alias("cvs"),
+        F.max("n").alias("n_vecs"),
+    )
+    a = per_epoch.filter(F.col("epoch") == 0).select(
+        "cluster_id",
+        F.col("cvs").alias("cvs_a"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    b = per_epoch.filter(F.col("epoch") == 1).select(
+        F.col("cluster_id").alias("cid_b"),
+        F.col("cvs").alias("cvs_b"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    joined = a.join(b, F.col("cluster_id") == F.col("cid_b"), "inner")
+    sorted_a = F.expr(
+        "transform(array_sort(cvs_a, (l, r) -> l.dim - r.dim), s -> s.cv)"
+    )
+    sorted_b = F.expr(
+        "transform(array_sort(cvs_b, (l, r) -> l.dim - r.dim), s -> s.cv)"
+    )
+    shift = F.aggregate(
+        F.zip_with(sorted_a, sorted_b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )
+    return joined.select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            F.abs(F.col("n_a") - F.col("n_b"))
+            / (F.col("n_a") + F.col("n_b")),
+            4,
+        ).alias("count_drift"),
+        shift.cast("bigint").alias("centroid_shift_l2sq"),
+    )
+
+
+def duck_centroid_drift_sql(k: int | str = 8) -> str:
+    """DuckDB twin of ``centroid_drift`` over the shared k-means CTE."""
+    return (
+        duck_kmeans_cte(k)
+        + """
+        , ep AS (
+            SELECT cid, vec_id % 2 AS epoch, i AS dim, q[i] AS qv
+            FROM a2, generate_series(1, 64) AS g(i)
+        ), cells AS (
+            SELECT cid, epoch, dim,
+                   CAST(floor(avg(qv)) AS BIGINT) AS cv, count(*) AS n
+            FROM ep GROUP BY cid, epoch, dim
+        ), per_epoch AS (
+            SELECT cid, epoch, list(cv ORDER BY dim) AS cvs,
+                   max(n) AS n_vecs
+            FROM cells GROUP BY cid, epoch
+        )
+        SELECT CAST(a.cid AS INT) AS cluster_id,
+               a.n_vecs::BIGINT AS n_a, b.n_vecs::BIGINT AS n_b,
+               round(abs(a.n_vecs - b.n_vecs)
+                     / (a.n_vecs + b.n_vecs), 4) AS count_drift,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> (a.cvs[i] - b.cvs[i]) * (a.cvs[i] - b.cvs[i])
+               ))::BIGINT AS centroid_shift_l2sq
+        FROM (SELECT * FROM per_epoch WHERE epoch = 0) a
+        JOIN (SELECT * FROM per_epoch WHERE epoch = 1) b USING (cid)
+    """
+    )

@@ -2841,3 +2841,19 @@ def test_seasonal_decompose_reconstructs(spark):
         groups.setdefault((r.event_type, r.day % 7), []).append(r.residual)
     for key, res in groups.items():
         assert abs(sum(res) / len(res)) < 1e-3, (key, res)
+
+
+def test_centroid_drift_identities(spark):
+    """n_a + n_b equals each cluster's full population; a self-drift
+    (epoch split replaced by a copy) would be zero — approximated here by
+    checking drift bounds and that shift is symmetric-positive."""
+    emb = load_table(spark, SF, "embeddings")
+    assign = sim.kmeans_assign(emb, k=8, iters=2)
+    sizes = {
+        r.cluster_id: r.n_vectors
+        for r in sim.kmeans_embeddings(emb, assignment=assign).collect()
+    }
+    for r in sim.centroid_drift(assign).collect():
+        assert r.n_a + r.n_b == sizes[r.cluster_id]
+        assert 0.0 <= r.count_drift <= 1.0
+        assert r.centroid_shift_l2sq >= 0

@@ -1516,3 +1516,18 @@ def test_seasonal_decompose_windows_partitioned(spark):
     assert specs
     for s in specs:
         assert s.startswith("event_type"), f"unpartitioned window: {s[:80]}"
+
+
+def test_centroid_drift_no_cartesian_metadata_joins(spark):
+    """The epoch join runs on cluster-dimension rows (k per side) — no
+    cartesian/nested-loop, and the only windows belong to the upstream
+    assignment argmin."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        centroid_drift,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    df = centroid_drift(kmeans_assign(emb, k=8, iters=2))
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
