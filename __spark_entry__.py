@@ -2523,6 +2523,31 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test (quality.ks_test):
+    exact-rational CDF gap between two sources' length distributions,
+    value-domain-bounded cumulative window, TakeOrdered peak."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        ks_test,
+    )
+
+    return ks_test(load_table(spark, sf_dir, "documents"))
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (text.heaps_fit): OLS of ln V on
+    ln N across per-source (tokens, types) points — the growth-law twin
+    of q_zipf_fit."""
+    return tx.heaps_fit(load_table(spark, sf_dir, "documents"))
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (sampling.quantile_normalize):
+    per-source ranks via ONE two-phase global rank over the source-major
+    total order, rank-keyed reference profile, equi-join map-back."""
+    return smp.quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel (quality.filter_funnel): the Gopher-style
     rule cascade with per-stage survival accounting — one scan computes
@@ -3314,6 +3339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf_runs": q_udtf_runs,
         "q_hist_quantiles": q_hist_quantiles,
         "q_dq_checks": q_dq_checks,
+        "q_ks_test": q_ks_test,
+        "q_heaps_fit": q_heaps_fit,
+        "q_quantile_normalize": q_quantile_normalize,
         "q_filter_funnel": q_filter_funnel,
         "q_referential_audit": q_referential_audit,
         "q_k_anonymity": q_k_anonymity,
@@ -3363,6 +3391,7 @@ _ROUND6_WINDOW = [
     "q_filter_funnel", "q_referential_audit", "q_matryoshka_recall",
     "q_zipf_fit", "q_lang_entropy", "q_hll_distinct", "q_attribution",
     "q_stream_topk", "q_seasonal_decompose", "q_centroid_drift",
+    "q_ks_test", "q_heaps_fit", "q_quantile_normalize",
 ]
 
 
@@ -6470,6 +6499,26 @@ def _extension_oracles() -> dict[str, str]:
         GROUP BY 1, 2
     """
     out["q_dq_checks"] = DUCK_DQ_SQL
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        duck_ks_test_sql,
+    )
+
+    out["q_ks_test"] = duck_ks_test_sql()
+    out["q_heaps_fit"] = tx.duck_heaps_fit_sql()
+    out["q_quantile_normalize"] = """
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id)::BIGINT AS src_rank
+            FROM documents
+        ), ref AS (
+            SELECT src_rank, sum(n_chars) AS s, count(*) AS c
+            FROM ranked GROUP BY src_rank
+        )
+        SELECT doc_id, source, n_chars, src_rank,
+               round(s / c, 4) AS norm_chars
+        FROM ranked JOIN ref USING (src_rank)
+    """
     out["q_filter_funnel"] = duck_filter_funnel_sql()
     out["q_zipf_fit"] = tx.duck_zipf_fit_sql(k=100)
     out["q_lang_entropy"] = tx.duck_lang_entropy_sql()

@@ -20,7 +20,7 @@ leaves its stage, so the battery is a handful of scans + one shuffle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -399,3 +399,110 @@ def duck_referential_audit_sql() -> str:
                 (SELECT DISTINCT {pk} AS pk FROM {parent}) ON k = pk
         )""")
     return "\nUNION ALL".join(blocks)
+
+
+def ks_test(
+    documents: DataFrame, source_a: str = "src0", source_b: str = "src1"
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between two sources' document-
+    length distributions — the distribution-drift gate that catches what
+    a mean/variance check can't (shape changes at equal moments). One
+    row: sample sizes, the length at which the CDF gap peaks, the exact
+    D statistic, and the asymptotic p-value approximation.
+
+    Exactness: the CDFs stay exact rationals — the gap numerator
+    |cum_a·n_b − cum_b·n_a| is a bigint (exact while n_a·n_b < 2⁶³;
+    beyond ~3·10⁹ rows a side, pre-scale the counts), its argmax
+    tie-breaks on the smallest value, and D divides once at the end. Only the p-value
+    approximation (one exp) is floating point, and it is a chain of
+    single IEEE ops on identical operands cross-engine.
+
+    Scale shape: each side collapses to value-level counts in ONE
+    partial-agg shuffle — the relation under the cumulative window is
+    bounded by the VALUE DOMAIN (distinct document lengths), not the
+    corpus, the same histogram-bounded-window contract as
+    ``sketch.histogram_quantiles``; the peak is TakeOrderedAndProject.
+    """
+    counts = (
+        documents.filter(F.col("source").isin(source_a, source_b))
+        .groupBy("n_chars")
+        .agg(
+            F.sum((F.col("source") == source_a).cast("int")).alias("ca"),
+            F.sum((F.col("source") == source_b).cast("int")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    ).select(
+        "n_chars",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("gap_num"),
+    )
+    peak = cum.orderBy(F.col("gap_num").desc(), F.col("n_chars").asc()).limit(1)
+    d = F.col("gap_num") / (F.col("n_a") * F.col("n_b"))
+    ne = (F.col("n_a").cast("double") * F.col("n_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    return peak.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_chars").alias("ks_at_value"),
+        F.round(d, 6).alias("ks_stat"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam * lam)),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+def duck_ks_test_sql(source_a: str = "src0", source_b: str = "src1") -> str:
+    """DuckDB twin of ``ks_test``."""
+    return f"""
+        WITH counts AS (
+            SELECT n_chars,
+                   sum(CASE WHEN source = '{source_a}' THEN 1 ELSE 0 END)
+                       AS ca,
+                   sum(CASE WHEN source = '{source_b}' THEN 1 ELSE 0 END)
+                       AS cb
+            FROM documents
+            WHERE source IN ('{source_a}', '{source_b}')
+            GROUP BY n_chars
+        ), cum AS (
+            SELECT n_chars,
+                   sum(ca) OVER (ORDER BY n_chars) AS cum_a,
+                   sum(cb) OVER (ORDER BY n_chars) AS cum_b,
+                   sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+            FROM counts
+        ), gap AS (
+            SELECT n_chars, n_a, n_b,
+                   abs(cum_a * n_b - cum_b * n_a) AS gap_num
+            FROM cum
+        ), peak AS (
+            SELECT * FROM gap ORDER BY gap_num DESC, n_chars LIMIT 1
+        )
+        SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+               n_chars AS ks_at_value,
+               round(gap_num / (n_a * n_b), 6) AS ks_stat,
+               round(least(1.0, 2.0 * exp(-2.0
+                   * ((sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) + 0.12
+                       + 0.11 / sqrt(n_a::DOUBLE * n_b / (n_a + n_b)))
+                      * (gap_num / (n_a * n_b)))
+                   * ((sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) + 0.12
+                       + 0.11 / sqrt(n_a::DOUBLE * n_b / (n_a + n_b)))
+                      * (gap_num / (n_a * n_b))))), 6) AS p_approx
+        FROM peak
+    """

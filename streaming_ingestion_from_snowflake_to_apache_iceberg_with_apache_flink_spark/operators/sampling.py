@@ -459,3 +459,50 @@ def mixture_waterfill(documents: DataFrame, budget_num: int = 1, budget_den: int
             ),
         )
     )
+
+
+def quantile_normalize(documents: DataFrame) -> DataFrame:
+    """Quantile normalization of document length across sources — the
+    batch-effect correction that forces every source onto one reference
+    length distribution: rank each document within its source, average
+    the observed lengths at each rank position across sources, and map
+    every document to that reference value. What remains source-specific
+    after this is content, not crawler truncation policy.
+
+    Per-source ranks come from ONE two-phase global rank over the total
+    order (source, n_chars, doc_id) — each range partition holds a
+    contiguous slice of the source-major order, so the per-source rank
+    is the global rank minus the source's first rank + 1 (a broadcast
+    join against the source-dimension min-rank table). NO per-source
+    single-partition window anywhere — the exact hazard
+    ``ranks.global_row_number`` exists to kill. The reference profile is
+    a rank-keyed aggregate (rows = max source size), and the map-back is
+    an equi-join on the rank.
+
+    Exactness: ranks are exact integers; the reference value is an exact
+    bigint sum over the sources present at that rank, divided once.
+    """
+    from . import ranks
+
+    ranked, _ = ranks.global_row_number(
+        documents.select("doc_id", "source", "n_chars"),
+        ["source", "n_chars", "doc_id"],
+        rank_col="__g",
+    )
+    firsts = ranked.groupBy("source").agg(F.min("__g").alias("__r0"))
+    in_src = ranked.join(F.broadcast(firsts), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("__g") - F.col("__r0") + 1).cast("bigint").alias("src_rank"),
+    )
+    ref = in_src.groupBy("src_rank").agg(
+        F.sum("n_chars").alias("__s"), F.count(F.lit(1)).alias("__c")
+    )
+    return in_src.join(ref, "src_rank").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "src_rank",
+        F.round(F.col("__s") / F.col("__c"), 4).alias("norm_chars"),
+    )

@@ -1158,3 +1158,78 @@ def duck_lang_entropy_sql() -> str:
                    AS perplexity
         FROM per_lang
     """
+
+
+def heaps_fit(documents: DataFrame) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth across sources: each source
+    contributes one (N = token count, V = type count) point; OLS of
+    ln V on ln N gives V ≈ k·N^β — the sublinearity exponent β that
+    predicts how much NEW vocabulary the next 10× of crawl will add (a
+    β near 1 flags synthetic/ID-like tokens; natural text sits near
+    0.4–0.6). Complements ``zipf_fit`` (frequency law) with the growth
+    law. One row: point count, β, k, R².
+
+    Scale shape: the (source, token) counts are ONE explode partial-agg
+    shuffle; the per-source rollup is source-dimension-sized, and the
+    OLS moments reduce those few rows — same two-aggregation shape as
+    ``lang_entropy``.
+    """
+    toks = F.expr(H.spark_tokens("lower(text)"))
+    per_tok = (
+        documents.select("source", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pts = per_tok.groupBy("source").agg(
+        F.log(F.sum("c").cast("double")).alias("x"),
+        F.log(F.count(F.lit(1)).cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    m = pts.agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = cov / varx
+    return m.select(
+        F.col("n").cast("bigint").alias("n_sources"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4).alias(
+            "k_coef"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+def duck_heaps_fit_sql() -> str:
+    """DuckDB twin of ``heaps_fit``."""
+    return f"""
+        WITH per_tok AS (
+            SELECT source, token, count(*) AS c FROM (
+                SELECT source, unnest({H.duck_tokens("lower(text)")}) AS token
+                FROM documents
+            ) WHERE token != ''
+            GROUP BY source, token
+        ), pts AS (
+            SELECT ln(sum(c)::DOUBLE) AS x, ln(count(*)::DOUBLE) AS y
+            FROM per_tok GROUP BY source
+        ), m AS (
+            SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM pts
+        )
+        SELECT n::BIGINT AS n_sources,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+               round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n), 4) AS k_coef,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM m
+    """

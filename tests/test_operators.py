@@ -2330,6 +2330,9 @@ def test_rank_fusion_properties(spark):
         "attribution",
         "hll_distinct",
         "seasonal_decompose",
+        "ks_test",
+        "heaps_fit",
+        "quantile_normalize",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2353,6 +2356,9 @@ def test_partitioning_invariance(spark, opname):
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
         attribution as _attr_builder,
     )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        ks_test as _ks_builder,
+    )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
         hll_distinct_tokens as _hll_builder,
     )
@@ -2370,6 +2376,9 @@ def test_partitioning_invariance(spark, opname):
         "attribution": _attr_builder,
         "hll_distinct": _hll_builder,
         "seasonal_decompose": tse.seasonal_decompose,
+        "ks_test": _ks_builder,
+        "heaps_fit": tx.heaps_fit,
+        "quantile_normalize": smp.quantile_normalize,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2391,6 +2400,9 @@ def test_partitioning_invariance(spark, opname):
         "attribution": "events",
         "hll_distinct": "documents",
         "seasonal_decompose": "events",
+        "ks_test": "documents",
+        "heaps_fit": "documents",
+        "quantile_normalize": "documents",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -2857,3 +2869,70 @@ def test_centroid_drift_identities(spark):
         assert r.n_a + r.n_b == sizes[r.cluster_id]
         assert 0.0 <= r.count_drift <= 1.0
         assert r.centroid_shift_l2sq >= 0
+
+
+def test_ks_test_matches_scipy_style_reference(spark):
+    """D equals the max CDF gap computed directly in Python over the two
+    collected samples; identical samples give D = 0."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        ks_test,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    r = ks_test(docs, "src0", "src1").collect()[0]
+    a = sorted(
+        x.n_chars for x in docs.filter(F.col("source") == "src0").collect()
+    )
+    b = sorted(
+        x.n_chars for x in docs.filter(F.col("source") == "src1").collect()
+    )
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b))
+        for v in vals
+    )
+    assert abs(r.ks_stat - round(d, 6)) < 1e-9
+    assert 0.0 <= r.p_approx <= 1.0
+    same = ks_test(docs, "src0", "src0").collect()[0]
+    assert same.ks_stat == 0.0
+
+
+def test_heaps_fit_sublinear(spark):
+    """Vocabulary growth across sources is sublinear on natural-ish text:
+    0 < β < 1.2, k positive, R² in [0, 1]."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        text as tx,
+    )
+
+    r = tx.heaps_fit(load_table(spark, SF, "documents")).collect()[0]
+    assert r.n_sources == 20
+    assert 0 < r.beta < 1.2
+    assert r.k_coef > 0
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_quantile_normalize_properties(spark):
+    """Every document keeps its row; rank order within a source follows
+    length order; after normalization, two sources' value multisets at
+    shared ranks are identical (the point of the operator)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = smp.quantile_normalize(docs)
+    assert out.count() == docs.count()
+    rows = out.collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    norm_at_rank: dict[int, set] = {}
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.src_rank)
+        lengths = [r.n_chars for r in rs]
+        assert lengths == sorted(lengths), src
+        for r in rs:
+            norm_at_rank.setdefault(r.src_rank, set()).add(r.norm_chars)
+    assert all(len(v) == 1 for v in norm_at_rank.values())

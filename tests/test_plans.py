@@ -1531,3 +1531,41 @@ def test_centroid_drift_no_cartesian_metadata_joins(spark):
     df = centroid_drift(kmeans_assign(emb, k=8, iters=2))
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ks_test_histogram_bounded_window_takeordered(spark):
+    """The cumulative window rides the value-level histogram (one
+    partial-agg shuffle first); the peak is TakeOrderedAndProject."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        ks_test,
+    )
+
+    df = ks_test(load_table(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_quantile_normalize_two_phase_rank(spark):
+    """Per-source ranks come from the two-phase global rank — every
+    window is partitioned by the physical partition id, never a
+    per-source single-partition window."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        sampling as smp,
+    )
+
+    _partitioned_window_specs(
+        smp.quantile_normalize(load_table(spark, SF, "documents"))
+    )
+
+
+def test_heaps_fit_pure_aggregation(spark):
+    """Two aggregations (token counts → per-source points → moments), no
+    window, no join, no cross product beyond the scalar row."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        heaps_fit,
+    )
+
+    plan = formatted_plan(heaps_fit(load_table(spark, SF, "documents")))
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
