@@ -1692,6 +1692,31 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(load_table(spark, sf_dir, "events"))
 
 
+def q_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm profile (similarity.norm_profile): exact
+    bigint squared norms of the int8 codes — min/max/mean per label, the
+    norm-collapse diagnostic."""
+    return sim.norm_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outliers (relational.mahalanobis_outliers):
+    top-5 per return flag by the exact-integer-moment quadratic form,
+    WindowGroupLimit rank — the correlation-aware anomaly score."""
+    return rel.mahalanobis_outliers(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-lifetime survival curve (timeseries.
+    kaplan_meier): right-censored at the corpus horizon, product-limit
+    estimate via a fixed-order ln-sum over calendar-bounded offsets."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    return kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix
     (sessions.markov_transitions): exact pair counts from one
@@ -3176,6 +3201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trend_robust": q_trend_robust,
         "q_changepoint": q_changepoint,
         "q_seasonal_decompose": q_seasonal_decompose,
+        "q_kaplan_meier": q_kaplan_meier,
+        "q_norm_profile": q_norm_profile,
+        "q_mahalanobis": q_mahalanobis,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3392,6 +3420,7 @@ _ROUND6_WINDOW = [
     "q_zipf_fit", "q_lang_entropy", "q_hll_distinct", "q_attribution",
     "q_stream_topk", "q_seasonal_decompose", "q_centroid_drift",
     "q_ks_test", "q_heaps_fit", "q_quantile_normalize",
+    "q_kaplan_meier", "q_norm_profile", "q_mahalanobis",
 ]
 
 
@@ -5595,6 +5624,104 @@ def _extension_oracles() -> dict[str, str]:
                round(sd7 / (7.0 * cnt), 4) AS seasonal,
                round((detr7 * cnt - sd7) / (7.0 * cnt), 4) AS residual
         FROM comp
+    """
+    km_q = (
+        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
+        " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
+    )
+    out["q_norm_profile"] = f"""
+        WITH q AS (
+            SELECT label,
+                   list_sum(list_transform({km_q}, v -> v * v)) AS sq
+            FROM embeddings
+        )
+        SELECT label, count(*)::BIGINT AS n_vecs,
+               min(sq)::BIGINT AS min_sq_norm,
+               max(sq)::BIGINT AS max_sq_norm,
+               round(sum(sq) / count(*), 4) AS mean_sq_norm
+        FROM q GROUP BY label
+    """
+    out["q_mahalanobis"] = """
+        WITH rows_ AS (
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   l_quantity::BIGINT AS x,
+                   CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+            FROM lineitem
+        ), m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+                   sum(y * y)::BIGINT AS syy
+            FROM rows_ GROUP BY l_returnflag
+        ), scored AS (
+            SELECT r.l_returnflag, r.l_orderkey, r.l_linenumber,
+                   r.x AS quantity, r.y AS price_int,
+                   round((n::DOUBLE - 1)
+                       * ((n::DOUBLE * syy - sy::DOUBLE * sy)
+                              * (n::DOUBLE * r.x - sx)
+                              * (n::DOUBLE * r.x - sx)
+                          - 2 * (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                              * (n::DOUBLE * r.x - sx)
+                              * (n::DOUBLE * r.y - sy)
+                          + (n::DOUBLE * sxx - sx::DOUBLE * sx)
+                              * (n::DOUBLE * r.y - sy)
+                              * (n::DOUBLE * r.y - sy))
+                       / (n::DOUBLE
+                          * ((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                                 * (n::DOUBLE * syy - sy::DOUBLE * sy)
+                             - (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                                 * (n::DOUBLE * sxy - sx::DOUBLE * sy))),
+                       4) AS md2
+            FROM rows_ r JOIN m USING (l_returnflag)
+        )
+        SELECT l_returnflag, l_orderkey, l_linenumber, quantity,
+               price_int, md2, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY md2 DESC, l_orderkey, l_linenumber) AS INT)
+                AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+    out["q_kaplan_meier"] = """
+        WITH days AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events
+        ), per_user AS (
+            SELECT user_id, min(day) AS f, max(day) AS l
+            FROM days GROUP BY user_id
+        ), lt AS (
+            SELECT l - f AS offset_days,
+                   CASE WHEN l < max(l) OVER () THEN 1 ELSE 0 END AS churned
+            FROM per_user
+        ), counts AS (
+            SELECT offset_days, sum(churned) AS d,
+                   sum(1 - churned) AS c
+            FROM lt GROUP BY offset_days
+        ), risk AS (
+            SELECT offset_days, d, c,
+                   sum(d + c) OVER (ORDER BY offset_days
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS n
+            FROM counts
+        ), curve AS (
+            SELECT offset_days, n, d, c,
+                   sum(CASE WHEN n > d THEN ln((n - d) / n)
+                            ELSE 0.0 END) OVER (ORDER BY offset_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS lncum,
+                   max(CASE WHEN n = d THEN 1 ELSE 0 END)
+                       OVER (ORDER BY offset_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ext
+            FROM risk
+        )
+        SELECT offset_days, n::BIGINT AS n_at_risk,
+               d::BIGINT AS n_churned, c::BIGINT AS n_censored,
+               CASE WHEN ext = 1 THEN 0.0
+                    ELSE round(exp(lncum), 4) END AS survival
+        FROM curve
     """
     out["q_markov_transitions"] = """
         WITH s AS (

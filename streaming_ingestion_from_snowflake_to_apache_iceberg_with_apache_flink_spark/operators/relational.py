@@ -1055,3 +1055,72 @@ def join_cardinality(
             .alias("max_key_rows"),
         )
     )
+
+
+def mahalanobis_outliers(lineitem: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` bivariate Mahalanobis outliers of (quantity, price) per
+    return flag — the correlation-aware outlier score a univariate
+    z-score can't produce (a high-quantity/high-price row is normal; the
+    same price at quantity 1 is the anomaly).
+
+    Exactness: x = quantity and y = floor(price + 0.5) are exact
+    bigints, so all six OLS moments are exact integer sums; the central
+    moments A = n·sxx − sx², B, C and the quadratic form
+
+        d² = (n−1)(C·u² − 2B·u·v + A·v²) / (n(AC − B²)),
+        u = n·x − sx,  v = n·y − sy
+
+    are then pure products/divisions of exact integers — deterministic
+    IEEE cross-engine with no accumulation-order exposure. Ranked on the
+    1e-4-rounded d² with key tiebreaks.
+
+    Scale shape: moments are ONE partial-agg groupBy on the flag,
+    broadcast back onto the scan; the per-flag top-k rank compiles to
+    WindowGroupLimit (each task keeps k rows per flag before the
+    shuffle), the same idiom as ``shard_fanout_topn``.
+    """
+    x = F.col("l_quantity").cast("bigint")
+    y = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("bigint")
+    rows = lineitem.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        x.alias("x"),
+        y.alias("y"),
+    )
+    m = rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = rows.join(F.broadcast(m), "l_returnflag")
+    nd = F.col("n").cast("double")
+    a = nd * F.col("sxx") - F.col("sx") * F.col("sx").cast("double")
+    b = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    c = nd * F.col("syy") - F.col("sy") * F.col("sy").cast("double")
+    u = nd * F.col("x") - F.col("sx")
+    v = nd * F.col("y") - F.col("sy")
+    md2 = (
+        (nd - 1)
+        * (c * u * u - 2 * b * u * v + a * v * v)
+        / (nd * (a * c - b * b))
+    )
+    from pyspark.sql import Window
+
+    scored = j.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("x").cast("bigint").alias("quantity"),
+        F.col("y").cast("bigint").alias("price_int"),
+        F.round(md2, 4).alias("md2"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("md2").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

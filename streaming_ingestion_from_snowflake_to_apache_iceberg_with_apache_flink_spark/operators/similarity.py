@@ -1737,3 +1737,30 @@ def duck_centroid_drift_sql(k: int | str = 8) -> str:
         JOIN (SELECT * FROM per_epoch WHERE epoch = 1) b USING (cid)
     """
     )
+
+
+def norm_profile(embeddings: DataFrame) -> DataFrame:
+    """Per-label profile of embedding magnitude over the int8-quantized
+    codes: count, min/max/mean squared norm — the norm-collapse
+    diagnostic (a label whose vectors shrink toward the origin stops
+    separating under cosine; a runaway norm flags unnormalized inputs).
+
+    Squared norms of integer codes are exact bigints, so every statistic
+    is exact integer aggregation with ONE final division for the mean —
+    zero FP accumulation. One map-side fold per vector, one
+    label-dimension groupBy; nothing else.
+    """
+    q = embeddings.select(
+        "label",
+        F.aggregate(
+            _quantize_int8(F.col("embedding")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        ).alias("sq"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("sq").alias("min_sq_norm"),
+        F.max("sq").alias("max_sq_norm"),
+        F.round(F.sum("sq") / F.count(F.lit(1)), 4).alias("mean_sq_norm"),
+    )

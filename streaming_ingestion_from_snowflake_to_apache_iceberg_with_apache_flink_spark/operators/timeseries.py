@@ -685,3 +685,80 @@ def seasonal_decompose(events: DataFrame) -> DataFrame:
             (F.col("detr7") * F.col("cnt") - F.col("sd7")) / denom, 4
         ).alias("residual"),
     )
+
+
+def kaplan_meier(events: DataFrame) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days from first to
+    last activity), right-censored at the corpus horizon: a user whose
+    last event falls on the final observed day is censored, not churned.
+    Emits one row per lifetime offset with any exit: at-risk count,
+    churn count, censored count, and the product-limit survival estimate
+    — the churn curve a retention team reads the media half-life off.
+
+    Exactness: risk/churn counts are exact integers (the reverse
+    cumulative sum of exits IS the risk set); the product limit is
+    exp(Σ ln((n−d)/n)) over the offset-ordered window — a fixed-order
+    chain of single IEEE ops, identical cross-engine — with extinction
+    (n = d) short-circuited to survival 0 rather than ln(0).
+
+    Scale shape: the corpus collapses to per-user (first, last) in ONE
+    partial-agg shuffle, then to offset-level counts (≤ observation-span
+    rows — calendar-bounded, so the unpartitioned offset windows run on
+    a metadata-sized relation at any corpus scale, the same contract as
+    the histogram quantile windows). The horizon rides as a window on
+    the per-user relation, not a second scan.
+    """
+    days = events.select(
+        "user_id",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    )
+    per_user = days.groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lt = per_user.select(
+        (F.col("l") - F.col("f")).alias("offset_days"),
+        (F.col("l") < F.max("l").over(wall)).cast("int").alias("churned"),
+    )
+    counts = lt.groupBy("offset_days").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+    )
+    wrev = Window.orderBy("offset_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("offset_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = counts.select(
+        "offset_days",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wrev).alias("n"),
+    )
+    term = F.when(
+        F.col("n") > F.col("d"),
+        F.log((F.col("n") - F.col("d")) / F.col("n")),
+    ).otherwise(F.lit(0.0))
+    ext = F.max((F.col("n") == F.col("d")).cast("int")).over(wcum)
+    curve = risk.select(
+        "offset_days",
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.sum(term).over(wcum).alias("__lncum"),
+        ext.alias("__ext"),
+    )
+    return curve.select(
+        "offset_days",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.when(F.col("__ext") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("__lncum")), 4))
+        .alias("survival"),
+    )

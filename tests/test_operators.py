@@ -2333,6 +2333,9 @@ def test_rank_fusion_properties(spark):
         "ks_test",
         "heaps_fit",
         "quantile_normalize",
+        "kaplan_meier",
+        "norm_profile",
+        "mahalanobis",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2379,6 +2382,9 @@ def test_partitioning_invariance(spark, opname):
         "ks_test": _ks_builder,
         "heaps_fit": tx.heaps_fit,
         "quantile_normalize": smp.quantile_normalize,
+        "kaplan_meier": tse.kaplan_meier,
+        "norm_profile": sim.norm_profile,
+        "mahalanobis": rel.mahalanobis_outliers,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2403,6 +2409,9 @@ def test_partitioning_invariance(spark, opname):
         "ks_test": "documents",
         "heaps_fit": "documents",
         "quantile_normalize": "documents",
+        "kaplan_meier": "events",
+        "norm_profile": "embeddings",
+        "mahalanobis": "lineitem",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -2936,3 +2945,78 @@ def test_quantile_normalize_properties(spark):
         for r in rs:
             norm_at_rank.setdefault(r.src_rank, set()).add(r.norm_chars)
     assert all(len(v) == 1 for v in norm_at_rank.values())
+
+
+def test_kaplan_meier_properties(spark):
+    """Survival is monotone non-increasing in the offset, starts ≤ 1,
+    risk sets telescope (n_t = n_{t+1} + exits at t), and total exits
+    equal the user count."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = sorted(
+        tse.kaplan_meier(ev).collect(), key=lambda r: r.offset_days
+    )
+    assert rows
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_churned + r.n_censored for r in rows) == n_users
+    assert rows[0].n_at_risk == n_users
+    prev_s = 1.0
+    for i, r in enumerate(rows):
+        assert r.survival <= prev_s + 1e-9
+        prev_s = r.survival
+        if i + 1 < len(rows):
+            assert (
+                r.n_at_risk - r.n_churned - r.n_censored
+                == rows[i + 1].n_at_risk
+            )
+
+
+def test_norm_profile_exactness(spark):
+    """min ≤ mean ≤ max per label, and the label populations sum to the
+    corpus size."""
+    emb = load_table(spark, SF, "embeddings")
+    rows = sim.norm_profile(emb).collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert r.min_sq_norm <= r.mean_sq_norm <= r.max_sq_norm
+
+
+def test_mahalanobis_matches_python_reference(spark):
+    """The top-1 outlier per flag agrees with a direct NumPy Mahalanobis
+    computation on the collected (quantity, round(price)) pairs."""
+    import numpy as np
+
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        r.l_returnflag: r
+        for r in rel.mahalanobis_outliers(li, k=1).collect()
+    }
+    data = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in data:
+        groups.setdefault(r.l_returnflag, []).append(r)
+    for flag, rs in groups.items():
+        xy = np.array([[r.x, r.y] for r in rs], dtype=float)
+        mu = xy.mean(axis=0)
+        cov = np.cov(xy.T, ddof=1)
+        inv = np.linalg.inv(cov)
+        d = np.einsum("ij,jk,ik->i", xy - mu, inv, xy - mu)
+        scored = sorted(
+            zip(np.round(d, 4), [(-r.l_orderkey, -r.l_linenumber) for r in rs],
+                rs),
+            key=lambda t: (-t[0], -t[1][0], -t[1][1]),
+        )
+        best = scored[0]
+        assert got[flag].l_orderkey == best[2].l_orderkey, flag
+        assert abs(got[flag].md2 - best[0]) < 1e-3, flag

@@ -1569,3 +1569,31 @@ def test_heaps_fit_pure_aggregation(spark):
     plan = formatted_plan(heaps_fit(load_table(spark, SF, "documents")))
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mahalanobis_window_group_limit_and_broadcast(spark):
+    """Moments broadcast back onto the scan; the per-flag top-k rank
+    compiles to WindowGroupLimit (map-side k-row pruning)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        mahalanobis_outliers,
+    )
+
+    df = mahalanobis_outliers(load_table(spark, SF, "lineitem"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kaplan_meier_offset_windows_on_bounded_relation(spark):
+    """The unpartitioned survival windows run AFTER the offset-level
+    aggregation — the relation under them is calendar-bounded, and the
+    per-user reduction is the only corpus-sized shuffle."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    df = kaplan_meier(load_table(spark, SF, "events"))
+    plan = formatted_plan(df)
+    # windows exist, but every one sits above the offset-level HashAggregate
+    assert "windowspecdefinition" in plan
+    assert "CartesianProduct" not in plan
