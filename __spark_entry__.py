@@ -1706,6 +1706,35 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.mahalanobis_outliers(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative cohort lifetime value (timeseries.cohort_ltv):
+    purchase revenue quantized to exact bigints before any sum,
+    cohort-partitioned cumulative window over the calendar² triangle."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        cohort_ltv,
+    )
+
+    return cohort_ltv(load_table(spark, sf_dir, "events"))
+
+
+def q_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags (timeseries.stl_anomaly):
+    |residual z| > 2 over the STL-lite decomposition, moments on
+    re-quantized integer residuals so the flag SET is deterministic."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        stl_anomaly,
+    )
+
+    return stl_anomaly(load_table(spark, sf_dir, "events"))
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean target encoding (relational.target_encoding):
+    exact-integer LOO numerators, category moments broadcast onto the
+    scan, map-side projection — the leak-free categorical feature."""
+    return rel.target_encoding(load_table(spark, sf_dir, "events"))
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-lifetime survival curve (timeseries.
     kaplan_meier): right-censored at the corpus horizon, product-limit
@@ -3204,6 +3233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kaplan_meier": q_kaplan_meier,
         "q_norm_profile": q_norm_profile,
         "q_mahalanobis": q_mahalanobis,
+        "q_cohort_ltv": q_cohort_ltv,
+        "q_stl_anomaly": q_stl_anomaly,
+        "q_target_encoding": q_target_encoding,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3421,6 +3453,7 @@ _ROUND6_WINDOW = [
     "q_stream_topk", "q_seasonal_decompose", "q_centroid_drift",
     "q_ks_test", "q_heaps_fit", "q_quantile_normalize",
     "q_kaplan_meier", "q_norm_profile", "q_mahalanobis",
+    "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
 ]
 
 
@@ -5682,6 +5715,87 @@ def _extension_oracles() -> dict[str, str]:
                 AS rank
             FROM scored
         ) WHERE rank <= 5
+    """
+    out["q_cohort_ltv"] = """
+        WITH days AS (
+            SELECT user_id, event_type, value,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events
+        ), cohorts AS (
+            SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort_day, count(*) AS cohort_n FROM cohorts GROUP BY 1
+        ), cell AS (
+            SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+                   sum(CAST(floor(d.value * 10000 + 0.5) AS BIGINT)) AS rev4,
+                   count(*) AS n_purchases
+            FROM days d JOIN cohorts c USING (user_id)
+            WHERE d.event_type = 'purchase'
+              AND d.day - c.cohort_day <= 7
+            GROUP BY 1, 2
+        )
+        SELECT cohort_day, day_offset,
+               n_purchases::BIGINT AS n_purchases,
+               round(rev4 / 10000.0, 4) AS revenue,
+               round(sum(rev4) OVER (PARTITION BY cohort_day
+                   ORDER BY day_offset) / 10000.0, 4) AS cum_revenue,
+               cohort_n::BIGINT AS cohort_n,
+               round(sum(rev4) OVER (PARTITION BY cohort_day
+                   ORDER BY day_offset) / (10000.0 * cohort_n), 4)
+                   AS ltv_per_user
+        FROM cell JOIN sizes USING (cohort_day)
+    """
+    out["q_stl_anomaly"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), framed AS (
+            SELECT event_type, day, c,
+                   sum(c) OVER w AS s7, count(*) OVER w AS n7,
+                   day % 7 AS dow
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), detr AS (
+            SELECT event_type, day, c, s7, dow, 7 * c - s7 AS detr7
+            FROM framed WHERE n7 = 7
+        ), comp AS (
+            SELECT event_type, day, c::BIGINT AS n_events,
+                   round((detr7 * (count(*) OVER wd)
+                          - sum(detr7) OVER wd)
+                         / (7.0 * (count(*) OVER wd)), 4) AS residual
+            FROM detr
+            WINDOW wd AS (PARTITION BY event_type, dow)
+        ), r4 AS (
+            SELECT *, CAST(floor(residual * 10000 + 0.5) AS BIGINT) AS rq
+            FROM comp
+        ), stats AS (
+            SELECT event_type, count(*) AS n, sum(rq) AS sr,
+                   sum(rq * rq) AS srr
+            FROM r4 GROUP BY event_type
+        )
+        SELECT event_type, day, n_events, residual,
+               round(rq / sqrt((srr::DOUBLE - sr::DOUBLE * sr / n) / n), 4)
+                   AS res_z
+        FROM r4 JOIN stats USING (event_type)
+        WHERE abs(rq / sqrt((srr::DOUBLE - sr::DOUBLE * sr / n) / n)) > 2.0
+    """
+    out["q_target_encoding"] = """
+        WITH q AS (
+            SELECT event_id, event_type, value,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+            FROM events
+        ), m AS (
+            SELECT event_type, count(*) AS n, sum(v4) AS s4
+            FROM q GROUP BY event_type
+        )
+        SELECT event_id, q.event_type, value,
+               CASE WHEN n > 1
+                    THEN floor((s4 - v4) / (n - 1) + 0.5) / 10000.0
+                    END AS loo_mean
+        FROM q JOIN m USING (event_type)
     """
     out["q_kaplan_meier"] = """
         WITH days AS (

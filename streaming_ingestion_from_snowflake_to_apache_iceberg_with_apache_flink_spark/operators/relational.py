@@ -1124,3 +1124,45 @@ def mahalanobis_outliers(lineitem: DataFrame, k: int = 5) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def target_encoding(events: DataFrame) -> DataFrame:
+    """Leave-one-out mean target encoding of the event type against
+    ``value`` — the categorical-feature encoder that avoids self-leakage
+    (each row's own target is excluded from its category mean, the
+    difference between a usable feature and a train-time leak).
+
+    Exactness: values are 1e-4-quantized to bigints before the category
+    sums, so the LOO numerator S − v_i is exact integer arithmetic and
+    each row's encoding is ONE division. Categories with a single row
+    emit NULL (no peers to borrow from), mirroring SQL semantics.
+
+    Scale shape: category moments are ONE partial-agg groupBy broadcast
+    back onto the scan (category dimension is metadata-sized); the
+    encoding itself is a map-side projection — no window, no second
+    shuffle, output streams at scan parallelism.
+    """
+    q = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v4"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v4").alias("s4")
+    )
+    return q.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        # floor(x + 0.5) in 1e-4 space, NOT round(): the LOO rational
+        # (S - v)/(n - 1) lands exactly on .xxxx5 boundaries, where
+        # Spark's HALF_UP and DuckDB's HALF_EVEN disagree
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                (F.col("s4") - F.col("v4")) / (F.col("n") - 1) + F.lit(0.5)
+            )
+            / F.lit(10000.0),
+        ).alias("loo_mean"),
+    )

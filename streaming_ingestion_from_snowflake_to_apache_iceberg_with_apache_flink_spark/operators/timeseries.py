@@ -762,3 +762,111 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("__lncum")), 4))
         .alias("survival"),
     )
+
+
+def cohort_ltv(events: DataFrame, max_offset: int = 7) -> DataFrame:
+    """Cumulative lifetime value per signup cohort: revenue (purchase
+    ``value``) attributed to each user's cohort day, accumulated over
+    day offsets — the LTV triangle a growth team reads payback periods
+    off, completing ``retention_cohorts`` (presence) with value.
+
+    Exactness: revenue is 1e-4-quantized to exact bigint cents-of-cents
+    BEFORE any sum (the ``_exact_sum_4dp`` convention), so both the
+    per-offset and the cumulative sums are exact integer arithmetic;
+    division by the cohort size happens once per emitted row.
+
+    Scale shape: cohort days come from one (user → min day) partial agg;
+    purchases join their user's cohort through a user-keyed equi-join
+    (dimension-sized right side — no broadcast forced, AQE decides);
+    everything after collapses to the (cohort × offset) triangle —
+    calendar²-bounded — where the cumulative window is PARTITIONED by
+    cohort.
+    """
+    day = F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)")
+    cohorts = (
+        events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        day.alias("day"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v4"),
+    )
+    cohort_sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    cell = (
+        purchases.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "v4",
+        )
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("v4").alias("rev4"), F.count(F.lit(1)).alias("n_purchases"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(cohort_sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            F.col("n_purchases").cast("bigint").alias("n_purchases"),
+            F.round(F.col("rev4") / F.lit(10000.0), 4).alias("revenue"),
+            F.round(F.sum("rev4").over(wcum) / F.lit(10000.0), 4).alias(
+                "cum_revenue"
+            ),
+            F.col("cohort_n").cast("bigint").alias("cohort_n"),
+            F.round(
+                F.sum("rev4").over(wcum) / (F.lit(10000.0) * F.col("cohort_n")),
+                4,
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+def stl_anomaly(events: DataFrame, z: float = 2.0) -> DataFrame:
+    """Seasonality-aware anomaly flags: days whose ``seasonal_decompose``
+    residual exceeds ``z`` residual standard deviations for their event
+    type — the alert that stays quiet on weekends where a raw z-score
+    (``daily_anomaly``) pages. Emits flagged days with the residual and
+    its per-type z-score.
+
+    Composes the decomposition operator; the residual moments are an
+    algebraic aggregate of the calendar-bounded component table
+    (population σ per type), broadcast back by type. Exactness: the
+    1e-4-rounded residuals are re-quantized to exact bigints
+    (floor(r·10⁴ + 0.5)) before the moment sums, so σ and every z-score
+    are deterministic cross-engine and the FLAG SET itself (a membership
+    decision, more fragile than a rounded value) cannot drift with
+    accumulation order.
+    """
+    comp = seasonal_decompose(events).withColumn(
+        "__r4", F.floor(F.col("residual") * 10000 + F.lit(0.5)).cast("bigint")
+    )
+    stats = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__r4").alias("sr"),
+        F.sum(F.col("__r4") * F.col("__r4")).alias("srr"),
+    )
+    joined = comp.join(F.broadcast(stats), "event_type")
+    var = (
+        F.col("srr").cast("double") - F.col("sr") * F.col("sr") / F.col("n")
+    ) / F.col("n")
+    zscore = F.col("__r4") / F.sqrt(var)
+    return (
+        joined.filter(F.abs(zscore) > z)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "residual",
+            F.round(zscore, 4).alias("res_z"),
+        )
+    )

