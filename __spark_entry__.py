@@ -1735,6 +1735,72 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.target_encoding(load_table(spark, sf_dir, "events"))
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit (relational.revenue_gini): exact Gini
+    via the order-statistic identity over the two-phase parallel rank,
+    plus top-1%/top-10% shares — exact cents bigints throughout."""
+    return rel.revenue_gini(load_table(spark, sf_dir, "orders"))
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles (sessions.conversion_lag): exact
+    order-statistic P50/P90 of the minute-quantized conversion-touch lag
+    per touch type — cumulative window on the lookback-bounded
+    histogram."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        conversion_lag,
+    )
+
+    return conversion_lag(load_table(spark, sf_dir, "events"))
+
+
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish through the ACTUAL sink runtime
+    (sinks/catalog.write_audit_publish): the URGENT slice commits to a
+    STAGING table, the staged state is audited (dup/null keys, price
+    bound), and only a fully-green audit publishes to the FINAL table —
+    the Iceberg WAP commit discipline consumers never see a bad batch
+    through. Emits the audit report + published count."""
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
+        IcebergSinkConfig,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.catalog import (
+        CatalogSink,
+        write_audit_publish,
+    )
+
+    batch = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    tag = uuid.uuid4().hex[:8]
+    mk = lambda name: CatalogSink(  # noqa: E731
+        spark,
+        IcebergSinkConfig(
+            db="default", table_name=name, partition_fields=(),
+            upsert_fields=(ORDERS_KEY,), operation="append",
+        ),
+    )
+    _drop_staged(spark, "wap", "q_wap_")
+    stg, fin = mk(f"q_wap_{tag}_stg"), mk(f"q_wap_{tag}_fin")
+    try:
+        out = write_audit_publish(
+            spark, stg, fin, batch, ORDERS_KEY
+        )
+    except BaseException:
+        for t in (stg.table, stg.commits, fin.table, fin.commits):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        raise
+    _TT_STAGED[(id(spark), "wap")] = (
+        stg.table, stg.commits, fin.table, fin.commits,
+    )
+    return out
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-lifetime survival curve (timeseries.
     kaplan_meier): right-censored at the corpus horizon, product-limit
@@ -3236,6 +3302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_ltv": q_cohort_ltv,
         "q_stl_anomaly": q_stl_anomaly,
         "q_target_encoding": q_target_encoding,
+        "q_revenue_gini": q_revenue_gini,
+        "q_conversion_lag": q_conversion_lag,
+        "q_wap_publish": q_wap_publish,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3454,6 +3523,7 @@ _ROUND6_WINDOW = [
     "q_ks_test", "q_heaps_fit", "q_quantile_normalize",
     "q_kaplan_meier", "q_norm_profile", "q_mahalanobis",
     "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
+    "q_revenue_gini", "q_conversion_lag", "q_wap_publish",
 ]
 
 
@@ -5796,6 +5866,92 @@ def _extension_oracles() -> dict[str, str]:
                     THEN floor((s4 - v4) / (n - 1) + 0.5) / 10000.0
                     END AS loo_mean
         FROM q JOIN m USING (event_type)
+    """
+    out["q_revenue_gini"] = """
+        WITH rev AS (
+            SELECT o_custkey,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_c
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT rev_c,
+                   row_number() OVER (ORDER BY rev_c, o_custkey)::BIGINT
+                       AS i,
+                   count(*) OVER ()::BIGINT AS n
+            FROM rev
+        )
+        SELECT max(n) AS n_customers,
+               round(sum(rev_c) / 100.0, 2) AS total_revenue,
+               round(2.0 * sum(i * rev_c) / (max(n)::DOUBLE * sum(rev_c))
+                     - (max(n)::DOUBLE + 1) / max(n), 6) AS gini,
+               round(sum(CASE WHEN i > max_i1 THEN rev_c ELSE 0 END)
+                     / sum(rev_c), 6) AS top1_share,
+               round(sum(CASE WHEN i > max_i10 THEN rev_c ELSE 0 END)
+                     / sum(rev_c), 6) AS top10_share
+        FROM (
+            SELECT *,
+                   n - greatest(n // 100, 1) AS max_i1,
+                   n - greatest(n // 10, 1) AS max_i10
+            FROM ranked
+        )
+    """
+    out["q_conversion_lag"] = """
+        WITH conv AS (
+            SELECT user_id AS cu, ts AS cts
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id AS tu, event_type AS touch_type, ts AS tts
+            FROM events WHERE event_type IN ('click', 'view')
+        ), pairs AS (
+            SELECT touch_type,
+                   CAST(floor((epoch_us(cts) - epoch_us(tts)) / 60000000)
+                        AS BIGINT) AS lag_min
+            FROM conv JOIN touch
+              ON cu = tu AND tts < cts
+             AND tts >= cts - INTERVAL 86400000 MILLISECONDS
+        ), hist AS (
+            SELECT touch_type, lag_min, count(*) AS c
+            FROM pairs GROUP BY 1, 2
+        ), cum AS (
+            SELECT touch_type, lag_min,
+                   sum(c) OVER (PARTITION BY touch_type ORDER BY lag_min)
+                       AS cum,
+                   sum(c) OVER (PARTITION BY touch_type) AS n,
+                   max(lag_min) OVER (PARTITION BY touch_type) AS max_lag
+            FROM hist
+        )
+        SELECT touch_type, max(n)::BIGINT AS n_pairs,
+               min(CASE WHEN cum >= ceil(n * 0.5) THEN lag_min END)
+                   AS p50_lag_min,
+               min(CASE WHEN cum >= ceil(n * 0.9) THEN lag_min END)
+                   AS p90_lag_min,
+               max(max_lag) AS max_lag_min
+        FROM cum GROUP BY touch_type ORDER BY touch_type
+    """
+    out["q_wap_publish"] = """
+        WITH slice AS (
+            SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        ), agg AS (
+            SELECT count(*) - count(DISTINCT o_orderkey) AS dup,
+                   count(*) FILTER (o_orderkey IS NULL) AS nul,
+                   count(*) FILTER (o_totalprice <= 0) AS bad,
+                   count(*) AS n
+            FROM slice
+        ), verdict AS (
+            SELECT *, (dup = 0 AND nul = 0 AND bad = 0) AS pub,
+                   CASE WHEN dup = 0 AND nul = 0 AND bad = 0
+                        THEN n ELSE 0 END AS npub
+            FROM agg
+        )
+        SELECT 'staged.key unique' AS check_name, dup::BIGINT
+                   AS n_violations, dup = 0 AS passed, pub AS published,
+               npub::BIGINT AS n_published FROM verdict
+        UNION ALL
+        SELECT 'staged.key not_null', nul::BIGINT, nul = 0, pub,
+               npub::BIGINT FROM verdict
+        UNION ALL
+        SELECT 'staged.price positive', bad::BIGINT, bad = 0, pub,
+               npub::BIGINT FROM verdict
     """
     out["q_kaplan_meier"] = """
         WITH days AS (

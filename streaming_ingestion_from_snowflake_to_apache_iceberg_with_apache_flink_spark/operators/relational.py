@@ -1166,3 +1166,52 @@ def target_encoding(events: DataFrame) -> DataFrame:
             / F.lit(10000.0),
         ).alias("loo_mean"),
     )
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """Revenue-concentration audit over customers: exact Gini
+    coefficient plus top-1% / top-10% revenue shares — the Lorenz/Pareto
+    card that tells a growth team how much of the book sits on how few
+    accounts. One row: customer count, total revenue, Gini, both shares.
+
+    Gini comes from the order-statistic identity
+    G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ascending per-customer
+    revenue. The global rank is the TWO-PHASE parallel rank
+    (``ranks.global_row_number`` — no corpus-wide single-partition
+    window); revenues are exact cents, so Σx and Σ i·x₍ᵢ₎ are exact
+    bigints (Σ i·x overflows past ~10⁹ customers × large books — shard
+    and rescale cents beyond that) and the Gini is two divisions at the
+    end. Shares are conditional sums against the rank bound — n is a
+    driver scalar the rank computation already produced for free.
+    """
+    from . import ranks
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("rev_c")
+    )
+    ranked, n = ranks.global_row_number(
+        rev, [F.col("rev_c").asc(), F.col("o_custkey").asc()], rank_col="__i"
+    )
+    top1 = n - max(n // 100, 1)
+    top10 = n - max(n // 10, 1)
+    agg = ranked.agg(
+        F.sum("rev_c").alias("s"),
+        F.sum(F.col("__i") * F.col("rev_c")).alias("t"),
+        F.sum(F.when(F.col("__i") > top1, F.col("rev_c")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(F.when(F.col("__i") > top10, F.col("rev_c")).otherwise(0)).alias(
+            "s10"
+        ),
+    )
+    nd = F.lit(float(n))
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.round(F.col("s") / F.lit(100.0), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("t") / (nd * F.col("s")) - (nd + 1) / nd, 6
+        ).alias("gini"),
+        F.round(F.col("s1") / F.col("s"), 6).alias("top1_share"),
+        F.round(F.col("s10") / F.col("s"), 6).alias("top10_share"),
+    )

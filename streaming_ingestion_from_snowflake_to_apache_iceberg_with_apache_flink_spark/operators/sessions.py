@@ -374,3 +374,76 @@ def attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def conversion_lag(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_ms: int = 86_400_000,
+) -> DataFrame:
+    """Time-to-convert percentiles per touch type: the lag distribution
+    between each conversion and its in-lookback touches, reported as
+    exact ORDER-STATISTIC P50/P90 on the minute-quantized lag histogram
+    — the latency companion to :func:`attribution` (same pair join,
+    answering "how long after the click" instead of "which click").
+
+    Exactness: lags are integer minutes; percentiles are the smallest
+    lag whose cumulative count reaches ceil(q·N) — no interpolation, no
+    rounding boundary. The cumulative window is PARTITIONED by touch
+    type over the minute-domain histogram (≤ lookback-minutes rows per
+    type at any corpus scale).
+    """
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {lookback_ms} MILLISECONDS")
+        ),
+    ).select(
+        "touch_type",
+        F.floor(
+            (F.unix_micros(F.col("cts")) - F.unix_micros(F.col("tts")))
+            / F.lit(60_000_000)
+        )
+        .cast("bigint")
+        .alias("lag_min"),
+    )
+    hist = pairs.groupBy("touch_type", "lag_min").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("touch_type")
+        .orderBy("lag_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("touch_type")
+    cum = hist.select(
+        "touch_type",
+        "lag_min",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+        F.max("lag_min").over(wall).alias("max_lag"),
+    )
+    p50 = F.col("cum") >= F.ceil(F.col("n") * 0.5)
+    p90 = F.col("cum") >= F.ceil(F.col("n") * 0.9)
+    return (
+        cum.groupBy("touch_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.min(F.when(p50, F.col("lag_min"))).alias("p50_lag_min"),
+            F.min(F.when(p90, F.col("lag_min"))).alias("p90_lag_min"),
+            F.max("max_lag").alias("max_lag_min"),
+        )
+        .orderBy("touch_type")
+    )

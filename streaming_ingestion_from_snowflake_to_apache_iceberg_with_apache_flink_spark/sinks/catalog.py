@@ -753,3 +753,54 @@ class CatalogSink:
             "overwrite"
         ).insertInto(self.commits)
         self._ledger_invalidate()  # rewritten by a Spark job, not _record
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    staging: "CatalogSink",
+    final: "CatalogSink",
+    batch: DataFrame,
+    key_field: str,
+    epoch: int = 1,
+) -> DataFrame:
+    """The Iceberg Write-Audit-Publish pattern over two sinks: commit the
+    batch to a STAGING table first, audit the staged state (duplicate
+    keys, NULL keys, non-positive price — the contract the reference's
+    MERGE assumes, `IcebergSinkBuilder.java:31-43` commit discipline),
+    and only if every audit passes, publish by committing the staged
+    read-back to the FINAL table. Consumers read only the final table,
+    so a bad batch never becomes visible — the difference between "we
+    can roll back" and "nobody ever saw it".
+
+    Emits the audit report plus the published row count (0 when any
+    audit fails and publication is withheld). The publish decision is
+    one driver-side boolean off three counter aggregates — the same
+    orchestration altitude as the reference's job driver; nothing
+    row-sized is collected.
+    """
+    staging.write_batch(batch, epoch)
+    staged = staging.read()
+    price = F.col("o_totalprice")
+    audits = staged.agg(
+        (F.count(F.lit(1)) - F.countDistinct(key_field)).alias("dup_keys"),
+        F.sum(F.col(key_field).isNull().cast("int")).alias("null_keys"),
+        F.sum((price <= 0).cast("int")).alias("bad_price"),
+    ).collect()[0]
+    checks = [
+        ("staged.key unique", int(audits.dup_keys or 0)),
+        ("staged.key not_null", int(audits.null_keys or 0)),
+        ("staged.price positive", int(audits.bad_price or 0)),
+    ]
+    publish = all(v == 0 for _, v in checks)
+    n_published = 0
+    if publish:
+        final.write_batch(staged, epoch)
+        n_published = final.read().count()
+    rows = [
+        (name, v, v == 0, publish, n_published) for name, v in checks
+    ]
+    return spark.createDataFrame(
+        rows,
+        "check_name string, n_violations bigint, passed boolean,"
+        " published boolean, n_published bigint",
+    )

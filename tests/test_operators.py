@@ -2339,6 +2339,8 @@ def test_rank_fusion_properties(spark):
         "cohort_ltv",
         "stl_anomaly",
         "target_encoding",
+        "revenue_gini",
+        "conversion_lag",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2361,6 +2363,9 @@ def test_partitioning_invariance(spark, opname):
     )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
         attribution as _attr_builder,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        conversion_lag as _clag_builder,
     )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
         ks_test as _ks_builder,
@@ -2391,6 +2396,8 @@ def test_partitioning_invariance(spark, opname):
         "cohort_ltv": tse.cohort_ltv,
         "stl_anomaly": tse.stl_anomaly,
         "target_encoding": rel.target_encoding,
+        "revenue_gini": rel.revenue_gini,
+        "conversion_lag": _clag_builder,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2421,6 +2428,8 @@ def test_partitioning_invariance(spark, opname):
         "cohort_ltv": "events",
         "stl_anomaly": "events",
         "target_encoding": "events",
+        "revenue_gini": "orders",
+        "conversion_lag": "events",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -3101,3 +3110,108 @@ def test_target_encoding_loo_exactness(spark):
             v4 = int((r.value * 10000) + 0.5)
             want = math.floor((s - v4) / (n - 1) + 0.5) / 10000.0
             assert abs(r.loo_mean - want) < 1e-9
+
+
+def test_revenue_gini_matches_python_reference(spark):
+    """Gini and the top shares agree with a direct sorted-list
+    computation over the collected per-customer revenues."""
+    orders = load_table(spark, SF, "orders")
+    r = rel.revenue_gini(orders).collect()[0]
+    per = {}
+    for row in orders.select("o_custkey", "o_totalprice").collect():
+        per[row.o_custkey] = per.get(row.o_custkey, 0) + int(
+            row.o_totalprice * 100 + 0.5
+        )
+    xs = sorted(per.values())
+    n, s = len(xs), sum(xs)
+    t = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2 * t / (n * s) - (n + 1) / n
+    assert r.n_customers == n
+    assert abs(r.gini - round(gini, 6)) < 1e-9
+    top10 = sum(xs[n - max(n // 10, 1):])
+    assert abs(r.top10_share - round(top10 / s, 6)) < 1e-9
+    assert 0 <= r.gini <= 1
+    assert r.top1_share <= r.top10_share <= 1.0
+
+
+def test_conversion_lag_order_statistics(spark):
+    """P50/P90 are exact order statistics of the pair-lag multiset
+    computed directly in Python; p50 ≤ p90 ≤ max."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        conversion_lag,
+    )
+
+    ev = load_table(spark, SF, "events")
+    got = {r.touch_type: r for r in conversion_lag(ev).collect()}
+    convs = [
+        (r.user_id, r.ts)
+        for r in ev.filter(F.col("event_type") == "purchase").collect()
+    ]
+    touches = [
+        (r.user_id, r.event_type, r.ts)
+        for r in ev.filter(F.col("event_type").isin("click", "view")).collect()
+    ]
+    import math
+    from collections import defaultdict
+
+    lags = defaultdict(list)
+    for cu, cts in convs:
+        for tu, tt, tts in touches:
+            if tu == cu and tts < cts and (cts - tts).total_seconds() <= 86400:
+                lags[tt].append(
+                    int((cts - tts).total_seconds() * 1_000_000 // 60_000_000)
+                )
+    for tt, ls in lags.items():
+        ls.sort()
+        r = got[tt]
+        assert r.n_pairs == len(ls)
+        assert r.p50_lag_min == ls[math.ceil(0.5 * len(ls)) - 1]
+        assert r.p90_lag_min == ls[math.ceil(0.9 * len(ls)) - 1]
+        assert r.p50_lag_min <= r.p90_lag_min <= r.max_lag_min
+
+
+def test_wap_withholds_bad_batch(spark):
+    """A batch with a NULL key and a non-positive price fails its audit:
+    nothing is published, the final table stays absent, and the report
+    says so."""
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.catalog import (
+        CatalogSink,
+        write_audit_publish,
+    )
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    bad = orders.limit(5).unionByName(
+        orders.limit(1).select(
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            "o_custkey", "o_orderstatus",
+            F.lit(-1.0).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+    tag = uuid.uuid4().hex[:8]
+    mk = lambda name: CatalogSink(  # noqa: E731
+        spark,
+        IcebergSinkConfig(
+            db="default", table_name=name, partition_fields=(),
+            upsert_fields=("o_orderkey",), operation="append",
+        ),
+    )
+    stg, fin = mk(f"wap_t_{tag}_stg"), mk(f"wap_t_{tag}_fin")
+    try:
+        rows = write_audit_publish(
+            spark, stg, fin, bad, "o_orderkey"
+        ).collect()
+        assert all(not r.published for r in rows)
+        assert all(r.n_published == 0 for r in rows)
+        failed = {r.check_name for r in rows if not r.passed}
+        assert "staged.key not_null" in failed
+        assert "staged.price positive" in failed
+        assert not spark.catalog.tableExists(fin.table)
+    finally:
+        for t in (stg.table, stg.commits, fin.table, fin.commits):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1626,3 +1626,30 @@ def test_target_encoding_broadcast_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_revenue_gini_two_phase_rank(spark):
+    """The Lorenz rank is the two-phase global rank — every window
+    partitioned by the physical partition id, never a corpus-wide
+    single-partition window."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        revenue_gini,
+    )
+
+    _partitioned_window_specs(revenue_gini(load_table(spark, SF, "orders")))
+
+
+def test_conversion_lag_histogram_windows(spark):
+    """The percentile windows are partitioned by touch type over the
+    lookback-bounded lag histogram; the pair join is an equi-join."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        conversion_lag,
+    )
+
+    df = conversion_lag(load_table(spark, SF, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs
+    for s in specs:
+        assert s.startswith("touch_type"), f"unpartitioned window: {s[:80]}"
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
