@@ -1801,6 +1801,18 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension lookup (temporal.scd2_lookup): each
+    purchase resolves the user's tracked state AS OF its timestamp —
+    the non-overlapping validity tiling turns the interval lookup into
+    one backward as-of join (single user-keyed shuffle)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        scd2_lookup,
+    )
+
+    return scd2_lookup(load_table(spark, sf_dir, "events"))
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-lifetime survival curve (timeseries.
     kaplan_meier): right-censored at the corpus horizon, product-limit
@@ -3305,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_gini": q_revenue_gini,
         "q_conversion_lag": q_conversion_lag,
         "q_wap_publish": q_wap_publish,
+        "q_scd2_lookup": q_scd2_lookup,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3524,6 +3537,7 @@ _ROUND6_WINDOW = [
     "q_kaplan_meier", "q_norm_profile", "q_mahalanobis",
     "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish",
+    "q_scd2_lookup",
 ]
 
 
@@ -5952,6 +5966,34 @@ def _extension_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'staged.price positive', bad::BIGINT, bad = 0, pub,
                npub::BIGINT FROM verdict
+    """
+    out["q_scd2_lookup"] = """
+        WITH w AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events
+        ), changed AS (
+            SELECT user_id, ts, event_id, event_type FROM w
+            WHERE prev IS NULL OR prev <> event_type
+        ), hist AS (
+            SELECT user_id, event_type AS state_at,
+                   epoch_ms(ts) AS vf_ms,
+                   epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) AS vt_ms,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS version
+            FROM changed
+        ), purch AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts_ms, h.state_at,
+               CAST(h.version AS INT) AS version
+        FROM purch p JOIN hist h
+          ON p.user_id = h.user_id
+         AND h.vf_ms <= p.ts_ms
+         AND (h.vt_ms IS NULL OR p.ts_ms < h.vt_ms)
     """
     out["q_kaplan_meier"] = """
         WITH days AS (

@@ -391,3 +391,60 @@ def nearest_join(
         .drop("__rn", "__lid")
         .withColumn("abs_diff_ms", (diff / F.lit(1000)).cast("long"))
     )
+
+
+def scd2_lookup(events: DataFrame) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history — THE
+    warehouse join: each purchase event resolves the user's tracked
+    state AS OF the purchase timestamp (the version whose
+    ``[valid_from, valid_to)`` interval covers it). Because a key's
+    validity intervals tile time without overlap, the interval lookup IS
+    a backward as-of join on ``valid_from`` — so this composes
+    :func:`scd2_history` with :func:`asof_join` (one user-keyed shuffle,
+    union + running-last, no inequality join node) instead of paying a
+    range join.
+
+    Emits (event_id, user_id, ts_ms, state_at, version) per purchase —
+    ``how='inner'`` since every purchase postdates the user's first
+    version by construction (the first event opens version 1).
+    """
+    from ..schema import ts_ms
+
+    # validity is ms-quantized: two changes inside one millisecond leave
+    # the earlier with an EMPTY [from, to) interval — keep only the last
+    # version per (user, ms) so the as-of tie rule and the interval
+    # semantics agree exactly (the window runs per user over its
+    # version-count-sized history, not the corpus)
+    wv = Window.partitionBy("user_id", "valid_from_ms").orderBy(
+        F.col("version").desc()
+    )
+    hist = (
+        scd2_history(events)
+        .withColumn("__rv", F.row_number().over(wv))
+        .filter(F.col("__rv") == 1)
+        .select(
+            "user_id",
+            F.timestamp_millis(F.col("valid_from_ms")).alias("__vts"),
+            F.col("state").alias("state_at"),
+            "version",
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    looked = asof_join(
+        purchases,
+        hist,
+        "user_id",
+        "ts",
+        "__vts",
+        ["state_at", "version"],
+        how="inner",
+    )
+    return looked.select(
+        "event_id",
+        "user_id",
+        ts_ms("ts").alias("ts_ms"),
+        "state_at",
+        "version",
+    )

@@ -2341,6 +2341,7 @@ def test_rank_fusion_properties(spark):
         "target_encoding",
         "revenue_gini",
         "conversion_lag",
+        "scd2_lookup",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2366,6 +2367,9 @@ def test_partitioning_invariance(spark, opname):
     )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
         conversion_lag as _clag_builder,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        scd2_lookup as _scd2l_builder,
     )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
         ks_test as _ks_builder,
@@ -2398,6 +2402,7 @@ def test_partitioning_invariance(spark, opname):
         "target_encoding": rel.target_encoding,
         "revenue_gini": rel.revenue_gini,
         "conversion_lag": _clag_builder,
+        "scd2_lookup": _scd2l_builder,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2430,6 +2435,7 @@ def test_partitioning_invariance(spark, opname):
         "target_encoding": "events",
         "revenue_gini": "orders",
         "conversion_lag": "events",
+        "scd2_lookup": "events",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -3215,3 +3221,31 @@ def test_wap_withholds_bad_batch(spark):
     finally:
         for t in (stg.table, stg.commits, fin.table, fin.commits):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_scd2_lookup_matches_history_scan(spark):
+    """Each purchase's resolved state equals a direct Python scan of the
+    SCD2 intervals, and every purchase resolves (inner join loses no
+    row)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    ev = load_table(spark, SF, "events")
+    looked = scd2_lookup(ev).collect()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(looked) == n_purch
+    hist: dict[int, list] = {}
+    for h in scd2_history(ev).collect():
+        hist.setdefault(h.user_id, []).append(h)
+    for r in looked:
+        spans = [
+            h
+            for h in hist[r.user_id]
+            if h.valid_from_ms <= r.ts_ms
+            and (h.valid_to_ms is None or r.ts_ms < h.valid_to_ms)
+        ]
+        assert len(spans) == 1, (r, spans)
+        assert r.state_at == spans[0].state
+        assert r.version == spans[0].version

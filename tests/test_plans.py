@@ -1653,3 +1653,15 @@ def test_conversion_lag_histogram_windows(spark):
     for s in specs:
         assert s.startswith("touch_type"), f"unpartitioned window: {s[:80]}"
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_scd2_lookup_no_range_join(spark):
+    """The interval lookup compiles as the as-of union form — no
+    inequality join node, no cartesian; windows are user-partitioned."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.temporal import (
+        scd2_lookup,
+    )
+
+    df = scd2_lookup(load_table(spark, SF, "events"))
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
