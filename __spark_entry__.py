@@ -3501,43 +3501,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**{k: q[k] for k in _ROUND6_WINDOW}, **q}
 
 
-# The round-6 driver-correctness window: q_ema + q_locf first (the final 2
-# never-driver-checked names — with them green, all 202 registered queries
-# have a driver CORRECTNESS row), then every query whose implementation
-# round 6 touched (two-phase global ranks, shared k-means training +
-# k=cells_for(N), driver-side commit ledger, deferred time-travel cleanup,
-# JDBC/pysource hardening) so the driver re-verifies each change at
-# sf0.01.
+# The round-6 driver-correctness window: every query that has NEVER had a
+# driver CORRECTNESS row (q_ema/q_locf close the r5 contract; the rest are
+# round-6 additions), ordered contract-first; the tail re-verifies the
+# paths round 6 touched (two-phase ranks, shared k-means, sink ledger,
+# connector hardening) if the driver's window reaches them.
 _ROUND6_WINDOW = [
-    "q_ema", "q_locf",
-    # two-phase global rank / prefix-sum / top-k rewrites
+    "q_ema", "q_locf", "q_changepoint", "q_filter_funnel",
+    "q_referential_audit", "q_matryoshka_recall", "q_zipf_fit",
+    "q_lang_entropy", "q_hll_distinct", "q_attribution", "q_stream_topk",
+    "q_seasonal_decompose", "q_centroid_drift", "q_ks_test", "q_heaps_fit",
+    "q_quantile_normalize", "q_kaplan_meier", "q_norm_profile",
+    "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
+    "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
+    "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
+    "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
+    "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
+    "q_mixture_waterfill", "q_quality_calibration", "q_knn_eval",
+    "q_rank_fusion", "q_trend_robust", "q_pq_encode", "q_pq_adc_topk",
+    "q_pq_recall", "q_ivfpq_topk", "q_markov_transitions", "q_k_anonymity",
     "q_pack_bins", "q_token_budget_shards", "q_late_data_audit",
-    "q_ts_similarity", "q_zorder_layout",
-    # shared k-means family (k = cells_for(N) for the pair queries)
-    "q_kmeans", "q_semdedup", "q_hard_negatives", "q_cluster_terms",
-    # sink/ledger touched paths
-    "q_time_travel", "q_merge_delete", "q_stream_ingest",
-    "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
-    # connector paths (null-shard guard, quantized spread)
-    "q_python_source", "q_python_stream_source", "q_stateful_offsets",
-    "q_knn_classify", "q_topk_cosine", "q_ann_recall",
-    "q_neardup_embedding", "q_quantize_embeddings", "q_pca_power",
-    # round-6 additions
-    "q_k_anonymity", "q_kcore", "q_bpe_fertility", "q_lsh_recall",
-    "q_split_leakage", "q_cluster_balance", "q_ngram_novelty",
-    "q_retention_cohorts", "q_snapshot_diff", "q_join_cardinality",
-    "q_xcorr_lag", "q_ab_ztest", "q_mixture_waterfill",
-    "q_quality_calibration", "q_knn_eval", "q_rank_fusion",
-    "q_trend_robust", "q_pq_encode", "q_pq_adc_topk", "q_pq_recall",
-    "q_ivfpq_topk", "q_markov_transitions", "q_changepoint",
-    "q_filter_funnel", "q_referential_audit", "q_matryoshka_recall",
-    "q_zipf_fit", "q_lang_entropy", "q_hll_distinct", "q_attribution",
-    "q_stream_topk", "q_seasonal_decompose", "q_centroid_drift",
-    "q_ks_test", "q_heaps_fit", "q_quantile_normalize",
-    "q_kaplan_meier", "q_norm_profile", "q_mahalanobis",
-    "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
-    "q_revenue_gini", "q_conversion_lag", "q_wap_publish",
-    "q_scd2_lookup",
+    "q_ts_similarity", "q_zorder_layout", "q_kmeans", "q_semdedup",
+    "q_hard_negatives", "q_cluster_terms", "q_time_travel", "q_merge_delete",
+    "q_stream_ingest", "q_python_source", "q_python_stream_source",
+    "q_stateful_offsets",
 ]
 
 
