@@ -1813,6 +1813,58 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_lookup(load_table(spark, sf_dir, "events"))
 
 
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-armored exact distinct (relational.salted_distinct): per-type
+    distinct users via hash-salt slices that partition each key's
+    distinct set disjointly — parallel where plain countDistinct
+    funnels a hot key through one reducer; exactly equal to the
+    unsalted oracle."""
+    return rel.salted_distinct(load_table(spark, sf_dir, "events"))
+
+
+def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the SOURCE (mergeSchema read): epoch 1 writes
+    the original orders shape, epoch 2 adds a derived discount column;
+    one partition-discovered read merges both footers and backfills the
+    missing column with NULLs — per epoch: rows, rows carrying the
+    evolved column, its exact-cents sum."""
+    import uuid
+
+    base = (
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        + f"/q_schema_evo"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    e1 = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    e2 = orders.filter(F.col("o_orderpriority") == "2-HIGH").withColumn(
+        "o_discount_cents",
+        F.floor(F.col("o_totalprice") * 5 + F.lit(0.5)).cast("bigint"),
+    )
+    # deterministic per-(session, sf) staging: rewrite only when absent so
+    # the bench's second run and the oracle read the same files
+    key = (id(spark), sf_dir, "schema_evo")
+    if key not in _TRAINED_STATE_MEMO:
+        e1.write.mode("overwrite").parquet(f"{base}/epoch=1")
+        e2.write.mode("overwrite").parquet(f"{base}/epoch=2")
+        _TRAINED_STATE_MEMO[key] = base
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(f"{base}/epoch=1", f"{base}/epoch=2")
+    )
+    return merged.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_discount_cents").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_evolved"),
+        F.coalesce(F.sum("o_discount_cents"), F.lit(0))
+        .cast("bigint")
+        .alias("discount_cents"),
+    )
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-lifetime survival curve (timeseries.
     kaplan_meier): right-censored at the corpus horizon, product-limit
@@ -3318,6 +3370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conversion_lag": q_conversion_lag,
         "q_wap_publish": q_wap_publish,
         "q_scd2_lookup": q_scd2_lookup,
+        "q_salted_distinct": q_salted_distinct,
+        "q_merge_schema": q_merge_schema,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3513,6 +3567,7 @@ _ROUND6_WINDOW = [
     "q_seasonal_decompose", "q_centroid_drift", "q_ks_test", "q_heaps_fit",
     "q_quantile_normalize", "q_kaplan_meier", "q_norm_profile",
     "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
+   "q_salted_distinct", "q_merge_schema",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
@@ -5981,6 +6036,26 @@ def _extension_oracles() -> dict[str, str]:
           ON p.user_id = h.user_id
          AND h.vf_ms <= p.ts_ms
          AND (h.vt_ms IS NULL OR p.ts_ms < h.vt_ms)
+    """
+    out["q_salted_distinct"] = """
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY event_type
+    """
+    out["q_merge_schema"] = """
+        WITH merged AS (
+            SELECT o_orderkey, o_totalprice,
+                   NULL::BIGINT AS o_discount_cents, 1 AS epoch
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice,
+                   CAST(floor(o_totalprice * 5 + 0.5) AS BIGINT), 2
+            FROM orders WHERE o_orderpriority = '2-HIGH'
+        )
+        SELECT epoch, count(*)::BIGINT AS n_rows,
+               count(o_discount_cents)::BIGINT AS n_evolved,
+               coalesce(sum(o_discount_cents), 0)::BIGINT
+                   AS discount_cents
+        FROM merged GROUP BY epoch
     """
     out["q_kaplan_meier"] = """
         WITH days AS (

@@ -1215,3 +1215,29 @@ def revenue_gini(orders: DataFrame) -> DataFrame:
         F.round(F.col("s1") / F.col("s"), 6).alias("top1_share"),
         F.round(F.col("s10") / F.col("s"), 6).alias("top10_share"),
     )
+
+
+def salted_distinct(events: DataFrame, salts: int = 16) -> DataFrame:
+    """Exact distinct-user count per event type through the SALTED
+    two-phase shape — the skew armor for distinct aggregation: a plain
+    ``countDistinct`` hash-partitions every row of a hot key into ONE
+    reducer (map-side combine cannot pre-merge distincts), so the
+    heaviest key's task is the job. Salting by ``hash(user) % salts``
+    splits each key's distinct set into ``salts`` disjoint slices
+    (a user lands in exactly one slice, so slice counts ADD exactly),
+    counts each slice in parallel, and sums — same answer, hot key's
+    work spread ``salts``-ways.
+
+    Emits (event_type, n_users) — identical to the unsalted oracle by
+    construction, not approximately.
+    """
+    salt = F.pmod(F.hash(F.col("user_id")), F.lit(salts))
+    slices = (
+        events.select("event_type", "user_id", salt.alias("__salt"))
+        .groupBy("event_type", "__salt")
+        .agg(F.countDistinct("user_id").alias("c"))
+    )
+    return (
+        slices.groupBy("event_type")
+        .agg(F.sum("c").cast("bigint").alias("n_users"))
+    )

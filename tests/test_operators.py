@@ -2342,6 +2342,7 @@ def test_rank_fusion_properties(spark):
         "revenue_gini",
         "conversion_lag",
         "scd2_lookup",
+        "salted_distinct",
     ],
 )
 def test_partitioning_invariance(spark, opname):
@@ -2403,6 +2404,7 @@ def test_partitioning_invariance(spark, opname):
         "revenue_gini": rel.revenue_gini,
         "conversion_lag": _clag_builder,
         "scd2_lookup": _scd2l_builder,
+        "salted_distinct": rel.salted_distinct,
         "filter_funnel": _ff_builder,
         "matryoshka_recall": lambda df: sim.matryoshka_recall(
             df, list(range(5)), k=10, prefix_dim=16
@@ -2436,6 +2438,7 @@ def test_partitioning_invariance(spark, opname):
         "revenue_gini": "orders",
         "conversion_lag": "events",
         "scd2_lookup": "events",
+        "salted_distinct": "events",
         "filter_funnel": "documents",
         "matryoshka_recall": "embeddings",
         "pack_bins_docs": "documents",
@@ -3249,3 +3252,21 @@ def test_scd2_lookup_matches_history_scan(spark):
         assert len(spans) == 1, (r, spans)
         assert r.state_at == spans[0].state
         assert r.version == spans[0].version
+
+
+def test_salted_distinct_equals_plain(spark):
+    """The salted two-phase distinct equals plain countDistinct exactly,
+    for several salt widths."""
+    ev = load_table(spark, SF, "events")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for salts in (1, 4, 32):
+        got = {
+            r.event_type: r.n_users
+            for r in rel.salted_distinct(ev, salts=salts).collect()
+        }
+        assert got == want, salts

@@ -1665,3 +1665,32 @@ def test_scd2_lookup_no_range_join(spark):
     df = scd2_lookup(load_table(spark, SF, "events"))
     plan = formatted_plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_salted_distinct_two_exchanges_salted_first(spark):
+    """The first exchange partitions on (event_type, salt) — the hot
+    key's distinct set is split before any reducer sees it; the second
+    reduces salt slices."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        salted_distinct,
+    )
+
+    df = salted_distinct(load_table(spark, SF, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_merge_schema_backfills_nulls(spark):
+    """The merged read resolves both footers: epoch-1 rows carry NULL in
+    the evolved column, epoch-2 rows carry it fully."""
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r.epoch: r
+        for r in entrymod.q_merge_schema(spark, SF).collect()
+    }
+    assert rows[1].n_evolved == 0
+    assert rows[2].n_evolved == rows[2].n_rows > 0
+    assert rows[1].discount_cents == 0
+    assert rows[2].discount_cents > 0
