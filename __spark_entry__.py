@@ -1865,6 +1865,16 @@ def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the cluster anchor (dedup.bfs_depth): 3 unrolled
+    BFS supersteps over the n-gram-Jaccard near-dup graph — frontier ⋈
+    edges equi-joins + anti-joins against the visited set, the static-DAG
+    contract of the CC/PageRank/k-core family."""
+    return dd.bfs_depth(
+        dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-lifetime survival curve (timeseries.
     kaplan_meier): right-censored at the corpus horizon, product-limit
@@ -3372,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_lookup": q_scd2_lookup,
         "q_salted_distinct": q_salted_distinct,
         "q_merge_schema": q_merge_schema,
+        "q_bfs_depth": q_bfs_depth,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3567,7 +3578,7 @@ _ROUND6_WINDOW = [
     "q_seasonal_decompose", "q_centroid_drift", "q_ks_test", "q_heaps_fit",
     "q_quantile_normalize", "q_kaplan_meier", "q_norm_profile",
     "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
-   "q_salted_distinct", "q_merge_schema",
+   "q_salted_distinct", "q_merge_schema", "q_bfs_depth",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
@@ -6256,6 +6267,9 @@ def _extension_oracles() -> dict[str, str]:
     out["q_cluster_balance"] = sim.duck_cluster_balance_sql(k=8)
     out["q_kcore"] = dd.duck_kcore_sql(
         out["q_dedup_ngram_jaccard"], k=2, rounds=3
+    )
+    out["q_bfs_depth"] = dd.duck_bfs_sql(
+        out["q_dedup_ngram_jaccard"], rounds=3
     )
     out["q_avro_contract"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

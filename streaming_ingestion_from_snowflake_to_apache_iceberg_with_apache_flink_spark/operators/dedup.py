@@ -1103,3 +1103,80 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
             6,
         ).alias("clustering_coef"),
     )
+
+
+def bfs_depth(
+    pairs: DataFrame,
+    rounds: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Breadth-first distance from the SMALLEST node id over the
+    undirected near-dup pair graph, unrolled ``rounds`` supersteps —
+    "how far does this duplication cluster reach from its anchor", the
+    hop-distance companion to the CC / PageRank / k-core family (same
+    exactly-checkable static-DAG contract: fixed rounds, unrolled oracle
+    CTEs; the seed is data-derived, so no driver scalar leaks in).
+
+    Returns (doc_id, depth ≤ rounds) for every node reached. Each
+    superstep is one frontier ⋈ edges equi-join + an anti-join against
+    the visited set — frontier-sized work, never node² — and the seed
+    min() reduces edge endpoints without collecting them.
+
+    Scale note: ``rounds`` supersteps bound the depth, exactly like the
+    fixed-iteration PageRank; at 100 TB you raise rounds or switch to
+    the hash-min CC propagation when full closure is needed.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    seed = edges.agg(F.min("a").alias("doc_id")).select(
+        "doc_id", F.lit(0).alias("depth")
+    )
+    visited = seed
+    frontier = seed
+    for d in range(1, rounds + 1):
+        nxt = (
+            frontier.join(edges, F.col("doc_id") == F.col("a"))
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(d).alias("depth"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def duck_bfs_sql(pairs_sql: str, rounds: int = 3) -> str:
+    """DuckDB twin of ``bfs_depth`` — unrolled frontier CTEs over the
+    composed pair SQL."""
+    ctes = [
+        f"p AS ({pairs_sql})",
+        """e AS (
+            SELECT doc_a AS a, doc_b AS b FROM p
+            UNION SELECT doc_b, doc_a FROM p
+        )""",
+        "v0 AS (SELECT min(a) AS doc_id, 0 AS depth FROM e)",
+    ]
+    prev_v, prev_f = "v0", "v0"
+    for d in range(1, rounds + 1):
+        ctes.append(f"""f{d} AS (
+            SELECT DISTINCT e.b AS doc_id, {d} AS depth
+            FROM {prev_f} JOIN e ON {prev_f}.doc_id = e.a
+            WHERE e.b NOT IN (SELECT doc_id FROM {prev_v})
+        )""")
+        ctes.append(
+            f"v{d} AS (SELECT * FROM {prev_v} UNION ALL"
+            f" SELECT * FROM f{d})"
+        )
+        prev_v, prev_f = f"v{d}", f"f{d}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, CAST(depth AS INT) AS depth FROM {prev_v}"
+    )

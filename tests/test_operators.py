@@ -3270,3 +3270,33 @@ def test_salted_distinct_equals_plain(spark):
             for r in rel.salted_distinct(ev, salts=salts).collect()
         }
         assert got == want, salts
+
+
+def test_bfs_depth_matches_python_bfs(spark):
+    """Depths agree with a textbook BFS over the collected edge set, and
+    the frontier property holds (every depth-d node neighbors a depth
+    d−1 node)."""
+    docs = load_table(spark, SF, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs)
+    got = {r.doc_id: r.depth for r in dd.bfs_depth(pairs).collect()}
+    adj: dict[int, set] = {}
+    for r in pairs.collect():
+        adj.setdefault(r.doc_a, set()).add(r.doc_b)
+        adj.setdefault(r.doc_b, set()).add(r.doc_a)
+    if not adj:
+        assert got == {}
+        return
+    seed = min(adj)
+    from collections import deque
+
+    want = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if want[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
