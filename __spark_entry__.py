@@ -1875,6 +1875,18 @@ def q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (quality.dp_counts): Laplace
+    inverse-CDF noise from a deterministic md5-seeded uniform — the DP
+    mechanism's exact shape, reproducible and oracle-checked; the
+    governance release half of the k-anonymity audit."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        dp_counts,
+    )
+
+    return dp_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-lifetime survival curve (timeseries.
     kaplan_meier): right-censored at the corpus horizon, product-limit
@@ -3383,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_distinct": q_salted_distinct,
         "q_merge_schema": q_merge_schema,
         "q_bfs_depth": q_bfs_depth,
+        "q_dp_counts": q_dp_counts,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc_topk": q_pq_adc_topk,
         "q_pq_recall": q_pq_recall,
@@ -3578,7 +3591,7 @@ _ROUND6_WINDOW = [
     "q_seasonal_decompose", "q_centroid_drift", "q_ks_test", "q_heaps_fit",
     "q_quantile_normalize", "q_kaplan_meier", "q_norm_profile",
     "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
-   "q_salted_distinct", "q_merge_schema", "q_bfs_depth",
+   "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
@@ -7015,10 +7028,12 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_dq_checks"] = DUCK_DQ_SQL
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        duck_dp_counts_sql,
         duck_ks_test_sql,
     )
 
     out["q_ks_test"] = duck_ks_test_sql()
+    out["q_dp_counts"] = duck_dp_counts_sql()
     out["q_heaps_fit"] = tx.duck_heaps_fit_sql()
     out["q_quantile_normalize"] = """
         WITH ranked AS (

@@ -506,3 +506,63 @@ def duck_ks_test_sql(source_a: str = "src0", source_b: str = "src1") -> str:
                       * (gap_num / (n_a * n_b))))), 6) AS p_approx
         FROM peak
     """
+
+
+def dp_counts(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
+    """Differentially-private release of per-type event counts: Laplace
+    (sensitivity 1 / ε) noise via the inverse CDF driven by the md5-h32
+    of the type — a DETERMINISTIC noise draw, so the release is
+    reproducible and exactly oracle-checkable while keeping the DP
+    mechanism's exact shape (in production the uniform comes from a
+    CSPRNG; the mechanism, clamp, and rounding are what this operator
+    pins down). Completes the governance battery next to
+    ``k_anonymity_audit``: suppression tells you what you may not
+    release raw; this is HOW you release it.
+
+    One row per type: true count, the noise drawn, and the released
+    integer (noisy count, floor(x+0.5), clamped at 0). Scale shape: one
+    partial-agg groupBy; the noise is a per-group scalar expression.
+    """
+    from ..functions import hashing as H
+
+    u = F.expr(H.spark_h32("concat('dp:', event_type)")) / F.lit(
+        float(1 << 32)
+    )
+    c = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - 2 * F.abs(c))
+    )
+    per = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return per.select(
+        "event_type",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.round(noise, 4).alias("noise"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor(F.col("n_true") + noise + F.lit(0.5)).cast("bigint"),
+        ).alias("n_released"),
+    )
+
+
+def duck_dp_counts_sql(epsilon: float = 1.0) -> str:
+    """DuckDB twin of ``dp_counts`` (same hash-seeded inverse CDF)."""
+    from ..functions import hashing as H
+
+    seed = "'dp:' || event_type"
+    u = f"({H.duck_h32(seed)} / {float(1 << 32)})"
+    c = f"({u} - 0.5)"
+    noise = f"(-{1.0 / epsilon} * sign({c}) * ln(1.0 - 2 * abs({c})))"
+    return f"""
+        WITH per AS (
+            SELECT event_type, count(*) AS n_true FROM events GROUP BY 1
+        )
+        SELECT event_type, n_true::BIGINT AS n_true,
+               round({noise}, 4) AS noise,
+               greatest(0, CAST(floor(n_true + {noise} + 0.5) AS BIGINT))
+                   AS n_released
+        FROM per
+    """

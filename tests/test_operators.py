@@ -3300,3 +3300,21 @@ def test_bfs_depth_matches_python_bfs(spark):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want
+
+
+def test_dp_counts_mechanism_properties(spark):
+    """Released counts are non-negative integers within |noise|+1 of the
+    truth; a tighter epsilon draws proportionally larger noise for the
+    same seed (the Laplace scale law, exact under the deterministic
+    uniform)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        dp_counts,
+    )
+
+    ev = load_table(spark, SF, "events")
+    r1 = {r.event_type: r for r in dp_counts(ev, epsilon=1.0).collect()}
+    r01 = {r.event_type: r for r in dp_counts(ev, epsilon=0.1).collect()}
+    for t, r in r1.items():
+        assert r.n_released >= 0
+        assert abs(r.n_released - r.n_true) <= abs(r.noise) + 1
+        assert abs(r01[t].noise - 10 * r.noise) < 2e-3, t
