@@ -2512,6 +2512,20 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality silhouette (similarity.silhouette): per-cluster
+    mean of the centroid-based silhouette s = (b-a)/max(a,b) over exact
+    integer squared distances — the O(N·k) quality metric next to
+    q_kmeans' inertia. Centroids come from the shared k=8 memo; the
+    corpus is scanned once, map-only, with a k-row partial agg as the
+    only shuffle."""
+    return sim.silhouette(
+        load_table(spark, sf_dir, "embeddings"),
+        k=8,
+        centroids=_kmeans_centroids_cached(spark, sf_dir, 8),
+    )
+
+
 def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION distinct set operators
     (relational.set_ops_summary): per-type user sets reduced to
@@ -3493,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_join": q_bloom_join,
         "q_knn_classify": q_knn_classify,
         "q_kmeans": q_kmeans,
+        "q_silhouette": q_silhouette,
         "q_centroid_drift": q_centroid_drift,
         "q_pca_power": q_pca_power,
         "q_hard_negatives": q_hard_negatives,
@@ -3593,6 +3608,7 @@ _ROUND6_WINDOW = [
     "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
    "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
+    "q_silhouette",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
     "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
@@ -6877,6 +6893,7 @@ def _extension_oracles() -> dict[str, str]:
         FROM o FULL OUTER JOIN e ON o.key = e.key
     """
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
+    out["q_silhouette"] = sim.duck_silhouette_sql(k=8)
     out["q_centroid_drift"] = sim.duck_centroid_drift_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
     out["q_hard_negatives"] = sim.duck_hard_negative_sql(k=sim.duck_cells_expr())

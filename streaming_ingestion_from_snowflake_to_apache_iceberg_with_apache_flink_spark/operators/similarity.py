@@ -1764,3 +1764,103 @@ def norm_profile(embeddings: DataFrame) -> DataFrame:
         F.max("sq").alias("max_sq_norm"),
         F.round(F.sum("sq") / F.count(F.lit(1)), 4).alias("mean_sq_norm"),
     )
+
+
+def silhouette(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """Centroid-based (simplified) silhouette per cluster — the clustering
+    QUALITY metric next to ``kmeans_embeddings``' inertia: for each
+    vector, a = squared distance to its own centroid, b = squared
+    distance to the nearest OTHER centroid, s = (b - a) / max(a, b); we
+    report per-cluster counts and mean s. The full Rousseeuw silhouette
+    needs all-pairs distances (impossible at corpus scale); the
+    centroid-based variant is the standard O(N·k) approximation and is
+    exact here: a and b are exact integer squared L2 over the int8
+    codes, s is scaled by 1e6 under INTEGER floor division, and only the
+    per-cluster mean performs a float divide.
+
+    Plan shape at 100 TB: the k centroids ride into the scan as ONE
+    nested literal (same single-constant trick as ``_assign_pass``), the
+    two smallest distances come from an in-row array_sort over k structs
+    — map-only — and the only shuffle is the k-row partial agg. The
+    corpus is scanned once and never shuffled.
+    """
+    cur = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, k, iters)
+    )
+    if len(cur) < 2:
+        raise ValueError("silhouette: needs k >= 2 clusters")
+    cents = F.lit([[int(v) for v in c] for _, c in cur]).cast(
+        "array<array<bigint>>"
+    )
+    ids = F.lit([int(cid) for cid, _ in cur]).cast("array<int>")
+    pairs = F.zip_with(
+        cents,
+        ids,
+        lambda c, cid: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+            cid.alias("cid"),
+        ),
+    )
+    top2 = F.slice(F.array_sort(pairs), 1, 2)
+    ab = _quantized(embeddings).select(
+        top2[0]["cid"].alias("cluster_id"),
+        top2[0]["dist"].alias("a_dist"),
+        top2[1]["dist"].alias("b_dist"),
+    )
+    # b >= a by construction, so s_scaled is a non-negative bigint and
+    # `div` (truncating) equals floor — matching DuckDB's `//`.
+    s = ab.withColumn(
+        "s_scaled",
+        F.expr(
+            "CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0L "
+            "ELSE ((b_dist - a_dist) * 1000000L) div greatest(a_dist, b_dist) END"
+        ),
+    )
+    return s.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("s_scaled").alias("sum_sil"),
+        F.round(
+            F.sum("s_scaled") / (F.count(F.lit(1)) * F.lit(1000000.0)), 4
+        ).alias("mean_sil"),
+    )
+
+
+def duck_silhouette_sql(k: int | str = 8) -> str:
+    """Oracle twin of :func:`silhouette` on the shared k-means CTE chain:
+    rank ALL of d2's per-centroid distances per vector, a = rank 1,
+    b = rank 2, identical 1e6-scaled integer floor division."""
+    return (
+        duck_kmeans_cte(k)
+        + """
+        , r2 AS (
+            SELECT vec_id, cid, dist, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d2
+        ), ab AS (
+            SELECT a.vec_id, a.cid, a.dist AS a_dist, b.dist AS b_dist
+            FROM (SELECT * FROM r2 WHERE rn = 1) a
+            JOIN (SELECT * FROM r2 WHERE rn = 2) b USING (vec_id)
+        ), s AS (
+            SELECT cid, CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0
+                ELSE ((b_dist - a_dist) * 1000000) // greatest(a_dist, b_dist)
+                END AS s_scaled
+            FROM ab
+        )
+        SELECT CAST(cid AS INT) AS cluster_id,
+               count(*)::BIGINT AS n_vectors,
+               sum(s_scaled)::BIGINT AS sum_sil,
+               round(sum(s_scaled) / (count(*) * 1000000.0), 4) AS mean_sil
+        FROM s GROUP BY cid
+    """
+    )

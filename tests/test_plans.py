@@ -1694,3 +1694,31 @@ def test_merge_schema_backfills_nulls(spark):
     assert rows[2].n_evolved == rows[2].n_rows > 0
     assert rows[1].discount_cents == 0
     assert rows[2].discount_cents > 0
+
+
+def test_silhouette_map_only_single_scan(spark):
+    """Silhouette's a/b distances come from an in-row array_sort over the
+    literal centroid array — map-only: the only KEY shuffle is the k-row
+    partial agg, and the corpus is scanned exactly once."""
+    import re
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        silhouette,
+    )
+
+    df = silhouette(load_table(spark, SF, "embeddings"), k=4, iters=1)
+    plan = formatted_plan(df)
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Scan parquet", ln.strip())
+    ]
+    assert len(scans) == 1, scans
+    assert "windowspecdefinition" not in plan
+    assert_read_schema_only(df, {"embedding"})
