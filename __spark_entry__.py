@@ -749,6 +749,15 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyness (text.keyness_chi2): top-5 over-represented
+    terms per source by exact chi² on the doc-frequency 2×2 table —
+    DECIMAL(38,0)/HUGEINT integer products, one final double division,
+    rounded-then-ranked so both engines agree. Corpus-contrastive slice
+    profiling TF-IDF can't express."""
+    return tx.keyness_chi2(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 docs for a 3-term query (text.bm25_topk): log-free
     Robertson idf + k1/b saturation folded into pure integer rationals,
@@ -3341,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf_topk": q_tfidf_topk,
+        "q_keyness": q_keyness,
         "q_bm25_topk": q_bm25_topk,
         "q_repetition": q_repetition,
         "q_chunk_documents": q_chunk_documents,
@@ -3608,7 +3618,7 @@ _ROUND6_WINDOW = [
     "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
    "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
-    "q_silhouette",
+    "q_silhouette", "q_keyness",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
     "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
@@ -4652,6 +4662,7 @@ def _extension_oracles() -> dict[str, str]:
         JOIN ({out['q_lang_id']}) l USING (doc_id)
         WHERE q.quality >= 0.38 AND l.predicted_lang IN ('en')
     """
+    out["q_keyness"] = tx.duck_keyness_sql(k=5)
     out["q_tfidf_topk"] = f"""
         WITH tf AS (
             SELECT doc_id, token, count(*) AS tf

@@ -1233,3 +1233,113 @@ def duck_heaps_fit_sql() -> str:
                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         FROM m
     """
+
+
+def keyness_chi2(documents: DataFrame, k: int = 5, min_df: int = 5) -> DataFrame:
+    """Corpus-contrastive KEYNESS: the top-``k`` most over-represented
+    terms per source by the chi-square statistic on the 2×2 document-
+    frequency contingency table (token-in-source vs token-elsewhere) —
+    the classic corpus-linguistics "what words characterize this slice"
+    question that per-doc TF-IDF (``tfidf_topk``) cannot answer.
+
+    Exactness: a/b/c/d are exact bigint doc counts; chi² =
+    N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is computed as DECIMAL(38,0)
+    integer products (HUGEINT in the oracle) with ONE final double
+    division, then rounded to 4 — both engines rank the same rounded
+    values with a token tie-break, so the top-k set is deterministic.
+    At a corpus where N·(ad−bc)² would pass 10³⁸ the statistic is far
+    beyond any significance threshold anyway; saturate or go double.
+
+    Plan shape at 100 TB: one distinct-token explode feeds a
+    (source, token) partial agg; the token margin re-aggregates THAT
+    (vocab-sized) table; source margins and N are metadata-sized
+    broadcasts. The rank window partitions by source over vocab-sized
+    groups — never corpus rows — and row_number ≤ k truncates map-side
+    (WindowGroupLimit).
+    """
+    t = documents.selectExpr(
+        "doc_id", "source", f"explode(array_distinct({_TOKENS})) as token"
+    )
+    st = t.groupBy("source", "token").agg(F.count(F.lit(1)).alias("a"))
+    tok = st.groupBy("token").agg(F.sum("a").alias("df_all"))
+    src = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    cells = (
+        st.join(F.broadcast(tok.filter(F.col("df_all") >= min_df)), "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("b", F.col("df_all") - F.col("a"))
+        .withColumn("c", F.col("n_src") - F.col("a"))
+        .withColumn(
+            "d", F.col("n_docs") - F.col("df_all") - F.col("n_src") + F.col("a")
+        )
+    )
+    chi = (
+        cells.filter(
+            (F.col("a") * F.col("d") > F.col("b") * F.col("c"))
+            & ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d")) > 0)
+            & ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d")) > 0)
+        )
+        .withColumn("adbc", (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("decimal(20,0)"))
+        .withColumn(
+            "chi2",
+            F.round(
+                F.expr(
+                    "CAST(CAST(n_docs AS DECIMAL(38,0)) * (adbc * adbc) AS DOUBLE)"
+                    " / CAST((CAST(a+b AS DECIMAL(19,0)) * CAST(c+d AS DECIMAL(19,0)))"
+                    "        * (CAST(a+c AS DECIMAL(19,0)) * CAST(b+d AS DECIMAL(19,0))) AS DOUBLE)"
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("token").asc()
+    )
+    return (
+        chi.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "token", F.col("a").alias("df_src"), "chi2")
+    )
+
+
+def duck_keyness_sql(k: int = 5, min_df: int = 5) -> str:
+    """Oracle twin of :func:`keyness_chi2` — HUGEINT products, identical
+    rounded-then-ranked ordering."""
+    toks = H.duck_tokens("text")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct({toks})) AS token
+            FROM documents
+        ), st AS (
+            SELECT source, token, count(*)::BIGINT AS a FROM t GROUP BY 1, 2
+        ), tok AS (
+            SELECT token, sum(a)::BIGINT AS df_all FROM st GROUP BY 1
+        ), src AS (
+            SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY 1
+        ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        cells AS (
+            SELECT st.source, st.token, a,
+                   df_all - a AS b,
+                   n_src - a AS c,
+                   n_docs - df_all - n_src + a AS d,
+                   n_docs
+            FROM st JOIN tok USING (token) JOIN src USING (source) CROSS JOIN n
+            WHERE df_all >= {min_df}
+        ), chi AS (
+            SELECT source, token, a,
+                   round((n_docs::HUGEINT
+                            * ((a*d - b*c)::HUGEINT * (a*d - b*c)::HUGEINT))::DOUBLE
+                         / ((a+b)::HUGEINT * (c+d)::HUGEINT
+                            * (a+c)::HUGEINT * (b+d)::HUGEINT)::DOUBLE, 4) AS chi2
+            FROM cells
+            WHERE a*d > b*c AND (a+b)*(c+d) > 0 AND (a+c)*(b+d) > 0
+        )
+        SELECT source, CAST(rn AS INT) AS rank, token, a AS df_src, chi2
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY chi2 DESC, token) AS rn
+            FROM chi
+        ) WHERE rn <= {k}
+    """

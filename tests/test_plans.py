@@ -1722,3 +1722,18 @@ def test_silhouette_map_only_single_scan(spark):
     assert len(scans) == 1, scans
     assert "windowspecdefinition" not in plan
     assert_read_schema_only(df, {"embedding"})
+
+
+def test_keyness_vocab_broadcasts_and_group_limit(spark):
+    """Keyness margins (token df, source sizes, N) are broadcast onto the
+    (source, token) partial agg; the per-source top-k truncates map-side
+    via WindowGroupLimit. The rank window input is vocab-sized — never
+    corpus rows."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        keyness_chi2,
+    )
+
+    df = keyness_chi2(load_table(spark, SF, "documents"), k=5, min_df=2)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 3  # tok margin, src margin, N
+    assert_window_group_limit(df)
