@@ -3115,6 +3115,20 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(load_table(spark, sf_dir, "orders"))
 
 
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping audit (layout.zonemap_prune_audit): for
+    insertion-order files (contiguous o_orderkey ranges), how many can a
+    date-range predicate skip on min/max stats, and what fraction of
+    scanned rows are stats-true but predicate-false — the "do we need to
+    re-cluster" input that q_zorder_layout answers. File-keyed partial
+    agg + one-row rollup; all counts exact."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        zonemap_prune_audit,
+    )
+
+    return zonemap_prune_audit(load_table(spark, sf_dir, "orders"))
+
+
 def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE with deletes (operators/merge.py apply_change_feed): a
     change feed of upserts + tombstones applied to the keyed per-user
@@ -3572,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q21": q_tpch_q21,
         "q_tpch_q22": q_tpch_q22,
         "q_zorder_layout": q_zorder_layout,
+        "q_zonemap_prune": q_zonemap_prune,
         "q_merge_delete": q_merge_delete,
         "q_stream_join": q_stream_join,
         "q_stream_outer_join": q_stream_outer_join,
@@ -3618,7 +3633,7 @@ _ROUND6_WINDOW = [
     "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
    "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
-    "q_silhouette", "q_keyness",
+    "q_silhouette", "q_keyness", "q_zonemap_prune",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
     "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
@@ -6943,12 +6958,14 @@ def _extension_oracles() -> dict[str, str]:
     """
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
         duck_compaction_sql,
+        duck_zonemap_sql,
         duck_zorder_sql,
     )
 
     out["q_compaction_plan"] = duck_compaction_sql()
 
     out["q_zorder_layout"] = duck_zorder_sql()
+    out["q_zonemap_prune"] = duck_zonemap_sql()
     out["q_time_travel"] = f"""
         SELECT {_ORDERS_OUT}
         FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'

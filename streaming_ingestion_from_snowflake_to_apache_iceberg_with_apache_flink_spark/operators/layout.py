@@ -264,3 +264,113 @@ def duck_compaction_sql(target_bytes: int = 262_144) -> str:
                max(bytes) AS largest_file
         FROM planned GROUP BY 1, 2
     """
+
+
+def zonemap_prune_audit(
+    orders: DataFrame,
+    rows_per_file: int = 128,
+    lo: str = "1998-01-01",
+    hi: str = "1999-01-01",
+) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit — the question a
+    table-format layout decision hangs on: for files carved in INSERTION
+    order (contiguous ``o_orderkey`` ranges, what a streaming ingest
+    naturally produces), how many files can a date-range predicate skip
+    on min/max stats alone, and how many scanned rows are stats-true but
+    predicate-false?
+
+    One row: file/row totals, skipped counts, the skip ratio, and the
+    false-positive row ratio among scanned files — exactly the inputs to
+    "do we need to re-cluster this table" (``zorder_layout`` is the fix;
+    ``compaction_plan`` the sibling audit). A file is skippable iff
+    ``max < lo`` or ``min >= hi`` — the Iceberg/Parquet row-group pruning
+    rule (reference reads ride on it implicitly via
+    IcebergTableManager's partitioned DDL, IcebergTableManager.java:86).
+
+    Scale shape: one scan → file-keyed partial agg (file count = N /
+    rows_per_file, metadata-sized relative to rows) → one-row rollup; the
+    exact-match count reuses the same scan stage, no second pass over
+    unmatched columns. All counts exact bigints; the two ratios are one
+    final rounded division each.
+    """
+    f = F.col("o_orderdate")
+    in_pred = (f >= F.lit(lo).cast("timestamp")) & (
+        f < F.lit(hi).cast("timestamp")
+    )
+    files = (
+        orders.select(
+            F.expr(f"o_orderkey div {rows_per_file}").alias("file_id"),
+            f.alias("d"),
+            in_pred.cast("bigint").alias("m"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d").alias("mn"),
+            F.max("d").alias("mx"),
+            F.sum("m").alias("n_match"),
+        )
+    )
+    lo_ts = F.lit(lo).cast("timestamp")
+    hi_ts = F.lit(hi).cast("timestamp")
+    skipped = (F.col("mx") < lo_ts) | (F.col("mn") >= hi_ts)
+    return files.select(
+        F.lit(1).alias("g"),
+        F.col("n_rows"),
+        F.col("n_match"),
+        skipped.cast("bigint").alias("s"),
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("s").alias("n_skipped_files"),
+        F.sum("n_rows").alias("n_rows_total"),
+        F.sum(F.when(F.col("s") == 1, F.col("n_rows")).otherwise(0)).alias(
+            "n_rows_skipped"
+        ),
+        F.sum("n_match").alias("n_rows_matching"),
+        F.round(F.sum("s") / F.count(F.lit(1)), 4).alias("skip_ratio"),
+        F.round(
+            (
+                F.sum(F.when(F.col("s") == 0, F.col("n_rows")).otherwise(0))
+                - F.sum("n_match")
+            )
+            / F.greatest(
+                F.sum(F.when(F.col("s") == 0, F.col("n_rows")).otherwise(0)),
+                F.lit(1),
+            ),
+            4,
+        ).alias("false_positive_row_ratio"),
+    )
+
+
+def duck_zonemap_sql(
+    rows_per_file: int = 128, lo: str = "1998-01-01", hi: str = "1999-01-01"
+) -> str:
+    """Oracle twin of :func:`zonemap_prune_audit`."""
+    return f"""
+        WITH files AS (
+            SELECT o_orderkey // {rows_per_file} AS file_id,
+                   count(*)::BIGINT AS n_rows,
+                   min(o_orderdate) AS mn, max(o_orderdate) AS mx,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{lo}'
+                            AND o_orderdate < TIMESTAMP '{hi}'
+                            THEN 1 ELSE 0 END)::BIGINT AS n_match
+            FROM orders GROUP BY 1
+        ), flags AS (
+            SELECT n_rows, n_match,
+                   CASE WHEN mx < TIMESTAMP '{lo}'
+                        OR mn >= TIMESTAMP '{hi}' THEN 1 ELSE 0 END AS s
+            FROM files
+        )
+        SELECT count(*)::BIGINT AS n_files,
+               sum(s)::BIGINT AS n_skipped_files,
+               sum(n_rows)::BIGINT AS n_rows_total,
+               sum(CASE WHEN s = 1 THEN n_rows ELSE 0 END)::BIGINT
+                   AS n_rows_skipped,
+               sum(n_match)::BIGINT AS n_rows_matching,
+               round(sum(s) / count(*), 4) AS skip_ratio,
+               round((sum(CASE WHEN s = 0 THEN n_rows ELSE 0 END)
+                        - sum(n_match))
+                     / greatest(sum(CASE WHEN s = 0 THEN n_rows ELSE 0 END),
+                                1), 4) AS false_positive_row_ratio
+        FROM flags
+    """

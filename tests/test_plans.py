@@ -1737,3 +1737,25 @@ def test_keyness_vocab_broadcasts_and_group_limit(spark):
     plan = formatted_plan(df)
     assert plan.count("BroadcastExchange") >= 3  # tok margin, src margin, N
     assert_window_group_limit(df)
+
+
+def test_zonemap_audit_single_scan_no_window(spark):
+    """The zone-map audit is one scan → file-keyed partial agg → one-row
+    rollup: no window, no join, no second pass over the orders table."""
+    import re
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        zonemap_prune_audit,
+    )
+
+    df = zonemap_prune_audit(load_table(spark, SF, "orders"))
+    plan = formatted_plan(df)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Scan parquet", ln.strip())
+    ]
+    assert len(scans) == 1, scans
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+    assert_read_schema_only(df, {"o_orderkey", "o_orderdate"})
