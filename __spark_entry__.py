@@ -693,6 +693,17 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.hash_sample(docs, "doc_id", 0.1)
 
 
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training-order reshuffle (sampling.epoch_order): each
+    epoch ranks the corpus by h32(salt:epoch:key) — reproducible,
+    engine-agnostic, decorrelated across epochs; the head slice is the
+    checkpoint-verification record. Key-only explode + map-side
+    WindowGroupLimit."""
+    return smp.epoch_order(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((priority),(status)) in one Expand + partial-agg
     pass (relational.priority_status_slices)."""
@@ -3521,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_curation": q_corpus_curation,
         "q_hash_split": q_hash_split,
         "q_hash_sample": q_hash_sample,
+        "q_epoch_order": q_epoch_order,
         "q_sentiment": q_sentiment,
         "q_unpivot": q_unpivot,
         "q_median_mad": q_median_mad,
@@ -3633,7 +3645,7 @@ _ROUND6_WINDOW = [
     "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
    "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
-    "q_silhouette", "q_keyness", "q_zonemap_prune",
+    "q_silhouette", "q_keyness", "q_zonemap_prune", "q_epoch_order",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
     "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
@@ -3929,6 +3941,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE {smp.duck_bucket_expr('doc_id')} < 1000
         """,
+        "q_epoch_order": smp.duck_epoch_order_sql(),
         "q_grouping_sets": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                    coalesce(o_orderstatus, 'ALL') AS status,

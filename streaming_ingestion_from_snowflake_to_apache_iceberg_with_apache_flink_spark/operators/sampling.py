@@ -506,3 +506,79 @@ def quantile_normalize(documents: DataFrame) -> DataFrame:
         "src_rank",
         F.round(F.col("__s") / F.col("__c"), 4).alias("norm_chars"),
     )
+
+
+def epoch_order(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    n_epochs: int = 3,
+    head: int = 10,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-EPOCH training-order reshuffle — the data-loader
+    contract a multi-epoch run needs: every epoch visits the corpus in a
+    different pseudo-random order, yet the order is a pure function of
+    (salt, epoch, key), so a preempted job resumes mid-epoch bit-
+    identically and two engines agree on it. Epoch e's permutation ranks
+    rows by h32('{salt}:e:key'); returns the first ``head`` rows of each
+    epoch's order — the slice checkpoint/verification tooling records.
+
+    Scale shape: the epoch fan-out is an in-row explode (n_epochs copies
+    of the KEY only, not the payload), and the per-epoch head is a
+    row_number window that Catalyst truncates map-side
+    (WindowGroupLimit), so each of the n_epochs groups ships only
+    ``head`` candidate rows per partition to the final sort — never the
+    corpus. Full-epoch iteration at 100 TB is the same expression as a
+    sort key handed to the writer, no window at all.
+    """
+    keyed = (
+        f"concat('{salt}', ':', cast(epoch as string), ':', "
+        f"cast({key_col} as string))"
+    )
+    e = documents.select(
+        key_col,
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_epochs)))).alias("epoch"),
+    ).selectExpr(
+        "cast(epoch as int) as epoch",
+        key_col,
+        f"{H.spark_h32(keyed)} as hkey",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy(
+        F.col("hkey").asc(), F.col(key_col).asc()
+    )
+    return (
+        e.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= head)
+        .select("epoch", "pos", key_col, "hkey")
+    )
+
+
+def duck_epoch_order_sql(
+    key_col: str = "doc_id",
+    n_epochs: int = 3,
+    head: int = 10,
+    salt: str = "epoch",
+) -> str:
+    """Oracle twin of :func:`epoch_order` over the ``documents`` view."""
+    keyed = (
+        f"concat('{salt}', ':', cast(epoch as varchar), ':', "
+        f"cast({key_col} as varchar))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT {key_col}, unnest(generate_series(1, {n_epochs})) AS epoch
+            FROM documents
+        ), h AS (
+            SELECT CAST(epoch AS INT) AS epoch, {key_col},
+                   {H.duck_h32(keyed)} AS hkey
+            FROM e
+        )
+        SELECT epoch, CAST(rn AS INT) AS pos, {key_col}, hkey
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY epoch ORDER BY hkey, {key_col}) AS rn
+            FROM h
+        ) WHERE rn <= {head}
+    """

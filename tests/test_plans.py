@@ -1759,3 +1759,34 @@ def test_zonemap_audit_single_scan_no_window(spark):
     assert "windowspecdefinition" not in plan
     assert "Join" not in plan
     assert_read_schema_only(df, {"o_orderkey", "o_orderdate"})
+
+
+def test_epoch_order_group_limit_key_only(spark):
+    """Epoch reshuffle explodes the KEY column only (payload never
+    replicated n_epochs times) and the per-epoch head truncates map-side
+    via WindowGroupLimit."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        epoch_order,
+    )
+
+    df = epoch_order(load_table(spark, SF, "documents").select("doc_id"))
+    assert_window_group_limit(df)
+    assert_read_schema_only(df, {"doc_id"})
+
+
+def test_epoch_orders_decorrelated(spark):
+    """Different epochs produce different permutations; the same epoch is
+    bit-stable across invocations."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        epoch_order,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = epoch_order(docs, head=20).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, []).append((r.pos, r.doc_id))
+    orders = {e: [d for _, d in sorted(v)] for e, v in by_epoch.items()}
+    assert orders[1] != orders[2] != orders[3]
+    again = epoch_order(docs, head=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
