@@ -2638,6 +2638,52 @@ def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stateful_offsets_mem")
 
 
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC latest-state materialization (streaming/state.
+    apply_cdc_stream): the in-stream twin of q_merge_delete — a change
+    feed (events; 'error' rows are tombstones) applied through keyed
+    applyInPandasWithState holding ONE fixed-width record per key, late
+    replays idempotent, tombstoned keys absent from the materialized
+    view. Drained AvailableNow; the final emission per key (max
+    cumulative n_changes) is the state table."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        _file_stream,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        apply_cdc_stream,
+    )
+
+    load_table(spark, sf_dir, "events")  # pins session confs
+    feed = _file_stream(spark, sf_dir, "events.parquet").select(
+        "user_id",
+        ts_ms("ts").alias("ts_ms"),
+        "event_id",
+        "value",
+        (F.col("event_type") == "error").alias("del"),
+    )
+    sink = drain_to_memory(
+        spark, apply_cdc_stream(feed), "q_stream_cdc_mem", "update"
+    )
+    final = sink.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_changes", "last_ts_ms", "value", "deleted"),
+            "n_changes",
+        ).alias("s")
+    )
+    return (
+        final.filter(~F.col("s.deleted"))
+        .select(
+            "user_id",
+            F.col("s.last_ts_ms").alias("last_ts_ms"),
+            F.col("s.value").alias("value"),
+            F.col("s.n_changes").alias("n_changes"),
+        )
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup through the ACTUAL runtime
     (windows.stream_dedup_run): the events doubled row-for-row into a
@@ -3624,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_per_key": q_mode_per_key,
         "q_stream_dedup": q_stream_dedup,
         "q_stateful_offsets": q_stateful_offsets,
+        "q_stream_cdc": q_stream_cdc,
     }
     missing = [n for n in _ROUND6_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
@@ -3646,6 +3693,7 @@ _ROUND6_WINDOW = [
    "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
     "q_silhouette", "q_keyness", "q_zonemap_prune", "q_epoch_order",
+    "q_stream_cdc",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
     "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
@@ -7004,6 +7052,22 @@ def _extension_oracles() -> dict[str, str]:
                count(*) AS batch_rows,
                count(*) AS offset
         FROM orders GROUP BY 1
+    """
+    out["q_stream_cdc"] = """
+        WITH feed AS (
+            SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+                   (event_type = 'error') AS del
+            FROM events
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_ms DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_changes
+            FROM feed
+        )
+        SELECT user_id, ts_ms AS last_ts_ms, value,
+               n_changes::BIGINT AS n_changes
+        FROM ranked WHERE rn = 1 AND NOT del
     """
     out["q_stream_dedup"] = """
         SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,

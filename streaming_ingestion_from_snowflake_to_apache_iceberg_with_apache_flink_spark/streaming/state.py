@@ -123,3 +123,82 @@ def track_offsets(stream: DataFrame, shard_column: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state materialization: the in-stream twin of
+# operators/merge.apply_change_feed (O12's upsert + equality-delete
+# semantics, IcebergSinkBuilder.java:31-43) — keyed state holds the latest
+# applied change per key, tombstones mark deletion, each micro-batch emits
+# the key's current state.
+
+CDC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("tie", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("deleted", T.BooleanType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+
+CDC_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("deleted", T.BooleanType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+
+
+def _apply_cdc(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Apply one micro-batch of ordered changes to a key's state: sort by
+    (seq, tie), adopt the last change iff it is newer than the held state
+    (late replays of already-applied changes are no-ops — the idempotence
+    a CDC consumer needs), count every change seen."""
+    if state.exists:
+        seq, tie, value, deleted, n = state.get
+    else:
+        seq, tie, value, deleted, n = -1, -1, float("nan"), True, 0
+    frames = [p for p in pdfs if len(p)]  # empty chunks would poison concat dtypes
+    batch = (
+        pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    )
+    if len(batch):
+        n += len(batch)
+        last = batch.sort_values(["ts_ms", "event_id"]).iloc[-1]
+        last_seq, last_tie = int(last["ts_ms"]), int(last["event_id"])
+        if (last_seq, last_tie) > (seq, tie):
+            seq, tie = last_seq, last_tie
+            value = float(last["value"])
+            deleted = bool(last["del"])
+    state.update((seq, tie, value, deleted, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts_ms": [seq],
+            "value": [value],
+            "deleted": [deleted],
+            "n_changes": [n],
+        }
+    )
+
+
+def apply_cdc_stream(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Latest-state CDC materialization over a change stream with columns
+    (key, ts_ms, event_id, value, del): keyed ``applyInPandasWithState``
+    holding one fixed-width record per key — state size = |keys|, never
+    |changes|, the property that lets the operator run forever on an
+    unbounded feed. Update-mode output: each batch re-emits only touched
+    keys."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _apply_cdc,
+        outputStructType=CDC_OUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

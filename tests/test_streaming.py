@@ -362,3 +362,63 @@ def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         != ROCKSDB_PROVIDER
     )
+
+
+def test_stream_cdc_tombstones_and_replay_idempotence(spark, tmp_path):
+    """CDC latest-state through the real runtime: tombstoned keys are
+    absent from the materialized view; replaying the identical feed
+    (every change twice) leaves every key's (last_ts_ms, value)
+    unchanged — late replays of already-applied changes are no-ops."""
+    import __spark_entry__ as entrymod
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        apply_cdc_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = entrymod.q_stream_cdc(spark, sf)
+    got = {r.user_id: (r.last_ts_ms, r.value) for r in base.collect()}
+
+    events = load_table(spark, sf, "events")
+    # every key whose LAST change is a tombstone must be absent
+    last = events.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type")
+    )
+    dead = {r.user_id for r in last.filter(F.col("last_type") == "error").collect()}
+    assert dead, "fixture should contain tombstoned keys"
+    assert dead.isdisjoint(got)
+    live = {r.user_id for r in last.filter(F.col("last_type") != "error").collect()}
+    assert set(got) == live
+
+    # replay: double feed, same final values (n_changes doubles)
+    doubled_dir = str(tmp_path / "doubled")
+    events.unionAll(events).write.mode("overwrite").parquet(doubled_dir)
+    raw = spark.read.parquet(doubled_dir).schema
+    from pyspark.sql import types as T
+
+    stream = spark.readStream.schema(raw).parquet(doubled_dir)
+    if isinstance(raw["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    feed = stream.select(
+        "user_id",
+        (F.unix_millis(F.col("ts"))).alias("ts_ms"),
+        "event_id",
+        "value",
+        (F.col("event_type") == "error").alias("del"),
+    )
+    sink = drain_to_memory(spark, apply_cdc_stream(feed), "cdc_replay_mem", "update")
+    fin = (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_changes", "last_ts_ms", "value", "deleted"),
+                "n_changes",
+            ).alias("s")
+        )
+        .filter(~F.col("s.deleted"))
+        .select("user_id", "s.last_ts_ms", "s.value")
+    )
+    replay = {r.user_id: (r.last_ts_ms, r.value) for r in fin.collect()}
+    assert replay == got
