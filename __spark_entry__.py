@@ -2546,6 +2546,15 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (similarity.kcenter_coreset): 4 rounds of
+    farthest-point selection — each round one map-only pass over literal
+    chosen centers ending in a single-row TakeOrdered — then nearest-
+    center coverage (count, covering radius, inertia). Exact integer
+    distances; oracle is the greedy unrolled as CTEs."""
+    return sim.kcenter_coreset(load_table(spark, sf_dir, "embeddings"), m=4)
+
+
 def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION distinct set operators
     (relational.set_ops_summary): per-type user sets reduced to
@@ -3590,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_classify": q_knn_classify,
         "q_kmeans": q_kmeans,
         "q_silhouette": q_silhouette,
+        "q_coreset": q_coreset,
         "q_centroid_drift": q_centroid_drift,
         "q_pca_power": q_pca_power,
         "q_hard_negatives": q_hard_negatives,
@@ -3693,7 +3703,7 @@ _ROUND6_WINDOW = [
    "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
     "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
     "q_silhouette", "q_keyness", "q_zonemap_prune", "q_epoch_order",
-    "q_stream_cdc",
+    "q_stream_cdc", "q_coreset",
     "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
     "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
     "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
@@ -6981,6 +6991,7 @@ def _extension_oracles() -> dict[str, str]:
     """
     out["q_kmeans"] = sim.duck_kmeans_sql(k=8)
     out["q_silhouette"] = sim.duck_silhouette_sql(k=8)
+    out["q_coreset"] = sim.duck_kcenter_sql(m=4)
     out["q_centroid_drift"] = sim.duck_centroid_drift_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
     out["q_hard_negatives"] = sim.duck_hard_negative_sql(k=sim.duck_cells_expr())

@@ -1864,3 +1864,105 @@ def duck_silhouette_sql(k: int | str = 8) -> str:
         FROM s GROUP BY cid
     """
     )
+
+
+def kcenter_coreset(embeddings: DataFrame, m: int = 4) -> DataFrame:
+    """Greedy k-center CORESET selection (Gonzalez '85, the standard
+    diverse-exemplar / data-selection primitive): seed with the lowest
+    vec_id, then ``m-1`` times pick the vector FARTHEST from the chosen
+    set (max over the corpus of min squared distance to any chosen
+    center, ties to the smaller vec_id) — the 2-approximation to the
+    k-center optimum that coreset-based training-data selection builds
+    on. Returns per-center coverage: assigned count, the covering radius
+    (max assigned distance — the k-center objective), and the inertia
+    contribution.
+
+    Scale shape: each greedy round is ONE map-only pass (the chosen set
+    rides in as literal constants, exactly like ``_assign_pass``) ending
+    in a TakeOrderedAndProject of a single row — driver state after m
+    rounds is m×dim ints. The final coverage pass is the same map-only
+    argmin + a k-row partial agg. No corpus shuffle anywhere; exact
+    integer distances throughout.
+    """
+    if m < 1:
+        raise ValueError("kcenter_coreset: m must be >= 1")
+    e = _quantized(embeddings).persist()
+    try:
+        first = e.orderBy("vec_id").head()
+        if first is None:
+            raise ValueError("kcenter_coreset: empty embeddings input")
+        chosen: list[tuple[int, list[int]]] = [
+            (int(first.vec_id), [int(v) for v in first.q])
+        ]
+        for _ in range(m - 1):
+            dists = [_int_sq_dist(F.col("q"), c) for _, c in chosen]
+            mind = dists[0] if len(dists) == 1 else F.least(*dists)
+            cand = (
+                e.select("vec_id", "q", mind.alias("mind"))
+                .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .head()
+            )
+            chosen.append((int(cand.vec_id), [int(v) for v in cand.q]))
+        assigned = _assign_pass(e, sorted(chosen))
+        return assigned.groupBy(
+            F.col("cluster_id").alias("center_id")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.max("dist").alias("radius"),
+            F.sum("dist").alias("sum_dist"),
+        )
+    finally:
+        e.unpersist()
+
+
+def duck_kcenter_sql(m: int = 4) -> str:
+    """Oracle twin of :func:`kcenter_coreset`: the m greedy rounds
+    unrolled as CTEs (pick = ORDER BY min-dist DESC, vec_id LIMIT 1),
+    then the same nearest-center assignment and k-row rollup."""
+    km_q = (
+        "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
+        " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
+    )
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> (x.q[i] - c.q[i]) * (x.q[i] - c.q[i])))"
+    )
+    parts = [
+        f"""
+        WITH q AS (
+            SELECT vec_id, {km_q} AS q FROM embeddings
+        ), ch0 AS (
+            SELECT vec_id, q FROM q
+            WHERE vec_id = (SELECT min(vec_id) FROM q)
+        )"""
+    ]
+    prev = "ch0"
+    for r in range(1, m):
+        parts.append(
+            f""", d{r} AS (
+            SELECT x.vec_id, x.q, min({dist}) AS mind
+            FROM q x CROSS JOIN {prev} c GROUP BY x.vec_id, x.q
+        ), p{r} AS (
+            SELECT vec_id, q FROM d{r}
+            ORDER BY mind DESC, vec_id ASC LIMIT 1
+        ), ch{r} AS (
+            SELECT * FROM {prev} UNION ALL SELECT * FROM p{r}
+        )"""
+        )
+        prev = f"ch{r}"
+    parts.append(
+        f""", da AS (
+            SELECT x.vec_id AS v, c.vec_id AS center_id, {dist} AS dist,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY {dist}, c.vec_id) AS rn
+            FROM q x CROSS JOIN {prev} c
+        )
+        SELECT CAST(center_id AS INT) AS center_id,
+               count(*)::BIGINT AS n_assigned,
+               max(dist)::BIGINT AS radius,
+               sum(dist)::BIGINT AS sum_dist
+        FROM da WHERE rn = 1 GROUP BY center_id"""
+    )
+    return "".join(parts)
