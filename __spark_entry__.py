@@ -3181,6 +3181,22 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(load_table(spark, sf_dir, "orders"))
 
 
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve vs Z-order file layout with the same min/max
+    pruning audit as q_zorder_layout (operators/layout.py
+    hilbert_layout): the standard xy2d transform unrolled into 16
+    portable integer-CASE projections (bit-identical in both engines,
+    known-answer-tested against the textbook implementation), the shared
+    two-phase parallel ntile carve, and the box prune verdict — the
+    OPTIMIZE strategy choice (Iceberg rewrite_data_files supports both
+    curves) made measurable."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        hilbert_layout,
+    )
+
+    return hilbert_layout(load_table(spark, sf_dir, "orders"))
+
+
 def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file-skipping audit (layout.zonemap_prune_audit): for
     insertion-order files (contiguous o_orderkey ranges), how many can a
@@ -3654,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q21": q_tpch_q21,
         "q_tpch_q22": q_tpch_q22,
         "q_zorder_layout": q_zorder_layout,
+        "q_hilbert_layout": q_hilbert_layout,
         "q_zonemap_prune": q_zonemap_prune,
         "q_merge_delete": q_merge_delete,
         "q_stream_join": q_stream_join,
@@ -7030,6 +7047,7 @@ def _extension_oracles() -> dict[str, str]:
     """
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
         duck_compaction_sql,
+        duck_hilbert_sql,
         duck_zonemap_sql,
         duck_zorder_sql,
     )
@@ -7037,6 +7055,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_compaction_plan"] = duck_compaction_sql()
 
     out["q_zorder_layout"] = duck_zorder_sql()
+    out["q_hilbert_layout"] = duck_hilbert_sql()
     out["q_zonemap_prune"] = duck_zonemap_sql()
     out["q_time_travel"] = f"""
         SELECT {_ORDERS_OUT}

@@ -1790,3 +1790,55 @@ def test_epoch_orders_decorrelated(spark):
     assert orders[1] != orders[2] != orders[3]
     again = epoch_order(docs, head=20).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hilbert_known_answer_and_partitioned_carve(spark):
+    """hilbert_rounds must reproduce the textbook xy2d transform bit for
+    bit (the locality property everything else rests on), and the carve —
+    like zorder's — must not plan a single-partition WindowExec."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        _HN,
+        hilbert_layout,
+        hilbert_rounds,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(0, 33, 4) for y in range(0, 33, 8)] + [
+        (65535, 65535), (0, 65535), (65535, 0), (12345, 54321),
+    ]
+    h = spark.createDataFrame(pts, "bx: long, by: long").selectExpr(
+        "bx", "by", "CAST(0 AS BIGINT) AS hd", "bx AS hx", "by AS hy"
+    )
+    for de, xe, ye in hilbert_rounds():
+        h = h.selectExpr("bx", "by", de, xe, ye)
+    for r in h.select("bx", "by", "hd").collect():
+        assert r.hd == xy2d(_HN, r.bx, r.by), (r.bx, r.by)
+    # adjacency (the property Morton lacks): consecutive d on a full
+    # low-res sub-grid are grid neighbours — check via the 4x4 corner
+    # of the full-depth curve restricted to multiples of 2^14
+    step = _HN // 4
+    grid = {(x, y): xy2d(_HN, x, y) for x in range(0, _HN, step)
+            for y in range(0, _HN, step)}
+    order = sorted(grid, key=grid.get)
+    for (x0, y0), (x1, y1) in zip(order, order[1:]):
+        assert abs(x0 - x1) + abs(y0 - y1) == step, "non-adjacent step"
+
+    df = hilbert_layout(load_table(spark, SF, "orders"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" not in plan
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "expected window specs in the carve plan"
+    for s in specs:
+        assert s.startswith("__pid"), f"unpartitioned window spec: {s[:80]}"
