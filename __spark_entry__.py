@@ -966,6 +966,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (curation.dsir_weights, arXiv:2302.03169):
+    hashed-unigram importance weights of every raw doc against the
+    target-language slice — exact integer-ratio Laplace smoothing,
+    rounded-then-ranked top-k via TakeOrderedAndProject; the published
+    importance-resampling recipe as one Catalyst plan."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
 def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator audit (dedup.minhash_estimate_audit): estimated vs
     exact Jaccard + absolute error for every LSH candidate pair."""
@@ -3470,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_stats": q_corr_stats,
         "q_anomaly_zscore": q_anomaly_zscore,
         "q_decontaminate": q_decontaminate,
+        "q_dsir_weights": q_dsir_weights,
         "q_minhash_estimate": q_minhash_estimate,
         "q_region_revenue": q_region_revenue,
         "q_activity_streaks": q_activity_streaks,
@@ -5059,6 +5073,11 @@ def _extension_oracles() -> dict[str, str]:
         FROM documents
     """
     sh8 = H.duck_shingles(toks, 8)
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        duck_dsir_sql,
+    )
+
+    out["q_dsir_weights"] = duck_dsir_sql()
     out["q_decontaminate"] = f"""
         WITH grams AS (
             SELECT doc_id, unnest(list_transform({sh8},

@@ -182,3 +182,114 @@ def split_leakage(documents: DataFrame, n: int = 8) -> DataFrame:
             F.coalesce("n_leaked", F.lit(0)) / F.col("n_docs"), 6
         ).alias("leak_rate"),
     )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_lang: str = "en",
+    buckets: int = 1024,
+    k: int = 50,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    its hashed-unigram features are under the TARGET distribution (here
+    the ``target_lang`` slice) than under the raw corpus, and keep the
+    top-``k``.  The published recipe exactly: hashed n-gram bag-of-words
+    features, two Laplace-smoothed categorical distributions, per-doc
+    importance weight ``log w = Σ_b c_b·(ln p̂_t[b] − ln p̂_r[b])``.
+
+    Exactness: the smoothed probabilities are exact integer ratios
+    (``(cnt+1)`` over ``(total+B)``), ``ln`` is taken of those integers
+    only, and the weight is rounded to 4 decimals BEFORE ranking
+    (rounded-then-ranked, the engine convention for transcendental
+    outputs); ties break on doc_id.
+
+    Scale shape: two passes over the token stream.  Pass 1 folds BOTH
+    distributions in one partial agg (conditional count per bucket —
+    B-row result).  Pass 2 re-joins the B-row per-bucket delta table
+    BROADCAST onto the stream and partial-aggregates per doc; the top-k
+    is ``orderBy().limit(k)`` (TakeOrderedAndProject), never a global
+    window.  Nothing corpus-sized crosses the driver or a broadcast.
+    """
+    from ..functions import hashing as H
+
+    occ = documents.selectExpr(
+        "doc_id",
+        "lang",
+        f"explode({H.spark_tokens('text')}) as token",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        f"pmod({H.spark_h32('token')}, {buckets}) as bucket",
+    )
+    per_bucket = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("t_c"),
+    )
+    totals = per_bucket.agg(
+        F.sum("raw_c").alias("raw_tot"), F.sum("t_c").alias("t_tot")
+    )
+    delta = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_c") + 1).cast("double"))
+            - F.log((F.col("t_tot") + F.lit(buckets)).cast("double"))
+            - F.log((F.col("raw_c") + 1).cast("double"))
+            + F.log((F.col("raw_tot") + F.lit(buckets)).cast("double"))
+        ).alias("delta"),
+    )
+    scored = (
+        occ.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.sum("delta"), 4).alias("log_w"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("log_w").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "lang", "n_tokens", "log_w")
+    )
+
+
+def duck_dsir_sql(
+    target_lang: str = "en", buckets: int = 1024, k: int = 50
+) -> str:
+    """Oracle twin of :func:`dsir_weights` — same hashed buckets, same
+    integer-ratio smoothing, same rounded-then-ranked top-k."""
+    from ..functions import hashing as H
+
+    toks = H.duck_tokens("text")
+    return f"""
+        WITH occ AS (
+            SELECT doc_id, lang,
+                   {H.duck_h32('token')} % {buckets} AS bucket
+            FROM (
+                SELECT doc_id, lang, unnest({toks}) AS token
+                FROM documents
+            )
+        ), per_bucket AS (
+            SELECT bucket, count(*) AS raw_c,
+                   sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                       AS t_c
+            FROM occ GROUP BY bucket
+        ), tot AS (
+            SELECT sum(raw_c) AS raw_tot, sum(t_c) AS t_tot FROM per_bucket
+        ), delta AS (
+            SELECT bucket,
+                   ln((t_c + 1)::DOUBLE) - ln((t_tot + {buckets})::DOUBLE)
+                   - ln((raw_c + 1)::DOUBLE)
+                   + ln((raw_tot + {buckets})::DOUBLE) AS delta
+            FROM per_bucket CROSS JOIN tot
+        ), scored AS (
+            SELECT doc_id, lang, CAST(count(*) AS INT) AS n_tokens,
+                   round(sum(delta), 4) AS log_w
+            FROM occ JOIN delta USING (bucket)
+            GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_tokens, log_w
+        FROM scored ORDER BY log_w DESC, doc_id ASC LIMIT {k}
+    """

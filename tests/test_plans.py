@@ -1842,3 +1842,19 @@ def test_hilbert_known_answer_and_partitioned_carve(spark):
     assert specs, "expected window specs in the carve plan"
     for s in specs:
         assert s.startswith("__pid"), f"unpartitioned window spec: {s[:80]}"
+
+
+def test_dsir_broadcast_delta_and_takeordered(spark):
+    """DSIR's scoring join must broadcast the B-row delta table (never
+    shuffle the token stream on bucket for a sort-merge join), and the
+    top-k must plan as TakeOrderedAndProject — no corpus-wide window."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    df = dsir_weights(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan.lower()
