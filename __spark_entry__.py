@@ -2344,6 +2344,18 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tse.autocorr_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif mining (tse.sax_motifs): equal-frequency symbolic
+    discretization of per-user daily activity, 3-day words, motif
+    occurrence/user counts — every window per-user, alphabet^word-row
+    output."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.sax_motifs(load_table(spark, sf_dir, "events"))
+
+
 def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio time-chunking plan (multimodal.audio_chunks): sequence
     explode + proportional byte ranges + hex-h32 content check — the
@@ -3655,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ema": q_ema,
         "q_cusum": q_cusum,
         "q_autocorr": q_autocorr,
+        "q_sax_motifs": q_sax_motifs,
         "q_audio_chunks": q_audio_chunks,
         "q_partial_merge": q_partial_merge,
         "q_weighted_sample": q_weighted_sample,
@@ -6867,6 +6880,28 @@ def _extension_oracles() -> dict[str, str]:
                arg_min(day, (-cusum) * 1048576 + day) AS argmax_day,
                any_value(T)::BIGINT AS n_days
         FROM dev GROUP BY event_type
+    """
+    out["q_sax_motifs"] = """
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), sym AS (
+            SELECT user_id, day,
+                   chr(CAST(ntile(3) OVER (
+                       PARTITION BY user_id ORDER BY c, day) + 96 AS INT))
+                       AS sym
+            FROM daily
+        ), words AS (
+            SELECT user_id,
+                   sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w
+                       AS sax_word
+            FROM sym WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        )
+        SELECT sax_word, count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM words WHERE sax_word IS NOT NULL GROUP BY sax_word
     """
     out["q_autocorr"] = """
         WITH ev AS (

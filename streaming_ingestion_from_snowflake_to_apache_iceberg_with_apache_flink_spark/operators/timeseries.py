@@ -870,3 +870,39 @@ def stl_anomaly(events: DataFrame, z: float = 2.0) -> DataFrame:
             F.round(zscore, 4).alias("res_z"),
         )
     )
+
+
+def sax_motifs(events: DataFrame, alphabet: int = 3, word: int = 3) -> DataFrame:
+    """SAX-style motif mining over per-user daily activity (Lin et al.
+    2003's Symbolic Aggregate approXimation, with equal-frequency
+    breakpoints instead of Gaussian ones so the discretization is exact
+    integer rank arithmetic in both engines): each user's daily counts
+    are binned into ``alphabet`` symbols by within-user ``ntile`` over
+    the (count, day) total order, consecutive observed days form
+    ``word``-length SAX words, and the motif table reports how often and
+    across how many users each word occurs — the classic cheap motif /
+    discord screen before any expensive subsequence matching.
+
+    Scale shape: one (user, day) count shuffle, then ALL windows are
+    partitioned by user_id (per-user series, never corpus-wide); the
+    motif rollup is an alphabet^word-row partial agg. Ntile over a total
+    order (count, day) is deterministic everywhere.
+    """
+    from pyspark.sql import Window
+
+    daily = daily_counts(events)
+    sym = daily.withColumn(
+        "sym",
+        F.ntile(alphabet).over(
+            Window.partitionBy("user_id").orderBy("c", "day")
+        ),
+    ).withColumn("sym", F.char(F.col("sym") + 96))  # 1->a, 2->b, ...
+    seq = Window.partitionBy("user_id").orderBy("day")
+    parts = [F.lead("sym", i).over(seq) for i in range(word)]
+    words = sym.select(
+        "user_id", F.concat(*parts).alias("sax_word")
+    ).filter(F.col("sax_word").isNotNull() & (F.length("sax_word") == word))
+    return words.groupBy("sax_word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
