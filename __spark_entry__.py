@@ -850,6 +850,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(dd.ngram_jaccard_pairs(docs))
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the exact-Jaccard
+    near-dup pairs (dedup.label_propagation): mode-of-neighbors with
+    deterministic min-label ties, 2 unrolled rounds replayed exactly by
+    the oracle CTEs — the finer-grained sibling of q_dedup_clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.label_propagation(dd.ngram_jaccard_pairs(docs))
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel view→click→purchase per user
     (sessions.funnel) — batch twin of Flink CEP followedBy chains."""
@@ -3482,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_sketch": q_distinct_sketch,
         "q_hll_distinct": q_hll_distinct,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_label_prop": q_label_prop,
         "q_event_funnel": q_event_funnel,
         "q_retention": q_retention,
         "q_unigram_lm": q_unigram_lm,
@@ -4953,6 +4963,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_hll_distinct"] = duck_hll_sql()
     # transitive closure over the SAME pair SQL the Spark query clusters —
     # components are small, so the closure stays tiny
+    out["q_label_prop"] = dd.duck_label_prop_sql(out["q_dedup_ngram_jaccard"])
     out["q_dedup_clusters"] = f"""
         WITH RECURSIVE pairs AS (
             {out["q_dedup_ngram_jaccard"]}

@@ -1180,3 +1180,114 @@ def duck_bfs_sql(pairs_sql: str, rounds: int = 3) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT doc_id, CAST(depth AS INT) AS depth FROM {prev_v}"
     )
+
+
+def label_propagation(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", rounds: int = 2
+) -> DataFrame:
+    """Community detection on the near-dup pair graph by SYNCHRONOUS
+    label propagation (Raghavan et al. 2007) — the finer-grained sibling
+    of :func:`connected_components`: where CC merges everything
+    reachable, LPA keeps densely-linked duplicate families apart even
+    when a single spurious pair bridges them (the template-boilerplate
+    bridge problem in web-crawl dedup). Every node starts labeled with
+    its own id; each round every node adopts the MODE of its neighbors'
+    labels (most frequent; ties to the smallest label — fully
+    deterministic, no async sweep order). A fixed ``rounds`` unroll keeps
+    the computation a static DAG the oracle replays exactly.
+
+    Scale shape: per round one equi-join of the edge list with the
+    label table on the node key plus two partial aggs — everything
+    graph-sized, nothing corpus-sized; the mode argmax is an aggregation,
+    never a window over the corpus. Returns (doc_id, community_id,
+    community_size).
+    """
+    bidir = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
+    labels = bidir.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            bidir.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # mode with deterministic ties: max count, then min label — as an
+        # aggregation (min over (-c, label) lexicographic pairs), never a
+        # per-node window
+        labels = (
+            votes.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("a").alias("node"), F.col("m.l").alias("label"))
+        )
+    from pyspark.sql import Window
+
+    out = labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("community_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("bigint")
+        .alias("community_size"),
+    )
+    bidir.unpersist()
+    return out
+
+
+def duck_label_prop_sql(pairs_sql: str, rounds: int = 2) -> str:
+    """Oracle twin of :func:`label_propagation`: the synchronous rounds
+    unrolled as CTEs, mode-with-min-tiebreak as a row_number pick."""
+    ctes = [
+        f"""
+        WITH pairs AS (
+            {pairs_sql}
+        ), bidir AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), l0 AS (
+            SELECT DISTINCT a AS node, a AS label FROM bidir
+        )"""
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""", v{r} AS (
+            SELECT e.a, l.label, count(*) AS c
+            FROM bidir e JOIN {prev} l ON e.b = l.node
+            GROUP BY e.a, l.label
+        ), l{r} AS (
+            SELECT a AS node, label FROM (
+                SELECT a, label, row_number() OVER (
+                    PARTITION BY a ORDER BY c DESC, label ASC) AS rn
+                FROM v{r}
+            ) WHERE rn = 1
+        )"""
+        )
+        prev = f"l{r}"
+    ctes.append(
+        f"""
+        SELECT node AS doc_id, label AS community_id,
+               count(*) OVER (PARTITION BY label)::BIGINT AS community_size
+        FROM {prev}"""
+    )
+    return "".join(ctes)
