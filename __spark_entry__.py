@@ -380,6 +380,14 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.priority_rollup(load_table(spark, sf_dir, "orders"))
 
 
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge (rel.mix_shift): per-segment
+    volume / rate / interaction decomposition that reconciles exactly to
+    the revenue delta — one conditional partial agg over orders, IEEE
+    bit-identical effect arithmetic in both engines."""
+    return rel.mix_shift(load_table(spark, sf_dir, "orders"))
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.cube_summary(load_table(spark, sf_dir, "orders"))
 
@@ -3600,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_enrich": q_join_enrich,
         "q_salted_join": q_salted_join,
         "q_rollup": q_rollup,
+        "q_mix_shift": q_mix_shift,
         "q_cube": q_cube,
         "q_compaction_plan": q_compaction_plan,
         "q_window_battery": q_window_battery,
@@ -4319,6 +4328,12 @@ def _neardup_oracle(
     """
 
 
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+    duck_mix_shift_sql as _duck_mix_shift_sql,
+)
+
+_REL_MIX_SHIFT_SQL = _duck_mix_shift_sql()
+
 def _extension_oracles() -> dict[str, str]:
     """Oracles for the dedup/similarity/text queries, generated from the
     same constants (stopword lists, minhash coefficients, md5-h32) as the
@@ -4372,6 +4387,7 @@ def _extension_oracles() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
+        "q_mix_shift": _REL_MIX_SHIFT_SQL,
         "q_rollup": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                    coalesce(o_orderstatus, 'ALL') AS status,

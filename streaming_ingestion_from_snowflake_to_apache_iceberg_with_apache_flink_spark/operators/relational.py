@@ -1241,3 +1241,91 @@ def salted_distinct(events: DataFrame, salts: int = 16) -> DataFrame:
         slices.groupBy("event_type")
         .agg(F.sum("c").cast("bigint").alias("n_users"))
     )
+
+
+def mix_shift(orders: DataFrame, split: str = "1995-01-01") -> DataFrame:
+    """Period-over-period revenue decomposition per segment — the classic
+    mix-vs-rate bridge every revenue dashboard runs: the change in a
+    segment's revenue between the period before ``split`` and the period
+    from it is split into a VOLUME effect ((n1−n0)·rate0: the part
+    explained by order-count change at the old per-order revenue), a
+    RATE effect (n0·(rate1−rate0): price/size change at the old volume),
+    and the interaction remainder — the three always reconcile exactly
+    to the revenue delta.
+
+    Exactness: n and sum are exact (count / DECIMAL sum); each effect is
+    ONE double division of exact operands in the identical expression
+    shape, so IEEE round-to-nearest makes both engines bit-identical
+    before the final round(4).
+
+    Scale shape: one conditional partial agg over the fact table
+    (period CASE fused into the scan — the table is read once, never
+    self-joined per period); output is segment-sized.
+    """
+    p1 = F.col("o_orderdate") >= F.lit(split).cast("timestamp")
+    agg = orders.groupBy(
+        F.col("o_orderpriority").alias("segment")
+    ).agg(
+        F.sum(F.when(~p1, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(p1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~p1, F.col("o_totalprice")).otherwise(F.lit(0))).alias(
+            "sum0"
+        ),
+        F.sum(F.when(p1, F.col("o_totalprice")).otherwise(F.lit(0))).alias(
+            "sum1"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # a segment absent from one period has no defined rate there — the
+    # decomposition is NULL (explicit CASE in BOTH engines: ANSI Spark
+    # would throw on /0 and DuckDB would return NULL implicitly)
+    both = (F.col("n0") > 0) & (F.col("n1") > 0)
+    vol = F.when(both, (d("n1") - d("n0")) * d("sum0") / d("n0"))
+    rate = F.when(both, d("n0") * (d("sum1") / d("n1") - d("sum0") / d("n0")))
+    delta = d("sum1") - d("sum0")
+    return agg.select(
+        "segment",
+        "n0",
+        "n1",
+        F.round(delta, 2).alias("revenue_delta"),
+        F.round(vol, 4).alias("volume_effect"),
+        F.round(rate, 4).alias("rate_effect"),
+        F.round(delta - vol - rate, 4).alias("interaction_effect"),
+    )
+
+
+def duck_mix_shift_sql(split: str = "1995-01-01") -> str:
+    """Oracle twin of :func:`mix_shift` — identical conditional agg and
+    the same double expression shapes."""
+    return f"""
+        WITH agg AS (
+            SELECT o_orderpriority AS segment,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{split}'
+                            THEN 0 ELSE 1 END)::BIGINT AS n0,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{split}'
+                            THEN 1 ELSE 0 END)::BIGINT AS n1,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{split}'
+                            THEN 0 ELSE o_totalprice END) AS sum0,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{split}'
+                            THEN o_totalprice ELSE 0 END) AS sum1
+            FROM orders GROUP BY 1
+        )
+        , eff AS (
+            SELECT segment, n0, n1,
+                   sum1::DOUBLE - sum0::DOUBLE AS delta,
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       (n1::DOUBLE - n0::DOUBLE) * sum0::DOUBLE / n0::DOUBLE
+                   END AS vol,
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       n0::DOUBLE * (sum1::DOUBLE / n1::DOUBLE
+                                     - sum0::DOUBLE / n0::DOUBLE)
+                   END AS rate
+            FROM agg
+        )
+        SELECT segment, n0, n1,
+               round(delta, 2) AS revenue_delta,
+               round(vol, 4) AS volume_effect,
+               round(rate, 4) AS rate_effect,
+               round(delta - vol - rate, 4) AS interaction_effect
+        FROM eff
+    """
