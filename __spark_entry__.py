@@ -3757,26 +3757,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # paths round 6 touched (two-phase ranks, shared k-means, sink ledger,
 # connector hardening) if the driver's window reaches them.
 _ROUND6_WINDOW = [
-    "q_ema", "q_locf", "q_changepoint", "q_filter_funnel",
-    "q_referential_audit", "q_matryoshka_recall", "q_zipf_fit",
-    "q_lang_entropy", "q_hll_distinct", "q_attribution", "q_stream_topk",
-    "q_seasonal_decompose", "q_centroid_drift", "q_ks_test", "q_heaps_fit",
-    "q_quantile_normalize", "q_kaplan_meier", "q_norm_profile",
-    "q_mahalanobis", "q_cohort_ltv", "q_stl_anomaly", "q_target_encoding",
-   "q_salted_distinct", "q_merge_schema", "q_bfs_depth", "q_dp_counts",
-    "q_revenue_gini", "q_conversion_lag", "q_wap_publish", "q_scd2_lookup",
-    "q_silhouette", "q_keyness", "q_zonemap_prune", "q_epoch_order",
-    "q_stream_cdc", "q_coreset",
-    "q_kcore", "q_bpe_fertility", "q_lsh_recall", "q_split_leakage",
-    "q_cluster_balance", "q_ngram_novelty", "q_retention_cohorts",
-    "q_snapshot_diff", "q_join_cardinality", "q_xcorr_lag", "q_ab_ztest",
-    "q_mixture_waterfill", "q_quality_calibration", "q_knn_eval",
-    "q_rank_fusion", "q_trend_robust", "q_pq_encode", "q_pq_adc_topk",
-    "q_pq_recall", "q_ivfpq_topk", "q_markov_transitions", "q_k_anonymity",
-    "q_pack_bins", "q_token_budget_shards", "q_late_data_audit",
-    "q_ts_similarity", "q_zorder_layout", "q_kmeans", "q_semdedup",
-    "q_hard_negatives", "q_cluster_terms", "q_time_travel", "q_merge_delete",
-    "q_stream_ingest", "q_python_source", "q_python_stream_source",
+    "q_ema",
+    "q_locf",
+    "q_pack_bins",
+    "q_late_data_audit",
+    "q_coreset",
+    "q_hilbert_layout",
+    "q_dsir_weights",
+    "q_sax_motifs",
+    "q_label_prop",
+    "q_mix_shift",
+    "q_changepoint",
+    "q_filter_funnel",
+    "q_referential_audit",
+    "q_matryoshka_recall",
+    "q_zipf_fit",
+    "q_lang_entropy",
+    "q_hll_distinct",
+    "q_attribution",
+    "q_stream_topk",
+    "q_seasonal_decompose",
+    "q_centroid_drift",
+    "q_ks_test",
+    "q_heaps_fit",
+    "q_quantile_normalize",
+    "q_kaplan_meier",
+    "q_norm_profile",
+    "q_mahalanobis",
+    "q_cohort_ltv",
+    "q_stl_anomaly",
+    "q_target_encoding",
+    "q_salted_distinct",
+    "q_merge_schema",
+    "q_bfs_depth",
+    "q_dp_counts",
+    "q_revenue_gini",
+    "q_conversion_lag",
+    "q_wap_publish",
+    "q_scd2_lookup",
+    "q_silhouette",
+    "q_keyness",
+    "q_zonemap_prune",
+    "q_epoch_order",
+    "q_stream_cdc",
+    "q_kcore",
+    "q_bpe_fertility",
+    "q_lsh_recall",
+    "q_split_leakage",
+    "q_cluster_balance",
+    "q_ngram_novelty",
+    "q_retention_cohorts",
+    "q_snapshot_diff",
+    "q_join_cardinality",
+    "q_xcorr_lag",
+    "q_ab_ztest",
+    "q_mixture_waterfill",
+    "q_quality_calibration",
+    "q_knn_eval",
+    "q_rank_fusion",
+    "q_trend_robust",
+    "q_pq_encode",
+    "q_pq_adc_topk",
+    "q_pq_recall",
+    "q_ivfpq_topk",
+    "q_markov_transitions",
+    "q_k_anonymity",
+    "q_token_budget_shards",
+    "q_ts_similarity",
+    "q_zorder_layout",
+    "q_kmeans",
+    "q_semdedup",
+    "q_hard_negatives",
+    "q_cluster_terms",
+    "q_time_travel",
+    "q_merge_delete",
+    "q_stream_ingest",
+    "q_python_source",
+    "q_python_stream_source",
     "q_stateful_offsets",
 ]
 
