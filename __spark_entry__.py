@@ -2482,6 +2482,19 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_mergeable(load_table(spark, sf_dir, "documents"))
 
 
+def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection (sketch.kmv_intersection): distinct
+    token overlap of every language pair estimated from the k-min-values
+    sketches alone (θ = min kth, sample below θ, integer floor-division
+    estimate) next to the exact overlap — the DataSketches set-expression
+    rule, bit-exact in both engines."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        kmv_intersection,
+    )
+
+    return kmv_intersection(load_table(spark, sf_dir, "documents"))
+
+
 def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source round-trip (sources.files.write_read_orc): orders →
     ORC → declared-schema read → per-priority summary; the oracle never
@@ -3695,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_frontend": q_sql_frontend,
         "q_fuzzy_join": q_fuzzy_join,
         "q_sketch_merge": q_sketch_merge,
+        "q_sketch_intersect": q_sketch_intersect,
         "q_orc_source": q_orc_source,
         "q_tpch_q2": q_tpch_q2,
         "q_tpch_q4": q_tpch_q4,
@@ -7104,10 +7118,12 @@ def _extension_oracles() -> dict[str, str]:
         WHERE levenshtein(a.c_name, b.c_name) <= 2
     """
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        duck_kmv_intersection_sql,
         duck_kmv_mergeable_sql,
     )
 
     out["q_sketch_merge"] = duck_kmv_mergeable_sql()
+    out["q_sketch_intersect"] = duck_kmv_intersection_sql()
     out["q_orc_source"] = """
         SELECT o_orderpriority, count(*) AS n,
                sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT

@@ -541,3 +541,124 @@ def duck_hll_sql() -> str:
                    AS rel_err
         FROM raw
     """
+
+
+def kmv_intersection(documents: DataFrame, k: int = 128) -> DataFrame:
+    """Theta-sketch SET INTERSECTION (the DataSketches/Druid set-expression
+    workhorse): estimate the distinct-token overlap of every language pair
+    from their k-minimum-values sketches ALONE — θ = the smaller of the two
+    k-th-minimum hashes, the intersection sample = hashes present in both
+    sketches below θ, estimate = |sample|·M/θ — next to the exact overlap,
+    so the oracle checks the set-expression rule itself. All integer
+    arithmetic (floor division over the h32 domain), bit-exact in both
+    engines.
+
+    Scale shape: sketches are k hashes per language (TakeOrdered-sized);
+    the pair intersection joins SKETCHES only. The exact check is one
+    (lang, h) self-join on the distinct key set — key-only shuffle, no
+    payload; at production scale you'd sample or skip the exact leg, which
+    is precisely the point of the sketch.
+    """
+    tok = H.spark_tokens("text")
+    pairs = (
+        spread(documents)
+        .selectExpr("lang", f"explode(array_distinct({tok})) as token")
+        .selectExpr("lang", H.spark_h32("token") + " as h")
+        .distinct()
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc())
+    sk = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .persist()
+    )
+    kth = sk.groupBy("lang").agg(F.max("h").alias("kth"))
+    a, b = [
+        df.select(
+            F.col("lang").alias(f"lang_{side}"),
+            F.col("kth").alias(f"kth_{side}"),
+        )
+        for df, side in ((kth, "a"), (kth, "b"))
+    ]
+    combos = a.crossJoin(b).filter(F.col("lang_a") < F.col("lang_b")).select(
+        "lang_a", "lang_b", F.least("kth_a", "kth_b").alias("theta")
+    )
+    common = (
+        sk.select(F.col("lang").alias("lang_a"), "h")
+        .join(sk.select(F.col("lang").alias("lang_b"), "h"), "h")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    sample = (
+        common.join(F.broadcast(combos), ["lang_a", "lang_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("lang_a", "lang_b", "theta")
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+    )
+    exact = (
+        pairs.select(F.col("lang").alias("lang_a"), "h")
+        .join(pairs.select(F.col("lang").alias("lang_b"), "h"), "h")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    out = (
+        combos.join(sample.drop("theta"), ["lang_a", "lang_b"], "left")
+        .join(exact, ["lang_a", "lang_b"], "left")
+        .selectExpr(
+            "lang_a",
+            "lang_b",
+            f"cast(coalesce(n_sample, 0) * {HASH_DOMAIN}L div theta"
+            " as bigint) as n_est",
+            "cast(coalesce(n_exact, 0) as bigint) as n_exact",
+        )
+    )
+    pairs.unpersist()
+    sk.unpersist()
+    return out
+
+
+def duck_kmv_intersection_sql(k: int = 128) -> str:
+    """Oracle twin of :func:`kmv_intersection`."""
+    tok = H.duck_tokens("text")
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT lang, {H.duck_h32("token")} AS h
+            FROM (SELECT lang, unnest(list_distinct({tok})) AS token
+                  FROM documents)
+        ), sk AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (PARTITION BY lang
+                    ORDER BY h) AS rk
+                FROM pairs
+            ) WHERE rk <= {k}
+        ), kth AS (
+            SELECT lang, max(h) AS kth FROM sk GROUP BY lang
+        ), combos AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   least(a.kth, b.kth) AS theta
+            FROM kth a CROSS JOIN kth b WHERE a.lang < b.lang
+        ), sample AS (
+            SELECT s1.lang AS lang_a, s2.lang AS lang_b,
+                   count(*) AS n_sample
+            FROM sk s1 JOIN sk s2 ON s1.h = s2.h AND s1.lang < s2.lang
+            JOIN combos c ON c.lang_a = s1.lang AND c.lang_b = s2.lang
+            WHERE s1.h < c.theta
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT p1.lang AS lang_a, p2.lang AS lang_b,
+                   count(*) AS n_exact
+            FROM pairs p1 JOIN pairs p2
+              ON p1.h = p2.h AND p1.lang < p2.lang
+            GROUP BY 1, 2
+        )
+        SELECT c.lang_a, c.lang_b,
+               (coalesce(s.n_sample, 0) * {HASH_DOMAIN} // c.theta)::BIGINT
+                   AS n_est,
+               coalesce(e.n_exact, 0)::BIGINT AS n_exact
+        FROM combos c
+        LEFT JOIN sample s ON s.lang_a = c.lang_a AND s.lang_b = c.lang_b
+        LEFT JOIN exact e ON e.lang_a = c.lang_a AND e.lang_b = c.lang_b
+    """
