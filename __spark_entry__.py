@@ -380,6 +380,15 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.priority_rollup(load_table(spark, sf_dir, "orders"))
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean order value per segment
+    (rel.poisson_bootstrap): 16 hash-deterministic Poisson(1) replicate
+    weights folded into ONE conditional partial-agg pass, replicate
+    means rank-picked into a 90% interval — the distributed bootstrap,
+    fully replayable by the oracle."""
+    return rel.poisson_bootstrap(load_table(spark, sf_dir, "orders"))
+
+
 def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period revenue bridge (rel.mix_shift): per-segment
     volume / rate / interaction decomposition that reconciles exactly to
@@ -3622,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_rollup": q_rollup,
         "q_mix_shift": q_mix_shift,
+        "q_bootstrap_ci": q_bootstrap_ci,
         "q_cube": q_cube,
         "q_compaction_plan": q_compaction_plan,
         "q_window_battery": q_window_battery,
@@ -4401,9 +4411,11 @@ def _neardup_oracle(
 
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
     duck_mix_shift_sql as _duck_mix_shift_sql,
+    duck_poisson_bootstrap_sql as _duck_poisson_bootstrap_sql,
 )
 
 _REL_MIX_SHIFT_SQL = _duck_mix_shift_sql()
+_REL_BOOTSTRAP_SQL = _duck_poisson_bootstrap_sql()
 
 def _extension_oracles() -> dict[str, str]:
     """Oracles for the dedup/similarity/text queries, generated from the
@@ -4459,6 +4471,7 @@ def _extension_oracles() -> dict[str, str]:
             GROUP BY 1
         """,
         "q_mix_shift": _REL_MIX_SHIFT_SQL,
+        "q_bootstrap_ci": _REL_BOOTSTRAP_SQL,
         "q_rollup": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                    coalesce(o_orderstatus, 'ALL') AS status,

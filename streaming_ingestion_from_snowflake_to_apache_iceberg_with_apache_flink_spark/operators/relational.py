@@ -1329,3 +1329,105 @@ def duck_mix_shift_sql(split: str = "1995-01-01") -> str:
                round(delta - vol - rate, 4) AS interaction_effect
         FROM eff
     """
+
+
+#: cumulative Poisson(1) CDF × 2^32, floor — the deterministic inverse-CDF
+#: table for hash-derived bootstrap weights (P(w>7) < 1.1e-5 is truncated
+#: to w=8, matching both engines exactly)
+_POISSON1_T = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+)
+_BOOTSTRAP_R = 16
+
+
+def poisson_bootstrap(orders: DataFrame, reps: int = _BOOTSTRAP_R) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value per
+    segment — the SINGLE-PASS bootstrap that works on sharded data (the
+    classic resample-with-replacement needs the whole sample in one
+    place; drawing each row's replicate multiplicity from Poisson(1)
+    instead is the standard streaming/distributed substitute, e.g.
+    Chamandy et al., "Estimating Uncertainty for Massive Data Streams").
+    Every weight is a DETERMINISTIC inverse-CDF lookup of the portable
+    h32 of (orderkey, replicate), so the "randomness" is replayable and
+    the oracle reproduces every replicate bit-for-bit.
+
+    Output per segment: exact n/mean plus the replicate-rank CI
+    (2nd/15th of 16 sorted replicate means ≈ a 90 % interval).
+
+    Scale shape: ONE pass over the fact table — the 2·reps weighted sums
+    are conditional partial aggs fused into the scan (no 16× row
+    fan-out, no reshuffle per replicate); the rank-pick runs on a
+    reps-length array inside each segment's single output row. Replicate
+    means divide exact integers once (IEEE-identical cross-engine).
+    """
+    from ..functions import hashing as H
+
+    pieces = []
+    for r in range(reps):
+        h = H.spark_h32(f"concat(cast(o_orderkey as string), ':{r}')")
+        w = "".join(
+            f"WHEN {h} < {t} THEN {i} "
+            for i, t in enumerate(_POISSON1_T)
+        )
+        pieces.append(
+            F.expr(f"sum(CASE {w}ELSE 8 END)").alias(f"w{r}")
+        )
+        pieces.append(
+            F.expr(
+                f"sum(o_totalprice * (CASE {w}ELSE 8 END))"
+            ).alias(f"wx{r}")
+        )
+    agg = orders.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("o_totalprice").alias("total"),
+        *pieces,
+    )
+    means = ", ".join(
+        f"CASE WHEN w{r} > 0 THEN cast(wx{r} as double) / cast(w{r} as double) END"
+        for r in range(reps)
+    )
+    return agg.selectExpr(
+        "segment",
+        "n_orders",
+        "round(cast(total as double) / cast(n_orders as double), 4)"
+        " as mean_price",
+        f"round(array_sort(array({means}))[1], 4) as ci_lo",
+        f"round(array_sort(array({means}))[{reps - 2}], 4) as ci_hi",
+    )
+
+
+def duck_poisson_bootstrap_sql(reps: int = _BOOTSTRAP_R) -> str:
+    """Oracle twin of :func:`poisson_bootstrap` — identical hash-derived
+    weights, conditional sums, and rank-pick CI."""
+    from ..functions import hashing as H
+
+    cols = []
+    for r in range(reps):
+        h = H.duck_h32(f"(o_orderkey::VARCHAR || ':{r}')")
+        w = "".join(
+            f"WHEN {h} < {t} THEN {i} "
+            for i, t in enumerate(_POISSON1_T)
+        )
+        cols.append(f"sum(CASE {w}ELSE 8 END) AS w{r}")
+        cols.append(
+            f"sum(o_totalprice * (CASE {w}ELSE 8 END)) AS wx{r}"
+        )
+    means = ", ".join(
+        f"CASE WHEN w{r} > 0 THEN wx{r}::DOUBLE / w{r}::DOUBLE END"
+        for r in range(reps)
+    )
+    return f"""
+        WITH agg AS (
+            SELECT o_orderpriority AS segment,
+                   count(*)::BIGINT AS n_orders,
+                   sum(o_totalprice) AS total,
+                   {", ".join(cols)}
+            FROM orders GROUP BY 1
+        )
+        SELECT segment, n_orders,
+               round(total::DOUBLE / n_orders::DOUBLE, 4) AS mean_price,
+               round(list_sort([{means}])[2], 4) AS ci_lo,
+               round(list_sort([{means}])[{reps - 1}], 4) AS ci_hi
+        FROM agg
+    """
