@@ -2893,6 +2893,18 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_test(load_table(spark, sf_dir, "documents"))
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (quality.mann_whitney): tie-corrected
+    doubled-integer rank arithmetic over value-level counts, one-shot
+    normal approximation + rank-biserial effect size — the stochastic-
+    dominance twin of q_ks_test's shape test."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        mann_whitney,
+    )
+
+    return mann_whitney(load_table(spark, sf_dir, "documents"))
+
+
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit (text.heaps_fit): OLS of ln V on
     ln N across per-source (tokens, types) points — the growth-law twin
@@ -3755,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": q_hist_quantiles,
         "q_dq_checks": q_dq_checks,
         "q_ks_test": q_ks_test,
+        "q_mann_whitney": q_mann_whitney,
         "q_heaps_fit": q_heaps_fit,
         "q_quantile_normalize": q_quantile_normalize,
         "q_filter_funnel": q_filter_funnel,
@@ -7349,9 +7362,11 @@ def _extension_oracles() -> dict[str, str]:
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
         duck_dp_counts_sql,
         duck_ks_test_sql,
+        duck_mann_whitney_sql,
     )
 
     out["q_ks_test"] = duck_ks_test_sql()
+    out["q_mann_whitney"] = duck_mann_whitney_sql()
     out["q_dp_counts"] = duck_dp_counts_sql()
     out["q_heaps_fit"] = tx.duck_heaps_fit_sql()
     out["q_quantile_normalize"] = """

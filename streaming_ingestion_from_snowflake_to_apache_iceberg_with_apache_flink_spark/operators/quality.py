@@ -566,3 +566,116 @@ def duck_dp_counts_sql(epsilon: float = 1.0) -> str:
                    AS n_released
         FROM per
     """
+
+
+def mann_whitney(
+    documents: DataFrame, source_a: str = "src0", source_b: str = "src1"
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) between two sources'
+    document-length distributions — the nonparametric location test that
+    pairs with :func:`ks_test`'s shape test in a data-quality gate (KS
+    asks "same distribution?", MWU asks "is one stochastically larger?").
+
+    Exactness: tie-corrected rank arithmetic stays in doubled integers —
+    avg rank ×2 of a tie group = 2·(count before) + (group size) + 1, so
+    the rank sum, U, and the tie term Σ(t³−t) are exact bigints; the
+    normal approximation (one sqrt, one division) runs once on identical
+    operands cross-engine, rounded to 4.
+
+    Scale shape: identical to ks_test — the corpus collapses to
+    value-level counts in ONE partial-agg shuffle; the cumulative window
+    ranges over the DISTINCT VALUE DOMAIN (document lengths), never the
+    corpus; the final statistics are a one-row aggregate.
+    """
+    counts = (
+        documents.filter(F.col("source").isin(source_a, source_b))
+        .groupBy("n_chars")
+        .agg(
+            F.sum((F.col("source") == source_a).cast("int")).alias("ca"),
+            F.sum((F.col("source") == source_b).cast("int")).alias("cb"),
+        )
+    )
+    before = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = F.col("ca") + F.col("cb")
+    ranked = counts.select(
+        "ca",
+        "cb",
+        (
+            F.col("ca").cast("bigint")
+            * (
+                2 * F.coalesce(F.sum(c).over(before), F.lit(0))
+                + c
+                + 1
+            )
+        ).alias("r1_x2_part"),
+        (c.cast("bigint") * c * c - c).alias("tie_part"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum("r1_x2_part").cast("bigint").alias("r1_x2"),
+        F.sum("tie_part").cast("bigint").alias("ties"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "cast(r1_x2 - n_a * (n_a + 1) as bigint) as u1_x2",
+        """round(
+            (cast(r1_x2 - n_a * (n_a + 1) as double) - cast(n_a * n_b as double))
+            / (2.0 * sqrt(
+                cast(n_a as double) * cast(n_b as double) / 12.0
+                * (cast(n_a + n_b + 1 as double)
+                   - cast(ties as double)
+                     / (cast(n_a + n_b as double)
+                        * cast(n_a + n_b - 1 as double)))
+            )), 4) as z""",
+        """round(1.0 - cast(r1_x2 - n_a * (n_a + 1) as double)
+                 / cast(n_a * n_b as double), 4) as rank_biserial""",
+    )
+
+
+def duck_mann_whitney_sql(
+    source_a: str = "src0", source_b: str = "src1"
+) -> str:
+    """Oracle twin of :func:`mann_whitney` — identical doubled-integer
+    rank arithmetic and the same one-shot normal approximation."""
+    return f"""
+        WITH counts AS (
+            SELECT n_chars,
+                   sum(CASE WHEN source = '{source_a}' THEN 1 ELSE 0 END)
+                       AS ca,
+                   sum(CASE WHEN source = '{source_b}' THEN 1 ELSE 0 END)
+                       AS cb
+            FROM documents WHERE source IN ('{source_a}', '{source_b}')
+            GROUP BY n_chars
+        ), ranked AS (
+            SELECT ca, cb,
+                   ca::BIGINT * (2 * coalesce(sum(ca + cb) OVER (
+                       ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + (ca + cb) + 1) AS r1_x2_part,
+                   (ca + cb)::BIGINT * (ca + cb) * (ca + cb) - (ca + cb)
+                       AS tie_part
+            FROM counts
+        ), agg AS (
+            SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                   sum(r1_x2_part)::BIGINT AS r1_x2,
+                   sum(tie_part)::BIGINT AS ties
+            FROM ranked
+        )
+        SELECT n_a, n_b,
+               (r1_x2 - n_a * (n_a + 1))::BIGINT AS u1_x2,
+               round(
+                   ((r1_x2 - n_a * (n_a + 1))::DOUBLE - (n_a * n_b)::DOUBLE)
+                   / (2.0 * sqrt(
+                       n_a::DOUBLE * n_b::DOUBLE / 12.0
+                       * ((n_a + n_b + 1)::DOUBLE
+                          - ties::DOUBLE
+                            / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1)::DOUBLE))
+                   )), 4) AS z,
+               round(1.0 - (r1_x2 - n_a * (n_a + 1))::DOUBLE
+                     / (n_a * n_b)::DOUBLE, 4) AS rank_biserial
+        FROM agg
+    """
