@@ -1281,6 +1281,19 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=250).select("media_id", "frame_ts_ms")
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup (multimodal.phash_dedup): the real
+    Arrow-batched decode stage feeding an aHash-style bit-pack and a
+    hash-key-only duplicate groupBy — image-dedup's standard recipe with
+    the whole chain (Python stage included) oracle-value-checked."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.multimodal import (
+        fake_media_table,
+        phash_dedup,
+    )
+
+    return phash_dedup(fake_media_table(load_table(spark, sf_dir, "documents")))
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize stage (multimodal.resize_images, Arrow-batched
     mapInPandas with the stubbed codec): images get the target dimensions
@@ -3542,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_distinct_aggs": q_distinct_aggs,
         "q_media_features": q_media_features,
+        "q_media_phash_dedup": q_media_phash_dedup,
         "q_scd2": q_scd2,
         "q_cdc_diff": q_cdc_diff,
         "q_corr_stats": q_corr_stats,
@@ -5200,6 +5214,11 @@ def _extension_oracles() -> dict[str, str]:
     # DuckDB md5(VARCHAR) hashes the utf-8 bytes — exactly the payload
     # Spark's encode(text,'UTF-8') hands the Python decoder
     fhex = lambda i: f"(('0x' || substr(md5(text), {9 + 2 * i}, 2))::INT)::DOUBLE"  # noqa: E731
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.multimodal import (
+        duck_phash_dedup_sql,
+    )
+
+    out["q_media_phash_dedup"] = duck_phash_dedup_sql()
     out["q_media_features"] = f"""
         SELECT doc_id AS media_id,
                'text' AS kind,

@@ -254,3 +254,74 @@ def audio_chunks(df: DataFrame, chunk_ms: int = 2000) -> DataFrame:
             "as bigint)"
         ).alias("chunk_h32"),
     )
+
+
+def phash_dedup(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Perceptual-hash dedup over media payloads — the standard
+    image-dedup recipe (aHash family: threshold each feature against the
+    feature mean, pack the bits, bucket by the hash): runs the REAL
+    Arrow-batched ``decode_media`` stage, then derives the hash and the
+    duplicate groups entirely Catalyst-side. Emits per (kind, phash)
+    duplicate groups (n > 1) with their size and id range.
+
+    With the fake codec the "features" are md5-derived, so the whole
+    chain — Python decode stage included — is value-checked by the SQL
+    oracle; with a real codec only the feature source changes, the
+    hash/bucket/dedup plan is identical.
+
+    Scale shape: decode is the documented mapInPandas stage (size-salted
+    partitions); the dedup is ONE hash-key groupBy — the phash is 64
+    bits max, so the shuffle carries (kind, bigint) keys, never
+    payloads. Mean/threshold arithmetic is exact (integer-valued doubles
+    divided by a power of two).
+    """
+    decoded = decode_media(media, fake=True, feature_dim=feature_dim)
+    mean = f"aggregate(feature, 0D, (a, x) -> a + x) / {feature_dim}"
+    bits = " + ".join(
+        f"(CASE WHEN feature[{i}] >= __mean THEN {1 << i}L ELSE 0L END)"
+        for i in range(feature_dim)
+    )
+    hashed = decoded.selectExpr(
+        "media_id", "kind", f"{mean} as __mean", "feature"
+    ).selectExpr("media_id", "kind", f"cast({bits} as bigint) as phash")
+    return (
+        hashed.groupBy("kind", "phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.min("media_id").alias("min_id"),
+            F.max("media_id").alias("max_id"),
+        )
+        .filter(F.col("n_items") > 1)
+    )
+
+
+def duck_phash_dedup_sql(feature_dim: int = 8) -> str:
+    """Oracle twin of :func:`phash_dedup` over the fake-codec features
+    (md5 hex pairs of the payload), on the documents-derived media
+    fixture (:func:`fake_media_table`'s SQL shape)."""
+    feats = ", ".join(
+        f"(('0x' || substr(md5(text), {9 + 2 * i}, 2))::INT)::DOUBLE"
+        for i in range(feature_dim)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN f[{i + 1}] >= m THEN {1 << i} ELSE 0 END)"
+        for i in range(feature_dim)
+    )
+    return f"""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'video' WHEN 1 THEN 'image'
+                        ELSE 'audio' END AS kind,
+                   [{feats}] AS f
+            FROM documents
+        ), means AS (
+            SELECT media_id, kind, f,
+                   list_sum(f) / {feature_dim} AS m
+            FROM media
+        ), hashed AS (
+            SELECT media_id, kind, {bits} AS phash FROM means
+        )
+        SELECT kind, phash::BIGINT AS phash, count(*)::BIGINT AS n_items,
+               min(media_id) AS min_id, max(media_id) AS max_id
+        FROM hashed GROUP BY kind, phash HAVING count(*) > 1
+    """
