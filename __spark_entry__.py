@@ -1982,6 +1982,31 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plug-in entropy rate of the event-type chain
+    (sessions.entropy_rate): per-state conditional entropy + the
+    transition-weighted overall rate, all ln terms over exact integer
+    counts on the |types|² matrix — the behavioral-predictability number
+    next to q_markov_transitions' flow matrix."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        entropy_rate,
+    )
+
+    return entropy_rate(load_table(spark, sf_dir, "events"))
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (tse.did_estimator):
+    hash-assigned 50/50 user groups x pre/post split, four exact-cents
+    cell aggregates in one conditional pass, the 2x2 DiD in one row —
+    the natural-experiment kernel beside q_ab_ztest."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.did_estimator(load_table(spark, sf_dir, "events"))
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend battery (timeseries.trend_robust): Mann–Kendall S
     (integer sign-sum over day pairs) + Theil–Sen slope (order-statistic
@@ -3613,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_recall": q_pq_recall,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_markov_transitions": q_markov_transitions,
+        "q_entropy_rate": q_entropy_rate,
+        "q_did": q_did,
         "q_attribution": q_attribution,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
@@ -6426,6 +6453,15 @@ def _extension_oracles() -> dict[str, str]:
                     ELSE round(exp(lncum), 4) END AS survival
         FROM curve
     """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        duck_entropy_rate_sql,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        duck_did_sql,
+    )
+
+    out["q_entropy_rate"] = duck_entropy_rate_sql()
+    out["q_did"] = duck_did_sql()
     out["q_markov_transitions"] = """
         WITH s AS (
             SELECT event_type AS src,

@@ -447,3 +447,102 @@ def conversion_lag(
         )
         .orderBy("touch_type")
     )
+
+
+def entropy_rate(events: DataFrame) -> DataFrame:
+    """Behavioral predictability: the plug-in ENTROPY RATE of the
+    first-order event-type chain — per source state the conditional
+    entropy H(next | cur = s) = Σ_j (n_sj/n_s)·ln(n_s/n_sj) in nats, plus
+    an ``__overall__`` row with the transition-frequency-weighted rate
+    −Σ_ij (n_ij/N)·ln(n_ij/n_i) — the number that says how predictable
+    the clickstream is (0 = deterministic next-event, ln(k) = uniform).
+
+    Exactness: every ln takes an exact integer count; products pair an
+    integer with one ln; the sums run over the |types|²-row matrix
+    (metadata-sized), so cross-engine float drift is bounded far below
+    the final round(4).
+
+    Scale shape: reuses ``markov_transitions``' corpus pass (one
+    user-partitioned lead + one partial agg to the tiny pair matrix);
+    everything after is arithmetic on |types|² rows in the same plan.
+    """
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("src"),
+        )
+        .select(
+            "src",
+            F.lead("src")
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").asc(), F.col("event_id").asc()
+                )
+            )
+            .alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("src")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = pairs.select(
+        "src",
+        "n",
+        F.sum("n").over(wt).alias("n_src"),
+        F.sum("n").over(wall).alias("n_all"),
+    ).select(
+        "src",
+        "n",
+        "n_src",
+        "n_all",
+        (
+            F.col("n")
+            * (F.log(F.col("n_src").cast("double")) - F.log(F.col("n").cast("double")))
+        ).alias("t"),
+    )
+    per_src = terms.groupBy("src").agg(
+        F.max("n_src").cast("bigint").alias("n_transitions"),
+        F.round(F.sum("t") / F.max("n_src"), 4).alias("h_nats"),
+    )
+    overall = terms.groupBy().agg(
+        F.max("n_all").cast("bigint").alias("n_transitions"),
+        F.round(F.sum("t") / F.max("n_all"), 4).alias("h_nats"),
+    ).select(F.lit("__overall__").alias("src"), "n_transitions", "h_nats")
+    return per_src.unionByName(overall)
+
+
+def duck_entropy_rate_sql() -> str:
+    """Oracle twin of :func:`entropy_rate`."""
+    return """
+        WITH seq AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events
+        ), pairs AS (
+            SELECT src, dst, count(*) AS n FROM seq
+            WHERE dst IS NOT NULL GROUP BY src, dst
+        ), terms AS (
+            SELECT src, n,
+                   sum(n) OVER (PARTITION BY src) AS n_src,
+                   sum(n) OVER () AS n_all,
+                   n * (ln((sum(n) OVER (PARTITION BY src))::DOUBLE)
+                        - ln(n::DOUBLE)) AS t
+            FROM pairs
+        ), per_src AS (
+            SELECT src, max(n_src)::BIGINT AS n_transitions,
+                   round(sum(t) / max(n_src), 4) AS h_nats
+            FROM terms GROUP BY src
+        ), overall AS (
+            SELECT '__overall__' AS src, max(n_all)::BIGINT AS n_transitions,
+                   round(sum(t) / max(n_all), 4) AS h_nats
+            FROM terms
+        )
+        SELECT * FROM per_src UNION ALL SELECT * FROM overall
+    """

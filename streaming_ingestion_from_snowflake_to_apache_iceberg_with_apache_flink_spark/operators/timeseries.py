@@ -906,3 +906,111 @@ def sax_motifs(events: DataFrame, alphabet: int = 3, word: int = 3) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+def did_estimator(events: DataFrame, split: str = "2024-01-15") -> DataFrame:
+    """Difference-in-differences on mean event value: users hash-split
+    50/50 into control/treatment (the portable salted-h32 assignment the
+    sampling operators use — deterministic, engine-identical), the
+    timeline split pre/post at ``split``; the estimator is the classic
+    2×2: (treat_post − treat_pre) − (ctrl_post − ctrl_pre). The
+    experiment-analysis kernel run against every natural-experiment
+    rollout. Emits the four cell means, each cell's n, and the DiD
+    estimate in one row.
+
+    Exactness: values aggregate as exact cents (round(value·100)
+    bigints) in ONE conditional-agg pass; only the four means and their
+    differences are doubles (identical expression shapes cross-engine),
+    rounded once.
+    """
+    from ..functions import hashing as H
+
+    h = H.spark_h32("concat('did:', cast(user_id as string))")
+    grp = f"pmod({h}, 2)"
+    post = F.col("ts") >= F.lit(split).cast("timestamp")
+    cv = F.round(F.col("value") * 100).cast("bigint")
+    cells = events.selectExpr(
+        f"cast({grp} as int) as treat", "ts", "value"
+    ).select(
+        "treat", post.alias("post"), cv.alias("cv")
+    )
+    agg = cells.groupBy().agg(
+        *[
+            a
+            for t in (0, 1)
+            for p in (False, True)
+            for a in (
+                F.sum(
+                    F.when((F.col("treat") == t) & (F.col("post") == p), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"n_{t}{int(p)}"),
+                F.sum(
+                    F.when(
+                        (F.col("treat") == t) & (F.col("post") == p),
+                        F.col("cv"),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias(f"s_{t}{int(p)}"),
+            )
+        ]
+    )
+    m = {
+        f"m_{t}{p}": f"cast(s_{t}{p} as double) / cast(n_{t}{p} as double) / 100.0"
+        for t in (0, 1)
+        for p in (0, 1)
+    }
+    return agg.selectExpr(
+        "n_00", "n_01", "n_10", "n_11",
+        f"round({m['m_00']}, 4) as ctrl_pre",
+        f"round({m['m_01']}, 4) as ctrl_post",
+        f"round({m['m_10']}, 4) as treat_pre",
+        f"round({m['m_11']}, 4) as treat_post",
+        f"round(({m['m_11']} - {m['m_10']}) - ({m['m_01']} - {m['m_00']}), 4)"
+        " as did",
+    )
+
+
+def duck_did_sql(split: str = "2024-01-15") -> str:
+    """Oracle twin of :func:`did_estimator`."""
+    from ..functions import hashing as H
+
+    h = H.duck_h32("('did:' || user_id::VARCHAR)")
+    grp = f"({h} % 2)"
+    cells = []
+    for t in (0, 1):
+        for p in (0, 1):
+            cond = (
+                f"treat = {t} AND post = {str(bool(p)).upper()}"
+            )
+            cells.append(
+                f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n_{t}{p}"
+            )
+            cells.append(
+                f"sum(CASE WHEN {cond} THEN cv ELSE 0 END)::BIGINT AS s_{t}{p}"
+            )
+    m = {
+        f"m_{t}{p}": f"(s_{t}{p}::DOUBLE / n_{t}{p}::DOUBLE / 100.0)"
+        for t in (0, 1)
+        for p in (0, 1)
+    }
+    return f"""
+        WITH cells AS (
+            SELECT {grp} AS treat,
+                   ts >= TIMESTAMP '{split}' AS post,
+                   CAST(round(value * 100) AS BIGINT) AS cv
+            FROM events
+        ), agg AS (
+            SELECT {", ".join(cells)} FROM cells
+        )
+        SELECT n_00, n_01, n_10, n_11,
+               round({m["m_00"]}, 4) AS ctrl_pre,
+               round({m["m_01"]}, 4) AS ctrl_post,
+               round({m["m_10"]}, 4) AS treat_pre,
+               round({m["m_11"]}, 4) AS treat_post,
+               round(({m["m_11"]} - {m["m_10"]})
+                     - ({m["m_01"]} - {m["m_00"]}), 4) AS did
+        FROM agg
+    """
