@@ -653,6 +653,13 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_topk(load_table(spark, sf_dir, "documents"), k=100)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (text.pmi_collocations): association-ranked
+    adjacent word pairs — exact integer counts, single ln of exact
+    operands, rounded-then-ranked TakeOrdered top-k."""
+    return tx.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serpentine sequence packing (sampling.pack_bins): length-ranked
     docs dealt into 8 balanced training bins."""
@@ -3556,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ts_similarity": q_ts_similarity,
         "q_normalize_text": q_normalize_text,
         "q_bigram_topk": q_bigram_topk,
+        "q_pmi_collocations": q_pmi_collocations,
         "q_pack_bins": q_pack_bins,
         "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
@@ -4880,6 +4888,7 @@ def _extension_oracles() -> dict[str, str]:
                    <> text AS changed
         FROM documents
     """
+    out["q_pmi_collocations"] = tx.duck_pmi_sql()
     out["q_bigram_topk"] = f"""
         WITH g AS (
             SELECT unnest({H.duck_shingles(toks, 2)}) AS ngram FROM documents

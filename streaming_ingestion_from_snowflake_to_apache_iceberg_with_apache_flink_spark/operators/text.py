@@ -1343,3 +1343,104 @@ def duck_keyness_sql(k: int = 5, min_df: int = 5) -> str:
             FROM chi
         ) WHERE rn <= {k}
     """
+
+
+def pmi_collocations(
+    documents: DataFrame, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    distributional-association statistic (Church & Hanks '90) that ranks
+    "strongly bound" word pairs where raw frequency (``bigram_topk``)
+    just ranks "common" ones: PMI(x,y) = ln(n_xy·N / (n_x·n_y)) over
+    OCCURRENCE counts of adjacent token pairs, thresholded at
+    ``min_count`` occurrences so hapax pairs don't saturate the top.
+
+    Exactness: all four counts are exact integers from two partial aggs;
+    the single ln takes the exact integer ratio's numerator/denominator
+    separately (ln a − ln b of exact bigints), rounded BEFORE ranking
+    (rounded-then-ranked, ties to the phrase string).
+
+    Scale shape: one token-stream pass builds adjacent pairs with a
+    per-doc transform (no self-join); unigram totals broadcast back onto
+    the vocabulary-sized pair table (never onto the corpus); top-k is
+    TakeOrderedAndProject.
+    """
+    pairs_expr = (
+        f"transform(sequence(1, greatest(size(t) - 1, 0)),"
+        f" i -> struct(t[i - 1] as x, t[i] as y))"
+    )
+    occ = (
+        documents.selectExpr(f"{_TOKENS} as t")
+        .selectExpr(f"explode({pairs_expr}) as p")
+        .select("p.x", "p.y")
+        .persist()
+    )
+    pair_counts = (
+        occ.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    uni = occ.groupBy(F.col("x").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    # pair total N = total adjacent-pair occurrences; left-token counts
+    # stand in for unigram frequencies (the standard bigram-PMI margin)
+    total = occ.groupBy().agg(F.count(F.lit(1)).alias("n_all"))
+    scored = (
+        pair_counts.join(
+            F.broadcast(uni.withColumnRenamed("w", "x").withColumnRenamed("n_w", "n_x")),
+            "x",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "y").withColumnRenamed("n_w", "n_y")),
+            "y",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                F.log(F.col("n_xy").cast("double") * F.col("n_all"))
+                - F.log(F.col("n_x").cast("double") * F.col("n_y")),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    out = scored.orderBy(
+        F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(k)
+    occ.unpersist()
+    return out
+
+
+def duck_pmi_sql(k: int = 50, min_count: int = 5) -> str:
+    """Oracle twin of :func:`pmi_collocations`."""
+    toks = H.duck_tokens("text")
+    return f"""
+        WITH t AS (
+            SELECT {toks} AS t FROM documents
+        ), occ AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> {{'x': t[i], 'y': t[i + 1]}})) AS p
+            FROM t
+        ), pairs AS (
+            SELECT p.x AS x, p.y AS y, count(*) AS n_xy
+            FROM occ GROUP BY 1, 2 HAVING count(*) >= {min_count}
+        ), uni AS (
+            SELECT p.x AS w, count(*) AS n_w FROM occ GROUP BY 1
+        ), tot AS (
+            SELECT count(*) AS n_all FROM occ
+        )
+        SELECT x, y, n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+               round(ln(n_xy::DOUBLE * n_all)
+                     - ln(ux.n_w::DOUBLE * uy.n_w), 4) AS pmi
+        FROM pairs
+        JOIN uni ux ON ux.w = x
+        JOIN uni uy ON uy.w = y
+        CROSS JOIN tot
+        ORDER BY pmi DESC, x ASC, y ASC LIMIT {k}
+    """
