@@ -3318,6 +3318,20 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_layout(load_table(spark, sf_dir, "orders"))
 
 
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution pruning audit (layout.partition_evolution):
+    day->month spec cutover, per-era file inventory from one conditional
+    partial agg, each file pruned under the spec it was written with —
+    the Iceberg evolution read-out (rows a month spec over-scans vs day).
+    Semantics parallel to IcebergTableManager.java:86's identity
+    PARTITION BY, grown to transform specs."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        partition_evolution,
+    )
+
+    return partition_evolution(load_table(spark, sf_dir, "orders"))
+
+
 def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file-skipping audit (layout.zonemap_prune_audit): for
     insertion-order files (contiguous o_orderkey ranges), how many can a
@@ -3802,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q22": q_tpch_q22,
         "q_zorder_layout": q_zorder_layout,
         "q_hilbert_layout": q_hilbert_layout,
+        "q_partition_evolution": q_partition_evolution,
         "q_zonemap_prune": q_zonemap_prune,
         "q_merge_delete": q_merge_delete,
         "q_stream_join": q_stream_join,
@@ -7292,6 +7307,7 @@ def _extension_oracles() -> dict[str, str]:
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
         duck_compaction_sql,
         duck_hilbert_sql,
+        duck_partition_evolution_sql,
         duck_zonemap_sql,
         duck_zorder_sql,
     )
@@ -7300,6 +7316,7 @@ def _extension_oracles() -> dict[str, str]:
 
     out["q_zorder_layout"] = duck_zorder_sql()
     out["q_hilbert_layout"] = duck_hilbert_sql()
+    out["q_partition_evolution"] = duck_partition_evolution_sql()
     out["q_zonemap_prune"] = duck_zonemap_sql()
     out["q_time_travel"] = f"""
         SELECT {_ORDERS_OUT}

@@ -531,3 +531,115 @@ def duck_hilbert_sql(n_files: int = 64) -> str:
         FROM files"""
     )
     return "".join(ctes)
+
+
+# partition-evolution audit constants: the spec cutover and the probe box
+_EVO_CUTOVER = "1996-01-01"   # files before this were written under spec v1
+_EVO_LO, _EVO_HI = "1995-06-01", "1996-07-01"
+
+
+def partition_evolution(orders: DataFrame) -> DataFrame:
+    """Partition-spec EVOLUTION pruning audit — the Iceberg feature the
+    reference's identity-partitioned sink (IcebergTableManager.java:86,
+    PARTITION BY shard) grows into at scale: a table re-specs from
+    day-granularity partitions to month-granularity, old files keep the
+    old spec, and every scan must prune each file under THE SPEC IT WAS
+    WRITTEN WITH. The audit simulates the two-era file inventory (one
+    file per partition value per era: day files before the cutover,
+    month files after), applies the reference date-range predicate to
+    each file's partition-transform bounds, and reports per spec: file
+    counts, pruned files, rows skipped vs scanned vs actually matching —
+    the "did coarsening the spec hurt pruning" read-out (month files
+    over-scan rows a day spec would have skipped).
+
+    Exactness: pure date arithmetic on exact values — a day file prunes
+    iff its day misses [lo, hi); a month file prunes iff its whole month
+    does; row matches are exact predicate counts. Scale shape: ONE
+    conditional partial agg over the fact table to the (spec,
+    partition_value) inventory (metadata-sized); the verdict arithmetic
+    runs on that inventory.
+    """
+    lo, hi, cut = (
+        F.lit(_EVO_LO).cast("timestamp"),
+        F.lit(_EVO_HI).cast("timestamp"),
+        F.lit(_EVO_CUTOVER).cast("timestamp"),
+    )
+    inv = (
+        orders.select(
+            F.when(F.col("o_orderdate") < cut, F.lit("v1_day"))
+            .otherwise(F.lit("v2_month"))
+            .alias("spec"),
+            F.when(
+                F.col("o_orderdate") < cut, F.date_trunc("day", "o_orderdate")
+            )
+            .otherwise(F.date_trunc("month", "o_orderdate"))
+            .alias("pval"),
+            ((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .cast("int")
+            .alias("match"),
+        )
+        .groupBy("spec", "pval")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("match").alias("n_match"),
+        )
+    )
+    # a file prunes iff its partition-transform range misses [lo, hi):
+    # day files span [pval, pval+1d); month files [pval, pval+1mo)
+    upper = F.when(
+        F.col("spec") == "v1_day", F.date_add(F.col("pval"), 1).cast("timestamp")
+    ).otherwise(F.add_months(F.col("pval"), 1).cast("timestamp"))
+    flagged = inv.select(
+        "spec",
+        "n_rows",
+        "n_match",
+        ((upper <= lo) | (F.col("pval") >= hi)).cast("int").alias("pruned"),
+    )
+    return flagged.groupBy("spec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("pruned").cast("bigint").alias("n_pruned_files"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("pruned") == 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_skipped"),
+        F.sum(F.when(F.col("pruned") == 0, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("rows_matching"),
+    )
+
+
+def duck_partition_evolution_sql() -> str:
+    """Oracle twin of :func:`partition_evolution`."""
+    return f"""
+        WITH inv AS (
+            SELECT CASE WHEN o_orderdate < TIMESTAMP '{_EVO_CUTOVER}'
+                        THEN 'v1_day' ELSE 'v2_month' END AS spec,
+                   CASE WHEN o_orderdate < TIMESTAMP '{_EVO_CUTOVER}'
+                        THEN date_trunc('day', o_orderdate)
+                        ELSE date_trunc('month', o_orderdate) END AS pval,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{_EVO_LO}'
+                            AND o_orderdate < TIMESTAMP '{_EVO_HI}'
+                            THEN 1 ELSE 0 END) AS n_match
+            FROM orders GROUP BY 1, 2
+        ), flagged AS (
+            SELECT spec, n_rows, n_match,
+                   CASE WHEN (CASE WHEN spec = 'v1_day'
+                                   THEN pval + INTERVAL 1 DAY
+                                   ELSE pval + INTERVAL 1 MONTH END)
+                             <= TIMESTAMP '{_EVO_LO}'
+                        OR pval >= TIMESTAMP '{_EVO_HI}'
+                        THEN 1 ELSE 0 END AS pruned
+            FROM inv
+        )
+        SELECT spec, count(*)::BIGINT AS n_files,
+               sum(pruned)::BIGINT AS n_pruned_files,
+               sum(n_rows)::BIGINT AS rows_total,
+               sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)::BIGINT
+                   AS rows_skipped,
+               sum(CASE WHEN pruned = 0 THEN n_rows ELSE 0 END)::BIGINT
+                   AS rows_scanned,
+               sum(n_match)::BIGINT AS rows_matching
+        FROM flagged GROUP BY spec
+    """
