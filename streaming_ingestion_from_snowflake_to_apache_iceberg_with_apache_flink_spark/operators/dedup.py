@@ -36,6 +36,28 @@ from ..functions.partitioning import spread
 _TOKENS = H.spark_tokens("text")
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def graph_shuffle_scope(df: DataFrame, n_edges: int):
+    """Scope ``spark.sql.shuffle.partitions`` to the GRAPH for an
+    iterative loop's jobs (the connected_components sizing, shared by
+    every fixed-round graph operator here): near-dup graphs are a sliver
+    of the corpus, and a handful of loop shuffles at session parallelism
+    is pure scheduling overhead. At real scale ``edges/200k`` exceeds
+    the session setting and this is a no-op; restores the session value
+    on exit either way."""
+    spark = df.sparkSession
+    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(session_parts), n_edges // 200_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate removal on text content, keeping min doc_id.
 
@@ -436,15 +458,9 @@ def connected_components(
     # cache, which every round reuses). At real scale edges/200k exceeds
     # the session parallelism and this is a no-op; on a sparse pair graph
     # it collapses each round's many tiny 32-task stages into a few.
-    spark = pairs.sparkSession
     n_edges = bidir.count()
-    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(2, min(int(session_parts), n_edges // 200_000 + 2))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
+    with graph_shuffle_scope(bidir, n_edges):
         labels = _cc_loop(bidir, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
     bidir.unpersist()
     from pyspark.sql import Window
 
@@ -766,32 +782,38 @@ def kcore_peel(
     )
     edges = bidir.persist()
     n_edges = edges.count()  # materialize the pair computation once
-    for _ in range(rounds):
-        keep = (
+    with graph_shuffle_scope(edges, n_edges):
+        for _ in range(rounds):
+            keep = (
+                edges.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= k)
+                .select("a")
+            )
+            nxt = (
+                edges.join(keep, "a", "left_semi")
+                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+                .persist()
+            )
+            n_next = nxt.count()
+            if n_next == n_edges:
+                # fixpoint: no node fell below k, so every remaining
+                # round is the identity — identical to running them (the
+                # oracle still unrolls the full count), at zero cost
+                nxt.unpersist()
+                break
+            edges.unpersist()
+            edges, n_edges = nxt, n_next
+        out = (
             edges.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= k)
-            .select("a")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            .select(F.col("a").alias("doc_id"), "degree")
         )
-        nxt = (
-            edges.join(keep, "a", "left_semi")
-            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .persist()
-        )
-        n_next = nxt.count()
-        if n_next == n_edges:
-            # fixpoint: no node fell below k, so every remaining round is
-            # the identity — identical to running them (the oracle still
-            # unrolls the full count), at zero cost
-            nxt.unpersist()
-            break
-        edges.unpersist()
-        edges, n_edges = nxt, n_next
-    return (
-        edges.groupBy("a")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .select(F.col("a").alias("doc_id"), "degree")
-    )
+        # the loop's partition sizing must also govern the jobs that later
+        # CONSUME the result: pin the (k-core-sized) output so downstream
+        # actions replay nothing at session parallelism
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def duck_kcore_sql(pair_sql: str, k: int = 2, rounds: int = 3) -> str:
@@ -1127,30 +1149,48 @@ def bfs_depth(
     fixed-iteration PageRank; at 100 TB you raise rounds or switch to
     the hash-min CC propagation when full closure is needed.
     """
+    # both directions from ONE explode over a single scan — a
+    # union(select, select.swap) would evaluate the expensive upstream
+    # pair-generation subtree once per branch (the connected_components
+    # lesson); distinct() because the frontier join must not double-count
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(
-            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
         )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )
-    seed = edges.agg(F.min("a").alias("doc_id")).select(
-        "doc_id", F.lit(0).alias("depth")
-    )
-    visited = seed
-    frontier = seed
-    for d in range(1, rounds + 1):
-        nxt = (
-            frontier.join(edges, F.col("doc_id") == F.col("a"))
-            .select(F.col("b").alias("doc_id"))
-            .distinct()
-            .join(visited.select("doc_id"), "doc_id", "left_anti")
-            .select("doc_id", F.lit(d).alias("depth"))
+    n_edges = edges.count()  # materialize once; also sizes the loop
+    with graph_shuffle_scope(edges, n_edges):
+        seed = edges.agg(F.min("a").alias("doc_id")).select(
+            "doc_id", F.lit(0).alias("depth")
         )
-        visited = visited.unionByName(nxt)
-        frontier = nxt
-    return visited
+        visited = seed
+        frontier = seed
+        for d in range(1, rounds + 1):
+            nxt = (
+                frontier.join(edges, F.col("doc_id") == F.col("a"))
+                .select(F.col("b").alias("doc_id"))
+                .distinct()
+                .join(visited.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.lit(d).alias("depth"))
+                # cache each frontier: superstep d+1's plan and the final
+                # union both reference it — uncached, frontier d would be
+                # recomputed once per later superstep (triangular replay)
+                .persist()
+            )
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        # pin the (frontier-union-sized) result so consuming jobs replay
+        # the supersteps under the loop's graph-sized shuffle plan
+        out = visited.localCheckpoint(eager=True)
+    return out
 
 
 def duck_bfs_sql(pairs_sql: str, rounds: int = 3) -> str:
@@ -1214,41 +1254,46 @@ def label_propagation(
         .select("e.a", "e.b")
         .persist()
     )
-    labels = bidir.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(rounds):
-        votes = (
-            bidir.join(
-                labels.select(F.col("node").alias("b"), "label"), "b"
-            )
-            .groupBy("a", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # mode with deterministic ties: max count, then min label — as an
-        # aggregation (min over (-c, label) lexicographic pairs), never a
-        # per-node window
-        labels = (
-            votes.groupBy("a")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
-                    )
-                ).alias("m")
-            )
-            .select(F.col("a").alias("node"), F.col("m.l").alias("label"))
-        )
     from pyspark.sql import Window
 
-    out = labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("community_id"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("label"))
-        .cast("bigint")
-        .alias("community_size"),
-    )
+    n_edges = bidir.count()  # materialize once; also sizes the loop
+    with graph_shuffle_scope(bidir, n_edges):
+        labels = bidir.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(rounds):
+            votes = (
+                bidir.join(
+                    labels.select(F.col("node").alias("b"), "label"), "b"
+                )
+                .groupBy("a", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # mode with deterministic ties: max count, then min label —
+            # as an aggregation (min over (-c, label) lexicographic
+            # pairs), never a per-node window
+            labels = (
+                votes.groupBy("a")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c")).alias("nc"),
+                            F.col("label").alias("l"),
+                        )
+                    ).alias("m")
+                )
+                .select(F.col("a").alias("node"), F.col("m.l").alias("label"))
+            )
+        # pin the (node-sized) result so consuming jobs replay the rounds
+        # under the loop's graph-sized shuffle plan
+        out = labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("community_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .cast("bigint")
+            .alias("community_size"),
+        ).localCheckpoint(eager=True)
     bidir.unpersist()
     return out
 
