@@ -471,7 +471,10 @@ def hilbert_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
             .select(F.lit(layout).alias("layout"), "*")
         )
 
-    hil = hil.localCheckpoint(eager=False)
+    # each carve's range-partition pin recomputes the rounds once; the
+    # 16 projections are pure whole-stage-codegen integer CASE arithmetic,
+    # measurably cheaper to recompute than to materialize (a checkpoint of
+    # the widened table costs more than both recomputes together)
     hilbert = carve(hil, [F.col("hd").asc(), F.col("okey").asc()], "hilbert")
     zorder = carve(hil, [F.col("z").asc(), F.col("okey").asc()], "zorder")
     stats = hilbert.unionByName(zorder)
