@@ -1165,6 +1165,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_recall(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of LSH retrieval vs the exact cosine ranking
+    (sim.ndcg_audit): graded relevance k+1-exact_rank, position-
+    discounted, shared-literal IDCG — the ranking-quality companion of
+    q_ann_recall's hit counting."""
+    return sim.ndcg_audit(load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+
+
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka prefix-dimension recall audit
     (similarity.matryoshka_recall): recall@10 of 16-dim-prefix cosine
@@ -3666,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
         "q_ann_recall": q_ann_recall,
+        "q_ndcg": q_ndcg,
         "q_matryoshka_recall": q_matryoshka_recall,
         "q_pii_redact": q_pii_redact,
         "q_bigram_lm": q_bigram_lm,
@@ -5494,6 +5503,9 @@ def _extension_oracles() -> dict[str, str]:
                round(coalesce(f.n_found, 0) / b.n_true, 4) AS recall
         FROM base b LEFT JOIN found f USING (probe_id)
     """
+    out["q_ndcg"] = sim.duck_ndcg_sql(
+        out["q_topk_cosine"], out["q_similarity_lsh"], k=5
+    )
     out["q_matryoshka_recall"] = f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings

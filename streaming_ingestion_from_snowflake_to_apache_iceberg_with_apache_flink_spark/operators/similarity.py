@@ -1966,3 +1966,76 @@ def duck_kcenter_sql(m: int = 4) -> str:
         FROM da WHERE rn = 1 GROUP BY center_id"""
     )
     return "".join(parts)
+
+
+def ndcg_idcg(k: int) -> float:
+    """Ideal DCG@k for graded relevance rel_j = k+1-j (the constant both
+    engines embed as the SAME literal, so no cross-engine drift)."""
+    from math import log2
+
+    return sum((k + 1 - j) / log2(j + 1) for j in range(1, k + 1))
+
+
+def ndcg_audit(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 5
+) -> DataFrame:
+    """NDCG@k of the LSH retrieval against the exact cosine ranking — the
+    GRADED companion of the recall audits (``ann_recall`` counts hits;
+    NDCG also scores whether the best neighbors surfaced at the top,
+    the metric retrieval/RAG evaluations actually report). Relevance of
+    a retrieved neighbor = k+1−(its exact rank), 0 if outside the exact
+    top-k; DCG discounts by the retrieval position; IDCG is the closed
+    form, embedded as one shared literal.
+
+    Scale shape: composes the two existing retrieval operators and joins
+    their k·|probes|-row neighbor lists — the audit costs two index runs
+    plus a trivial join at any corpus size, like ``ann_recall``.
+    """
+    exact = topk_cosine_bruteforce(embeddings, probe_ids, k).select(
+        "probe_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    )
+    approx = lsh_topk_cosine(embeddings, probe_ids, k).select(
+        "probe_id", "neighbor_id", F.col("rank").alias("pos")
+    )
+    graded = approx.join(exact, ["probe_id", "neighbor_id"], "left").select(
+        "probe_id",
+        "pos",
+        F.coalesce(
+            F.lit(k + 1) - F.col("exact_rank"), F.lit(0)
+        ).alias("rel"),
+    )
+    idcg = ndcg_idcg(k)
+    return graded.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.sum(
+                F.col("rel").cast("double")
+                / F.log2(F.col("pos").cast("double") + 1.0)
+            )
+            / F.lit(idcg),
+            4,
+        ).alias("ndcg"),
+    )
+
+
+def duck_ndcg_sql(exact_sql: str, approx_sql: str, k: int = 5) -> str:
+    """Oracle twin of :func:`ndcg_audit`, composed over the two retrieval
+    oracle queries (both emit probe_id, neighbor_id, rank)."""
+    idcg = ndcg_idcg(k)
+    return f"""
+        WITH exact AS ({exact_sql}),
+        approx AS ({approx_sql}),
+        graded AS (
+            SELECT a.probe_id, a.rank AS pos,
+                   coalesce({k + 1} - e.rank, 0) AS rel
+            FROM approx a LEFT JOIN exact e
+              ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+        )
+        SELECT probe_id,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+               round(sum(rel::DOUBLE / log2(pos::DOUBLE + 1.0))
+                     / {idcg!r}, 4) AS ndcg
+        FROM graded GROUP BY probe_id
+    """
