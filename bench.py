@@ -58,6 +58,8 @@ def main() -> None:
     # clearCache between runs: operators persist intermediates, and leaked
     # cache entries from earlier queries would distort later measurements.
     times: dict[str, float] = {}
+    import gc
+
     for name, fn in entrymod.queries().items():
         best = float("inf")
         for _ in range(2):
@@ -65,6 +67,12 @@ def main() -> None:
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
+        # clearCache drops catalog-cached datasets but NOT localCheckpoint
+        # RDD blocks — those release only when the Python DataFrame is
+        # garbage-collected and the ContextCleaner runs. Dozens of
+        # checkpointing queries otherwise accumulate block-manager memory
+        # and the tail of the sweep measures GC pressure, not the query.
+        gc.collect()
         times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)

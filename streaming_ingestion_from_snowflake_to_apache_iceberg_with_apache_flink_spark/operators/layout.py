@@ -450,6 +450,15 @@ def hilbert_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
         F.expr(BY).alias("by"),
         F.col("o_orderkey").alias("okey"),
     ).withColumn("z", F.expr(zvalue_sql("bx", "by", _spark_shl)))
+    # the 16-round transform is CPU-bound per row and runs in the SCAN
+    # stage: at real scale the scan's many input splits parallelize it
+    # for free, but a small fixture arrives as ONE split and would
+    # serialize every row through one task — spread only in that case
+    # (condition false at scale, so no extra corpus shuffle ever)
+    spark = orders.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     hil = base.selectExpr(
         "bx", "by", "okey", "z",
         "CAST(0 AS BIGINT) AS hd", "bx AS hx", "by AS hy",

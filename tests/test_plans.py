@@ -1906,3 +1906,22 @@ def test_mann_whitney_value_domain_window(spark):
     i_agg = plan.index("HashAggregate")
     assert i_agg < i_win or "HashAggregate" in plan[:i_win]
     assert df.count() == 1
+
+
+def test_graph_shuffle_scope_restores_on_error(spark):
+    """The loop-partition scope must restore the session setting even when
+    the loop body raises — a leaked tiny setting would silently throttle
+    every later corpus-sized shuffle in the session."""
+    import pytest as _pytest
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        graph_shuffle_scope,
+    )
+
+    df = load_table(spark, SF, "documents")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with _pytest.raises(RuntimeError):
+        with graph_shuffle_scope(df, 10):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
