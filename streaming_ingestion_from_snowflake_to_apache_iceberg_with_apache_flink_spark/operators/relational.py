@@ -1361,11 +1361,14 @@ def poisson_bootstrap(orders: DataFrame, reps: int = _BOOTSTRAP_R) -> DataFrame:
     reps-length array inside each segment's single output row. Replicate
     means divide exact integers once (IEEE-identical cross-engine).
     """
-    from ..functions import hashing as H
-
     pieces = []
     for r in range(reps):
-        h = H.spark_h32(f"concat(cast(o_orderkey as string), ':{r}')")
+        # one md5 digest feeds FOUR replicates (its 32 hex chars are four
+        # independent 8-char h32 slices) — quarter the digest work per row
+        h = (
+            f"cast(conv(substring(md5(concat(cast(o_orderkey as string),"
+            f" ':{r // 4}')), {1 + 8 * (r % 4)}, 8), 16, 10) as bigint)"
+        )
         w = "".join(
             f"WHEN {h} < {t} THEN {i} "
             for i, t in enumerate(_POISSON1_T)
@@ -1400,11 +1403,12 @@ def poisson_bootstrap(orders: DataFrame, reps: int = _BOOTSTRAP_R) -> DataFrame:
 def duck_poisson_bootstrap_sql(reps: int = _BOOTSTRAP_R) -> str:
     """Oracle twin of :func:`poisson_bootstrap` — identical hash-derived
     weights, conditional sums, and rank-pick CI."""
-    from ..functions import hashing as H
-
     cols = []
     for r in range(reps):
-        h = H.duck_h32(f"(o_orderkey::VARCHAR || ':{r}')")
+        h = (
+            f"(('0x' || substr(md5(o_orderkey::VARCHAR || ':{r // 4}'),"
+            f" {1 + 8 * (r % 4)}, 8))::BIGINT)"
+        )
         w = "".join(
             f"WHEN {h} < {t} THEN {i} "
             for i, t in enumerate(_POISSON1_T)
