@@ -883,6 +883,15 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.label_propagation(dd.ngram_jaccard_pairs(docs))
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities
+    (dedup.modularity): per-community intra-edge/degree integer stats
+    over the common 4m^2 denominator plus the __total__ Q row — the
+    is-the-structure-real check on q_label_prop's partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.modularity(dd.ngram_jaccard_pairs(docs))
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel view→click→purchase per user
     (sessions.funnel) — batch twin of Flink CEP followedBy chains."""
@@ -3602,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_dedup_clusters": q_dedup_clusters,
         "q_label_prop": q_label_prop,
+        "q_modularity": q_modularity,
         "q_event_funnel": q_event_funnel,
         "q_retention": q_retention,
         "q_unigram_lm": q_unigram_lm,
@@ -5151,6 +5161,7 @@ def _extension_oracles() -> dict[str, str]:
     # transitive closure over the SAME pair SQL the Spark query clusters —
     # components are small, so the closure stays tiny
     out["q_label_prop"] = dd.duck_label_prop_sql(out["q_dedup_ngram_jaccard"])
+    out["q_modularity"] = dd.duck_modularity_sql(out["q_dedup_ngram_jaccard"])
     out["q_dedup_clusters"] = f"""
         WITH RECURSIVE pairs AS (
             {out["q_dedup_ngram_jaccard"]}

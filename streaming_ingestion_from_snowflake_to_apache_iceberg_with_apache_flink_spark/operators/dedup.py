@@ -1336,3 +1336,141 @@ def duck_label_prop_sql(pairs_sql: str, rounds: int = 2) -> str:
         FROM {prev}"""
     )
     return "".join(ctes)
+
+
+def modularity(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", rounds: int = 2
+) -> DataFrame:
+    """Newman MODULARITY of the label-propagation partition — the number
+    that says whether the detected duplicate communities are real
+    structure or noise (Q ≈ 0: no better than random; Q ≳ 0.3:
+    significant community structure). Q = Σ_c [e_c/m − (d_c/2m)²] over
+    communities c with e_c intra-community edges, d_c total degree, m
+    edges. Emitted per community (its exact e_c, d_c, size and its exact
+    contribution numerator) plus one ``__total__`` row with Q.
+
+    Exactness: everything is integer edge/degree arithmetic over the
+    common denominator 4m² — contribution numerator = 4·m·e_c − d_c²,
+    one double division at the end, rounded(6).
+
+    Scale shape: one :func:`label_propagation` run (graph-sized, scoped
+    shuffles) + two graph-sized joins to tag each edge's endpoint
+    communities; the rollup is community-sized.
+    """
+    labels = label_propagation(pairs, src, dst, rounds).select(
+        "doc_id", "community_id"
+    )
+    und = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    tagged = (
+        und.join(
+            labels.select(
+                F.col("doc_id").alias("a"), F.col("community_id").alias("ca")
+            ),
+            "a",
+        )
+        .join(
+            labels.select(
+                F.col("doc_id").alias("b"), F.col("community_id").alias("cb")
+            ),
+            "b",
+        )
+    )
+    m_edges = und.count()
+    # degree sums per community: every undirected edge contributes 1 to
+    # each endpoint's degree
+    deg = (
+        und.select(F.col("a").alias("doc_id"))
+        .unionAll(und.select(F.col("b").alias("doc_id")))
+        .join(labels, "doc_id")
+        .groupBy("community_id")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community_id"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    sizes = labels.groupBy("community_id").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    per = (
+        sizes.join(deg, "community_id", "left")
+        .join(intra, "community_id", "left")
+        .select(
+            F.col("community_id").cast("bigint").alias("community_id"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
+            F.coalesce("d_c", F.lit(0)).cast("bigint").alias("d_c"),
+        )
+        .withColumn(
+            "q_contrib_num",
+            (
+                4 * F.lit(m_edges).cast("bigint") * F.col("e_c")
+                - F.col("d_c") * F.col("d_c")
+            ).cast("bigint"),
+        )
+    )
+    denom = float(4 * m_edges * m_edges) if m_edges else 1.0
+    total = per.agg(
+        F.lit(-1).cast("bigint").alias("community_id"),
+        F.sum("n_nodes").cast("bigint").alias("n_nodes"),
+        F.sum("e_c").cast("bigint").alias("e_c"),
+        F.sum("d_c").cast("bigint").alias("d_c"),
+        F.sum("q_contrib_num").cast("bigint").alias("q_contrib_num"),
+    )
+    out = per.unionByName(total)
+    return out.withColumn(
+        "q", F.round(F.col("q_contrib_num") / F.lit(denom), 6)
+    )
+
+
+def duck_modularity_sql(pairs_sql: str, rounds: int = 2) -> str:
+    """Oracle twin of :func:`modularity`, composed over the unrolled
+    label-propagation oracle."""
+    lp = duck_label_prop_sql(pairs_sql, rounds)
+    return f"""
+        WITH lp AS ({lp}),
+        labels AS (SELECT doc_id, community_id FROM lp),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM ({pairs_sql})),
+        m AS (SELECT count(*) AS m_edges FROM und),
+        deg AS (
+            SELECT community_id, count(*) AS d_c
+            FROM (SELECT a AS doc_id FROM und
+                  UNION ALL SELECT b FROM und) x
+            JOIN labels USING (doc_id)
+            GROUP BY community_id
+        ), intra AS (
+            SELECT la.community_id, count(*) AS e_c
+            FROM und
+            JOIN labels la ON la.doc_id = und.a
+            JOIN labels lb ON lb.doc_id = und.b
+            WHERE la.community_id = lb.community_id
+            GROUP BY la.community_id
+        ), sizes AS (
+            SELECT community_id, count(*) AS n_nodes
+            FROM labels GROUP BY community_id
+        ), per AS (
+            SELECT s.community_id::BIGINT AS community_id,
+                   s.n_nodes::BIGINT AS n_nodes,
+                   coalesce(i.e_c, 0)::BIGINT AS e_c,
+                   coalesce(d.d_c, 0)::BIGINT AS d_c,
+                   (4 * m.m_edges * coalesce(i.e_c, 0)
+                    - coalesce(d.d_c, 0) * coalesce(d.d_c, 0))::BIGINT
+                       AS q_contrib_num
+            FROM sizes s
+            LEFT JOIN deg d USING (community_id)
+            LEFT JOIN intra i USING (community_id)
+            CROSS JOIN m
+        ), tot AS (
+            SELECT CAST(-1 AS BIGINT) AS community_id,
+                   sum(n_nodes)::BIGINT AS n_nodes,
+                   sum(e_c)::BIGINT AS e_c, sum(d_c)::BIGINT AS d_c,
+                   sum(q_contrib_num)::BIGINT AS q_contrib_num
+            FROM per
+        ), unioned AS (
+            SELECT * FROM per UNION ALL SELECT * FROM tot
+        )
+        SELECT u.*, round(u.q_contrib_num /
+                   greatest(4.0 * m.m_edges * m.m_edges, 1.0), 6) AS q
+        FROM unioned u CROSS JOIN m
+    """
