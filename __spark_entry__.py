@@ -660,6 +660,19 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pmi_collocations(load_table(spark, sf_dir, "documents"))
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation across sources
+    (sampling.neyman_allocation): exact per-stratum moment aggregates in
+    one corpus pass, sigma-weighted vs proportional budgets over the
+    strata-sized table — the sampling-design step before
+    q_stratified_sample draws."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(load_table(spark, sf_dir, "documents"))
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serpentine sequence packing (sampling.pack_bins): length-ranked
     docs dealt into 8 balanced training bins."""
@@ -3598,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_bins": q_pack_bins,
         "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
+        "q_neyman_allocation": q_neyman_allocation,
         "q_tfidf_topk": q_tfidf_topk,
         "q_keyness": q_keyness,
         "q_bm25_topk": q_bm25_topk,
@@ -4922,6 +4936,11 @@ def _extension_oracles() -> dict[str, str]:
                    <> text AS changed
         FROM documents
     """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        duck_neyman_sql,
+    )
+
+    out["q_neyman_allocation"] = duck_neyman_sql()
     out["q_pmi_collocations"] = tx.duck_pmi_sql()
     out["q_bigram_topk"] = f"""
         WITH g AS (

@@ -582,3 +582,87 @@ def duck_epoch_order_sql(
             FROM h
         ) WHERE rn <= {head}
     """
+
+
+def neyman_allocation(
+    documents: DataFrame, budget: int = 1000, stratum_col: str = "source"
+) -> DataFrame:
+    """Optimal (Neyman) sample-allocation plan across strata — the
+    sampling-design step BEFORE ``stratified_take``: given a total budget
+    n, allocate n_h ∝ N_h·σ_h (more samples where the stratum is big or
+    noisy), next to the proportional plan n_h ∝ N_h it improves on.
+    Emits per stratum: size, exact mean, σ, both allocations, and the
+    per-stratum variance contribution ratio — the table a survey/eval
+    designer reads before drawing.
+
+    Exactness: per-stratum (n, Σx, Σx²) are exact bigints from ONE
+    conditional partial agg over the corpus (x = n_chars, integer);
+    σ = sqrt of an exact rational and every allocation is a double
+    expression of identical shape cross-engine, rounded once. The
+    cross-strata totals ride as an unbounded window over the
+    strata-sized aggregate (never a second corpus pass).
+    """
+    from pyspark.sql import Window
+
+    g = documents.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    # sample stddev: sqrt((Σx² − (Σx)²/n) / (n−1)) — exact rational inside
+    sigma = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n_h")
+        )
+        / (F.col("n_h") - 1)
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = g.select(
+        "stratum",
+        "n_h",
+        F.round(F.col("sx") / F.col("n_h"), 4).alias("mean_chars"),
+        sigma.alias("__sigma"),
+        (F.col("n_h") * sigma).alias("__w"),
+    ).select(
+        "stratum",
+        "n_h",
+        "mean_chars",
+        F.round("__sigma", 4).alias("sigma"),
+        F.round(
+            F.lit(budget) * F.col("__w") / F.sum("__w").over(w), 4
+        ).alias("neyman_n"),
+        F.round(
+            F.lit(budget) * F.col("n_h") / F.sum("n_h").over(w), 4
+        ).alias("proportional_n"),
+        F.round(F.col("__w") / F.sum("__w").over(w), 6).alias("weight_share"),
+    )
+    return scored
+
+
+def duck_neyman_sql(budget: int = 1000, stratum_col: str = "source") -> str:
+    """Oracle twin of :func:`neyman_allocation`."""
+    return f"""
+        WITH g AS (
+            SELECT {stratum_col} AS stratum,
+                   count(*)::BIGINT AS n_h,
+                   sum(n_chars)::BIGINT AS sx,
+                   sum(n_chars * n_chars)::BIGINT AS sxx
+            FROM documents GROUP BY 1
+        ), s AS (
+            SELECT stratum, n_h,
+                   round(sx / n_h, 4) AS mean_chars,
+                   sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n_h) / (n_h - 1))
+                       AS sigma_raw,
+                   n_h * sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n_h)
+                              / (n_h - 1)) AS w
+            FROM g
+        )
+        SELECT stratum, n_h, mean_chars,
+               round(sigma_raw, 4) AS sigma,
+               round({budget} * w / sum(w) OVER (), 4) AS neyman_n,
+               round({budget} * n_h / sum(n_h) OVER (), 4)
+                   AS proportional_n,
+               round(w / sum(w) OVER (), 6) AS weight_share
+        FROM s
+    """
