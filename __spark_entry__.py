@@ -2786,6 +2786,53 @@ def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stateful_offsets_mem")
 
 
+def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate detection (streaming/state.
+    lsh_band_min_stream): documents stream through the same MinHash-LSH
+    band projection as q_dedup_minhash_lsh, a keyed running-min state per
+    band (|bands| longs, never |docs|), and a doc is flagged iff some
+    band's minimum is a smaller doc_id — a verdict independent of arrival
+    and micro-batch order (min is commutative), so the drained result
+    hash-matches the batch oracle exactly. The in-stream twin of the LSH
+    candidate generator; the bucket-size cut is deliberately absent (a
+    stream cannot know final bucket sizes), matched by the oracle."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
+        hashing as HH,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        _file_stream,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        lsh_band_min_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")  # pins session confs
+    band_expr = (
+        f"explode(transform(sequence(0, {HH.LSH_BANDS - 1}), "
+        f"b -> concat(b, ':', array_join("
+        f"slice(mh, b * {HH.LSH_ROWS} + 1, {HH.LSH_ROWS}), '-')))) as band_key"
+    )
+    feed = dd.minhash_signatures(
+        _file_stream(spark, sf_dir, "documents.parquet")
+    ).selectExpr("doc_id", band_expr)
+    sink = drain_to_memory(
+        spark, lsh_band_min_stream(feed), "q_stream_lsh_mem", "update"
+    )
+    band_min = sink.groupBy("band_key").agg(
+        F.min("min_doc").alias("band_min")
+    )
+    bands = dd.minhash_signatures(docs).selectExpr("doc_id", band_expr)
+    return (
+        bands.join(band_min, "band_key")
+        .groupBy("doc_id")
+        .agg(F.min("band_min").cast("bigint").alias("earliest_partner"))
+        .filter(F.col("earliest_partner") < F.col("doc_id"))
+    )
+
+
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC latest-state materialization (streaming/state.
     apply_cdc_stream): the in-stream twin of q_merge_delete — a change
@@ -3878,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stateful_offsets": q_stateful_offsets,
         "q_stream_cdc": q_stream_cdc,
+        "q_stream_lsh_dedup": q_stream_lsh_dedup,
     }
     missing = [n for n in _ROUND6_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
@@ -7385,6 +7433,30 @@ def _extension_oracles() -> dict[str, str]:
                count(*) AS batch_rows,
                count(*) AS offset
         FROM orders GROUP BY 1
+    """
+    _sh3 = H.duck_shingles(H.duck_tokens("text"), 3)
+    out["q_stream_lsh_dedup"] = f"""
+        WITH sigs AS (
+            SELECT doc_id, {H.duck_minhash('hs')} AS mh
+            FROM (SELECT doc_id,
+                         list_transform({_sh3}, s -> {H.duck_h32('s')}) AS hs
+                  FROM documents)
+        ), bands AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(0, {H.LSH_BANDS - 1}),
+                       b -> b::VARCHAR || ':' ||
+                            array_to_string(mh[b * {H.LSH_ROWS} + 1 :
+                                               b * {H.LSH_ROWS} + {H.LSH_ROWS}],
+                                            '-')
+                   )) AS band_key
+            FROM sigs
+        ), bm AS (
+            SELECT band_key, min(doc_id) AS band_min
+            FROM bands GROUP BY band_key
+        )
+        SELECT doc_id, min(band_min)::BIGINT AS earliest_partner
+        FROM bands JOIN bm USING (band_key)
+        GROUP BY doc_id HAVING min(band_min) < doc_id
     """
     out["q_stream_cdc"] = """
         WITH feed AS (

@@ -202,3 +202,56 @@ def apply_cdc_stream(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-duplicate detection: MinHash-LSH band keys as the state
+# key, one running minimum doc_id per band — the in-stream twin of
+# operators/dedup.minhash_lsh_pairs' candidate generation. A document is a
+# near-dup candidate iff some band's minimum is a SMALLER doc_id, a
+# definition that is independent of arrival and micro-batch order (min is
+# commutative), so the drained result is exactly batch-checkable.
+
+BAND_MIN_STATE_SCHEMA = T.StructType(
+    [T.StructField("min_doc", T.LongType())]
+)
+
+BAND_MIN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band_key", T.StringType()),
+        T.StructField("min_doc", T.LongType()),
+    ]
+)
+
+
+def _band_min(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one micro-batch of (band_key, doc_id) rows into the band's
+    running min; emit the band's current min. State is ONE long per band
+    — |bands| states total, never |documents|·bands."""
+    cur = state.get[0] if state.exists else None
+    for p in pdfs:
+        if len(p):
+            m = int(p["doc_id"].min())
+            cur = m if cur is None else min(cur, m)
+    if cur is None:  # empty batch for this key; nothing to emit
+        return
+    state.update((cur,))
+    yield pd.DataFrame({"band_key": [key[0]], "min_doc": [cur]})
+
+
+def lsh_band_min_stream(bands: DataFrame) -> DataFrame:
+    """Keyed running-min over a stream of exploded (band_key, doc_id)
+    rows via ``applyInPandasWithState``. Update-mode output re-emits a
+    band only when touched; the post-drain ``min`` per band equals the
+    global band minimum REGARDLESS of how files were split into
+    micro-batches — the property that makes the streaming near-dup
+    verdict deterministic and oracle-checkable."""
+    return bands.groupBy("band_key").applyInPandasWithState(
+        _band_min,
+        outputStructType=BAND_MIN_OUT_SCHEMA,
+        stateStructType=BAND_MIN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
