@@ -1628,6 +1628,14 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design table (dedup.lsh_s_curve): candidate
+    probability 1-(1-t^r)^b and config threshold for every (b, r)
+    factorization of the 16-value signature — the analytical design
+    counterpart of q_lsh_recall's measurement."""
+    return dd.lsh_s_curve(spark)
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LSH-method recall vs the exact near-dup ground truth
     per Jaccard threshold (dedup.lsh_recall_audit) — the measurement that
@@ -2704,6 +2712,15 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.set_ops_summary(load_table(spark, sf_dir, "events"))
 
 
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance explained by the top principal direction
+    (sim.pca_variance_explained): Rayleigh quotient over the uncentered
+    int8 cloud — exact bigint numerators from ONE map-only pass after the
+    driver-state power iteration, single rounded ratio; the is-PCA-
+    worth-it audit next to q_pca_power's eigenvector."""
+    return sim.pca_variance_explained(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (similarity.hard_negative_pairs):
     within-cluster pairs with cosine in [0.1, 0.6) — the k-means cell as
@@ -3706,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_neardup": q_pagerank_neardup,
         "q_kcore": q_kcore,
         "q_lsh_recall": q_lsh_recall,
+        "q_lsh_s_curve": q_lsh_s_curve,
         "q_split_leakage": q_split_leakage,
         "q_cluster_balance": q_cluster_balance,
         "q_ngram_novelty": q_ngram_novelty,
@@ -3841,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coreset": q_coreset,
         "q_centroid_drift": q_centroid_drift,
         "q_pca_power": q_pca_power,
+        "q_pca_variance": q_pca_variance,
         "q_hard_negatives": q_hard_negatives,
         "q_user_set_ops": q_user_set_ops,
         "q_dup_substring": q_dup_substring,
@@ -5957,6 +5976,7 @@ def _extension_oracles() -> dict[str, str]:
         " FROM r3 CROSS JOIN nn"
     )
     out["q_pagerank_neardup"] = "\n".join(pr)
+    out["q_lsh_s_curve"] = dd.duck_lsh_s_curve_sql()
     out["q_lsh_recall"] = dd.duck_lsh_recall_sql(
         out["q_dedup_ngram_jaccard"], out["q_dedup_minhash_lsh"]
     )
@@ -7360,6 +7380,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_coreset"] = sim.duck_kcenter_sql(m=4)
     out["q_centroid_drift"] = sim.duck_centroid_drift_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
+    out["q_pca_variance"] = sim.duck_pca_variance_sql(iters=2)
     out["q_hard_negatives"] = sim.duck_hard_negative_sql(k=sim.duck_cells_expr())
     out["q_user_set_ops"] = """
         WITH c AS (SELECT DISTINCT user_id FROM events

@@ -1474,3 +1474,65 @@ def duck_modularity_sql(pairs_sql: str, rounds: int = 2) -> str:
                    greatest(4.0 * m.m_edges * m.m_edges, 1.0), 6) AS q
         FROM unioned u CROSS JOIN m
     """
+
+
+def lsh_banding_table(k: int = 16) -> "list[tuple[int, int]]":
+    """The (bands, rows) factorizations of a k-value MinHash signature."""
+    return [(b, k // b) for b in (1, 2, 4, 8, 16) if b * (k // b) == k]
+
+
+def lsh_s_curve(spark, k: int = 16) -> DataFrame:
+    """The LSH S-CURVE design table: for every (bands b, rows r)
+    factorization of the signature and a grid of true Jaccard values t,
+    the candidate probability ``1 − (1 − t^r)^b`` and each config's
+    threshold ``(1/b)^(1/r)`` — the table you read BEFORE deploying a
+    banding (it is how ``minhash_lsh_pairs``' 4×4 default was chosen, and
+    the analytical counterpart of the measured ``lsh_recall_audit``).
+
+    Pure closed-form arithmetic on a parameter grid (no corpus input):
+    the frame is built from literals, every value one pow/round chain
+    with identical shape cross-engine.
+    """
+    rows = []
+    for b, r in lsh_banding_table(k):
+        for ti in range(1, 10):
+            rows.append((b, r, ti / 10.0))
+    df = spark.createDataFrame(rows, "bands: int, rows_per_band: int, jaccard: double")
+    return df.select(
+        "bands",
+        "rows_per_band",
+        "jaccard",
+        F.round(
+            1.0
+            - F.pow(
+                1.0 - F.pow(F.col("jaccard"), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("p_candidate"),
+        F.round(
+            F.pow(
+                1.0 / F.col("bands"),
+                1.0 / F.col("rows_per_band"),
+            ),
+            6,
+        ).alias("config_threshold"),
+    )
+
+
+def duck_lsh_s_curve_sql(k: int = 16) -> str:
+    """Oracle twin of :func:`lsh_s_curve` — same literal grid, same pow
+    chains."""
+    vals = ", ".join(
+        f"({b}, {r}, {ti / 10.0!r})"
+        for b, r in lsh_banding_table(k)
+        for ti in range(1, 10)
+    )
+    return f"""
+        SELECT bands, rows_per_band, jaccard,
+               round(1.0 - pow(1.0 - pow(jaccard, rows_per_band), bands), 6)
+                   AS p_candidate,
+               round(pow(1.0 / bands, 1.0 / rows_per_band), 6)
+                   AS config_threshold
+        FROM (VALUES {vals}) AS t(bands, rows_per_band, jaccard)
+    """

@@ -912,8 +912,12 @@ def power_iteration_component(
     )
 
 
-def duck_power_iteration_sql(iters: int = 2, scale: int = 127, dim: int = 64) -> str:
-    """Unrolled oracle CTE of :func:`power_iteration_component`."""
+def _duck_power_ctes(
+    iters: int = 2, scale: int = 127, dim: int = 64
+) -> list[str]:
+    """The unrolled power-iteration CTE chain (shared by the eigenvector
+    oracle and the variance-explained oracle); the final normalized
+    vector list lives in ``vl{iters}`` and per-dim values in ``v{iters}``."""
     km_q = (
         "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
         f" least(127, floor(x * {scale} + 0.5))) AS BIGINT))"
@@ -947,6 +951,12 @@ def duck_power_iteration_sql(iters: int = 2, scale: int = 127, dim: int = 64) ->
             f"vl{it} AS (SELECT list(v ORDER BY dim) AS vl FROM v{it})"
         )
         prev_v = f"vl{it}"
+    return ctes
+
+
+def duck_power_iteration_sql(iters: int = 2, scale: int = 127, dim: int = 64) -> str:
+    """Unrolled oracle CTE of :func:`power_iteration_component`."""
+    ctes = _duck_power_ctes(iters, scale, dim)
     return (
         "WITH " + ",\n        ".join(ctes)
         + f"\n        SELECT s{iters}.dim AS dim, s{iters}.s AS s, v{iters}.v AS v"
@@ -2039,3 +2049,90 @@ def duck_ndcg_sql(exact_sql: str, approx_sql: str, k: int = 5) -> str:
                      / {idcg!r}, 4) AS ndcg
         FROM graded GROUP BY probe_id
     """
+
+
+def pca_variance_explained(
+    embeddings: DataFrame, iters: int = 2, scale: int = 127
+) -> DataFrame:
+    """Variance explained by the top principal direction — the audit that
+    says whether ``power_iteration_component``'s v₁ is worth projecting
+    onto (a flat spectrum means PCA pruning would destroy signal): the
+    Rayleigh quotient Σ(q·v)² / (|v|²·Σ|q|²) over the uncentered int8
+    cloud, one row with the exact integer numerator pieces and the single
+    rounded ratio.
+
+    Scale shape: one iterative training run (driver holds dim ints), then
+    ONE map-only corpus pass folding (q·v)² and |q|² into two exact
+    bigint sums; |v|² is a driver-side constant. Nothing corpus-sized
+    moves.
+    """
+    import math as _math
+
+    # rerun the same driver loop to obtain v (dim ints) — identical code
+    # path as power_iteration_component, which unit/oracle tests pin
+    vt = power_iteration_component(embeddings, iters, scale).select(
+        "dim", "v"
+    ).collect()
+    v = [0] * len(vt)
+    for r in vt:
+        v[r.dim] = int(r.v)
+    vnorm2 = sum(x * x for x in v)
+    vlit = F.array(*[F.lit(int(x)).cast("bigint") for x in v])
+    q = spread(embeddings).select(
+        _quantize_int8(F.col("embedding"), scale).alias("q")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qq = F.aggregate(
+        F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    agg = q.select(d.alias("d"), qq.alias("qq")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("rayleigh_num"),
+        F.sum("qq").cast("bigint").alias("total_ss"),
+    )
+    return agg.select(
+        "n_vectors",
+        "rayleigh_num",
+        F.lit(vnorm2).cast("bigint").alias("vnorm2"),
+        "total_ss",
+        F.round(
+            F.col("rayleigh_num")
+            / (F.lit(float(vnorm2)) * F.col("total_ss").cast("double")),
+            6,
+        ).alias("var_explained"),
+    )
+
+
+def duck_pca_variance_sql(
+    iters: int = 2, scale: int = 127, dim: int = 64
+) -> str:
+    """Oracle twin of :func:`pca_variance_explained`, composed over the
+    shared unrolled power-iteration CTEs."""
+    ctes = _duck_power_ctes(iters, scale, dim)
+    ctes.append(
+        f"vn AS (SELECT CAST(list_sum(list_transform(vl,"
+        f" x -> x * x)) AS BIGINT) AS vnorm2 FROM vl{iters})"
+    )
+    ctes.append(
+        f"""proj AS (
+            SELECT list_sum(list_transform(generate_series(1, {dim}),
+                       j -> q.q[j] * vl{iters}.vl[j])) AS d,
+                   list_sum(list_transform(q.q, x -> x * x)) AS qq
+            FROM q CROSS JOIN vl{iters}
+        )"""
+    )
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + f"""
+        SELECT count(*)::BIGINT AS n_vectors,
+               CAST(sum(d * d) AS BIGINT) AS rayleigh_num,
+               vn.vnorm2 AS vnorm2,
+               CAST(sum(qq) AS BIGINT) AS total_ss,
+               round(sum(d * d) / (vn.vnorm2::DOUBLE * sum(qq)), 6)
+                   AS var_explained
+        FROM proj CROSS JOIN vn GROUP BY vn.vnorm2"""
+    )
