@@ -673,6 +673,14 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(load_table(spark, sf_dir, "documents"))
 
 
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (text.rake_keyphrases): stopword-bounded
+    candidate phrases, integer-scaled degree/frequency word scores (exact
+    integer phrase sums — no float order anywhere), rounded-then-ranked
+    top-25 — the multi-word complement of q_pmi_collocations."""
+    return tx.rake_keyphrases(load_table(spark, sf_dir, "documents"))
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serpentine sequence packing (sampling.pack_bins): length-ranked
     docs dealt into 8 balanced training bins."""
@@ -3672,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_text": q_normalize_text,
         "q_bigram_topk": q_bigram_topk,
         "q_pmi_collocations": q_pmi_collocations,
+        "q_rake_keyphrases": q_rake_keyphrases,
         "q_pack_bins": q_pack_bins,
         "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
@@ -5009,6 +5018,7 @@ def _extension_oracles() -> dict[str, str]:
 
     out["q_neyman_allocation"] = duck_neyman_sql()
     out["q_pmi_collocations"] = tx.duck_pmi_sql()
+    out["q_rake_keyphrases"] = tx.duck_rake_sql()
     out["q_bigram_topk"] = f"""
         WITH g AS (
             SELECT unnest({H.duck_shingles(toks, 2)}) AS ngram FROM documents

@@ -1444,3 +1444,141 @@ def duck_pmi_sql(k: int = 50, min_count: int = 5) -> str:
         CROSS JOIN tot
         ORDER BY pmi DESC, x ASC, y ASC LIMIT {k}
     """
+
+
+def rake_keyphrases(
+    documents: DataFrame, k: int = 25, max_words: int = 3
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): token runs between
+    stopword boundaries are candidate phrases; each word scores
+    degree/frequency over the candidate corpus (degree = Σ phrase length
+    over its occurrences — words that live in long phrases rank up), and
+    a phrase scores the sum of its word scores. The multi-word complement
+    of ``pmi_collocations`` (PMI ranks PAIRS; RAKE surfaces variable-
+    length domain phrases) and the classic zero-model keyphrase baseline.
+
+    Exactness: word scores are integer-floor-scaled rationals
+    (``deg·10⁶ div freq``), so a phrase's score is an exact INTEGER sum —
+    no float summation order anywhere; one final /10⁶ display division.
+    Rounded-then-ranked top-k, ties to the phrase string.
+
+    Scale shape: phrase segmentation is a per-doc window (position-
+    ordered, partitioned by doc — parallel across docs at any scale);
+    word stats and phrase stats are two partial-agg shuffles over
+    phrase-occurrence rows; the word-score join keys on the word. Top-k
+    is TakeOrderedAndProject.
+    """
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    from pyspark.sql import Window
+
+    toks = documents.selectExpr(
+        "doc_id", f"posexplode({_TOKENS}) as (pos, token)"
+    ).withColumn("is_stop", F.expr(f"token in ({stops})"))
+    seg = Window.partitionBy("doc_id").orderBy("pos")
+    phrases = (
+        toks.withColumn(
+            "seg", F.sum(F.col("is_stop").cast("int")).over(seg)
+        )
+        .filter(~F.col("is_stop"))
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+        .persist()
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("word"), "n_words"
+    )
+    scores = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("n_words").alias("deg"),
+    ).select(
+        "word",
+        F.expr("cast(deg * 1000000 div freq as bigint)").alias("wscore"),
+    )
+    phrase_words = phrases.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    pscore = (
+        phrase_words.join(F.broadcast(scores), "word")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").alias("pscore_num"))
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("n_words").cast("int").alias("n_words"),
+    )
+    out = (
+        occ.join(pscore, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round(F.col("pscore_num") / 1e6, 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(k)
+    )
+    phrases.unpersist()
+    return out
+
+
+def duck_rake_sql(k: int = 25, max_words: int = 3) -> str:
+    """Oracle twin of :func:`rake_keyphrases` — identical segmentation,
+    integer-scaled word scores, rounded-then-ranked top-k."""
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = H.duck_tokens("text")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, tok.i AS pos, tok.t AS token
+            FROM (SELECT doc_id,
+                         unnest(list_transform({toks},
+                             (x, i) -> {{'t': x, 'i': i}})) AS tok
+                  FROM documents)
+        ), seg AS (
+            SELECT doc_id, pos, token,
+                   token IN ({stops}) AS is_stop,
+                   sum(CASE WHEN token IN ({stops}) THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+            FROM t
+        ), phrases AS (
+            SELECT doc_id, seg,
+                   string_agg(token, ' ' ORDER BY pos) AS phrase,
+                   count(*) AS n_words
+            FROM seg WHERE NOT is_stop
+            GROUP BY doc_id, seg
+            HAVING count(*) <= {max_words}
+        ), words AS (
+            SELECT unnest(string_split(phrase, ' ')) AS word, n_words
+            FROM phrases
+        ), scores AS (
+            SELECT word,
+                   CAST(sum(n_words) * 1000000 // count(*) AS BIGINT)
+                       AS wscore
+            FROM words GROUP BY word
+        ), pw AS (
+            SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+            FROM phrases
+        ), ps AS (
+            SELECT phrase, sum(wscore) AS pscore_num
+            FROM pw JOIN scores USING (word) GROUP BY phrase
+        ), occ AS (
+            SELECT phrase, count(*)::BIGINT AS n_occurrences,
+                   CAST(max(n_words) AS INT) AS n_words
+            FROM phrases GROUP BY phrase
+        )
+        SELECT phrase, n_words, n_occurrences,
+               round(pscore_num / 1000000.0, 4) AS score
+        FROM occ JOIN ps USING (phrase)
+        ORDER BY score DESC, phrase ASC LIMIT {k}
+    """
