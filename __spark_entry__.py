@@ -2858,6 +2858,44 @@ def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type value monitor (streaming/state.stream_moments):
+    exact integer (n, Σcents, Σcents²) folded in keyed state — sums
+    commute, so the final emission per key hash-matches the batch
+    aggregate regardless of micro-batch split; mean/stddev derived once
+    at the end."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        _file_stream,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        stream_moments,
+    )
+
+    load_table(spark, sf_dir, "events")  # pins session confs
+    feed = _file_stream(spark, sf_dir, "events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    sink = drain_to_memory(
+        spark, stream_moments(feed), "q_stream_moments_mem", "update"
+    )
+    final = sink.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("sx", "n").alias("sx"),
+        F.max_by("sxx", "n").alias("sxx"),
+    )
+    return final.selectExpr(
+        "event_type",
+        "n",
+        "round(cast(sx as double) / n / 100.0, 4) as mean_value",
+        """round(sqrt((cast(sxx as double) - cast(sx as double) * sx / n)
+                 / (n - 1)) / 100.0, 4) as stddev_value""",
+    )
+
+
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC latest-state materialization (streaming/state.
     apply_cdc_stream): the in-stream twin of q_merge_delete — a change
@@ -3954,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stateful_offsets": q_stateful_offsets,
         "q_stream_cdc": q_stream_cdc,
         "q_stream_lsh_dedup": q_stream_lsh_dedup,
+        "q_stream_moments": q_stream_moments,
     }
     missing = [n for n in _ROUND6_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
@@ -7464,6 +7503,20 @@ def _extension_oracles() -> dict[str, str]:
                count(*) AS batch_rows,
                count(*) AS offset
         FROM orders GROUP BY 1
+    """
+    out["q_stream_moments"] = """
+        WITH agg AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sx,
+                   sum(CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT))::BIGINT AS sxx
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(sx::DOUBLE / n / 100.0, 4) AS mean_value,
+               round(sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n) / (n - 1))
+                     / 100.0, 4) AS stddev_value
+        FROM agg
     """
     _sh3 = H.duck_shingles(H.duck_tokens("text"), 3)
     out["q_stream_lsh_dedup"] = f"""

@@ -255,3 +255,61 @@ def lsh_band_min_stream(bands: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-key moment accumulation: exact integer (n, Σx, Σx²) in
+# cents — the monitoring statistic every ingest pipeline keeps per shard.
+# Sums are commutative/associative, so the drained result is independent
+# of micro-batch order and exactly batch-checkable (same contract as the
+# band-min dedup above).
+
+MOMENTS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sxx", T.LongType()),
+    ]
+)
+
+MOMENTS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sxx", T.LongType()),
+    ]
+)
+
+
+def _fold_moments(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one micro-batch of cents values into the key's exact moment
+    triple; emit the running triple. State is three longs per key."""
+    n, sx, sxx = state.get if state.exists else (0, 0, 0)
+    for p in pdfs:
+        if len(p):
+            cv = p["cv"].astype("int64")
+            n += int(len(cv))
+            sx += int(cv.sum())
+            sxx += int((cv * cv).sum())
+    state.update((n, sx, sxx))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n": [n], "sx": [sx], "sxx": [sxx]}
+    )
+
+
+def stream_moments(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Keyed exact-moment accumulation over a stream of (key, cv) rows
+    via ``applyInPandasWithState`` — the per-shard mean/variance monitor
+    of a production ingest, with bit-exact semantics: integer sums
+    commute, so the final emission per key equals the batch aggregate
+    REGARDLESS of file/micro-batch split."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fold_moments,
+        outputStructType=MOMENTS_OUT_SCHEMA,
+        stateStructType=MOMENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
