@@ -673,6 +673,14 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(load_table(spark, sf_dir, "documents"))
 
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source||corpus) over hashed unigram buckets
+    (text.source_kl): one token pass, margins as windows over the
+    bucket table, ln of exact integers — the source-level drift monitor
+    next to q_keyness's term-level contrast."""
+    return tx.source_kl(load_table(spark, sf_dir, "documents"))
+
+
 def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction (text.rake_keyphrases): stopword-bounded
     candidate phrases, integer-scaled degree/frequency word scores (exact
@@ -3719,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_topk": q_bigram_topk,
         "q_pmi_collocations": q_pmi_collocations,
         "q_rake_keyphrases": q_rake_keyphrases,
+        "q_source_kl": q_source_kl,
         "q_pack_bins": q_pack_bins,
         "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
@@ -5058,6 +5067,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_neyman_allocation"] = duck_neyman_sql()
     out["q_pmi_collocations"] = tx.duck_pmi_sql()
     out["q_rake_keyphrases"] = tx.duck_rake_sql()
+    out["q_source_kl"] = tx.duck_source_kl_sql()
     out["q_bigram_topk"] = f"""
         WITH g AS (
             SELECT unnest({H.duck_shingles(toks, 2)}) AS ngram FROM documents

@@ -1582,3 +1582,86 @@ def duck_rake_sql(k: int = 25, max_words: int = 3) -> str:
         FROM occ JOIN ps USING (phrase)
         ORDER BY score DESC, phrase ASC LIMIT {k}
     """
+
+
+def source_kl(documents: DataFrame, buckets: int = 1024) -> DataFrame:
+    """Per-source distribution drift as KL(source ‖ corpus) over hashed
+    unigram buckets (Laplace-smoothed) — the one-number-per-source
+    mixture monitor that complements term-level ``keyness``: a source
+    whose token distribution wanders from the corpus mix shows up here
+    before any individual term is significant.
+
+    Exactness: all counts exact from ONE token pass; every ln takes an
+    exact integer; the per-source sum runs over the B-row bucket table
+    (metadata-sized — float-order wobble bounded far below the final
+    round(4)).
+
+    Scale shape: one explode + (source, bucket) partial agg; corpus
+    margins ride as windows over the (sources×B)-row table, never a
+    second corpus pass.
+    """
+    from pyspark.sql import Window
+
+    occ = documents.selectExpr(
+        "source", f"explode({_TOKENS}) as token"
+    ).selectExpr(
+        "source", f"pmod({H.spark_h32('token')}, {buckets}) as bucket"
+    )
+    sb = occ.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("c_sb")
+    )
+    w_src = Window.partitionBy("source")
+    w_bkt = Window.partitionBy("bucket")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = sb.select(
+        "source",
+        "c_sb",
+        F.sum("c_sb").over(w_src).alias("n_s"),
+        F.sum("c_sb").over(w_bkt).alias("c_b"),
+        F.sum("c_sb").over(wall).alias("n_all"),
+    )
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    term = (
+        (F.col("c_sb") + 1)
+        / (F.col("n_s") + F.lit(buckets))
+        * (
+            ln(F.col("c_sb") + 1)
+            - ln(F.col("n_s") + F.lit(buckets))
+            - ln(F.col("c_b") + 1)
+            + ln(F.col("n_all") + F.lit(buckets))
+        )
+    )
+    return t.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(term), 4).alias("kl_nats"),
+    )
+
+
+def duck_source_kl_sql(buckets: int = 1024) -> str:
+    """Oracle twin of :func:`source_kl`."""
+    toks = H.duck_tokens("text")
+    return f"""
+        WITH occ AS (
+            SELECT source, {H.duck_h32('token')} % {buckets} AS bucket
+            FROM (SELECT source, unnest({toks}) AS token FROM documents)
+        ), sb AS (
+            SELECT source, bucket, count(*) AS c_sb
+            FROM occ GROUP BY 1, 2
+        ), t AS (
+            SELECT source, c_sb,
+                   sum(c_sb) OVER (PARTITION BY source) AS n_s,
+                   sum(c_sb) OVER (PARTITION BY bucket) AS c_b,
+                   sum(c_sb) OVER () AS n_all
+            FROM sb
+        )
+        SELECT source, max(n_s)::BIGINT AS n_tokens,
+               round(sum((c_sb + 1) / (n_s + {buckets})
+                         * (ln((c_sb + 1)::DOUBLE)
+                            - ln((n_s + {buckets})::DOUBLE)
+                            - ln((c_b + 1)::DOUBLE)
+                            + ln((n_all + {buckets})::DOUBLE))), 4)
+                   AS kl_nats
+        FROM t GROUP BY source
+    """
