@@ -1925,3 +1925,58 @@ def test_graph_shuffle_scope_restores_on_error(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_single_pass_conditional_agg_family(spark):
+    """The round-6 one-pass operators must each read their fact table
+    ONCE (one file relation in the plan) and never fan rows out: the
+    mix-shift bridge, the DiD 2x2, the partition-evolution inventory,
+    and the Neyman allocation all fold their conditions into a single
+    partial agg."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        partition_evolution,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        mix_shift,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        neyman_allocation,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        did_estimator,
+    )
+
+    cases = [
+        mix_shift(load_table(spark, SF, "orders")),
+        did_estimator(load_table(spark, SF, "events")),
+        partition_evolution(load_table(spark, SF, "orders")),
+        neyman_allocation(load_table(spark, SF, "documents")),
+    ]
+    for df in cases:
+        plan = formatted_plan(df)
+        assert plan.count("Location:") == 1, plan[:400]
+        assert "Generate" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "Cartesian" not in plan
+
+
+def test_sax_and_rake_windows_are_partitioned(spark):
+    """Per-entity sequence operators (SAX symbolization, RAKE phrase
+    segmentation) must window by the entity key — no corpus-wide
+    single-partition WindowExec."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        rake_keyphrases,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        sax_motifs,
+    )
+
+    for df, key in (
+        (sax_motifs(load_table(spark, SF, "events")), "user_id"),
+        (rake_keyphrases(load_table(spark, SF, "documents")), "doc_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        specs = plan.split("windowspecdefinition(")[1:]
+        assert specs, "expected window specs"
+        for sp in specs:
+            assert sp.startswith(key), f"unpartitioned window: {sp[:60]}"
