@@ -673,6 +673,14 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(load_table(spark, sf_dir, "documents"))
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column
+    (text.langid_confusion): the classifier eval a curation gate needs
+    before predictions drive filtering — exact cell counts, windowed
+    margins on the langs^2 table, per-language recall on the diagonal."""
+    return tx.langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL(source||corpus) over hashed unigram buckets
     (text.source_kl): one token pass, margins as windows over the
@@ -2054,6 +2062,28 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return entropy_rate(load_table(spark, sf_dir, "events"))
+
+
+def q_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per type (tse.snaive_backtest):
+    predict day d with day d-7, exact integer errors on the (type, day)
+    table, MAE + weighted MAPE per type — the baseline every forecast
+    deployment must beat."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.snaive_backtest(load_table(spark, sf_dir, "events"))
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase similarity (rel.item_cooccurrence): the CF
+    "also bought" kernel — basket-capped customer self-join, cosine over
+    the binary customer-part matrix, rounded-then-ranked top-50."""
+    return rel.item_cooccurrence(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3728,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_collocations": q_pmi_collocations,
         "q_rake_keyphrases": q_rake_keyphrases,
         "q_source_kl": q_source_kl,
+        "q_langid_confusion": q_langid_confusion,
         "q_pack_bins": q_pack_bins,
         "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
@@ -3815,6 +3846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_transitions": q_markov_transitions,
         "q_entropy_rate": q_entropy_rate,
         "q_did": q_did,
+        "q_snaive_backtest": q_snaive_backtest,
+        "q_item_cooccurrence": q_item_cooccurrence,
         "q_attribution": q_attribution,
         "q_shard_assign": q_shard_assign,
         "q_interleave_sources": q_interleave_sources,
@@ -5068,6 +5101,7 @@ def _extension_oracles() -> dict[str, str]:
     out["q_pmi_collocations"] = tx.duck_pmi_sql()
     out["q_rake_keyphrases"] = tx.duck_rake_sql()
     out["q_source_kl"] = tx.duck_source_kl_sql()
+    out["q_langid_confusion"] = tx.duck_langid_confusion_sql()
     out["q_bigram_topk"] = f"""
         WITH g AS (
             SELECT unnest({H.duck_shingles(toks, 2)}) AS ngram FROM documents
@@ -6655,6 +6689,12 @@ def _extension_oracles() -> dict[str, str]:
 
     out["q_entropy_rate"] = duck_entropy_rate_sql()
     out["q_did"] = duck_did_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        duck_snaive_sql,
+    )
+
+    out["q_snaive_backtest"] = duck_snaive_sql()
+    out["q_item_cooccurrence"] = rel.duck_item_cooccurrence_sql()
     out["q_markov_transitions"] = """
         WITH s AS (
             SELECT event_type AS src,

@@ -1435,3 +1435,106 @@ def duck_poisson_bootstrap_sql(reps: int = _BOOTSTRAP_R) -> str:
                round(list_sort([{means}])[{reps - 1}], 4) AS ci_hi
         FROM agg
     """
+
+
+def item_cooccurrence(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 50,
+    min_common: int = 2,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Item-item co-purchase similarity — the collaborative-filtering
+    kernel ("customers who bought X also bought Y"): parts sharing at
+    least ``min_common`` customers score cosine
+    ``n_ab / sqrt(n_a·n_b)`` over the binary customer-part matrix;
+    top-``k`` pairs come out rounded-then-ranked.
+
+    Degenerate baskets (> ``max_basket`` distinct parts — resellers /
+    crawl artifacts) are dropped BEFORE pairing, the same declared
+    bucket-cut semantics as the LSH band join: the pair space is then
+    bounded by Σ basket² with basket ≤ max_basket, never |parts|².
+
+    Scale shape: one distinct (customer, part) reduction, one basket-
+    bounded self-join on the customer key, margins broadcast back onto
+    the pair table, TakeOrdered top-k.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    sizes = baskets.groupBy("cust").agg(F.count(F.lit(1)).alias("bsz"))
+    kept = baskets.join(
+        sizes.filter(F.col("bsz") <= max_basket).select("cust"), "cust"
+    ).persist()
+    n_i = kept.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        kept.select("cust", F.col("part").alias("part_a"))
+        .join(kept.select("cust", F.col("part").alias("part_b")), "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_common)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(n_i.select(F.col("part").alias("part_a"), F.col("n").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(n_i.select(F.col("part").alias("part_b"), F.col("n").alias("n_b"))),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_ab")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(
+            F.col("cosine").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(k)
+    )
+    kept.unpersist()
+    return out
+
+
+def duck_item_cooccurrence_sql(
+    k: int = 50, min_common: int = 2, max_basket: int = 50
+) -> str:
+    """Oracle twin of :func:`item_cooccurrence`."""
+    return f"""
+        WITH baskets AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), kept AS (
+            SELECT * FROM baskets WHERE cust IN (
+                SELECT cust FROM baskets GROUP BY cust
+                HAVING count(*) <= {max_basket})
+        ), n_i AS (
+            SELECT part, count(*) AS n FROM kept GROUP BY part
+        ), pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_ab
+            FROM kept a JOIN kept b
+              ON a.cust = b.cust AND a.part < b.part
+            GROUP BY 1, 2 HAVING count(*) >= {min_common}
+        )
+        SELECT part_a, part_b, n_ab::BIGINT AS n_common,
+               round(n_ab / sqrt(na.n::DOUBLE * nb.n), 4) AS cosine
+        FROM pairs
+        JOIN n_i na ON na.part = part_a
+        JOIN n_i nb ON nb.part = part_b
+        ORDER BY cosine DESC, part_a ASC, part_b ASC LIMIT {k}
+    """

@@ -1665,3 +1665,77 @@ def duck_source_kl_sql(buckets: int = 1024) -> str:
                    AS kl_nats
         FROM t GROUP BY source
     """
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the stopword language-ID against the labeled
+    ``lang`` column — the eval every classifier-backed curation gate
+    needs before its predictions drive filtering: one row per
+    (true, predicted) cell with count and the row-normalized rate, plus
+    per-true-language recall riding in the same row.
+
+    Exactness: counts exact; the two rates are single divisions of exact
+    integers, rounded once. Scale shape: ``lang_id`` is a pure
+    projection fused into the scan; the matrix is one partial agg to a
+    |langs|²-row table; margins ride as windows on that table.
+    """
+    from pyspark.sql import Window
+
+    pred = lang_id(documents).select("lang", "predicted_lang")
+    cells = pred.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("predicted_lang").alias("pred_lang"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("n_true"),
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("rate"),
+        F.round(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+            / F.sum("n").over(w),
+            4,
+        ).alias("recall_if_diag"),
+    )
+
+
+def duck_langid_confusion_sql() -> str:
+    """Oracle twin of :func:`langid_confusion`, composed over the same
+    stopword-score argmax SQL as the q_lang_id oracle."""
+    langs = sorted(STOPWORDS)
+    scores = ", ".join(
+        "len(list_intersect(list_distinct({toks}), [{words}]))::INT"
+        " AS score_{lang}".format(
+            toks=H.duck_tokens("text"),
+            words=", ".join(f"'{w}'" for w in STOPWORDS[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    pred = "CASE"
+    for lang in langs:
+        cond = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        pred += f" WHEN {cond} THEN '{lang}'"
+    pred += " ELSE 'und' END"
+    return f"""
+        WITH scored AS (
+            SELECT lang, {scores} FROM documents
+        ), pred AS (
+            SELECT lang AS true_lang, {pred} AS pred_lang FROM scored
+        ), cells AS (
+            SELECT true_lang, pred_lang, count(*)::BIGINT AS n
+            FROM pred GROUP BY 1, 2
+        )
+        SELECT true_lang, pred_lang, n,
+               sum(n) OVER (PARTITION BY true_lang)::BIGINT AS n_true,
+               round(n / sum(n) OVER (PARTITION BY true_lang), 4) AS rate,
+               round(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END
+                     / sum(n) OVER (PARTITION BY true_lang), 4)
+                   AS recall_if_diag
+        FROM cells
+    """

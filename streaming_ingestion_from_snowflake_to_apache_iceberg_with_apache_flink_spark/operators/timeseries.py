@@ -1014,3 +1014,60 @@ def duck_did_sql(split: str = "2024-01-15") -> str:
                      - ({m["m_01"]} - {m["m_00"]}), 4) AS did
         FROM agg
     """
+
+
+def snaive_backtest(events: DataFrame, season: int = 7) -> DataFrame:
+    """Seasonal-naive FORECAST BACKTEST per event type: predict each
+    day's count with the count ``season`` days earlier and score the
+    prediction (MAE and weighted MAPE = Σ|err|/Σactual) — the baseline
+    every forecasting deployment must beat, measured the way a backtest
+    actually runs (only days where both the target and its seasonal lag
+    were observed are scored).
+
+    Exactness: counts and absolute errors are exact integers; the two
+    ratios divide exact sums once, rounded. Scale shape: the corpus
+    collapses to the (type, day) table in one partial agg; the seasonal
+    join is a self-equi-join ON that metadata-sized table; output is
+    |types| rows.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lagged = daily.select(
+        "event_type",
+        (F.col("day") + season).alias("day"),
+        F.col("c").alias("c_pred"),
+    )
+    scored = daily.join(lagged, ["event_type", "day"]).select(
+        "event_type",
+        F.abs(F.col("c") - F.col("c_pred")).alias("abs_err"),
+        "c",
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.round(F.sum("abs_err") / F.count(F.lit(1)), 4).alias("mae"),
+        F.round(F.sum("abs_err") / F.sum("c"), 4).alias("wmape"),
+    )
+
+
+def duck_snaive_sql(season: int = 7) -> str:
+    """Oracle twin of :func:`snaive_backtest`."""
+    return f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), scored AS (
+            SELECT a.event_type, abs(a.c - b.c) AS abs_err, a.c
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day = b.day + {season}
+        )
+        SELECT event_type, count(*)::BIGINT AS n_days_scored,
+               round(sum(abs_err) / count(*), 4) AS mae,
+               round(sum(abs_err) / sum(c), 4) AS wmape
+        FROM scored GROUP BY event_type
+    """
