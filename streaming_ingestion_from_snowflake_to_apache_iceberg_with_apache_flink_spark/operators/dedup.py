@@ -1357,6 +1357,10 @@ def modularity(
     shuffles) + two graph-sized joins to tag each edge's endpoint
     communities; the rollup is community-sized.
     """
+    # the pair subtree feeds THREE consumers (the LPA run, the edge
+    # tagging, and the degree count) — materialize it once
+    pairs = pairs.persist()
+    pairs.count()
     labels = label_propagation(pairs, src, dst, rounds).select(
         "doc_id", "community_id"
     )
@@ -1418,10 +1422,11 @@ def modularity(
         F.sum("d_c").cast("bigint").alias("d_c"),
         F.sum("q_contrib_num").cast("bigint").alias("q_contrib_num"),
     )
-    out = per.unionByName(total)
-    return out.withColumn(
+    out = per.unionByName(total).withColumn(
         "q", F.round(F.col("q_contrib_num") / F.lit(denom), 6)
-    )
+    ).localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
 
 
 def duck_modularity_sql(pairs_sql: str, rounds: int = 2) -> str:

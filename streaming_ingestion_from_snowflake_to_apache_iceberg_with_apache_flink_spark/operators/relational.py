@@ -1475,6 +1475,11 @@ def item_cooccurrence(
         sizes.filter(F.col("bsz") <= max_basket).select("cust"), "cust"
     ).persist()
     n_i = kept.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    # customer-keyed self-join of the cached basket relation: both sides
+    # shuffle on cust once; a map-side array-pair explosion was measured
+    # SLOWER (nested higher-order transforms are interpreted per row —
+    # the semdedup flat-column lesson), while this join stays inside
+    # whole-stage codegen
     pairs = (
         kept.select("cust", F.col("part").alias("part_a"))
         .join(kept.select("cust", F.col("part").alias("part_b")), "cust")
