@@ -422,3 +422,105 @@ def test_stream_cdc_tombstones_and_replay_idempotence(spark, tmp_path):
     )
     replay = {r.user_id: (r.last_ts_ms, r.value) for r in fin.collect()}
     assert replay == got
+
+
+def test_stream_moments_invariant_to_microbatch_split(spark, tmp_path):
+    """stream_moments' state fold is commutative integer sums, so the
+    final per-key emission must equal the batch aggregate whether the
+    feed arrives as ONE file or as three micro-batches."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        stream_moments,
+    )
+
+    events = load_table(spark, SF, "events")
+    batch = {
+        (r.event_type): (r.n, r.sx, r.sxx)
+        for r in events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cv").alias("sx"),
+            F.sum(F.col("cv") * F.col("cv")).alias("sxx"),
+        )
+        .collect()
+    }
+    for n_files, name in ((1, "m_one"), (3, "m_three")):
+        path = str(tmp_path / f"src_{n_files}")
+        for i in range(n_files):
+            events.filter(F.col("event_id") % n_files == i).coalesce(
+                1
+            ).write.mode("append").parquet(path)
+        feed = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+            )
+        )
+        sink = drain_to_memory(
+            spark, stream_moments(feed), name, "update"
+        )
+        final = {
+            r.event_type: (r.n, r.sx, r.sxx)
+            for r in sink.groupBy("event_type")
+            .agg(
+                F.max("n").alias("n"),
+                F.max_by("sx", "n").alias("sx"),
+                F.max_by("sxx", "n").alias("sxx"),
+            )
+            .collect()
+        }
+        assert final == batch, f"{n_files}-file split diverged"
+
+
+def test_stream_band_min_invariant_to_microbatch_split(spark, tmp_path):
+    """lsh_band_min_stream's running min commutes, so the drained
+    per-band minimum equals the batch minimum under any file split."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        lsh_band_min_stream,
+    )
+
+    events = load_table(spark, SF, "events")
+    # synthetic band keys: event_type is the "band", event_id the doc id
+    batch = {
+        r.band_key: r.m
+        for r in events.selectExpr(
+            "event_type as band_key", "event_id as doc_id"
+        )
+        .groupBy("band_key")
+        .agg(F.min("doc_id").alias("m"))
+        .collect()
+    }
+    for n_files, name in ((1, "b_one"), (3, "b_three")):
+        path = str(tmp_path / f"bsrc_{n_files}")
+        for i in range(n_files):
+            events.filter(F.col("event_id") % n_files == i).coalesce(
+                1
+            ).write.mode("append").parquet(path)
+        feed = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .selectExpr("event_type as band_key", "event_id as doc_id")
+        )
+        sink = drain_to_memory(
+            spark, lsh_band_min_stream(feed), name, "update"
+        )
+        final = {
+            r.band_key: r.m
+            for r in sink.groupBy("band_key")
+            .agg(F.min("min_doc").alias("m"))
+            .collect()
+        }
+        assert final == batch, f"{n_files}-file split diverged"
