@@ -863,9 +863,24 @@ def pagerank_pairs(
     node count reaches the driver as one scalar (the scalar-witness
     pattern); no row data ever does.
     """
+    # both directions from ONE explode over a single scan — the union of
+    # two selects would evaluate the expensive pair-generation subtree
+    # once per branch when the cache materializes (connected_components'
+    # documented lesson, applied here too)
     e = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("edge")
+        )
+        .select("edge.src", "edge.dst")
         .persist()
     )
     spark = pairs.sparkSession
