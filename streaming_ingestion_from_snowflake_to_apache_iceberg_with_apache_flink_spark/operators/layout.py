@@ -89,25 +89,9 @@ def _global_ntile(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     oracle's ``ntile`` because the order is total (unique tiebreak), so
     ranks don't depend on the sampled range boundaries.
     """
-    from .ranks import global_row_number
+    from .ranks import global_ntile
 
-    ranked, n = global_row_number(df, order_cols, rank_col="__rank")
-    if n == 0:
-        return ranked.withColumn("file_id", F.lit(None).cast("int")).drop("__rank")
-    rn = F.col("__rank")
-    size, rem = n // k, n % k
-    big = size + 1
-
-    def _idiv(num, d: int):
-        # exact integer division as columns: subtract the remainder first
-        # so the double division is of an exact multiple (never a float
-        # rounding hazard on big ranks)
-        return ((num - F.pmod(num, F.lit(d))) / F.lit(d)).cast("bigint")
-
-    file_id = F.when(
-        rn <= rem * big, _idiv(rn - 1, big) + 1
-    ).otherwise(F.lit(rem) + _idiv(rn - rem * big - 1, max(size, 1)) + 1)
-    return ranked.withColumn("file_id", file_id.cast("int")).drop("__rank")
+    return global_ntile(df, order_cols, k, bucket_col="file_id")
 
 
 def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:

@@ -124,3 +124,33 @@ def global_row_number(
         .drop(PID, OFF)
     )
     return out, int(n)
+
+
+def global_ntile(
+    df: DataFrame, order_cols: list, k: int, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Exact SQL-``ntile(k)`` bucket ids over a UNIQUE total order,
+    computed without a single-partition window: the two-phase global
+    rank above, then the exact ntile formula — with N rows the first
+    ``N mod k`` buckets get ``ceil(N/k)`` rows, the rest ``floor(N/k)``
+    — bit-identical to a plain-window ``ntile`` because the order is
+    total (callers pass a unique tiebreak), so ranks are independent of
+    the sampled range boundaries."""
+    ranked, n = global_row_number(df, order_cols, rank_col="__rank")
+    if n == 0:
+        return ranked.withColumn(
+            bucket_col, F.lit(None).cast("int")
+        ).drop("__rank")
+    rn = F.col("__rank")
+    size, rem = n // k, n % k
+    big = size + 1
+
+    def _idiv(num, d: int):
+        # exact integer division as columns: subtract the remainder first
+        # so the double division is of an exact multiple
+        return ((num - F.pmod(num, F.lit(d))) / F.lit(d)).cast("bigint")
+
+    bucket = F.when(rn <= rem * big, _idiv(rn - 1, big) + 1).otherwise(
+        F.lit(rem) + _idiv(rn - rem * big - 1, max(size, 1)) + 1
+    )
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__rank")

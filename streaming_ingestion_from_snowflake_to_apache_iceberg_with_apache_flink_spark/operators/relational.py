@@ -527,15 +527,20 @@ def quantile_buckets(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     tiebreaker so bucket membership is total-order deterministic and
     engine-portable.
 
-    One global sort (range exchange), then a partial-agg on the bucket id;
-    at scale ntile over a range-partitioned sort is the standard plan.
+    The bucket id is the shared two-phase PARALLEL ntile
+    (``ranks.global_ntile``: range-partition, per-partition row_number,
+    metadata-sized offsets, exact bucket formula) — no corpus-wide
+    single-partition WindowExec; the plain-window oracle stays the ground
+    truth because the (price, key) order is total.
     """
-    from pyspark.sql import Window as W
+    from .ranks import global_ntile
 
-    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    t = F.ntile(n_buckets).over(w)
     return (
-        orders.select("o_orderkey", "o_totalprice", t.alias("bucket"))
+        global_ntile(
+            orders.select("o_orderkey", "o_totalprice"),
+            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            n_buckets,
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -362,9 +362,15 @@ def histogram_quantiles(orders: DataFrame) -> DataFrame:
              * F.lit(int(_HQ_BUCKET_W * 100))),
         )
     )
-    ranked = base.withColumn(
-        "rn",
-        F.row_number().over(W.orderBy(F.col("price_c").asc(), F.col("okey").asc())),
+    # exact audit leg: the corpus rank is the shared two-phase PARALLEL
+    # row_number (range-partition + per-partition rank + metadata-sized
+    # offsets) — never a single-partition window over the fact table
+    from .ranks import global_row_number
+
+    ranked, _n = global_row_number(
+        base,
+        [F.col("price_c").asc(), F.col("okey").asc()],
+        rank_col="rn",
     )
     exact = (
         pcts.join(

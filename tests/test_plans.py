@@ -1980,3 +1980,27 @@ def test_sax_and_rake_windows_are_partitioned(spark):
         assert specs, "expected window specs"
         for sp in specs:
             assert sp.startswith(key), f"unpartitioned window: {sp[:60]}"
+
+
+def test_quantile_buckets_and_hist_exact_leg_partitioned(spark):
+    """The last two corpus-sized single-partition windows (the
+    quantile_buckets ntile and histogram_quantiles' exact-rank audit leg)
+    now run on the shared two-phase machinery: every window spec in both
+    plans is partitioned by the physical partition id."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        quantile_buckets,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    for df in (
+        quantile_buckets(load_table(spark, SF, "orders")),
+        histogram_quantiles(load_table(spark, SF, "orders")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile(" not in plan
+        for sp in plan.split("windowspecdefinition(")[1:]:
+            assert sp.startswith("__pid") or sp.startswith("bucket"), (
+                f"unpartitioned/corpus window: {sp[:80]}"
+            )
