@@ -389,6 +389,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.poisson_bootstrap(load_table(spark, sf_dir, "orders"))
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (rel.rfm_segments): recency/frequency/
+    monetary quintiles via the shared two-phase parallel ntile over the
+    customer dimension, 125-cell rollup with behavioral labels — the
+    classic marketing-analytics kernel, plain-window oracle."""
+    return rel.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
 def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period revenue bridge (rel.mix_shift): per-segment
     volume / rate / interaction decomposition that reconciles exactly to
@@ -3896,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_mix_shift": q_mix_shift,
         "q_bootstrap_ci": q_bootstrap_ci,
+        "q_rfm_segments": q_rfm_segments,
         "q_cube": q_cube,
         "q_compaction_plan": q_compaction_plan,
         "q_window_battery": q_window_battery,
@@ -4685,6 +4694,11 @@ from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spar
 
 _REL_MIX_SHIFT_SQL = _duck_mix_shift_sql()
 _REL_BOOTSTRAP_SQL = _duck_poisson_bootstrap_sql()
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+    duck_rfm_sql as _duck_rfm_sql,
+)
+
+_REL_RFM_SQL = _duck_rfm_sql()
 
 def _extension_oracles() -> dict[str, str]:
     """Oracles for the dedup/similarity/text queries, generated from the
@@ -4741,6 +4755,7 @@ def _extension_oracles() -> dict[str, str]:
         """,
         "q_mix_shift": _REL_MIX_SHIFT_SQL,
         "q_bootstrap_ci": _REL_BOOTSTRAP_SQL,
+        "q_rfm_segments": _REL_RFM_SQL,
         "q_rollup": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                    coalesce(o_orderstatus, 'ALL') AS status,

@@ -1548,3 +1548,104 @@ def duck_item_cooccurrence_sql(
         JOIN n_i nb ON nb.part = part_b
         ORDER BY cosine DESC, part_a ASC, part_b ASC LIMIT {k}
     """
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    kernel: per customer recency (days since last order, against the
+    corpus max date so the cut is data-derived), frequency (orders) and
+    monetary (exact cents), each scored into quintiles, rolled up per
+    (r, f, m) cell with a coarse behavioral label (champions / loyal /
+    at-risk / hibernating / other).
+
+    Quintiles are the shared two-phase PARALLEL ntile
+    (``ranks.global_ntile``) over the CUSTOMER-dimension table — three
+    total-ordered rank passes, no corpus-wide single-partition window
+    (at 10⁸ customers the dimension itself needs the parallel form); the
+    plain-window oracle stays the ground truth. Scale shape: one fact
+    partial agg to the customer grain, three dimension rank passes, one
+    125-cell rollup.
+    """
+    from .ranks import global_ntile
+
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+    r = global_ntile(
+        per_cust,
+        [F.col("last_order").asc(), F.col("cust").asc()],
+        5,
+        bucket_col="r_score",
+    ).select("cust", "n_orders", "cents", "r_score")
+    f = global_ntile(
+        r,
+        [F.col("n_orders").asc(), F.col("cust").asc()],
+        5,
+        bucket_col="f_score",
+    ).select("cust", "cents", "r_score", "f_score")
+    m = global_ntile(
+        f,
+        [F.col("cents").asc(), F.col("cust").asc()],
+        5,
+        bucket_col="m_score",
+    )
+    label = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal"
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk"
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+            "hibernating",
+        )
+        .otherwise("other")
+    )
+    return (
+        m.select("r_score", "f_score", "m_score", label.alias("segment"), "cents")
+        .groupBy("r_score", "f_score", "m_score", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+def duck_rfm_sql() -> str:
+    """Oracle twin of :func:`rfm_segments` — plain ntile windows over the
+    same total orders."""
+    return """
+        WITH per_cust AS (
+            SELECT o_custkey AS cust, max(o_orderdate) AS last_order,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ), scored AS (
+            SELECT cust, cents,
+                   ntile(5) OVER (ORDER BY last_order, cust) AS r_score,
+                   ntile(5) OVER (ORDER BY n_orders, cust) AS f_score,
+                   ntile(5) OVER (ORDER BY cents, cust) AS m_score
+            FROM per_cust
+        )
+        SELECT r_score, f_score, m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champions'
+                    WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    ELSE 'other' END AS segment,
+               count(*)::BIGINT AS n_customers,
+               sum(cents)::BIGINT AS total_cents
+        FROM scored GROUP BY 1, 2, 3, 4
+    """
