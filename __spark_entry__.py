@@ -2072,6 +2072,18 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_rate(load_table(spark, sf_dir, "events"))
 
 
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-30-day MAU stickiness per day (tse.dau_mau): the
+    corpus collapses to the distinct (user, day) relation once; the
+    trailing window is a bounded range join on that relation — exact
+    distinct counts, one rounded ratio."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.dau_mau(load_table(spark, sf_dir, "events"))
+
+
 def q_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest per type (tse.snaive_backtest):
     predict day d with day d-7, exact integer errors on the (type, day)
@@ -3857,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entropy_rate": q_entropy_rate,
         "q_did": q_did,
         "q_snaive_backtest": q_snaive_backtest,
+        "q_dau_mau": q_dau_mau,
         "q_item_cooccurrence": q_item_cooccurrence,
         "q_attribution": q_attribution,
         "q_shard_assign": q_shard_assign,
@@ -6711,6 +6724,11 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_snaive_backtest"] = duck_snaive_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        duck_dau_mau_sql,
+    )
+
+    out["q_dau_mau"] = duck_dau_mau_sql()
     out["q_item_cooccurrence"] = rel.duck_item_cooccurrence_sql()
     out["q_markov_transitions"] = """
         WITH s AS (

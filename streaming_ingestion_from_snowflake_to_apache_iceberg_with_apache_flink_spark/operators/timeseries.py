@@ -1071,3 +1071,71 @@ def duck_snaive_sql(season: int = 7) -> str:
                round(sum(abs_err) / sum(c), 4) AS wmape
         FROM scored GROUP BY event_type
     """
+
+
+def dau_mau(events: DataFrame) -> DataFrame:
+    """Engagement stickiness: per day, DAU (distinct active users), the
+    trailing-30-day MAU, and the DAU/MAU ratio — the product-health
+    metric every activity dashboard leads with.
+
+    Exactness: both counts are exact distincts; the ratio divides exact
+    integers once, rounded. Scale shape: the corpus collapses to the
+    distinct (user, day) relation in one shuffle; the trailing MAU joins
+    day d to its 30-day window ON THAT relation via a range condition
+    bounded by the 30-row day calendar per user-day — all work is
+    |users|·|days|-bounded, never event-bounded.
+    """
+    ud = (
+        events.select(
+            "user_id",
+            F.expr(
+                f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)"
+            ).alias("day"),
+        )
+        .distinct()
+        .persist()
+    )
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    days = ud.select("day").distinct()
+    mau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") > F.col("d.day") - 30),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("mau"))
+    )
+    out = dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
+    )
+    ud.unpersist()
+    return out
+
+
+def duck_dau_mau_sql() -> str:
+    """Oracle twin of :func:`dau_mau`."""
+    return """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events
+        ), dau AS (
+            SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day
+        ), days AS (
+            SELECT DISTINCT day FROM ud
+        ), mau AS (
+            SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS mau
+            FROM days d JOIN ud u
+              ON u.day <= d.day AND u.day > d.day - 30
+            GROUP BY d.day
+        )
+        SELECT day, dau, mau, round(dau / mau, 4) AS stickiness
+        FROM dau JOIN mau USING (day)
+    """
