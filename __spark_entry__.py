@@ -225,6 +225,18 @@ def q_distinct_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.distinct_shards(load_table(spark, sf_dir, "customer"), "c_mktsegment")
 
 
+def q_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-rank shard rebalance round (shards.rebalance_plan): one
+    partial agg to the shard dimension, x-k-scaled integer surpluses (the
+    mean never floats), i-th surplus paired with i-th deficit — the
+    skew-repair plan for the reference's per-shard keyed pipeline."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.shards import (
+        rebalance_plan,
+    )
+
+    return rebalance_plan(load_table(spark, sf_dir, "documents"))
+
+
 def q_shard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 WHERE (SnowflakeProcessFunction.java:93-97): one equality predicate."""
     orders = load_table(spark, sf_dir, "orders")
@@ -679,6 +691,13 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return neyman_allocation(load_table(spark, sf_dir, "documents"))
+
+
+def q_lix_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIX readability grade per doc (text.lix_readability): exact word/
+    sentence/long-word counts in one scan-fused projection, one rounded
+    grade + difficulty band — the language-agnostic readability gate."""
+    return tx.lix_readability(load_table(spark, sf_dir, "documents"))
 
 
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3781,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rake_keyphrases": q_rake_keyphrases,
         "q_source_kl": q_source_kl,
         "q_langid_confusion": q_langid_confusion,
+        "q_lix_readability": q_lix_readability,
         "q_pack_bins": q_pack_bins,
         "q_token_budget_shards": q_token_budget_shards,
         "q_stratified_sample": q_stratified_sample,
@@ -3903,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_higher_order": q_higher_order,
         "q_distinct_shards": q_distinct_shards,
         "q_shard_filter": q_shard_filter,
+        "q_rebalance_plan": q_rebalance_plan,
         "q_page_offset": q_page_offset,
         "q_incremental_union": q_incremental_union,
         "q_cast_projection": q_cast_projection,
@@ -5132,6 +5153,12 @@ def _extension_oracles() -> dict[str, str]:
     out["q_rake_keyphrases"] = tx.duck_rake_sql()
     out["q_source_kl"] = tx.duck_source_kl_sql()
     out["q_langid_confusion"] = tx.duck_langid_confusion_sql()
+    out["q_lix_readability"] = tx.duck_lix_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.shards import (
+        duck_rebalance_sql,
+    )
+
+    out["q_rebalance_plan"] = duck_rebalance_sql()
     out["q_bigram_topk"] = f"""
         WITH g AS (
             SELECT unnest({H.duck_shingles(toks, 2)}) AS ngram FROM documents

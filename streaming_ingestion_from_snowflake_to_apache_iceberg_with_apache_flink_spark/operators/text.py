@@ -1739,3 +1739,63 @@ def duck_langid_confusion_sql() -> str:
                    AS recall_if_diag
         FROM cells
     """
+
+
+def lix_readability(documents: DataFrame) -> DataFrame:
+    """LIX readability grade per doc (Björnsson's läsbarhetsindex, the
+    language-agnostic readability measure curation gates use where
+    syllable counting is unreliable): LIX = words/sentences +
+    100·longwords/words, long = more than 6 characters, sentences split
+    on [.!?] runs. Emits the exact integer counts and the rounded grade,
+    plus the conventional difficulty band (the <25 / 25-35 / 35-45 /
+    45-55 / >55 ladder).
+
+    Exactness: all three counts are exact integers from one projection
+    (portable regexes — no lookarounds); the grade is two divisions of
+    exact integers in one expression, rounded once. Pure row-local work
+    fused into the scan — no shuffle at all before the output.
+    """
+    n_words = f"size({_TOKENS})"
+    n_long = f"size(filter({_TOKENS}, t -> length(t) > 6))"
+    n_sent = "greatest(size(split(text, '[.!?]+')) - 1, 1)"
+    grade = (
+        f"round(cast({n_words} as double) / {n_sent}"
+        f" + 100.0 * {n_long} / {n_words}, 4)"
+    )
+    return documents.selectExpr(
+        "doc_id",
+        f"cast({n_words} as int) as n_words",
+        f"cast({n_sent} as int) as n_sentences",
+        f"cast({n_long} as int) as n_long_words",
+        f"{grade} as lix",
+        f"""CASE WHEN {grade} < 25 THEN 'very_easy'
+                WHEN {grade} < 35 THEN 'easy'
+                WHEN {grade} < 45 THEN 'medium'
+                WHEN {grade} < 55 THEN 'hard'
+                ELSE 'very_hard' END as band""",
+    )
+
+
+def duck_lix_sql() -> str:
+    """Oracle twin of :func:`lix_readability`."""
+    toks = H.duck_tokens("text")
+    n_words = f"len({toks})"
+    n_long = f"len(list_filter({toks}, t -> length(t) > 6))"
+    n_sent = "greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1)"
+    grade = (
+        f"round({n_words}::DOUBLE / {n_sent}"
+        f" + 100.0 * {n_long} / {n_words}, 4)"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST({n_words} AS INT) AS n_words,
+               CAST({n_sent} AS INT) AS n_sentences,
+               CAST({n_long} AS INT) AS n_long_words,
+               {grade} AS lix,
+               CASE WHEN {grade} < 25 THEN 'very_easy'
+                    WHEN {grade} < 35 THEN 'easy'
+                    WHEN {grade} < 45 THEN 'medium'
+                    WHEN {grade} < 55 THEN 'hard'
+                    ELSE 'very_hard' END AS band
+        FROM documents
+    """
