@@ -234,7 +234,9 @@ def q_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rebalance_plan,
     )
 
-    return rebalance_plan(load_table(spark, sf_dir, "documents"))
+    # lang is the skewed shard dimension of the fixture (en dominates);
+    # source is near-uniform and would plan zero moves
+    return rebalance_plan(load_table(spark, sf_dir, "documents"), "lang")
 
 
 def q_shard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5158,7 +5160,7 @@ def _extension_oracles() -> dict[str, str]:
         duck_rebalance_sql,
     )
 
-    out["q_rebalance_plan"] = duck_rebalance_sql()
+    out["q_rebalance_plan"] = duck_rebalance_sql("lang")
     out["q_bigram_topk"] = f"""
         WITH g AS (
             SELECT unnest({H.duck_shingles(toks, 2)}) AS ngram FROM documents
