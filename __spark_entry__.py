@@ -3159,6 +3159,27 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_test(load_table(spark, sf_dir, "documents"))
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between pre/post order-value
+    distributions (quality.psi_drift): one conditional fact pass to
+    fixed bins, Laplace-smoothed shares, per-bin contributions + the
+    __total__ verdict band — THE model-monitoring drift number."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        psi_drift,
+    )
+
+    return psi_drift(load_table(spark, sf_dir, "orders"))
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph (dedup.assortativity):
+    Pearson r of endpoint degrees across edges — exact integer sums, one
+    closed-form double, the template-farm-vs-hub structure diagnostic
+    beside q_clustering_coef and q_modularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.assortativity(dd.ngram_jaccard_pairs(docs))
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U rank-sum test (quality.mann_whitney): tie-corrected
     doubled-integer rank arithmetic over value-level counts, one-shot
@@ -4067,6 +4088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_checks": q_dq_checks,
         "q_ks_test": q_ks_test,
         "q_mann_whitney": q_mann_whitney,
+        "q_psi_drift": q_psi_drift,
+        "q_assortativity": q_assortativity,
         "q_heaps_fit": q_heaps_fit,
         "q_quantile_normalize": q_quantile_normalize,
         "q_filter_funnel": q_filter_funnel,
@@ -7760,6 +7783,14 @@ def _extension_oracles() -> dict[str, str]:
 
     out["q_ks_test"] = duck_ks_test_sql()
     out["q_mann_whitney"] = duck_mann_whitney_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        duck_psi_sql,
+    )
+
+    out["q_psi_drift"] = duck_psi_sql()
+    out["q_assortativity"] = dd.duck_assortativity_sql(
+        out["q_dedup_ngram_jaccard"]
+    )
     out["q_dp_counts"] = duck_dp_counts_sql()
     out["q_heaps_fit"] = tx.duck_heaps_fit_sql()
     out["q_quantile_normalize"] = """

@@ -1556,3 +1556,94 @@ def duck_lsh_s_curve_sql(k: int = 16) -> str:
                    AS config_threshold
         FROM (VALUES {vals}) AS t(bands, rows_per_band, jaccard)
     """
+
+
+def assortativity(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Degree ASSORTATIVITY of the near-dup graph (Newman 2002): the
+    Pearson correlation of endpoint degrees across edges — positive
+    means heavy duplicators link to each other (template farms),
+    negative means hubs link to leaves (boilerplate radiating into
+    unique docs); the one-number structure diagnostic next to
+    clustering coefficient and modularity.
+
+    Exactness: over the directed edge list every sum (Σx, Σy, Σxy, Σx²,
+    Σy², M) is an exact bigint; r is one closed-form double expression
+    of identical shape cross-engine, rounded(6). Scale shape: a degree
+    partial agg + two graph-sized joins tagging each edge's endpoint
+    degrees + a one-row aggregate.
+    """
+    bidir = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
+    deg = bidir.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tagged = (
+        bidir.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("dx")), "a"
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("dy")), "b"
+        )
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    out = agg.selectExpr(
+        "m",
+        "sx",
+        "sxy",
+        """round(
+            (cast(m as double) * sxy - cast(sx as double) * sy)
+            / sqrt((cast(m as double) * sxx - cast(sx as double) * sx)
+                   * (cast(m as double) * syy - cast(sy as double) * sy)),
+            6) as assortativity""",
+    )
+    bidir.unpersist()
+    return out
+
+
+def duck_assortativity_sql(pairs_sql: str) -> str:
+    """Oracle twin of :func:`assortativity`."""
+    return f"""
+        WITH pairs AS ({pairs_sql}),
+        bidir AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), deg AS (
+            SELECT a AS node, count(*) AS d FROM bidir GROUP BY a
+        ), tagged AS (
+            SELECT dx.d AS dx, dy.d AS dy
+            FROM bidir
+            JOIN deg dx ON dx.node = bidir.a
+            JOIN deg dy ON dy.node = bidir.b
+        ), agg AS (
+            SELECT count(*)::BIGINT AS m,
+                   sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+                   sum(dx * dy)::BIGINT AS sxy,
+                   sum(dx * dx)::BIGINT AS sxx,
+                   sum(dy * dy)::BIGINT AS syy
+            FROM tagged
+        )
+        SELECT m, sx, sxy,
+               round((m::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / sqrt((m::DOUBLE * sxx - sx::DOUBLE * sx)
+                            * (m::DOUBLE * syy - sy::DOUBLE * sy)),
+                     6) AS assortativity
+        FROM agg
+    """

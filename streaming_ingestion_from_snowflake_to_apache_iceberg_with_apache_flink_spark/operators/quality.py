@@ -679,3 +679,112 @@ def duck_mann_whitney_sql(
                      / (n_a * n_b)::DOUBLE, 4) AS rank_biserial
         FROM agg
     """
+
+
+def psi_drift(
+    orders: DataFrame, split: str = "1995-01-01", n_bins: int = 20
+) -> DataFrame:
+    """Population Stability Index between the order-value distributions
+    before and after ``split`` — THE model-monitoring drift number (PSI
+    < 0.1 stable, 0.1–0.25 moderate, > 0.25 action): fixed equal-width
+    bins over o_totalprice, Laplace-smoothed shares, PSI = Σ (p₁−p₀)·
+    ln(p₁/p₀). One row per bin with its contribution plus a ``__total__``
+    row with the verdict band.
+
+    Exactness: bin counts exact from ONE conditional partial agg; each
+    term is (exact-ratio difference)·(ln of exact integer products);
+    the bin-level sums are metadata-sized. Scale shape: single fact
+    pass, bins-sized everything after.
+    """
+    from pyspark.sql import Window
+
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor(F.col("o_totalprice") / F.lit(600000.0 / n_bins)).cast("int"),
+    )
+    post = F.col("o_orderdate") >= F.lit(split).cast("timestamp")
+    bins = orders.select(b.alias("bin"), post.alias("post")).groupBy(
+        "bin"
+    ).agg(
+        F.sum(F.when(~F.col("post"), 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("post"), 1).otherwise(0)).alias("c1"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = bins.select(
+        "bin",
+        "c0",
+        "c1",
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    p0 = (F.col("c0") + 1) / (F.col("n0") + F.lit(n_bins))
+    p1 = (F.col("c1") + 1) / (F.col("n1") + F.lit(n_bins))
+    ln_ratio = (
+        F.log((F.col("c1") + 1).cast("double"))
+        - F.log((F.col("n1") + F.lit(n_bins)).cast("double"))
+        - F.log((F.col("c0") + 1).cast("double"))
+        + F.log((F.col("n0") + F.lit(n_bins)).cast("double"))
+    )
+    terms = t.select(
+        "bin",
+        F.col("c0").cast("bigint").alias("c0"),
+        F.col("c1").cast("bigint").alias("c1"),
+        ((p1 - p0) * ln_ratio).alias("term"),
+    )
+    per_bin = terms.select(
+        "bin", "c0", "c1", F.round("term", 6).alias("psi_contrib")
+    )
+    total = terms.agg(
+        F.lit(-1).cast("int").alias("bin"),
+        F.sum("c0").cast("bigint").alias("c0"),
+        F.sum("c1").cast("bigint").alias("c1"),
+        F.round(F.sum("term"), 6).alias("psi_contrib"),
+    )
+    return per_bin.unionByName(total).withColumn(
+        "band",
+        F.when(F.col("bin") != -1, F.lit(None).cast("string")).otherwise(
+            F.when(F.col("psi_contrib") < 0.1, "stable")
+            .when(F.col("psi_contrib") < 0.25, "moderate")
+            .otherwise("action")
+        ),
+    )
+
+
+def duck_psi_sql(split: str = "1995-01-01", n_bins: int = 20) -> str:
+    """Oracle twin of :func:`psi_drift`."""
+    w = 600000.0 / n_bins
+    return f"""
+        WITH bins AS (
+            SELECT least({n_bins - 1},
+                         CAST(floor(o_totalprice / {w!r}) AS INT)) AS bin,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{split}'
+                            THEN 0 ELSE 1 END) AS c0,
+                   sum(CASE WHEN o_orderdate >= TIMESTAMP '{split}'
+                            THEN 1 ELSE 0 END) AS c1
+            FROM orders GROUP BY 1
+        ), t AS (
+            SELECT bin, c0, c1,
+                   sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+            FROM bins
+        ), terms AS (
+            SELECT bin, c0::BIGINT AS c0, c1::BIGINT AS c1,
+                   ((c1 + 1) / (n1 + {n_bins}) - (c0 + 1) / (n0 + {n_bins}))
+                   * (ln((c1 + 1)::DOUBLE) - ln((n1 + {n_bins})::DOUBLE)
+                      - ln((c0 + 1)::DOUBLE) + ln((n0 + {n_bins})::DOUBLE))
+                       AS term
+            FROM t
+        ), unioned AS (
+            SELECT bin, c0, c1, round(term, 6) AS psi_contrib FROM terms
+            UNION ALL
+            SELECT -1, sum(c0)::BIGINT, sum(c1)::BIGINT,
+                   round(sum(term), 6) FROM terms
+        )
+        SELECT bin, c0, c1, psi_contrib,
+               CASE WHEN bin <> -1 THEN NULL
+                    WHEN psi_contrib < 0.1 THEN 'stable'
+                    WHEN psi_contrib < 0.25 THEN 'moderate'
+                    ELSE 'action' END AS band
+        FROM unioned
+    """
