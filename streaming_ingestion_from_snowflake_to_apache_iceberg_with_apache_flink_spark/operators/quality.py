@@ -742,9 +742,12 @@ def psi_drift(
         F.sum("c1").cast("bigint").alias("c1"),
         F.round(F.sum("term"), 6).alias("psi_contrib"),
     )
+    # per-bin rows carry the literal 'bin' marker, not NULL: a NULL in a
+    # string output column breaks order-insensitive harnesses that sort
+    # raw tuples (None vs str), and the verdict only exists for the total
     return per_bin.unionByName(total).withColumn(
         "band",
-        F.when(F.col("bin") != -1, F.lit(None).cast("string")).otherwise(
+        F.when(F.col("bin") != -1, F.lit("bin")).otherwise(
             F.when(F.col("psi_contrib") < 0.1, "stable")
             .when(F.col("psi_contrib") < 0.25, "moderate")
             .otherwise("action")
@@ -782,7 +785,7 @@ def duck_psi_sql(split: str = "1995-01-01", n_bins: int = 20) -> str:
                    round(sum(term), 6) FROM terms
         )
         SELECT bin, c0, c1, psi_contrib,
-               CASE WHEN bin <> -1 THEN NULL
+               CASE WHEN bin <> -1 THEN 'bin'
                     WHEN psi_contrib < 0.1 THEN 'stable'
                     WHEN psi_contrib < 0.25 THEN 'moderate'
                     ELSE 'action' END AS band
