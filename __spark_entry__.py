@@ -2093,6 +2093,28 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_rate(load_table(spark, sf_dir, "events"))
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue curve (tse.max_drawdown):
+    exact-cents cumulative + running peak over the bounded day table,
+    per-day drawdown fraction with the worst day flagged."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.max_drawdown(load_table(spark, sf_dir, "orders"))
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per type (tse.burstiness): index of dispersion
+    + Goh-Barabasi B from exact daily-count moments — steady-vs-bursty
+    provisioning verdict."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.burstiness(load_table(spark, sf_dir, "events"))
+
+
 def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-30-day MAU stickiness per day (tse.dau_mau): the
     corpus collapses to the distinct (user, day) relation once; the
@@ -3913,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_did": q_did,
         "q_snaive_backtest": q_snaive_backtest,
         "q_dau_mau": q_dau_mau,
+        "q_max_drawdown": q_max_drawdown,
+        "q_burstiness": q_burstiness,
         "q_item_cooccurrence": q_item_cooccurrence,
         "q_attribution": q_attribution,
         "q_shard_assign": q_shard_assign,
@@ -6781,6 +6805,13 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_dau_mau"] = duck_dau_mau_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        duck_burstiness_sql,
+        duck_max_drawdown_sql,
+    )
+
+    out["q_max_drawdown"] = duck_max_drawdown_sql()
+    out["q_burstiness"] = duck_burstiness_sql()
     out["q_item_cooccurrence"] = rel.duck_item_cooccurrence_sql()
     out["q_markov_transitions"] = """
         WITH s AS (

@@ -1139,3 +1139,145 @@ def duck_dau_mau_sql() -> str:
         SELECT day, dau, mau, round(dau / mau, 4) AS stickiness
         FROM dau JOIN mau USING (day)
     """
+
+
+def max_drawdown(orders: DataFrame) -> DataFrame:
+    """Maximum drawdown of the daily-revenue curve — the risk statistic
+    (largest peak-to-trough drop) read over any cumulative series: daily
+    revenue in exact cents, running cumulative, running peak, drawdown
+    fraction per day, and the single worst day flagged.
+
+    Exactness: cents are exact bigints through the cumulative and peak;
+    the drawdown fraction divides exact integers once, rounded(6).
+    Scale shape: the corpus collapses to the DAY table in one partial
+    agg; the cumulative/peak windows run over that bounded calendar
+    relation (the ks_test bounded-domain contract), output is day-sized.
+    """
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    t = daily.select(
+        "day",
+        F.sum("cents").over(cum).alias("cum_cents"),
+    ).select(
+        "day",
+        "cum_cents",
+        F.max("cum_cents").over(cum).alias("peak_cents"),
+    )
+    dd_frac = F.round(
+        (F.col("peak_cents") - F.col("cum_cents"))
+        / F.col("peak_cents").cast("double"),
+        6,
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return t.select(
+        F.col("day").cast("string").alias("day"),
+        "cum_cents",
+        "peak_cents",
+        dd_frac.alias("drawdown"),
+        (dd_frac == F.max(dd_frac).over(wall)).alias("is_max_drawdown"),
+    )
+
+
+def duck_max_drawdown_sql() -> str:
+    """Oracle twin of :func:`max_drawdown`."""
+    return """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ), cum AS (
+            SELECT day,
+                   sum(cents) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cents
+            FROM daily
+        ), t AS (
+            SELECT day, cum_cents,
+                   max(cum_cents) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak_cents
+            FROM cum
+        )
+        SELECT day::VARCHAR AS day, cum_cents::BIGINT AS cum_cents,
+               peak_cents::BIGINT AS peak_cents,
+               round((peak_cents - cum_cents) / peak_cents::DOUBLE, 6)
+                   AS drawdown,
+               round((peak_cents - cum_cents) / peak_cents::DOUBLE, 6)
+                   = max(round((peak_cents - cum_cents)
+                               / peak_cents::DOUBLE, 6)) OVER ()
+                   AS is_max_drawdown
+        FROM t
+    """
+
+
+def burstiness(events: DataFrame) -> DataFrame:
+    """Traffic burstiness per event type: the index of dispersion
+    (variance/mean of daily counts — 1 under Poisson arrivals) and the
+    Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the two numbers
+    that say whether a stream is steady (provision for the mean) or
+    bursty (provision for the spikes).
+
+    Exactness: exact (n, Σc, Σc²) over the (type, day) table; σ and the
+    two ratios are one closed-form double chain each, rounded(4).
+    Scale shape: one corpus partial agg to (type, day), one |types|-row
+    rollup.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.expr(f"cast(floor(unix_micros(ts) / {_DAY_US}) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_days",
+        "sc as n_events",
+        """round((cast(scc as double) - cast(sc as double) * sc / n_days)
+                 / (n_days - 1)
+                 / (cast(sc as double) / n_days), 4) as dispersion""",
+        """round((sqrt((cast(scc as double) - cast(sc as double) * sc / n_days)
+                      / (n_days - 1)) - cast(sc as double) / n_days)
+                 / (sqrt((cast(scc as double) - cast(sc as double) * sc / n_days)
+                         / (n_days - 1)) + cast(sc as double) / n_days),
+                 4) as burstiness""",
+    )
+
+
+def duck_burstiness_sql() -> str:
+    """Oracle twin of :func:`burstiness`."""
+    return """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), agg AS (
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS scc
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days, sc AS n_events,
+               round((scc::DOUBLE - sc::DOUBLE * sc / n_days) / (n_days - 1)
+                     / (sc::DOUBLE / n_days), 4) AS dispersion,
+               round((sqrt((scc::DOUBLE - sc::DOUBLE * sc / n_days)
+                           / (n_days - 1)) - sc::DOUBLE / n_days)
+                     / (sqrt((scc::DOUBLE - sc::DOUBLE * sc / n_days)
+                             / (n_days - 1)) + sc::DOUBLE / n_days),
+                     4) AS burstiness
+        FROM agg
+    """
