@@ -302,3 +302,43 @@ def test_retention_matches_python_reference(spark, rows):
         for key, n in want.items()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=1, max_size=120
+    ),
+    k=st.integers(min_value=1, max_value=9),
+)
+def test_global_ntile_matches_python_reference(spark, vals, k):
+    """ranks.global_ntile reproduces the exact SQL ntile formula over a
+    unique total order on arbitrary inputs — the property every layout
+    carve and quantile bucketer now rests on."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        global_ntile,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v int")
+    got = {
+        r.id: r.bucket
+        for r in global_ntile(
+            df, [F.col("v").asc(), F.col("id").asc()], k
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    size, rem = n // k, n % k
+    want = {}
+    pos = 0
+    for b in range(1, k + 1):
+        take = size + (1 if b <= rem else 0)
+        for i, _v in order[pos : pos + take]:
+            want[i] = b
+        pos += take
+    assert got == want
