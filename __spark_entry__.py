@@ -3181,6 +3181,18 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_test(load_table(spark, sf_dir, "documents"))
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (quality.l_diversity_audit): per-QI-group
+    distinct sensitive values over the same generalized identifiers as
+    q_k_anonymity — the homogeneity-attack gate; one corpus partial agg,
+    metadata-sized rollups."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    return l_diversity_audit(load_table(spark, sf_dir, "events"))
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between pre/post order-value
     distributions (quality.psi_drift): one conditional fact pass to
@@ -4113,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_test": q_ks_test,
         "q_mann_whitney": q_mann_whitney,
         "q_psi_drift": q_psi_drift,
+        "q_l_diversity": q_l_diversity,
         "q_assortativity": q_assortativity,
         "q_heaps_fit": q_heaps_fit,
         "q_quantile_normalize": q_quantile_normalize,
@@ -7819,6 +7832,11 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_psi_drift"] = duck_psi_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        duck_l_diversity_sql,
+    )
+
+    out["q_l_diversity"] = duck_l_diversity_sql()
     out["q_assortativity"] = dd.duck_assortativity_sql(
         out["q_dedup_ngram_jaccard"]
     )

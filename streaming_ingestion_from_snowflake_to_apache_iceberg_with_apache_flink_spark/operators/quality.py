@@ -791,3 +791,72 @@ def duck_psi_sql(split: str = "1995-01-01", n_bins: int = 20) -> str:
                     ELSE 'action' END AS band
         FROM unioned
     """
+
+
+def l_diversity_audit(events: DataFrame, l_min: int = 3) -> DataFrame:
+    """l-diversity audit — the governance gate k-anonymity alone misses:
+    a QI group can be large (k-anonymous) yet expose everyone in it if
+    the SENSITIVE attribute is uniform inside the group (homogeneity
+    attack). Over the same generalized QI pair as ``k_anonymity_audit``
+    (event day, value bucket), with ``event_type`` as the sensitive
+    attribute: per-group distinct sensitive values, groups below
+    ``l_min``, rows at risk, and the worst (most homogeneous big) group.
+
+    Scale shape: one (QI, sensitive) partial agg — the only corpus-sized
+    shuffle — then a QI-level rollup and a day-level report; everything
+    after the first aggregation is metadata-sized.
+    """
+    day_ms = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(1000)
+    ).cast("long")
+    bucket = F.floor(F.col("value") / F.lit(5.0)).cast("long")
+    cells = (
+        events.select(
+            day_ms.alias("day_ms"), bucket.alias("vb"), "event_type"
+        )
+        .groupBy("day_ms", "vb", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    groups = cells.groupBy("day_ms", "vb").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("l_distinct"),
+    )
+    viol = F.col("l_distinct") < l_min
+    return groups.groupBy("day_ms").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(viol.cast("int")).cast("bigint").alias("n_violating"),
+        F.sum(F.when(viol, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("l_distinct").cast("bigint").alias("worst_l"),
+        F.round(
+            F.sum(F.when(viol, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows"),
+            6,
+        ).alias("risk_fraction"),
+    )
+
+
+def duck_l_diversity_sql(l_min: int = 3) -> str:
+    """Oracle twin of :func:`l_diversity_audit`."""
+    return f"""
+        WITH cells AS (
+            SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+                   CAST(floor(value / 5.0) AS BIGINT) AS vb,
+                   event_type, count(*) AS c
+            FROM events GROUP BY 1, 2, 3
+        ), groups AS (
+            SELECT day_ms, vb, sum(c) AS n_rows,
+                   count(*) AS l_distinct
+            FROM cells GROUP BY 1, 2
+        )
+        SELECT day_ms, count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN l_distinct < {l_min} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_violating,
+               sum(CASE WHEN l_distinct < {l_min} THEN n_rows ELSE 0
+                   END)::BIGINT AS rows_at_risk,
+               min(l_distinct)::BIGINT AS worst_l,
+               round(sum(CASE WHEN l_distinct < {l_min} THEN n_rows ELSE 0
+                         END) / sum(n_rows), 6) AS risk_fraction
+        FROM groups GROUP BY day_ms
+    """
