@@ -3608,6 +3608,18 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_evolution(load_table(spark, sf_dir, "orders"))
 
 
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding choice audit (layout.encoding_audit): per
+    column exact distinct/byte models (dict values + packed index bits vs
+    plain), one Expand-planned multi-distinct pass, encode verdict — the
+    writer decision beside the zonemap/zorder file story."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        encoding_audit,
+    )
+
+    return encoding_audit(load_table(spark, sf_dir, "orders"))
+
+
 def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file-skipping audit (layout.zonemap_prune_audit): for
     insertion-order files (contiguous o_orderkey ranges), how many can a
@@ -4109,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": q_zorder_layout,
         "q_hilbert_layout": q_hilbert_layout,
         "q_partition_evolution": q_partition_evolution,
+        "q_encoding_audit": q_encoding_audit,
         "q_zonemap_prune": q_zonemap_prune,
         "q_merge_delete": q_merge_delete,
         "q_stream_join": q_stream_join,
@@ -7658,6 +7671,11 @@ def _extension_oracles() -> dict[str, str]:
     out["q_zorder_layout"] = duck_zorder_sql()
     out["q_hilbert_layout"] = duck_hilbert_sql()
     out["q_partition_evolution"] = duck_partition_evolution_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        duck_encoding_audit_sql,
+    )
+
+    out["q_encoding_audit"] = duck_encoding_audit_sql()
     out["q_zonemap_prune"] = duck_zonemap_sql()
     out["q_time_travel"] = f"""
         SELECT {_ORDERS_OUT}

@@ -639,3 +639,101 @@ def duck_partition_evolution_sql() -> str:
                sum(n_match)::BIGINT AS rows_matching
         FROM flagged GROUP BY spec
     """
+
+
+#: columns audited by encoding_audit: (name, kind) — strings model plain
+#: storage as total byte length, numerics as 8 bytes/row
+_ENC_COLS = (
+    ("o_orderpriority", "string"),
+    ("o_orderstatus", "string"),
+    ("o_custkey", "numeric"),
+    ("o_totalprice", "numeric"),
+)
+
+
+def encoding_audit(orders: DataFrame) -> DataFrame:
+    """Dictionary-encoding choice audit — the Parquet/ORC writer decision
+    modeled explicitly: per column, exact n / distinct / plain bytes vs
+    the dictionary model (distinct values stored once + one index of
+    ``floor(log2(d−1))+1`` bits per row), the compression ratio, and the
+    encode verdict (dict iff ratio < 0.8 — low-cardinality columns win
+    big, near-unique columns lose). This is the column-level read-out
+    behind the zonemap/zorder file decisions.
+
+    Exactness: byte models are pure integer arithmetic (log2 is exact on
+    powers of two and floor-safe between them); the ratio divides exact
+    integers once, rounded. Scale shape: ONE pass — the multi-distinct
+    aggregate plans as a single Expand scan (the column_profile shape);
+    the melt to per-column rows happens on the one aggregate row.
+    """
+    aggs = []
+    for c, kind in _ENC_COLS:
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+        if kind == "string":
+            aggs.append(
+                F.sum(F.length(c)).cast("bigint").alias(f"w_{c}")
+            )
+            aggs.append(
+                F.max(F.length(c)).cast("bigint").alias(f"mw_{c}")
+            )
+    row = orders.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    stacks = []
+    for c, kind in _ENC_COLS:
+        if kind == "string":
+            plain = f"w_{c}"
+            dict_vals = f"d_{c} * mw_{c}"
+        else:
+            plain = "n * 8"
+            dict_vals = f"d_{c} * 8"
+        bits = f"(cast(floor(log2(greatest(d_{c} - 1, 1))) as bigint) + 1)"
+        dict_bytes = (
+            f"cast({dict_vals} + (n * {bits} + 7) div 8 as bigint)"
+        )
+        stacks.append(
+            f"'{c}', cast(d_{c} as bigint), cast({plain} as bigint),"
+            f" {dict_bytes}"
+        )
+    melted = row.selectExpr(
+        "n",
+        f"stack({len(_ENC_COLS)}, {', '.join(stacks)})"
+        " as (col, n_distinct, plain_bytes, dict_bytes)",
+    )
+    ratio = F.round(F.col("dict_bytes") / F.col("plain_bytes"), 4)
+    return melted.select(
+        "col",
+        F.col("n").cast("bigint").alias("n_rows"),
+        "n_distinct",
+        "plain_bytes",
+        "dict_bytes",
+        ratio.alias("ratio"),
+        (ratio < 0.8).alias("use_dict"),
+    )
+
+
+def duck_encoding_audit_sql() -> str:
+    """Oracle twin of :func:`encoding_audit` — one aggregate per column,
+    unioned."""
+    parts = []
+    for c, kind in _ENC_COLS:
+        if kind == "string":
+            plain = f"sum(length({c}))"
+            dict_vals = f"count(DISTINCT {c}) * max(length({c}))"
+        else:
+            plain = "count(*) * 8"
+            dict_vals = f"count(DISTINCT {c}) * 8"
+        bits = (
+            f"(CAST(floor(log2(greatest(count(DISTINCT {c}) - 1, 1)))"
+            f" AS BIGINT) + 1)"
+        )
+        parts.append(f"""
+        SELECT '{c}' AS col, count(*)::BIGINT AS n_rows,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               CAST({plain} AS BIGINT) AS plain_bytes,
+               CAST({dict_vals}
+                    + (count(*) * {bits} + 7) // 8 AS BIGINT) AS dict_bytes,
+               round(({dict_vals} + (count(*) * {bits} + 7) // 8)
+                     / CAST({plain} AS DOUBLE), 4) AS ratio,
+               round(({dict_vals} + (count(*) * {bits} + 7) // 8)
+                     / CAST({plain} AS DOUBLE), 4) < 0.8 AS use_dict
+        FROM orders""")
+    return " UNION ALL ".join(parts)
