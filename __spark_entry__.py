@@ -2127,6 +2127,17 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tse.dau_mau(load_table(spark, sf_dir, "events"))
 
 
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch guard (tse.ab_srm): per-arm USER counts
+    under the q_did hash assignment, one-degree chi^2 vs the even split,
+    alarm at 3.84 — the validity check before any experiment metric."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators import (
+        timeseries as tse,
+    )
+
+    return tse.ab_srm(load_table(spark, sf_dir, "events"))
+
+
 def q_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest per type (tse.snaive_backtest):
     predict day d with day d-7, exact integer errors on the (type, day)
@@ -3958,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entropy_rate": q_entropy_rate,
         "q_did": q_did,
         "q_snaive_backtest": q_snaive_backtest,
+        "q_ab_srm": q_ab_srm,
         "q_dau_mau": q_dau_mau,
         "q_max_drawdown": q_max_drawdown,
         "q_burstiness": q_burstiness,
@@ -6826,6 +6838,11 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_snaive_backtest"] = duck_snaive_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        duck_ab_srm_sql,
+    )
+
+    out["q_ab_srm"] = duck_ab_srm_sql()
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
         duck_dau_mau_sql,
     )

@@ -1281,3 +1281,75 @@ def duck_burstiness_sql() -> str:
                      4) AS burstiness
         FROM agg
     """
+
+
+def ab_srm(events: DataFrame) -> DataFrame:
+    """Sample-Ratio Mismatch guard for the A/B assignment — the first
+    check every experimentation platform runs (a biased randomizer
+    invalidates the whole experiment before any metric is read): the
+    same deterministic 50/50 user hash as :func:`did_estimator`, the
+    per-arm USER counts (assignment is per user, not per event), and the
+    one-degree chi² against the expected even split, with the
+    conventional alarm at chi² > 3.84 (p < 0.05).
+
+    Exactness: user counts exact; chi² = (n₀−n₁)²/(n₀+n₁) — one division
+    of exact integers, rounded(4). One distinct-user reduction, one-row
+    output.
+    """
+    from ..functions import hashing as H
+
+    h = H.spark_h32("concat('did:', cast(user_id as string))")
+    users = events.select("user_id").distinct().selectExpr(
+        f"cast(pmod({h}, 2) as int) as arm"
+    )
+    agg = users.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treatment"),
+    )
+    chi2 = F.round(
+        (
+            (F.col("n_control") - F.col("n_treatment"))
+            * (F.col("n_control") - F.col("n_treatment"))
+        ).cast("double")
+        / (F.col("n_control") + F.col("n_treatment")),
+        4,
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        chi2.alias("chi2"),
+        (chi2 > 3.84).alias("srm_alarm"),
+    )
+
+
+def duck_ab_srm_sql() -> str:
+    """Oracle twin of :func:`ab_srm`."""
+    from ..functions import hashing as H
+
+    h = H.duck_h32("('did:' || user_id::VARCHAR)")
+    return f"""
+        WITH users AS (
+            SELECT DISTINCT user_id FROM events
+        ), arms AS (
+            SELECT ({h} % 2) AS arm FROM users
+        ), agg AS (
+            SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_control,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_treatment
+            FROM arms
+        )
+        SELECT n_control, n_treatment,
+               round((n_control - n_treatment)
+                     * (n_control - n_treatment)
+                     / (n_control + n_treatment)::DOUBLE, 4) AS chi2,
+               round((n_control - n_treatment)
+                     * (n_control - n_treatment)
+                     / (n_control + n_treatment)::DOUBLE, 4) > 3.84
+                   AS srm_alarm
+        FROM agg
+    """
