@@ -2972,6 +2972,57 @@ def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-token sketch per language
+    (streaming/state.stream_kmv): k smallest distinct hashes as
+    fixed-size keyed state — set-min merge commutes, so the drained
+    sketch is bit-identical to the batch sketch and the integer
+    floor-division estimate sits inside the exact oracle gate; emits
+    (lang, k_used, kth, n_est, n_exact) with the exact side joined
+    batch-side."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
+        hashing as HH,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sketch import (
+        HASH_DOMAIN,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
+        _file_stream,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        stream_kmv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")  # pins session confs
+    tok = HH.spark_tokens("text")
+    feed = _file_stream(spark, sf_dir, "documents.parquet").selectExpr(
+        "lang", f"explode(array_distinct({tok})) as token"
+    ).selectExpr("lang", HH.spark_h32("token") + " as h")
+    sink = drain_to_memory(
+        spark, stream_kmv(feed), "q_stream_kmv_mem", "update"
+    )
+    final = sink.groupBy("lang").agg(
+        F.max("ku").cast("int").alias("k_used"),
+        F.max_by("kth", "ku").alias("kth"),
+    )
+    exact = (
+        docs.selectExpr("lang", f"explode(array_distinct({tok})) as token")
+        .selectExpr("lang", HH.spark_h32("token") + " as h")
+        .groupBy("lang")
+        .agg(F.countDistinct("h").cast("bigint").alias("n_exact"))
+    )
+    return final.join(exact, "lang").selectExpr(
+        "lang",
+        "k_used",
+        "kth",
+        f"cast((k_used - 1) * {HASH_DOMAIN}L div kth as bigint) as n_est",
+        "n_exact",
+    )
+
+
 def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-type value monitor (streaming/state.stream_moments):
     exact integer (n, Σcents, Σcents²) folded in keyed state — sums
@@ -4167,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_cdc": q_stream_cdc,
         "q_stream_lsh_dedup": q_stream_lsh_dedup,
         "q_stream_moments": q_stream_moments,
+        "q_stream_kmv": q_stream_kmv,
     }
     missing = [n for n in _ROUND6_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
@@ -7719,6 +7771,35 @@ def _extension_oracles() -> dict[str, str]:
                count(*) AS batch_rows,
                count(*) AS offset
         FROM orders GROUP BY 1
+    """
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        KMV_STREAM_K,
+    )
+
+    _toks = H.duck_tokens("text")
+    out["q_stream_kmv"] = f"""
+        WITH hashes AS (
+            SELECT DISTINCT lang, {H.duck_h32('token')} AS h
+            FROM (SELECT lang, unnest(list_distinct({_toks})) AS token
+                  FROM documents)
+        ), sk AS (
+            SELECT lang, h FROM (
+                SELECT lang, h, row_number() OVER (
+                    PARTITION BY lang ORDER BY h) AS rk
+                FROM hashes
+            ) WHERE rk <= {KMV_STREAM_K}
+        ), summ AS (
+            SELECT lang, CAST(count(*) AS INT) AS k_used,
+                   max(h) AS kth
+            FROM sk GROUP BY lang
+        ), exact AS (
+            SELECT lang, count(*)::BIGINT AS n_exact
+            FROM hashes GROUP BY lang
+        )
+        SELECT lang, k_used, kth,
+               ((k_used - 1) * 4294967296 // kth)::BIGINT AS n_est,
+               n_exact
+        FROM summ JOIN exact USING (lang)
     """
     out["q_stream_moments"] = """
         WITH agg AS (
