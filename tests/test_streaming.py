@@ -524,3 +524,60 @@ def test_stream_band_min_invariant_to_microbatch_split(spark, tmp_path):
             .collect()
         }
         assert final == batch, f"{n_files}-file split diverged"
+
+
+def test_stream_kmv_invariant_to_microbatch_split(spark, tmp_path):
+    """stream_kmv's set-min merge commutes, so the drained per-key
+    sketch (kth, ku) equals the batch k-minimum sketch whether the feed
+    arrives as one file or three."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
+        hashing as H,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        KMV_STREAM_K,
+        stream_kmv,
+    )
+
+    events = load_table(spark, SF, "events")
+    hashes = events.selectExpr(
+        "event_type as lang", H.spark_h32("props") + " as h"
+    )
+    from pyspark.sql import Window as W
+
+    batch = {
+        (r.lang): (r.kth, r.ku)
+        for r in hashes.distinct()
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("lang").orderBy("h"))
+        )
+        .filter(F.col("rk") <= KMV_STREAM_K)
+        .groupBy("lang")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("ku"))
+        .collect()
+    }
+    for n_files, name in ((1, "kmv_one"), (3, "kmv_three")):
+        path = str(tmp_path / f"ksrc_{n_files}")
+        for i in range(n_files):
+            events.filter(F.col("event_id") % n_files == i).coalesce(
+                1
+            ).write.mode("append").parquet(path)
+        feed = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .selectExpr("event_type as lang", H.spark_h32("props") + " as h")
+        )
+        sink = drain_to_memory(spark, stream_kmv(feed), name, "update")
+        final = {
+            r.lang: (r.kth, r.ku)
+            for r in sink.groupBy("lang")
+            .agg(
+                F.max_by("kth", "ku").alias("kth"),
+                F.max("ku").alias("ku"),
+            )
+            .collect()
+        }
+        assert final == batch, f"{n_files}-file split diverged"
