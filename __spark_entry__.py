@@ -3656,6 +3656,18 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_layout(load_table(spark, sf_dir, "orders"))
 
 
+def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected stabbing count per layout (layout.clustering_depth): the
+    one-number clustering-quality metric — expected files containing a
+    uniform random key point, Σ(range)/domain over the hilbert-vs-zorder
+    carve stats; metadata-sized rollup on the carve output."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        clustering_depth,
+    )
+
+    return clustering_depth(load_table(spark, sf_dir, "orders"))
+
+
 def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution pruning audit (layout.partition_evolution):
     day->month spec cutover, per-era file inventory from one conditional
@@ -4185,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hilbert_layout": q_hilbert_layout,
         "q_partition_evolution": q_partition_evolution,
         "q_encoding_audit": q_encoding_audit,
+        "q_clustering_depth": q_clustering_depth,
         "q_zonemap_prune": q_zonemap_prune,
         "q_merge_delete": q_merge_delete,
         "q_stream_join": q_stream_join,
@@ -7745,6 +7758,11 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_encoding_audit"] = duck_encoding_audit_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        duck_clustering_depth_sql,
+    )
+
+    out["q_clustering_depth"] = duck_clustering_depth_sql()
     out["q_zonemap_prune"] = duck_zonemap_sql()
     out["q_time_travel"] = f"""
         SELECT {_ORDERS_OUT}

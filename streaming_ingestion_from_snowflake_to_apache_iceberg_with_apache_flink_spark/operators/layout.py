@@ -737,3 +737,40 @@ def duck_encoding_audit_sql() -> str:
                      / CAST({plain} AS DOUBLE), 4) < 0.8 AS use_dict
         FROM orders""")
     return " UNION ALL ".join(parts)
+
+
+def clustering_depth(orders: DataFrame, n_files: int = 64) -> DataFrame:
+    """Clustering quality in ONE number per layout — the expected
+    STABBING COUNT: for a uniform random point query on a key, the
+    expected number of files whose [min, max] range contains it equals
+    Σ(max−min+1)/domain over the files; 1.0 is perfect clustering, and
+    the gap between layouts is exactly the pruning advantage the per-box
+    audit (``hilbert_layout``) shows predicate-by-predicate. Reported
+    per layout and per key (x, y) over the hilbert-vs-zorder carve.
+
+    Exactness: integer range sums over the n_files-row stats table, one
+    division per number, rounded(4). Scale shape: inherits the carve's
+    cost; this is a metadata-sized rollup on its output.
+    """
+    stats = hilbert_layout(orders, n_files)
+    domain = float(_HN)
+    return stats.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.round(
+            F.sum(F.col("max_x") - F.col("min_x") + 1) / F.lit(domain), 4
+        ).alias("stab_x"),
+        F.round(
+            F.sum(F.col("max_y") - F.col("min_y") + 1) / F.lit(domain), 4
+        ).alias("stab_y"),
+    )
+
+
+def duck_clustering_depth_sql(n_files: int = 64) -> str:
+    """Oracle twin of :func:`clustering_depth` over the same carve."""
+    return f"""
+        WITH stats AS ({duck_hilbert_sql(n_files)})
+        SELECT layout, count(*)::BIGINT AS n_files,
+               round(sum(max_x - min_x + 1) / {float(_HN)!r}, 4) AS stab_x,
+               round(sum(max_y - min_y + 1) / {float(_HN)!r}, 4) AS stab_y
+        FROM stats GROUP BY layout
+    """
