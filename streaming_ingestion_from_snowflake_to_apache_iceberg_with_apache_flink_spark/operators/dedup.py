@@ -1183,8 +1183,10 @@ def bfs_depth(
     )
     n_edges = edges.count()  # materialize once; also sizes the loop
     with graph_shuffle_scope(edges, n_edges):
-        seed = edges.agg(F.min("a").alias("doc_id")).select(
-            "doc_id", F.lit(0).alias("depth")
+        seed = (
+            edges.agg(F.min("a").alias("doc_id"))
+            .filter(F.col("doc_id").isNotNull())  # empty graph ⇒ no seed
+            .select("doc_id", F.lit(0).alias("depth"))
         )
         visited = seed
         frontier = seed

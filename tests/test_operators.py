@@ -3318,3 +3318,19 @@ def test_dp_counts_mechanism_properties(spark):
         assert r.n_released >= 0
         assert abs(r.n_released - r.n_true) <= abs(r.noise) + 1
         assert abs(r01[t].noise - 10 * r.noise) < 2e-3, t
+
+
+def test_graph_family_handles_empty_pair_input(spark):
+    """Every near-dup graph operator must degrade cleanly on an empty
+    edge list (a clean corpus is a legal input): empty output, no NULL
+    phantom rows, no exception."""
+    import streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup as dd
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dd.label_propagation(empty).count() == 0
+    assert dd.kcore_peel(empty).count() == 0
+    assert dd.bfs_depth(empty).count() == 0
+    # the two graph-level statistics keep their one-row summary shape,
+    # with NULL (undefined) statistics rather than a crash
+    assert dd.assortativity(empty).count() == 1
+    assert dd.modularity(empty).count() == 1
