@@ -581,3 +581,74 @@ def test_stream_kmv_invariant_to_microbatch_split(spark, tmp_path):
             .collect()
         }
         assert final == batch, f"{n_files}-file split diverged"
+
+
+def test_stream_kmv_restart_recovers_state(spark, tmp_path):
+    """Stateful-sketch fault tolerance: drain half the feed into a
+    checkpointed stream_kmv query, STOP, land the second half, restart
+    with the SAME checkpoint — the recovered state must continue the
+    sketch, and the final per-key (kth, ku) must equal the batch sketch
+    over the full feed (state restored, nothing lost or re-folded)."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
+        hashing as H,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.state import (
+        KMV_STREAM_K,
+        stream_kmv,
+    )
+
+    events = load_table(spark, SF, "events")
+    halves = [
+        events.filter(F.col("event_id") % 2 == i) for i in (0, 1)
+    ]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    halves[0].coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        feed = (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .selectExpr("event_type as lang", H.spark_h32("props") + " as h")
+        )
+        q = (
+            stream_kmv(feed)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    final = {
+        r.lang: (r.kth, r.ku)
+        for r in spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.max_by("kth", "ku").alias("kth"), F.max("ku").alias("ku"))
+        .collect()
+    }
+    from pyspark.sql import Window as W
+
+    batch = {
+        r.lang: (r.kth, r.ku)
+        for r in events.selectExpr(
+            "event_type as lang", H.spark_h32("props") + " as h"
+        )
+        .distinct()
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("lang").orderBy("h"))
+        )
+        .filter(F.col("rk") <= KMV_STREAM_K)
+        .groupBy("lang")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("ku"))
+        .collect()
+    }
+    assert final == batch
