@@ -2924,15 +2924,17 @@ def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming NEAR-duplicate detection (streaming/state.
-    lsh_band_min_stream): documents stream through the same MinHash-LSH
-    band projection as q_dedup_minhash_lsh, a keyed running-min state per
-    band (|bands| longs, never |docs|), and a doc is flagged iff some
-    band's minimum is a smaller doc_id — a verdict independent of arrival
-    and micro-batch order (min is commutative), so the drained result
-    hash-matches the batch oracle exactly. The in-stream twin of the LSH
-    candidate generator; the bucket-size cut is deliberately absent (a
-    stream cannot know final bucket sizes), matched by the oracle."""
+    """Streaming NEAR-duplicate detection: documents stream through the
+    same MinHash-LSH band projection as q_dedup_minhash_lsh into a
+    BUILT-IN streaming min aggregation (JVM state, one long per band —
+    never |docs|; the applyInPandasWithState twin lives in
+    streaming/state.lsh_band_min_stream, split-invariance-tested), and a
+    doc is flagged iff some band's minimum is a smaller doc_id — a
+    verdict independent of arrival and micro-batch order (min is
+    commutative), so the drained result hash-matches the batch oracle
+    exactly. The in-stream twin of the LSH candidate generator; the
+    bucket-size cut is deliberately absent (a stream cannot know final
+    bucket sizes), matched by the oracle."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
         hashing as HH,
     )
