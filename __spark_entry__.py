@@ -2080,6 +2080,18 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(load_table(spark, sf_dir, "events"))
 
 
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type chain
+    (sessions.markov_stationary): 8 unrolled power-iteration steps over
+    the |types|^2 matrix from the uniform start, next to the empirical
+    share — the steady-state behavior mix, unrolled-CTE oracle."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        markov_stationary,
+    )
+
+    return markov_stationary(load_table(spark, sf_dir, "events"))
+
+
 def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plug-in entropy rate of the event-type chain
     (sessions.entropy_rate): per-state conditional entropy + the
@@ -4032,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_markov_transitions": q_markov_transitions,
         "q_entropy_rate": q_entropy_rate,
+        "q_markov_stationary": q_markov_stationary,
         "q_did": q_did,
         "q_snaive_backtest": q_snaive_backtest,
         "q_ab_srm": q_ab_srm,
@@ -6899,6 +6912,11 @@ def _extension_oracles() -> dict[str, str]:
     )
 
     out["q_entropy_rate"] = duck_entropy_rate_sql()
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        duck_markov_stationary_sql,
+    )
+
+    out["q_markov_stationary"] = duck_markov_stationary_sql()
     out["q_did"] = duck_did_sql()
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
         duck_snaive_sql,

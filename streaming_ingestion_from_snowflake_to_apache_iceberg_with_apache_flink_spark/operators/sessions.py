@@ -546,3 +546,110 @@ def duck_entropy_rate_sql() -> str:
         )
         SELECT * FROM per_src UNION ALL SELECT * FROM overall
     """
+
+
+def markov_stationary(events: DataFrame, rounds: int = 8) -> DataFrame:
+    """Stationary distribution of the first-order event-type chain —
+    where user behavior settles in steady state (the long-run share of
+    each event type, vs the empirical share that includes transient
+    session starts): ``rounds`` unrolled power-iteration steps of
+    π ← πP from the uniform start, over the |types|² transition matrix.
+
+    Exactness: P's entries are exact count ratios; each step is a
+    metadata-sized join + agg with double arithmetic of identical shape
+    cross-engine (|types| terms per entry — far below the final
+    round(6)); fixed rounds keep it a static DAG with an unrolled-CTE
+    oracle, like the PageRank/k-means loops.
+
+    Scale shape: ONE corpus pass (the markov_transitions lead + pair
+    agg); every iteration runs on the |types|²-row matrix.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("src")
+        )
+        .select("src", F.lead("src").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    wt = Window.partitionBy("src")
+    p = pairs.select(
+        "src", "dst", (F.col("n") / F.sum("n").over(wt)).alias("p")
+    ).persist()
+    p.count()
+    states = p.select(F.col("src").alias("state")).distinct()
+    n_states = states.count()
+    pi = states.select("state", F.lit(1.0 / n_states).alias("pi"))
+    for _ in range(rounds):
+        pi = (
+            p.join(pi.withColumnRenamed("state", "src"), "src")
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    emp = pairs.groupBy(F.col("src").alias("state")).agg(
+        F.sum("n").alias("n_src")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = pi.join(emp, "state").select(
+        "state",
+        F.round("pi", 6).alias("stationary_share"),
+        F.round(F.col("n_src") / F.sum("n_src").over(wall), 6).alias(
+            "empirical_share"
+        ),
+    )
+    pairs.unpersist()
+    p.unpersist()
+    return out
+
+
+def duck_markov_stationary_sql(rounds: int = 8) -> str:
+    """Oracle twin of :func:`markov_stationary` — the iteration unrolled
+    as CTEs."""
+    ctes = [
+        """
+        WITH seq AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events
+        ), pairs AS (
+            SELECT src, dst, count(*) AS n FROM seq
+            WHERE dst IS NOT NULL GROUP BY src, dst
+        ), p AS (
+            SELECT src, dst,
+                   n / sum(n) OVER (PARTITION BY src) AS p
+            FROM pairs
+        ), states AS (
+            SELECT DISTINCT src AS state FROM p
+        ), k AS (
+            SELECT count(*) AS k FROM states
+        ), pi0 AS (
+            SELECT state, 1.0 / k AS pi FROM states CROSS JOIN k
+        )"""
+    ]
+    prev = "pi0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""", pi{r} AS (
+            SELECT p.dst AS state, sum({prev}.pi * p.p) AS pi
+            FROM p JOIN {prev} ON {prev}.state = p.src
+            GROUP BY p.dst
+        )"""
+        )
+        prev = f"pi{r}"
+    ctes.append(
+        f""", emp AS (
+            SELECT src AS state, sum(n) AS n_src FROM pairs GROUP BY src
+        )
+        SELECT state, round({prev}.pi, 6) AS stationary_share,
+               round(n_src / sum(n_src) OVER (), 6) AS empirical_share
+        FROM {prev} JOIN emp USING (state)"""
+    )
+    return "".join(ctes)
