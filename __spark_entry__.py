@@ -2046,15 +2046,16 @@ def q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private count release (quality.dp_counts): Laplace
-    inverse-CDF noise from a deterministic md5-seeded uniform — the DP
-    mechanism's exact shape, reproducible and oracle-checked; the
-    governance release half of the k-anonymity audit."""
+    """Laplace-mechanism SHAPE audit (quality.dp_mechanism_audit):
+    inverse-CDF noise from a deterministic md5-seeded uniform — NOT an
+    actual DP release (the noise is a public function of the key); pins
+    the mechanism/clamp/rounding reproducibly and oracle-checked, the
+    governance release-path half of the k-anonymity audit."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
-        dp_counts,
+        dp_mechanism_audit,
     )
 
-    return dp_counts(load_table(spark, sf_dir, "events"))
+    return dp_mechanism_audit(load_table(spark, sf_dir, "events"))
 
 
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,14 @@ _TOKENS = H.spark_tokens("text")
 
 
 from contextlib import contextmanager
+from threading import RLock
+
+#: serializes set→loop→restore of the session-global shuffle-partition
+#: conf across threads — the same shared-mutable-conf hazard the sink
+#: fixed with _OVERWRITE_MODE_LOCK (sinks/catalog.py): without it, a
+#: concurrent query on the same SparkSession would silently plan its
+#: shuffles at the graph-sized (tiny) partition count.
+_GRAPH_SHUFFLE_LOCK = RLock()
 
 
 @contextmanager
@@ -48,15 +56,23 @@ def graph_shuffle_scope(df: DataFrame, n_edges: int):
     of the corpus, and a handful of loop shuffles at session parallelism
     is pure scheduling overhead. At real scale ``edges/200k`` exceeds
     the session setting and this is a no-op; restores the session value
-    on exit either way."""
+    on exit either way.
+
+    The conf is SESSION-global, so the set→loop→restore sequence holds
+    ``_GRAPH_SHUFFLE_LOCK`` for its duration: two graph loops on one
+    session serialize (each is seconds of scheduling-bound work), and a
+    non-graph query on another thread can still race the conf read — but
+    only between loops, never observing a torn set/restore from this
+    scope. Single-threaded drivers (the common case) are unaffected."""
     spark = df.sparkSession
-    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(2, min(int(session_parts), n_edges // 200_000 + 2))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+    with _GRAPH_SHUFFLE_LOCK:
+        session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        loop_parts = max(2, min(int(session_parts), n_edges // 200_000 + 2))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", session_parts)
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate removal on text content, keeping min doc_id.
@@ -1219,7 +1235,11 @@ def duck_bfs_sql(pairs_sql: str, rounds: int = 3) -> str:
             SELECT doc_a AS a, doc_b AS b FROM p
             UNION SELECT doc_b, doc_a FROM p
         )""",
-        "v0 AS (SELECT min(a) AS doc_id, 0 AS depth FROM e)",
+        # the min() aggregate always emits one row; filter the NULL it
+        # yields on an empty edge set so the oracle matches bfs_depth's
+        # zero-row Spark result on empty pair graphs
+        "v0 AS (SELECT min(a) AS doc_id, 0 AS depth FROM e"
+        " HAVING min(a) IS NOT NULL)",
     ]
     prev_v, prev_f = "v0", "v0"
     for d in range(1, rounds + 1):

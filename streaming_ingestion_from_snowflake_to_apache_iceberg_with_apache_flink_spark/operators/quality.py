@@ -508,16 +508,23 @@ def duck_ks_test_sql(source_a: str = "src0", source_b: str = "src1") -> str:
     """
 
 
-def dp_counts(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
-    """Differentially-private release of per-type event counts: Laplace
-    (sensitivity 1 / ε) noise via the inverse CDF driven by the md5-h32
-    of the type — a DETERMINISTIC noise draw, so the release is
-    reproducible and exactly oracle-checkable while keeping the DP
-    mechanism's exact shape (in production the uniform comes from a
-    CSPRNG; the mechanism, clamp, and rounding are what this operator
-    pins down). Completes the governance battery next to
+def dp_mechanism_audit(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
+    """**NOT actually private — audit of the Laplace mechanism's shape
+    only; never wire this into a real release path.** The noise is drawn
+    deterministically from md5(event_type), i.e. it is a public function
+    of the key, the 'release' is exactly invertible, and the effective
+    ε-DP guarantee is ZERO (the output even carries ``n_true`` next to
+    ``n_released`` so the audit can diff them).
+
+    What it IS: a pipeline audit of the Laplace (sensitivity 1 / ε)
+    count-release mechanism — inverse-CDF draw, clamp, and integer
+    rounding — with the uniform replaced by a hash so the whole
+    computation is reproducible and exactly oracle-checkable. In
+    production the uniform comes from a CSPRNG and ``n_true``/``noise``
+    are never emitted; the mechanism, clamp, and rounding are what this
+    operator pins down. Completes the governance battery next to
     ``k_anonymity_audit``: suppression tells you what you may not
-    release raw; this is HOW you release it.
+    release raw; this audits HOW a release would be computed.
 
     One row per type: true count, the noise drawn, and the released
     integer (noisy count, floor(x+0.5), clamped at 0). Scale shape: one
@@ -549,7 +556,8 @@ def dp_counts(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
 
 
 def duck_dp_counts_sql(epsilon: float = 1.0) -> str:
-    """DuckDB twin of ``dp_counts`` (same hash-seeded inverse CDF)."""
+    """DuckDB twin of ``dp_mechanism_audit`` (same hash-seeded inverse
+    CDF — same NOT-actually-private caveat)."""
     from ..functions import hashing as H
 
     seed = "'dp:' || event_type"

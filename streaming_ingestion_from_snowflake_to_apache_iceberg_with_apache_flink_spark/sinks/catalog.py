@@ -794,8 +794,12 @@ def write_audit_publish(
     publish = all(v == 0 for _, v in checks)
     n_published = 0
     if publish:
+        # count the rows THIS publish appends (the staged batch), not the
+        # final table's total — the final table may already hold rows from
+        # earlier epochs/runs, and reporting its full count as
+        # "n_published" would overstate this batch's contribution
+        n_published = staged.count()
         final.write_batch(staged, epoch)
-        n_published = final.read().count()
     rows = [
         (name, v, v == 0, publish, n_published) for name, v in checks
     ]

@@ -3226,6 +3226,51 @@ def test_wap_withholds_bad_batch(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_wap_n_published_counts_the_batch_not_the_table(spark):
+    """n_published is the rows THIS publish appends — a final table
+    pre-populated by an earlier epoch must not inflate the report."""
+    import uuid
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sinks.catalog import (
+        CatalogSink,
+        write_audit_publish,
+    )
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    tag = uuid.uuid4().hex[:8]
+    mk = lambda name: CatalogSink(  # noqa: E731
+        spark,
+        IcebergSinkConfig(
+            db="default", table_name=name, partition_fields=(),
+            upsert_fields=("o_orderkey",), operation="append",
+        ),
+    )
+    stg1, fin = mk(f"wap_n_{tag}_stg1"), mk(f"wap_n_{tag}_fin")
+    stg2 = mk(f"wap_n_{tag}_stg2")
+    first = orders.orderBy("o_orderkey").limit(7)
+    second = orders.orderBy(F.col("o_orderkey").desc()).limit(3)
+    try:
+        r1 = write_audit_publish(
+            spark, stg1, fin, first, "o_orderkey", epoch=1
+        ).collect()
+        assert all(r.n_published == 7 for r in r1)
+        r2 = write_audit_publish(
+            spark, stg2, fin, second, "o_orderkey", epoch=2
+        ).collect()
+        assert all(r.published for r in r2)
+        assert all(r.n_published == 3 for r in r2), (
+            "n_published must count the batch, not the final table"
+        )
+        assert fin.read().count() == 10
+    finally:
+        for s in (stg1, stg2, fin):
+            for t in (s.table, s.commits):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_scd2_lookup_matches_history_scan(spark):
     """Each purchase's resolved state equals a direct Python scan of the
     SCD2 intervals, and every purchase resolves (inner join loses no
@@ -3308,12 +3353,16 @@ def test_dp_counts_mechanism_properties(spark):
     same seed (the Laplace scale law, exact under the deterministic
     uniform)."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
-        dp_counts,
+        dp_mechanism_audit,
     )
 
     ev = load_table(spark, SF, "events")
-    r1 = {r.event_type: r for r in dp_counts(ev, epsilon=1.0).collect()}
-    r01 = {r.event_type: r for r in dp_counts(ev, epsilon=0.1).collect()}
+    r1 = {
+        r.event_type: r for r in dp_mechanism_audit(ev, epsilon=1.0).collect()
+    }
+    r01 = {
+        r.event_type: r for r in dp_mechanism_audit(ev, epsilon=0.1).collect()
+    }
     for t, r in r1.items():
         assert r.n_released >= 0
         assert abs(r.n_released - r.n_true) <= abs(r.noise) + 1
