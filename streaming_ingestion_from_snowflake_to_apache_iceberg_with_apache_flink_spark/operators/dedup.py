@@ -37,18 +37,9 @@ _TOKENS = H.spark_tokens("text")
 
 
 
-from contextlib import contextmanager
-from threading import RLock
-
-#: serializes set→loop→restore of the session-global shuffle-partition
-#: conf across threads — the same shared-mutable-conf hazard the sink
-#: fixed with _OVERWRITE_MODE_LOCK (sinks/catalog.py): without it, a
-#: concurrent query on the same SparkSession would silently plan its
-#: shuffles at the graph-sized (tiny) partition count.
-_GRAPH_SHUFFLE_LOCK = RLock()
+from .ranks import scoped_shuffle_partitions
 
 
-@contextmanager
 def graph_shuffle_scope(df: DataFrame, n_edges: int):
     """Scope ``spark.sql.shuffle.partitions`` to the GRAPH for an
     iterative loop's jobs (the connected_components sizing, shared by
@@ -56,23 +47,10 @@ def graph_shuffle_scope(df: DataFrame, n_edges: int):
     of the corpus, and a handful of loop shuffles at session parallelism
     is pure scheduling overhead. At real scale ``edges/200k`` exceeds
     the session setting and this is a no-op; restores the session value
-    on exit either way.
-
-    The conf is SESSION-global, so the set→loop→restore sequence holds
-    ``_GRAPH_SHUFFLE_LOCK`` for its duration: two graph loops on one
-    session serialize (each is seconds of scheduling-bound work), and a
-    non-graph query on another thread can still race the conf read — but
-    only between loops, never observing a torn set/restore from this
-    scope. Single-threaded drivers (the common case) are unaffected."""
-    spark = df.sparkSession
-    with _GRAPH_SHUFFLE_LOCK:
-        session_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        loop_parts = max(2, min(int(session_parts), n_edges // 200_000 + 2))
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        try:
-            yield
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+    on exit either way. The set→loop→restore sequence is serialized by
+    ``ranks._SHUFFLE_SCOPE_LOCK`` (the shared-mutable-conf hazard the
+    sink fixed with ``_OVERWRITE_MODE_LOCK``)."""
+    return scoped_shuffle_partitions(df.sparkSession, n_edges // 200_000 + 2)
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate removal on text content, keeping min doc_id.

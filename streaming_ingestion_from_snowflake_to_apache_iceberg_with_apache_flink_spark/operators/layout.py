@@ -76,7 +76,9 @@ BOX_X_LO, BOX_X_HI = 100, 300
 BOX_Y_LO, BOX_Y_HI = 2000, 6000
 
 
-def _global_ntile(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+def _global_ntile(
+    df: DataFrame, order_cols: list, k: int, num_parts: int | None = None
+) -> DataFrame:
     """Exact SQL-``ntile(k)`` bucket ids over a UNIQUE total order,
     computed without a single-partition window: the shared two-phase
     global rank (``ranks.global_row_number`` — range-partition, pinned,
@@ -91,7 +93,20 @@ def _global_ntile(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     """
     from .ranks import global_ntile
 
-    return global_ntile(df, order_cols, k, bucket_col="file_id")
+    return global_ntile(
+        df, order_cols, k, bucket_col="file_id", num_parts=num_parts
+    )
+
+
+def _carve_parts(spark, n_rows: int) -> int:
+    """Range-partition count for a layout carve, sized from the CARVED
+    table's own row count (~2M rows per range slice) and clamped to the
+    session shuffle setting: a fixture-sized input stops paying
+    session-level task scheduling for metadata-sized work, while at real
+    scale rows/2M exceeds the session setting and the clamp makes this
+    exactly the default behavior (no change in the exchange)."""
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(session, max(8, n_rows // 2_000_000)))
 
 
 def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
@@ -103,15 +118,23 @@ def zorder_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
     provably misses the reference predicate on BOTH layouts' statistics
     — i.e. the file would be skipped by a min/max-pruning scan.
     """
-    base = orders.select(
-        F.expr(BX).alias("bx"),
-        F.expr(BY).alias("by"),
-        F.col("o_orderkey").alias("okey"),
-    ).withColumn("z", F.expr(zvalue_sql("bx", "by", _spark_shl)))
+    spark = orders.sparkSession
+    base = (
+        orders.select(
+            F.expr(BX).alias("bx"),
+            F.expr(BY).alias("by"),
+            F.col("o_orderkey").alias("okey"),
+        )
+        .withColumn("z", F.expr(zvalue_sql("bx", "by", _spark_shl)))
+        # one narrow materialization shared by both carves' pins (each
+        # pin otherwise re-reads the scan twice: boundary sample + shuffle)
+        .localCheckpoint(eager=True)
+    )
+    carve_parts = _carve_parts(spark, base.count())
 
     def carve(df: DataFrame, order_cols: list, layout: str) -> DataFrame:
         return (
-            _global_ntile(df, order_cols, n_files)
+            _global_ntile(df, order_cols, n_files, num_parts=carve_parts)
             .groupBy("file_id")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -427,8 +450,15 @@ def hilbert_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
     Scale shape is zorder_layout's exactly: curve codes are fused into
     the scan (16 chained narrow projections, all integer CASE arithmetic,
     whole-stage codegen, no Python), the carve is the shared two-phase
-    parallel ntile, the audit is an n_files-row partial agg.
+    parallel ntile, the audit is an n_files-row partial agg. The
+    transformed table is checkpointed ONCE as a narrow 5-column
+    projection (the hx/hy rotation scratch dropped) and BOTH carves pin
+    off it — one materialization instead of four recomputes of the
+    16-round chain (two pins × sample + shuffle) — and the carve's range
+    exchanges are sized from the carved table's own row count
+    (``_carve_parts``; identical to the session default at real scale).
     """
+    spark = orders.sparkSession
     base = orders.select(
         F.expr(BX).alias("bx"),
         F.expr(BY).alias("by"),
@@ -439,7 +469,6 @@ def hilbert_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
     # for free, but a small fixture arrives as ONE split and would
     # serialize every row through one task — spread only in that case
     # (condition false at scale, so no extra corpus shuffle ever)
-    spark = orders.sparkSession
     par = spark.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
@@ -449,10 +478,14 @@ def hilbert_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
     )
     for de, xe, ye in hilbert_rounds():
         hil = hil.selectExpr("bx", "by", "okey", "z", de, xe, ye)
+    hil = hil.select("bx", "by", "okey", "z", "hd").localCheckpoint(
+        eager=True
+    )
+    carve_parts = _carve_parts(spark, hil.count())
 
     def carve(df: DataFrame, order_cols: list, layout: str) -> DataFrame:
         return (
-            _global_ntile(df, order_cols, n_files)
+            _global_ntile(df, order_cols, n_files, num_parts=carve_parts)
             .groupBy("file_id")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -464,10 +497,6 @@ def hilbert_layout(orders: DataFrame, n_files: int = 64) -> DataFrame:
             .select(F.lit(layout).alias("layout"), "*")
         )
 
-    # each carve's range-partition pin recomputes the rounds once; the
-    # 16 projections are pure whole-stage-codegen integer CASE arithmetic,
-    # measurably cheaper to recompute than to materialize (a checkpoint of
-    # the widened table costs more than both recomputes together)
     hilbert = carve(hil, [F.col("hd").asc(), F.col("okey").asc()], "hilbert")
     zorder = carve(hil, [F.col("z").asc(), F.col("okey").asc()], "zorder")
     stats = hilbert.unionByName(zorder)
@@ -752,7 +781,15 @@ def clustering_depth(orders: DataFrame, n_files: int = 64) -> DataFrame:
     division per number, rounded(4). Scale shape: inherits the carve's
     cost; this is a metadata-sized rollup on its output.
     """
-    stats = hilbert_layout(orders, n_files)
+    return clustering_depth_from_stats(hilbert_layout(orders, n_files))
+
+
+def clustering_depth_from_stats(stats: DataFrame) -> DataFrame:
+    """The :func:`clustering_depth` rollup over an ALREADY-COMPUTED
+    ``hilbert_layout`` stats table — split out so callers that share the
+    carve across sibling queries (the entry memoizes the n_files·2-row
+    stats, a deterministic function of (corpus, n_files)) pay the carve
+    once, not per query."""
     domain = float(_HN)
     return stats.groupBy("layout").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),

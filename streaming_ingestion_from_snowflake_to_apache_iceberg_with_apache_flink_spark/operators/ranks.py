@@ -31,19 +31,60 @@ the ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+from threading import RLock
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: partition-id / offset bookkeeping columns; dropped before returning
 PID, OFF = "__pid", "__off"
 
+#: serializes set→work→restore of the session-global shuffle-partition
+#: conf (same shared-mutable-conf hazard as sinks._OVERWRITE_MODE_LOCK):
+#: without it a concurrent query on the same SparkSession could plan its
+#: shuffles at the scoped (tiny) partition count
+_SHUFFLE_SCOPE_LOCK = RLock()
 
-def pin_range_partitions(df: DataFrame, order_cols: list) -> DataFrame:
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, target_parts: int):
+    """Scope ``spark.sql.shuffle.partitions`` to ``target_parts`` for a
+    block of jobs whose data is much smaller than the corpus (iterative
+    graph loops, metadata-sized carves): at small data, session-level
+    parallelism is pure task-scheduling overhead. Callers size
+    ``target_parts`` from their OWN data (rows/edges), clamped to the
+    session value — so at real scale the computed target exceeds the
+    session setting and this is a no-op. Set→work→restore is serialized
+    by a process-wide lock; see the lock comment."""
+    with _SHUFFLE_SCOPE_LOCK:
+        session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        parts = max(2, min(int(session_parts), int(target_parts)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+
+
+def pin_range_partitions(
+    df: DataFrame, order_cols: list, num_parts: int | None = None
+) -> DataFrame:
     """Range-partition by the sort key, stamp the physical partition id,
-    and pin the assignment so every downstream job sees the same slices."""
+    and pin the assignment so every downstream job sees the same slices.
+
+    ``num_parts`` overrides the session shuffle-partition count for the
+    range exchange — callers whose input is a known sliver of the corpus
+    (a layout carve over a checkpointed key table) size it from their own
+    row count so tiny inputs don't pay session-level task scheduling;
+    pass None (the default) to inherit the session setting."""
+    rbr = (
+        df.repartitionByRange(num_parts, *order_cols)
+        if num_parts
+        else df.repartitionByRange(*order_cols)
+    )
     return (
-        df.repartitionByRange(*order_cols)
-        .withColumn(PID, F.spark_partition_id())
+        rbr.withColumn(PID, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
 
@@ -96,18 +137,22 @@ def with_offsets(part: DataFrame, rows: list) -> DataFrame:
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list, rank_col: str = "__rank"
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "__rank",
+    num_parts: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact 1-based global ``row_number`` over a total order, computed
     parallel (see module docstring). ``order_cols`` must define a TOTAL
     order (include a unique tiebreak) for the rank to be deterministic.
+    ``num_parts`` sizes the range exchange (see pin_range_partitions).
 
     Returns ``(df + rank_col, total_row_count)`` — the count is free (the
     final accumulator of the offset fold).
     """
     from pyspark.sql import Window as W
 
-    part = pin_range_partitions(df, order_cols)
+    part = pin_range_partitions(df, order_cols, num_parts)
     rows, n = exclusive_prefix(
         part,
         F.count(F.lit(1)),
@@ -127,7 +172,11 @@ def global_row_number(
 
 
 def global_ntile(
-    df: DataFrame, order_cols: list, k: int, bucket_col: str = "bucket"
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    bucket_col: str = "bucket",
+    num_parts: int | None = None,
 ) -> DataFrame:
     """Exact SQL-``ntile(k)`` bucket ids over a UNIQUE total order,
     computed without a single-partition window: the two-phase global
@@ -136,7 +185,9 @@ def global_ntile(
     — bit-identical to a plain-window ``ntile`` because the order is
     total (callers pass a unique tiebreak), so ranks are independent of
     the sampled range boundaries."""
-    ranked, n = global_row_number(df, order_cols, rank_col="__rank")
+    ranked, n = global_row_number(
+        df, order_cols, rank_col="__rank", num_parts=num_parts
+    )
     if n == 0:
         return ranked.withColumn(
             bucket_col, F.lit(None).cast("int")
