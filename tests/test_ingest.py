@@ -289,6 +289,137 @@ def test_iceberg_detection(spark):
     assert CatalogSink._iceberg_available(_Sess(cat)) is True
 
 
+class _RecordingIcebergSession:
+    """SparkSession proxy that makes `_iceberg_available` answer True and
+    RECORDS every Iceberg-only SQL statement (CREATE … USING iceberg,
+    MERGE INTO, CREATE TAG, VERSION AS OF) instead of executing it — no
+    Iceberg jars needed — while delegating everything else (parquet DDL
+    for the commits ledger, temp views, conf) to the real session. The
+    jar-free twin of `test_iceberg_write_batch_executes` below: it proves
+    the SEQUENCE the real cluster would execute."""
+
+    def __init__(self, real):
+        self._real = real
+        self.recorded: list[str] = []
+        self._iceberg_tables: set[str] = set()
+        proxy = self
+
+        class _Conf:
+            def get(self, k, default=None):
+                if k == "spark.sql.extensions":
+                    return (
+                        "org.apache.iceberg.spark.extensions."
+                        "IcebergSparkSessionExtensions"
+                    )
+                return real.conf.get(k, default)
+
+            def set(self, k, v):
+                real.conf.set(k, v)
+
+        class _Catalog:
+            def tableExists(self, name):
+                if name in proxy._iceberg_tables:
+                    return True
+                return real.catalog.tableExists(name)
+
+            def __getattr__(self, item):
+                return getattr(real.catalog, item)
+
+        self.conf = _Conf()
+        self.catalog = _Catalog()
+
+    @staticmethod
+    def _iceberg_only(q: str) -> bool:
+        return (
+            "USING iceberg" in q
+            or q.startswith("MERGE INTO")
+            or "CREATE OR REPLACE TAG" in q
+            or "VERSION AS OF" in q
+        )
+
+    def sql(self, q: str):
+        if self._iceberg_only(q):
+            self.recorded.append(q)
+            if "USING iceberg" in q:
+                name = q.split("CREATE TABLE IF NOT EXISTS ")[1].split(" ")[0]
+                self._iceberg_tables.add(name)
+            return self._real.createDataFrame([], "ok int")
+        return self._real.sql(q)
+
+    def table(self, name: str):
+        if name in self._iceberg_tables:
+            # stand-in for the (never actually created) Iceberg table:
+            # only its column ORDER is consumed (the _aligned projection)
+            return self._real.createDataFrame([], self._like_schema)
+        return self._real.table(name)
+
+    def __getattr__(self, item):
+        return getattr(self._real, item)
+
+
+def test_iceberg_commit_sequence_recorded(spark):
+    """The jar-free exactly-once contract of the Iceberg branch
+    (`_iceberg_write` + `write_batch`, sinks/catalog.py): epoch 1 must
+    execute CREATE TABLE … USING iceberg → MERGE INTO (on the equality
+    fields) → CREATE TAG epoch_1 in that order; replaying epoch 1 must
+    execute NOTHING (ledger skip); epoch 2 must merge+tag WITHOUT a
+    second create; and read_as_of must address the epoch tag via
+    VERSION AS OF — the commit discipline the reference gets from
+    FlinkSink+IcebergTableManager (IcebergSinkBuilder.java:31-43,
+    IcebergTableManager.java:75-90)."""
+    rec = _RecordingIcebergSession(spark)
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    rec._like_schema = orders.schema
+    cfg = _cfg(_uniq("t_icerec")).sink
+    sink = CatalogSink(rec, cfg, version_column="o_orderdate", snapshots=True)
+    assert sink.iceberg, "proxy must register as an Iceberg session"
+    try:
+        b1 = orders.limit(50)
+        assert sink.write_batch(b1, epoch=1) == "iceberg-upsert"
+        seq1 = list(rec.recorded)
+        kinds1 = [
+            "create" if "USING iceberg" in q
+            else "merge" if q.startswith("MERGE INTO")
+            else "tag"
+            for q in seq1
+        ]
+        assert kinds1 == ["create", "merge", "tag"], kinds1
+        assert "'format-version'='2'" in seq1[0]
+        assert "PARTITIONED BY (o_orderpriority)" in seq1[0]
+        assert "t.`o_orderkey` = s.`o_orderkey`" in seq1[1]
+        assert "t.`o_orderpriority` = s.`o_orderpriority`" in seq1[1]
+        assert "WHEN MATCHED THEN UPDATE SET *" in seq1[1]
+        assert seq1[2].endswith("CREATE OR REPLACE TAG `epoch_1`")
+
+        # replay: the ledger already holds epoch 1 — nothing may execute
+        assert sink.write_batch(b1, epoch=1) == "skipped-replay"
+        assert rec.recorded == seq1, "replayed epoch re-executed SQL"
+
+        # epoch 2: merge + tag, no second create-if-not-exists DDL
+        assert sink.write_batch(orders.limit(80), epoch=2) == "iceberg-upsert"
+        seq2 = rec.recorded[len(seq1):]
+        assert [q.startswith("MERGE INTO") for q in seq2] == [True, False]
+        assert seq2[1].endswith("CREATE OR REPLACE TAG `epoch_2`")
+
+        # restart parity: a NEW sink over the same ledger skips both
+        sink2 = CatalogSink(
+            rec, cfg, version_column="o_orderdate", snapshots=True
+        )
+        n = len(rec.recorded)
+        assert sink2.write_batch(b1, epoch=1) == "skipped-replay"
+        assert sink2.write_batch(b1, epoch=2) == "skipped-replay"
+        assert len(rec.recorded) == n
+
+        # native time travel addresses the epoch tag
+        sink.read_as_of(1)
+        assert rec.recorded[-1].endswith("VERSION AS OF 'epoch_1'")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sink.commits}")
+
+
 @pytest.mark.skipif(
     True, reason="no Iceberg jars in this sandbox; runs on a real cluster"
 )
