@@ -76,15 +76,26 @@ def pin_range_partitions(
     ``num_parts`` overrides the session shuffle-partition count for the
     range exchange — callers whose input is a known sliver of the corpus
     (a layout carve over a checkpointed key table) size it from their own
-    row count so tiny inputs don't pay session-level task scheduling;
-    pass None (the default) to inherit the session setting."""
-    rbr = (
-        df.repartitionByRange(num_parts, *order_cols)
-        if num_parts
-        else df.repartitionByRange(*order_cols)
-    )
+    row count so tiny inputs don't pay session-level task scheduling.
+
+    When ``num_parts`` is None the count defaults to the INPUT's physical
+    partition count clamped to [2, session shuffle partitions]: a sort
+    never usefully has more range slices than ~128 MB input splits, so a
+    fixture-sized scan (1 split) pins at 2 slices instead of paying
+    session-level scheduling for metadata-sized work, while at real scale
+    the split count exceeds the session setting and the clamp reproduces
+    the default exchange exactly. Plans rooted at a shuffle report the
+    session setting as their partition count, so they too are unchanged.
+    Correctness never depends on the count — the global rank is exact for
+    ANY contiguous-range assignment (offsets are folded per partition)."""
+    if num_parts is None:
+        session = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        num_parts = max(2, min(session, df.rdd.getNumPartitions()))
     return (
-        rbr.withColumn(PID, F.spark_partition_id())
+        df.repartitionByRange(num_parts, *order_cols)
+        .withColumn(PID, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
 
