@@ -55,7 +55,9 @@ def curate_corpus(
     )
 
 
-def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
+def keep_best_per_cluster(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Canonical-document selection: cluster the near-dup graph (connected
     components over exact-Jaccard pairs) and keep, per cluster, the
     highest-quality member — the curation decision naive min-id dedup gets
@@ -69,12 +71,18 @@ def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
     membership — a sliver of the corpus — broadcast-semi-joins the corpus
     first, so the tokenize/score pass never touches the non-duplicated
     bulk); the argmax is one ``row_number`` window over the cluster key.
+
+    ``pairs`` lets callers that already materialized the near-dup pair
+    graph (the graph-metric battery shares one checkpointed copy) skip
+    the shingle-index self-join — the corpus-sized leg.
     """
     from pyspark.sql import Window
 
     from .dedup import connected_components, ngram_jaccard_pairs
 
-    clusters = connected_components(ngram_jaccard_pairs(documents))
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents)
+    clusters = connected_components(pairs)
     in_cluster = documents.join(
         F.broadcast(clusters.select("doc_id")), "doc_id", "left_semi"
     )
