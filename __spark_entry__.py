@@ -1727,8 +1727,12 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LSH-method recall vs the exact near-dup ground truth
     per Jaccard threshold (dedup.lsh_recall_audit) — the measurement that
-    justifies banding before deploying it at corpus scale."""
-    return dd.lsh_recall_audit(load_table(spark, sf_dir, "documents"))
+    justifies banding before deploying it at corpus scale. The exact leg
+    reuses the battery's shared pair checkpoint (same 0.2 cut-off)."""
+    return dd.lsh_recall_audit(
+        load_table(spark, sf_dir, "documents"),
+        exact_pairs=_neardup_pairs_shared(spark, sf_dir),
+    )
 
 
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,8 +2455,11 @@ def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix (dedup.source_overlap_matrix):
     near-dup pairs cross-tabbed by source pair, exact-integer mean
-    Jaccard operands."""
-    return dd.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+    Jaccard operands; reuses the battery's shared pair checkpoint."""
+    return dd.source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"),
+        pairs=_neardup_pairs_shared(spark, sf_dir),
+    )
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:

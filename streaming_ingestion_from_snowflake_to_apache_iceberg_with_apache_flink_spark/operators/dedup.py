@@ -598,6 +598,7 @@ def minhash_estimate_audit(
 def lsh_recall_audit(
     documents: DataFrame,
     thresholds: tuple = (0.2, 0.3, 0.4, 0.5),
+    exact_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end recall of the banded-MinHash near-dup METHOD against the
     exact inverted-index ground truth, per exact-Jaccard threshold — the
@@ -619,11 +620,21 @@ def lsh_recall_audit(
 
     The exact leg's cut-off follows ``min(thresholds)`` — an audit
     threshold below the truth set's own floor would silently undercount
-    the denominator.
+    the denominator. ``exact_pairs`` lets a caller that already
+    materialized the exact pair list AT THAT SAME CUT-OFF (the shared
+    graph-battery checkpoint) skip recomputing the inverted-index join;
+    supplying pairs computed at a different threshold corrupts the
+    denominator, so the default recomputes.
     """
     if not thresholds:
         raise ValueError("lsh_recall_audit: need at least one threshold")
-    exact = ngram_jaccard_pairs(documents, threshold=min(float(t) for t in thresholds))
+    exact = (
+        exact_pairs
+        if exact_pairs is not None
+        else ngram_jaccard_pairs(
+            documents, threshold=min(float(t) for t in thresholds)
+        )
+    )
     found = (
         minhash_lsh_pairs(documents)
         .select("doc_a", "doc_b")
@@ -980,7 +991,9 @@ def substring_dup_fraction(documents: DataFrame, w: int = 8) -> DataFrame:
     )
 
 
-def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+def source_overlap_matrix(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Cross-source duplication matrix: near-dup pairs (n-gram Jaccard)
     cross-tabbed by the (source, source) combination — the audit that
     tells you dataset B is a scrape of dataset A before you mix them.
@@ -989,8 +1002,11 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
     the heavy lifting); the pair→source lookup broadcasts the SMALL pair
     set into the corpus-sized label relation twice, so documents never
     shuffle. Mean Jaccard is aggregated in exact 1e-4 integer space.
+    ``pairs`` lets callers reuse an already-materialized default-threshold
+    pair list (the shared graph-battery checkpoint).
     """
-    pairs = ngram_jaccard_pairs(documents)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents)
     labels = documents.select("doc_id", "source")
     la = labels.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
         "source", "src_a"
