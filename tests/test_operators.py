@@ -1949,6 +1949,49 @@ def test_with_offsets_broadcast_path_matches_literal(spark):
     assert n == len(want) and got == want
 
 
+def test_global_row_number_explicit_num_parts_identical(spark):
+    """Ranks are invariant to the range-partition count — the adaptive
+    input-splits default, an explicit tiny count, and an explicit large
+    count all produce the identical exact rank."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    cols = [F.col("o_orderkey").asc()]
+    base, n0 = global_row_number(orders, cols)
+    want = {r.o_orderkey: r["__rank"] for r in base.collect()}
+    for parts in (2, 7, 32):
+        ranked, n = global_row_number(orders, cols, num_parts=parts)
+        got = {r.o_orderkey: r["__rank"] for r in ranked.collect()}
+        assert n == n0 and got == want, f"num_parts={parts}"
+
+
+def test_scoped_shuffle_partitions_restores_and_clamps(spark):
+    """The scope sets a clamped value inside the block and restores the
+    session value afterwards — including on exceptions."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        scoped_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with scoped_shuffle_partitions(spark, 2):
+        assert spark.conf.get(key) == "2"
+    assert spark.conf.get(key) == before
+    # clamped to the session value when the target exceeds it
+    with scoped_shuffle_partitions(spark, 10**6):
+        assert spark.conf.get(key) == before
+    # floor of 2
+    with scoped_shuffle_partitions(spark, 0):
+        assert spark.conf.get(key) == "2"
+    assert spark.conf.get(key) == before
+    with pytest.raises(RuntimeError):
+        with scoped_shuffle_partitions(spark, 2):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+
 def test_k_anonymity_accounting(spark):
     """Per-type counters are self-consistent: rows_at_risk counts exactly
     the rows of sub-k groups, k=1 risks nothing, and a huge k risks
