@@ -103,6 +103,21 @@ def _neardup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_SHARED[key]
 
 
+def _minhash_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash signature table (doc_id, mh), computed once per
+    (session, corpus) and checkpoint-pinned for the LSH family
+    (q_dedup_minhash_lsh, q_lsh_recall's found leg, q_stream_lsh_dedup's
+    batch verdict side) — same distributed-share contract as
+    ``_neardup_pairs_shared``: the shingle+hash pass is the corpus-sized
+    leg; the signatures are k small ints per doc."""
+    key = (id(spark), sf_dir, "minhash_sigs")
+    if key not in _PAIRS_SHARED:
+        _PAIRS_SHARED[key] = dd.minhash_signatures(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _PAIRS_SHARED[key]
+
+
 def _sf_tag(sf_dir: str) -> str:
     """Catalog-safe tag for a test-data directory ('/…/sf0.1' → 'sf0_1'),
     used to name the PERSISTENT deterministic staging tables the
@@ -577,7 +592,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        sigs=_minhash_sigs_shared(spark, sf_dir),
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1732,6 +1750,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_recall_audit(
         load_table(spark, sf_dir, "documents"),
         exact_pairs=_neardup_pairs_shared(spark, sf_dir),
+        sigs=_minhash_sigs_shared(spark, sf_dir),
     )
 
 
@@ -3020,7 +3039,9 @@ def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_min = sink.groupBy("band_key").agg(
         F.min("min_doc").alias("band_min")
     )
-    bands = dd.minhash_signatures(docs).selectExpr("doc_id", band_expr)
+    bands = _minhash_sigs_shared(spark, sf_dir).selectExpr(
+        "doc_id", band_expr
+    )
     return (
         bands.join(band_min, "band_key")
         .groupBy("doc_id")

@@ -277,6 +277,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.25,
     max_bucket: int = 50,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding over MinHash signatures.
 
@@ -285,8 +286,13 @@ def minhash_lsh_pairs(
     of agreeing signature positions. Oversized buckets (> ``max_bucket``,
     i.e. degenerate boilerplate clusters) are dropped — declared semantics,
     mirrored in the oracle.
+
+    ``sigs`` lets callers reuse an already-materialized
+    ``minhash_signatures(documents, n)`` table (doc_id, mh) — the
+    signature pass is the corpus-sized leg shared by the LSH family.
     """
-    sigs = minhash_signatures(documents, n)
+    if sigs is None:
+        sigs = minhash_signatures(documents, n)
     bands = sigs.selectExpr(
         "doc_id",
         "mh",
@@ -599,6 +605,7 @@ def lsh_recall_audit(
     documents: DataFrame,
     thresholds: tuple = (0.2, 0.3, 0.4, 0.5),
     exact_pairs: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end recall of the banded-MinHash near-dup METHOD against the
     exact inverted-index ground truth, per exact-Jaccard threshold — the
@@ -636,7 +643,7 @@ def lsh_recall_audit(
         )
     )
     found = (
-        minhash_lsh_pairs(documents)
+        minhash_lsh_pairs(documents, sigs=sigs)
         .select("doc_a", "doc_b")
         .withColumn("hit", F.lit(1))
     )
