@@ -555,19 +555,23 @@ def markov_stationary(events: DataFrame, rounds: int = 8) -> DataFrame:
     session starts): ``rounds`` unrolled power-iteration steps of
     π ← πP from the uniform start, over the |types|² transition matrix.
 
-    Exactness: P's entries are exact count ratios; each step is a
-    metadata-sized join + agg with double arithmetic of identical shape
-    cross-engine (|types| terms per entry — far below the final
-    round(6)); fixed rounds keep it a static DAG with an unrolled-CTE
-    oracle, like the PageRank/k-means loops.
+    Exactness: P's entries are exact count ratios; each power step sums
+    |types| double products per entry — identical arithmetic shape
+    cross-engine, far below the final round(6); fixed rounds keep the
+    computation replayable by the unrolled-CTE oracle.
 
     Scale shape: ONE corpus pass (the markov_transitions lead + pair
-    agg); every iteration runs on the |types|²-row matrix.
+    agg) collects the |types|²-row EXACT COUNT matrix to the driver —
+    metadata-sized at any corpus scale (event-type vocabulary squared,
+    the same altitude bound as k-means' k×dim centroids) — and the
+    power iteration runs as driver math: 8 rounds over ≤|types|² doubles
+    is the wrong size for cluster scheduling (each distributed step costs
+    a join+agg job to move ~25 numbers).
     """
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    pairs = (
+    counts = (
         events.select(
             "user_id", "ts", "event_id", F.col("event_type").alias("src")
         )
@@ -575,38 +579,30 @@ def markov_stationary(events: DataFrame, rounds: int = 8) -> DataFrame:
         .filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .collect()
     )
-    wt = Window.partitionBy("src")
-    p = pairs.select(
-        "src", "dst", (F.col("n") / F.sum("n").over(wt)).alias("p")
-    ).persist()
-    p.count()
-    states = p.select(F.col("src").alias("state")).distinct()
-    n_states = states.count()
-    pi = states.select("state", F.lit(1.0 / n_states).alias("pi"))
+    n_out: dict[str, int] = {}
+    for r in counts:
+        n_out[r.src] = n_out.get(r.src, 0) + int(r.n)
+    p = {(r.src, r.dst): int(r.n) / n_out[r.src] for r in counts}
+    states = sorted(n_out)
+    pi = {s: 1.0 / len(states) for s in states}
     for _ in range(rounds):
-        pi = (
-            p.join(pi.withColumnRenamed("state", "src"), "src")
-            .groupBy(F.col("dst").alias("state"))
-            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
-        )
-    emp = pairs.groupBy(F.col("src").alias("state")).agg(
-        F.sum("n").alias("n_src")
+        nxt: dict[str, float] = {}
+        # accumulate in sorted-src order: deterministic float sums
+        for s in states:
+            for d in states:
+                if (s, d) in p:
+                    nxt[d] = nxt.get(d, 0.0) + pi[s] * p[(s, d)]
+        pi = nxt
+    total = sum(n_out.values())
+    rows = [
+        (s, round(pi.get(s, 0.0), 6), round(n_out[s] / total, 6))
+        for s in states
+    ]
+    return events.sparkSession.createDataFrame(
+        rows, "state string, stationary_share double, empirical_share double"
     )
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    out = pi.join(emp, "state").select(
-        "state",
-        F.round("pi", 6).alias("stationary_share"),
-        F.round(F.col("n_src") / F.sum("n_src").over(wall), 6).alias(
-            "empirical_share"
-        ),
-    )
-    pairs.unpersist()
-    p.unpersist()
-    return out
 
 
 def duck_markov_stationary_sql(rounds: int = 8) -> str:
