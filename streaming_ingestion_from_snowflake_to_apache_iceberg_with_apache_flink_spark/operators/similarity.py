@@ -1876,24 +1876,11 @@ def duck_silhouette_sql(k: int | str = 8) -> str:
     )
 
 
-def kcenter_coreset(embeddings: DataFrame, m: int = 4) -> DataFrame:
-    """Greedy k-center CORESET selection (Gonzalez '85, the standard
-    diverse-exemplar / data-selection primitive): seed with the lowest
-    vec_id, then ``m-1`` times pick the vector FARTHEST from the chosen
-    set (max over the corpus of min squared distance to any chosen
-    center, ties to the smaller vec_id) — the 2-approximation to the
-    k-center optimum that coreset-based training-data selection builds
-    on. Returns per-center coverage: assigned count, the covering radius
-    (max assigned distance — the k-center objective), and the inertia
-    contribution.
-
-    Scale shape: each greedy round is ONE map-only pass (the chosen set
-    rides in as literal constants, exactly like ``_assign_pass``) ending
-    in a TakeOrderedAndProject of a single row — driver state after m
-    rounds is m×dim ints. The final coverage pass is the same map-only
-    argmin + a k-row partial agg. No corpus shuffle anywhere; exact
-    integer distances throughout.
-    """
+def kcenter_select(embeddings: DataFrame, m: int = 4) -> list:
+    """The greedy selection leg of :func:`kcenter_coreset` alone: returns
+    the chosen ``[(vec_id, q-vector), …]`` driver state (m×dim ints,
+    deterministic in (corpus, m)) so sibling invocations can memoize it —
+    the same contract as ``kmeans_centroids``."""
     if m < 1:
         raise ValueError("kcenter_coreset: m must be >= 1")
     e = _quantized(embeddings).persist()
@@ -1914,16 +1901,44 @@ def kcenter_coreset(embeddings: DataFrame, m: int = 4) -> DataFrame:
                 .head()
             )
             chosen.append((int(cand.vec_id), [int(v) for v in cand.q]))
-        assigned = _assign_pass(e, sorted(chosen))
-        return assigned.groupBy(
-            F.col("cluster_id").alias("center_id")
-        ).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
-            F.max("dist").alias("radius"),
-            F.sum("dist").alias("sum_dist"),
-        )
+        return chosen
     finally:
         e.unpersist()
+
+
+def kcenter_coreset(
+    embeddings: DataFrame, m: int = 4, centers: list | None = None
+) -> DataFrame:
+    """Greedy k-center CORESET selection (Gonzalez '85, the standard
+    diverse-exemplar / data-selection primitive): seed with the lowest
+    vec_id, then ``m-1`` times pick the vector FARTHEST from the chosen
+    set (max over the corpus of min squared distance to any chosen
+    center, ties to the smaller vec_id) — the 2-approximation to the
+    k-center optimum that coreset-based training-data selection builds
+    on. Returns per-center coverage: assigned count, the covering radius
+    (max assigned distance — the k-center objective), and the inertia
+    contribution.
+
+    Scale shape: each greedy round is ONE map-only pass (the chosen set
+    rides in as literal constants, exactly like ``_assign_pass``) ending
+    in a TakeOrderedAndProject of a single row — driver state after m
+    rounds is m×dim ints. The final coverage pass is the same map-only
+    argmin + a k-row partial agg. No corpus shuffle anywhere; exact
+    integer distances throughout.
+
+    ``centers`` injects a pre-selected (memoized) :func:`kcenter_select`
+    result, skipping the greedy rounds — bit-identical output because
+    the selection is deterministic.
+    """
+    chosen = centers if centers is not None else kcenter_select(embeddings, m)
+    assigned = _assign_pass(_quantized(embeddings), sorted(chosen))
+    return assigned.groupBy(
+        F.col("cluster_id").alias("center_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.max("dist").alias("radius"),
+        F.sum("dist").alias("sum_dist"),
+    )
 
 
 def duck_kcenter_sql(m: int = 4) -> str:
