@@ -1949,6 +1949,34 @@ def test_with_offsets_broadcast_path_matches_literal(spark):
     assert n == len(want) and got == want
 
 
+def test_kcenter_injected_centers_match_greedy(spark):
+    """kcenter_coreset(centers=kcenter_select(...)) is bit-identical to
+    the train-inside path — the memoized-share contract, like k-means."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        kcenter_coreset,
+        kcenter_select,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    chosen = kcenter_select(emb, m=4)
+    assert len(chosen) == 4 and all(len(q) == 64 for _, q in chosen)
+    a = sorted(map(tuple, kcenter_coreset(emb, m=4).collect()))
+    b = sorted(map(tuple, kcenter_coreset(emb, m=4, centers=chosen).collect()))
+    assert a == b
+
+
+def test_minhash_lsh_injected_sigs_match(spark):
+    """minhash_lsh_pairs(sigs=precomputed) is bit-identical to the
+    compute-inside path — the shared-signature contract."""
+    import streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup as dd
+
+    docs = load_table(spark, SF, "documents")
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
+    a = sorted(map(tuple, dd.minhash_lsh_pairs(docs).collect()))
+    b = sorted(map(tuple, dd.minhash_lsh_pairs(docs, sigs=sigs).collect()))
+    assert a == b
+
+
 def test_global_row_number_explicit_num_parts_identical(spark):
     """Ranks are invariant to the range-partition count — the adaptive
     input-splits default, an explicit tiny count, and an explicit large
