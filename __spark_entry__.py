@@ -558,9 +558,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _dedup_survivors_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dedup_corpus`` survivor id set, checkpointed once per
+    (session, corpus) and shared by the standalone dedup query and the
+    composed curation pipeline — same distributed-share contract as
+    ``_neardup_pairs_shared``."""
+    key = (_session_tag(spark), sf_dir, "dedup_survivors")
+    if key not in _PAIRS_SHARED:
+        _PAIRS_SHARED[key] = dd.dedup_corpus(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _PAIRS_SHARED[key]
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup: exact + near-dup greedy earliest-wins."""
-    return dd.dedup_corpus(load_table(spark, sf_dir, "documents"))
+    return _dedup_survivors_shared(spark, sf_dir)
 
 
 def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,12 +879,16 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline (operators.curation): lang-ID +
     quality gate + exact/near-dup removal → surviving docs with stats.
-    Oracle = the SAME stages' oracle SQL composed, by construction."""
+    Oracle = the SAME stages' oracle SQL composed, by construction. The
+    dedup leg reuses the shared survivor checkpoint."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.curation import (
         curate_corpus,
     )
 
-    return curate_corpus(load_table(spark, sf_dir, "documents"))
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        survivors=_dedup_survivors_shared(spark, sf_dir),
+    )
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,14 +32,20 @@ def curate_corpus(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int = 100,
+    survivors: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving doc_ids with language, quality, and token stats.
 
     A document survives iff it (a) survives ``dedup_corpus`` (exact dups
     and the higher id of every near-dup pair die), (b) scores at least
     ``quality_min``, and (c) its predicted language is in ``langs``.
+
+    ``survivors`` injects an already-materialized ``dedup_corpus`` result
+    (the dedup leg is the expensive pass; the composed pipeline and the
+    standalone dedup query share one checkpointed copy).
     """
-    survivors = dedup_corpus(documents, n, threshold, max_shingle_df)
+    if survivors is None:
+        survivors = dedup_corpus(documents, n, threshold, max_shingle_df)
     quality = quality_score(documents).select(
         "doc_id", "n_tokens", "uniq_ratio", "quality"
     )
