@@ -38,6 +38,51 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: callers use load_table to (re)pin session semantics.
 _TABLE_MEMO: dict[tuple, tuple] = {}
 
+#: sessions (by id) whose Python workers were already shipped the package
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver's cwd/PYTHONPATH: the Arrow-batched stateful callbacks
+    (``applyInPandasWithState`` folds, pandas UDFs) are module-level
+    functions, so cloudpickle serializes them BY REFERENCE and the worker
+    must import the module. A driver process launched outside the repo
+    root (sys.path patched only in the driver) otherwise dies with
+    ModuleNotFoundError in the worker. Zipping the package once per
+    session and ``addPyFile``-ing it ships it to every worker in any
+    deploy mode — the standalone equivalent of `--py-files`."""
+    sid = id(spark)
+    if sid in _SHIPPED:
+        return
+    _SHIPPED.add(sid)
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # a fresh per-PROCESS zip (pid in the name): a path reused across
+    # processes could ship STALE code from an earlier run of an older
+    # package version; the archive is ~1 MB, rebuilt once per process
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraft_pkg_{os.path.basename(pkg_dir)}_{os.getpid()}",
+    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            base, "zip", os.path.dirname(pkg_dir), os.path.basename(pkg_dir)
+        )
+    entry = os.path.join(os.path.dirname(pkg_dir), "__spark_entry__.py")
+    for p in (zip_path, entry if os.path.exists(entry) else None):
+        if p is None:
+            continue
+        try:
+            spark.sparkContext.addPyFile(p)
+        except Exception:
+            # a second addPyFile of the same name in one context can throw
+            # on some deployments; the first successful ship is what matters
+            pass
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -52,6 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
     key = (sf_dir, name)
     hit = _TABLE_MEMO.get(key)
     if hit is not None and hit[0] is spark:
