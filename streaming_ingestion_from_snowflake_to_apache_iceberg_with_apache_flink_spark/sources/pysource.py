@@ -196,7 +196,25 @@ class ShardedParquetDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the connector on a session."""
+    """Idempotent registration of the connector on a session.
+
+    The class is registered for BY-VALUE cloudpickle serialization: the
+    data-source planner/worker processes otherwise import this module by
+    name, which fails when the driver ran from outside the repo root
+    (sys.path patched only driver-side; the planner runner does not see
+    addPyFile includes). This module is deliberately self-contained —
+    stdlib + pyarrow + pyspark only — so the by-value pickle closes over
+    nothing that the planner cannot resolve."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        # older cloudpickle without the API: fall back to by-reference
+        # (works whenever the package is importable on the worker)
+        pass
     spark.dataSource.register(ShardedParquetDataSource)
 
 
