@@ -2017,8 +2017,6 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound), and only a fully-green audit publishes to the FINAL table —
     the Iceberg WAP commit discipline consumers never see a bad batch
     through. Emits the audit report + published count."""
-    import uuid
-
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
         IcebergSinkConfig,
     )
@@ -2033,28 +2031,24 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
-    tag = uuid.uuid4().hex[:8]
+    # persistent deterministic staging, replay-reused via the epoch
+    # ledger (see q_time_travel; v2 versions the content). The sinks run
+    # in UPSERT mode — identical output to append here (o_orderkey is
+    # unique in the slice) but a crashed-then-replayed epoch self-heals
+    # instead of doubling rows, which is what makes persistence safe.
     mk = lambda name: CatalogSink(  # noqa: E731
         spark,
         IcebergSinkConfig(
             db="default", table_name=name, partition_fields=(),
-            upsert_fields=(ORDERS_KEY,), operation="append",
+            upsert_fields=(ORDERS_KEY,), operation="upsert",
         ),
+        version_column=ORDERS_KEY,
     )
+    # one-time sweep of legacy uuid-named droppings from earlier rounds
     _drop_staged(spark, "wap", "q_wap_")
-    stg, fin = mk(f"q_wap_{tag}_stg"), mk(f"q_wap_{tag}_fin")
-    try:
-        out = write_audit_publish(
-            spark, stg, fin, batch, ORDERS_KEY
-        )
-    except BaseException:
-        for t in (stg.table, stg.commits, fin.table, fin.commits):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-        raise
-    _TT_STAGED[(_session_tag(spark), "wap")] = (
-        stg.table, stg.commits, fin.table, fin.commits,
-    )
-    return out
+    tag = _sf_tag(sf_dir)
+    stg, fin = mk(f"q_wapp_v2_{tag}_stg"), mk(f"q_wapp_v2_{tag}_fin")
+    return write_audit_publish(spark, stg, fin, batch, ORDERS_KEY)
 
 
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
