@@ -1949,6 +1949,23 @@ def test_with_offsets_broadcast_path_matches_literal(spark):
     assert n == len(want) and got == want
 
 
+def test_persistent_staging_replay_is_identical(spark):
+    """The sink-backed entry queries reuse persistent staging tables via
+    the epoch ledger: a second invocation must skip the commits
+    (replay-idempotence) and return bit-identical results."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_replay_test", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    for name in ("q_time_travel", "q_snapshot_diff", "q_wap_publish"):
+        a = sorted(map(tuple, m.queries()[name](spark, SF).collect()))
+        b = sorted(map(tuple, m.queries()[name](spark, SF).collect()))
+        assert a == b and a, name
+
+
 def test_kcenter_injected_centers_match_greedy(spark):
     """kcenter_coreset(centers=kcenter_select(...)) is bit-identical to
     the train-inside path — the memoized-share contract, like k-means."""
