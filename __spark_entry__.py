@@ -72,9 +72,11 @@ _smp_duck_bucket = smp.duck_bucket_expr
 # memoized this way.
 _TRAINED_STATE_MEMO: dict[tuple, object] = {}
 
-#: deferred-drop staging tables for the sink-backed queries, keyed by
-#: (session id, query tag); see q_time_travel's cleanup note
-_TT_STAGED: dict[tuple, tuple] = {}
+#: (session tag, query tag) pairs whose legacy-droppings sweep already ran
+#: — the sink-backed queries now stage into PERSISTENT deterministic
+#: tables (see q_time_travel), so only the once-per-session sweep of
+#: uuid-named leftovers from pre-round-7 processes remains
+_SWEPT: set[tuple] = set()
 
 
 def _session_tag(spark: SparkSession) -> str:
@@ -138,17 +140,17 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def _drop_staged(spark: SparkSession, tag: str, prefix: str) -> None:
-    """Drop the previous invocation's staging tables for ``tag`` (cheap
-    DDL) and, once per session, sweep any leftover ``prefix``-named
-    tables a previous PROCESS left behind (uuid names cannot collide with
-    this session's live set)."""
+    """Once per session: sweep any leftover ``prefix``-named staging
+    tables an older (pre-persistent-staging) process left in the
+    warehouse. The live persistent tables use distinct prefixes
+    (``q_ttp_``/``q_sdp_``/``q_wapp_``) and are never matched."""
     key = (_session_tag(spark), tag)
-    if key not in _TT_STAGED:
-        for t in spark.catalog.listTables("default"):
-            if t.name.startswith(prefix):
-                spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
-    for t in _TT_STAGED.pop(key, ()):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if key in _SWEPT:
+        return
+    _SWEPT.add(key)
+    for t in spark.catalog.listTables("default"):
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
 
 
 def _emb_cells_k(spark: SparkSession, sf_dir: str) -> int:
