@@ -314,11 +314,13 @@ def test_retention_matches_python_reference(spark, rows):
         st.integers(min_value=-100, max_value=100), min_size=1, max_size=120
     ),
     k=st.integers(min_value=1, max_value=9),
+    num_parts=st.one_of(st.none(), st.integers(min_value=1, max_value=11)),
 )
-def test_global_ntile_matches_python_reference(spark, vals, k):
+def test_global_ntile_matches_python_reference(spark, vals, k, num_parts):
     """ranks.global_ntile reproduces the exact SQL ntile formula over a
-    unique total order on arbitrary inputs — the property every layout
-    carve and quantile bucketer now rests on."""
+    unique total order on arbitrary inputs AND at any drawn range-exchange
+    width (the adaptive num_parts default and every explicit override) —
+    the property every layout carve and quantile bucketer now rests on."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
         global_ntile,
     )
@@ -328,7 +330,7 @@ def test_global_ntile_matches_python_reference(spark, vals, k):
     got = {
         r.id: r.bucket
         for r in global_ntile(
-            df, [F.col("v").asc(), F.col("id").asc()], k
+            df, [F.col("v").asc(), F.col("id").asc()], k, num_parts=num_parts
         ).collect()
     }
     order = sorted(rows, key=lambda t: (t[1], t[0]))
