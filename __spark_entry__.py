@@ -804,24 +804,36 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.rake_keyphrases(load_table(spark, sf_dir, "documents"))
 
 
+def _token_counts_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, n_tokens) projection, checkpointed once per (session,
+    corpus) for the packing/sharding family — same distributed-share
+    contract as ``_neardup_pairs_shared``: the tokenize scan is the
+    corpus-sized leg both consumers repeat."""
+    key = (_session_tag(spark), sf_dir, "token_counts")
+    if key not in _PAIRS_SHARED:
+        _PAIRS_SHARED[key] = (
+            tx.token_count(load_table(spark, sf_dir, "documents"))
+            .select("doc_id", "n_tokens")
+            .localCheckpoint(eager=True)
+        )
+    return _PAIRS_SHARED[key]
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serpentine sequence packing (sampling.pack_bins): length-ranked
-    docs dealt into 8 balanced training bins."""
-    tc = tx.token_count(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens"
-    )
-    return smp.pack_bins(tc, n_bins=8)
+    docs dealt into 8 balanced training bins; token counts from the
+    shared checkpoint."""
+    return smp.pack_bins(_token_counts_shared(spark, sf_dir), n_bins=8)
 
 
 def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget contiguous sharding (sampling.token_budget_shards):
     shard boundary every 10k tokens of doc-id-ordered cumulative count —
     the parallel-prefix-sum sibling of q_pack_bins' global rank; per-shard
-    manifest output."""
-    tc = tx.token_count(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens"
+    manifest output; token counts from the shared checkpoint."""
+    return smp.token_budget_shards(
+        _token_counts_shared(spark, sf_dir), capacity=10_000
     )
-    return smp.token_budget_shards(tc, capacity=10_000)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
