@@ -2037,6 +2037,43 @@ def test_scoped_shuffle_partitions_restores_and_clamps(spark):
     assert spark.conf.get(key) == before
 
 
+def test_scoped_shuffle_partitions_serializes_threads(spark):
+    """Two concurrent scopes on one session must never observe each
+    other's (or a torn) conf value inside their block, and the session
+    value must survive the storm — the _SHUFFLE_SCOPE_LOCK contract."""
+    import threading
+    import time as _t
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        scoped_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    errs: list = []
+
+    def work(n: int) -> None:
+        try:
+            for _ in range(3):
+                with scoped_shuffle_partitions(spark, n):
+                    want = str(max(2, min(int(before), n)))
+                    got = spark.conf.get(key)
+                    assert got == want, (got, want)
+                    _t.sleep(0.01)
+        except Exception as ex:  # pragma: no cover - failure detail
+            errs.append(ex)
+
+    threads = [
+        threading.Thread(target=work, args=(n,)) for n in (2, 3, 4, 5)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert spark.conf.get(key) == before
+
+
 def test_k_anonymity_accounting(spark):
     """Per-type counters are self-consistent: rows_at_risk counts exactly
     the rows of sub-k groups, k=1 risks nothing, and a huge k risks
