@@ -2081,8 +2081,6 @@ def pca_variance_explained(
     bigint sums; |v|² is a driver-side constant. Nothing corpus-sized
     moves.
     """
-    import math as _math
-
     # rerun the same driver loop to obtain v (dim ints) — identical code
     # path as power_iteration_component, which unit/oracle tests pin
     vt = power_iteration_component(embeddings, iters, scale).select(
