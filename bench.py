@@ -62,7 +62,13 @@ def main() -> None:
 
     for name, fn in entrymod.queries().items():
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(3):
+            # two runs for everyone; a third only when the best is still
+            # sub-second — there, per-run scheduling noise (±0.3 s on a
+            # busy box) dominates the measurement and best-of-2 regularly
+            # reads a 0.2 s query as 0.6 s
+            if attempt == 2 and best >= 1.0:
+                break
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
