@@ -38,8 +38,10 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: callers use load_table to (re)pin session semantics.
 _TABLE_MEMO: dict[tuple, tuple] = {}
 
-#: sessions (by id) whose Python workers were already shipped the package
-_SHIPPED: set[int] = set()
+#: Spark applicationIds whose Python workers were already shipped the
+#: package (the applicationId — not id(spark) — survives Python object
+#: identity reuse after garbage collection)
+_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -52,7 +54,10 @@ def _ship_package(spark: SparkSession) -> None:
     ModuleNotFoundError in the worker. Zipping the package once per
     session and ``addPyFile``-ing it ships it to every worker in any
     deploy mode — the standalone equivalent of `--py-files`."""
-    sid = id(spark)
+    try:
+        sid = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover — a mock session in unit tests
+        sid = f"py-{id(spark)}"
     if sid in _SHIPPED:
         return
     _SHIPPED.add(sid)
