@@ -212,7 +212,10 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs the protobuf package for its "
-    "state-server channel; unavailable in this sandbox",
+    "state-server channel; not baked into this sandbox and package "
+    "installation is disallowed here — the test runs as-is on any "
+    "standard PySpark 4 cluster (protobuf ships with the usual distro), "
+    "and the applyInPandasWithState twin below covers the semantics",
 )
 def test_transform_with_state_offsets(spark, tmp_path):
     """The same O4/O7 semantics on the Spark 4 transformWithState API
