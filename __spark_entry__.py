@@ -90,6 +90,69 @@ def _session_tag(spark: SparkSession) -> str:
         return f"py-{id(spark)}"
 
 
+#: When bench.py (or any harness) sets this to a list, every shared-state
+#: lookup appends ``(leg_name, "hit"|"compute")`` — the honesty hook that
+#: lets the bench label which per-query times consumed a warm shared leg
+#: instead of paying for it (ADVICE round 7, high).
+_SHARED_TRACE: list | None = None
+
+#: applicationId of the session whose per-session caches are live; when a
+#: NEW session shows up, every entry tagged with a different (dead)
+#: session is evicted so long-lived processes that cycle SparkSessions
+#: don't pin dead checkpoint DataFrames forever (ADVICE round 7, low).
+_LIVE_TAG: str | None = None
+
+
+def _shared_bypass() -> bool:
+    """SPARK_GRAFT_NO_SHARED=1 disables every cross-query share: each
+    lookup recomputes and nothing is memoized. bench.py documents this as
+    the one-flag way to measure fully-cold per-query times."""
+    import os as _os
+
+    return _os.environ.get("SPARK_GRAFT_NO_SHARED", "") == "1"
+
+
+def _session_scope(spark: SparkSession) -> str:
+    """Return the session tag AND, on a session change, evict per-session
+    cache entries left by the previous (stopped) session: tag-keyed
+    ``_PAIRS_SHARED`` checkpoints, the ``_SWEPT`` ledger, and the shipped
+    markers in ``sources/parquet``. One live session at a time is the
+    actual usage pattern, so anything tagged otherwise is dead weight."""
+    global _LIVE_TAG
+    tag = _session_tag(spark)
+    if tag != _LIVE_TAG:
+        old = _LIVE_TAG
+        _LIVE_TAG = tag
+        for k in [k for k in _PAIRS_SHARED if k[0] != tag]:
+            del _PAIRS_SHARED[k]
+        for k in [k for k in _SWEPT if k[0] != tag]:
+            _SWEPT.discard(k)
+        if old is not None:  # session-tagged trained-state entries (staging)
+            for k in [k for k in _TRAINED_STATE_MEMO if k[0] == old]:
+                del _TRAINED_STATE_MEMO[k]
+    return tag
+
+
+def _shared(memo: dict, key: tuple, leg: str, compute: Callable[[], object]):
+    """Central gate for every cross-query shared artifact (trained driver
+    state in ``_TRAINED_STATE_MEMO``, checkpointed DataFrames in
+    ``_PAIRS_SHARED``): honors the ``SPARK_GRAFT_NO_SHARED`` bypass and
+    reports hit/compute events to ``_SHARED_TRACE``."""
+    if _shared_bypass():
+        if _SHARED_TRACE is not None:
+            _SHARED_TRACE.append((leg, "compute"))
+        return compute()
+    if key in memo:
+        if _SHARED_TRACE is not None:
+            _SHARED_TRACE.append((leg, "hit"))
+        return memo[key]
+    val = compute()
+    if _SHARED_TRACE is not None:
+        _SHARED_TRACE.append((leg, "compute"))
+    memo[key] = val
+    return val
+
+
 #: one CHECKPOINTED near-dup pair graph per (session, corpus), shared by
 #: the graph-metric battery; distinct from _TRAINED_STATE_MEMO — pairs
 #: grow with the corpus, so they are held as distributed checkpoint
@@ -108,12 +171,14 @@ def _neardup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed blocks (scale-legal), not driver state; holding the
     DataFrame reference here keeps the blocks alive across the harness's
     per-query cache clears."""
-    key = (_session_tag(spark), sf_dir)
-    if key not in _PAIRS_SHARED:
-        _PAIRS_SHARED[key] = dd.ngram_jaccard_pairs(
+    return _shared(
+        _PAIRS_SHARED,
+        (_session_scope(spark), sf_dir, "neardup_pairs"),
+        "neardup_pairs",
+        lambda: dd.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-    return _PAIRS_SHARED[key]
+        ).localCheckpoint(eager=True),
+    )
 
 
 def _minhash_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,20 +188,40 @@ def _minhash_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch verdict side) — same distributed-share contract as
     ``_neardup_pairs_shared``: the shingle+hash pass is the corpus-sized
     leg; the signatures are k small ints per doc."""
-    key = (_session_tag(spark), sf_dir, "minhash_sigs")
-    if key not in _PAIRS_SHARED:
-        _PAIRS_SHARED[key] = dd.minhash_signatures(
+    return _shared(
+        _PAIRS_SHARED,
+        (_session_scope(spark), sf_dir, "minhash_sigs"),
+        "minhash_sigs",
+        lambda: dd.minhash_signatures(
             load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-    return _PAIRS_SHARED[key]
+        ).localCheckpoint(eager=True),
+    )
 
 
 def _sf_tag(sf_dir: str) -> str:
-    """Catalog-safe tag for a test-data directory ('/…/sf0.1' → 'sf0_1'),
-    used to name the PERSISTENT deterministic staging tables the
-    replay-idempotent sink queries reuse across invocations."""
+    """Catalog-safe tag for a test-data directory ('/…/sf0.1' →
+    'sf0_1_<fp>'), used to name the PERSISTENT deterministic staging
+    tables the replay-idempotent sink queries reuse across invocations.
+
+    The tag folds in an INPUT FINGERPRINT — md5 over the full directory
+    path plus every top-level entry's (name, size, mtime_ns) — so a
+    regenerated fixture, or two different directories sharing a basename
+    (/a/sf0.1 vs /b/sf0.1), gets its own staging tables instead of
+    silently replay-skipping onto tables staged from other data
+    (ADVICE round 7, medium)."""
+    import hashlib
+    import os as _os
+
     base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return "".join(c if c.isalnum() else "_" for c in base)
+    safe = "".join(c if c.isalnum() else "_" for c in base)
+    h = hashlib.md5(_os.path.abspath(sf_dir).encode())
+    try:
+        for e in sorted(_os.scandir(sf_dir), key=lambda e: e.name):
+            st = e.stat()
+            h.update(f"|{e.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:  # pragma: no cover — nonexistent dir in unit tests
+        pass
+    return f"{safe}_{h.hexdigest()[:8]}"
 
 
 def _drop_staged(spark: SparkSession, tag: str, prefix: str) -> None:
@@ -156,37 +241,42 @@ def _drop_staged(spark: SparkSession, tag: str, prefix: str) -> None:
 def _emb_cells_k(spark: SparkSession, sf_dir: str) -> int:
     """Memoized k ∝ √N cell count (similarity.cells_for) for the pair
     queries; the oracle twin is similarity.duck_cells_expr()."""
-    key = (sf_dir, "cells_k")
-    if key not in _TRAINED_STATE_MEMO:
-        n = load_table(spark, sf_dir, "embeddings").count()
-        _TRAINED_STATE_MEMO[key] = sim.cells_for(n)
-    return _TRAINED_STATE_MEMO[key]  # type: ignore[return-value]
+    return _shared(  # type: ignore[return-value]
+        _TRAINED_STATE_MEMO,
+        (sf_dir, "cells_k"),
+        "cells_k",
+        lambda: sim.cells_for(load_table(spark, sf_dir, "embeddings").count()),
+    )
 
 
 def _kmeans_centroids_cached(
     spark: SparkSession, sf_dir: str, k: int, iters: int = 2
 ) -> list:
-    key = (sf_dir, k, iters)
-    if key not in _TRAINED_STATE_MEMO:
-        _TRAINED_STATE_MEMO[key] = sim.kmeans_centroids(
+    return _shared(  # type: ignore[return-value]
+        _TRAINED_STATE_MEMO,
+        (sf_dir, k, iters),
+        f"kmeans_centroids_k{k}",
+        lambda: sim.kmeans_centroids(
             load_table(spark, sf_dir, "embeddings"), k=k, iters=iters
-        )
-    return _TRAINED_STATE_MEMO[key]  # type: ignore[return-value]
+        ),
+    )
 
 
 def _bpe_rules_cached(spark: SparkSession, sf_dir: str, rounds: int = 3) -> list:
     """Memoized BPE merge rules (driver strings, deterministic per
     corpus+rounds) shared by the train/apply/fertility queries — same
     rationale as the k-means centroid memo."""
-    key = (sf_dir, "bpe_rules", rounds)
-    if key not in _TRAINED_STATE_MEMO:
-        _TRAINED_STATE_MEMO[key] = [
+    return _shared(  # type: ignore[return-value]
+        _TRAINED_STATE_MEMO,
+        (sf_dir, "bpe_rules", rounds),
+        "bpe_rules",
+        lambda: [
             (r.left_sym, r.right_sym)
             for r in tx.bpe_train_merges(
                 load_table(spark, sf_dir, "documents"), rounds
             ).collect()
-        ]
-    return _TRAINED_STATE_MEMO[key]  # type: ignore[return-value]
+        ],
+    )
 
 
 def _pq_books_cached(
@@ -194,12 +284,14 @@ def _pq_books_cached(
 ) -> list:
     """Memoized PQ codebooks (m·k·(dim/m) driver ints, deterministic per
     corpus+m+k) — same rationale as the k-means centroid memo."""
-    key = (sf_dir, "pq_books", m, k)
-    if key not in _TRAINED_STATE_MEMO:
-        _TRAINED_STATE_MEMO[key] = sim.pq_codebooks(
+    return _shared(  # type: ignore[return-value]
+        _TRAINED_STATE_MEMO,
+        (sf_dir, "pq_books", m, k),
+        "pq_codebooks",
+        lambda: sim.pq_codebooks(
             load_table(spark, sf_dir, "embeddings"), m=m, k=k
-        )
-    return _TRAINED_STATE_MEMO[key]  # type: ignore[return-value]
+        ),
+    )
 
 
 def _kmeans_assignment(
@@ -212,18 +304,17 @@ def _kmeans_assignment(
     consumer re-executed the interpreted argmin pass besides; the
     checkpoint (distributed blocks, |corpus| narrow rows — the same
     share contract as _PAIRS_SHARED) pays both once."""
-    key = (sf_dir, k, iters, "assign_df")
-    hit = _TRAINED_STATE_MEMO.get(key)
-    if hit is not None and hit[0] == _session_tag(spark):  # type: ignore[index]
-        return hit[1]  # type: ignore[index]
-    a = sim.kmeans_assign(
-        load_table(spark, sf_dir, "embeddings"),
-        k=k,
-        iters=iters,
-        centroids=_kmeans_centroids_cached(spark, sf_dir, k, iters),
-    ).localCheckpoint(eager=True)
-    _TRAINED_STATE_MEMO[key] = (_session_tag(spark), a)
-    return a
+    return _shared(
+        _PAIRS_SHARED,
+        (_session_scope(spark), sf_dir, k, iters, "assign_df"),
+        f"kmeans_assign_k{k}",
+        lambda: sim.kmeans_assign(
+            load_table(spark, sf_dir, "embeddings"),
+            k=k,
+            iters=iters,
+            centroids=_kmeans_centroids_cached(spark, sf_dir, k, iters),
+        ).localCheckpoint(eager=True),
+    )
 
 # Pipeline roles on the fixtures (FIXTURES.md §1): shard column, sort
 # column, upsert equality field per table.
@@ -566,12 +657,14 @@ def _dedup_survivors_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, corpus) and shared by the standalone dedup query and the
     composed curation pipeline — same distributed-share contract as
     ``_neardup_pairs_shared``."""
-    key = (_session_tag(spark), sf_dir, "dedup_survivors")
-    if key not in _PAIRS_SHARED:
-        _PAIRS_SHARED[key] = dd.dedup_corpus(
+    return _shared(
+        _PAIRS_SHARED,
+        (_session_scope(spark), sf_dir, "dedup_survivors"),
+        "dedup_survivors",
+        lambda: dd.dedup_corpus(
             load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-    return _PAIRS_SHARED[key]
+        ).localCheckpoint(eager=True),
+    )
 
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,14 +903,14 @@ def _token_counts_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) for the packing/sharding family — same distributed-share
     contract as ``_neardup_pairs_shared``: the tokenize scan is the
     corpus-sized leg both consumers repeat."""
-    key = (_session_tag(spark), sf_dir, "token_counts")
-    if key not in _PAIRS_SHARED:
-        _PAIRS_SHARED[key] = (
-            tx.token_count(load_table(spark, sf_dir, "documents"))
-            .select("doc_id", "n_tokens")
-            .localCheckpoint(eager=True)
-        )
-    return _PAIRS_SHARED[key]
+    return _shared(
+        _PAIRS_SHARED,
+        (_session_scope(spark), sf_dir, "token_counts"),
+        "token_counts",
+        lambda: tx.token_count(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=True),
+    )
 
 
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,17 +2180,15 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.salted_distinct(load_table(spark, sf_dir, "events"))
 
 
-def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution at the SOURCE (mergeSchema read): epoch 1 writes
-    the original orders shape, epoch 2 adds a derived discount column;
-    one partition-discovered read merges both footers and backfills the
-    missing column with NULLs — per epoch: rows, rows carrying the
-    evolved column, its exact-cents sum."""
-    import uuid
-
+def _schema_evo_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic per-(session, sf) two-epoch staging for
+    q_merge_schema: rewrite only when absent so the bench's second run
+    and the oracle read the same files (the writes are idempotent
+    overwrites, so the NO_SHARED bypass merely rewrites the same
+    bytes)."""
     base = (
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        + f"/q_schema_evo"
+        + "/q_schema_evo"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -2107,13 +2198,27 @@ def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_discount_cents",
         F.floor(F.col("o_totalprice") * 5 + F.lit(0.5)).cast("bigint"),
     )
-    # deterministic per-(session, sf) staging: rewrite only when absent so
-    # the bench's second run and the oracle read the same files
-    key = (_session_tag(spark), sf_dir, "schema_evo")
-    if key not in _TRAINED_STATE_MEMO:
+
+    def _stage():
         e1.write.mode("overwrite").parquet(f"{base}/epoch=1")
         e2.write.mode("overwrite").parquet(f"{base}/epoch=2")
-        _TRAINED_STATE_MEMO[key] = base
+        return base
+
+    return _shared(  # type: ignore[return-value]
+        _TRAINED_STATE_MEMO,
+        (_session_scope(spark), sf_dir, "schema_evo"),
+        "schema_evo_stage",
+        _stage,
+    )
+
+
+def q_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the SOURCE (mergeSchema read): epoch 1 writes
+    the original orders shape, epoch 2 adds a derived discount column;
+    one partition-discovered read merges both footers and backfills the
+    missing column with NULLs — per epoch: rows, rows carrying the
+    evolved column, its exact-cents sum."""
+    base = _schema_evo_staged(spark, sf_dir)
     merged = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", base)
@@ -2933,12 +3038,13 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers are memoized driver state (m×dim ints, deterministic) like
     the k-means centroids."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (sf_dir, "kcenter", 4)
-    if key not in _TRAINED_STATE_MEMO:
-        _TRAINED_STATE_MEMO[key] = sim.kcenter_select(emb, m=4)
-    return sim.kcenter_coreset(
-        emb, m=4, centers=_TRAINED_STATE_MEMO[key]
+    centers = _shared(
+        _TRAINED_STATE_MEMO,
+        (sf_dir, "kcenter", 4),
+        "kcenter_centers",
+        lambda: sim.kcenter_select(emb, m=4),
     )
+    return sim.kcenter_coreset(emb, m=4, centers=centers)
 
 
 def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3759,11 +3865,13 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_layout,
     )
 
-    key = (sf_dir, "zorder_stats", 64)
-    if key not in _TRAINED_STATE_MEMO:
+    def _compute():
         stats = zorder_layout(load_table(spark, sf_dir, "orders"))
-        _TRAINED_STATE_MEMO[key] = (stats.schema, stats.collect())
-    schema, rows = _TRAINED_STATE_MEMO[key]  # type: ignore[misc]
+        return (stats.schema, stats.collect())
+
+    schema, rows = _shared(  # type: ignore[misc]
+        _TRAINED_STATE_MEMO, (sf_dir, "zorder_stats", 64), "zorder_stats", _compute
+    )
     return spark.createDataFrame(rows, schema)
 
 
@@ -3779,11 +3887,16 @@ def _hilbert_stats_cached(
         hilbert_layout,
     )
 
-    key = (sf_dir, "hilbert_stats", n_files)
-    if key not in _TRAINED_STATE_MEMO:
+    def _compute():
         stats = hilbert_layout(load_table(spark, sf_dir, "orders"), n_files)
-        _TRAINED_STATE_MEMO[key] = (stats.schema, stats.collect())
-    schema, rows = _TRAINED_STATE_MEMO[key]  # type: ignore[misc]
+        return (stats.schema, stats.collect())
+
+    schema, rows = _shared(  # type: ignore[misc]
+        _TRAINED_STATE_MEMO,
+        (sf_dir, "hilbert_stats", n_files),
+        "hilbert_stats",
+        _compute,
+    )
     return spark.createDataFrame(rows, schema)
 
 
@@ -4380,10 +4493,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_moments": q_stream_moments,
         "q_stream_kmv": q_stream_kmv,
     }
-    missing = [n for n in _ROUND6_WINDOW if n not in q]
+    missing = [n for n in _ROUND8_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND6_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND6_WINDOW}, **q}
+        raise KeyError(f"_ROUND8_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND8_WINDOW}, **q}
+
+
+# The round-8 driver-correctness window: EXACTLY the 50 queries that have
+# never had a driver CORRECTNESS row in rounds 1–7 (computed from the
+# union of CORRECTNESS_r01..r07 names vs the 298-query registry, and
+# matching VERDICT.md round-7 item #1 name-for-name). All 50 are locally
+# oracle-green (tests/test_oracle_parity.py); this rotation closes the
+# t2 contract at 298/298 driver-confirmed. Dict unpacking keeps these
+# first so the driver's 50-slot sample hits all of them.
+_ROUND8_WINDOW = [
+    # text analysis / corpus stats (6)
+    "q_pmi_collocations", "q_rake_keyphrases", "q_source_kl",
+    "q_langid_confusion", "q_lix_readability", "q_quality_calibration",
+    # sampling / batching / governance (6)
+    "q_token_budget_shards", "q_neyman_allocation", "q_mixture_waterfill",
+    "q_rebalance_plan", "q_k_anonymity", "q_l_diversity",
+    # graph (2)
+    "q_modularity", "q_assortativity",
+    # multimodal (1)
+    "q_media_phash_dedup",
+    # similarity / ANN / PQ family (8)
+    "q_lsh_s_curve", "q_knn_eval", "q_ndcg", "q_rank_fusion",
+    "q_pq_encode", "q_pq_adc_topk", "q_pq_recall", "q_ivfpq_topk",
+    # PCA (1)
+    "q_pca_variance",
+    # event analytics / time series / experimentation (14)
+    "q_xcorr_lag", "q_ab_ztest", "q_ab_srm", "q_did", "q_dau_mau",
+    "q_markov_transitions", "q_markov_stationary", "q_entropy_rate",
+    "q_max_drawdown", "q_burstiness", "q_snaive_backtest",
+    "q_trend_robust", "q_item_cooccurrence", "q_rfm_segments",
+    # statistics / sketches / drift (5)
+    "q_mann_whitney", "q_psi_drift", "q_sketch_intersect",
+    "q_join_cardinality", "q_bootstrap_ci",
+    # storage layout / maintenance (4)
+    "q_partition_evolution", "q_encoding_audit", "q_clustering_depth",
+    "q_snapshot_diff",
+    # streaming runtime (3)
+    "q_stream_lsh_dedup", "q_stream_moments", "q_stream_kmv",
+]
 
 
 # The round-6 driver-correctness window: every query that has NEVER had a
@@ -4533,6 +4685,54 @@ _ROUND4_WINDOW = [
     # layout + cogroup (2)
     "q_bucketed_join", "q_cogroup",
 ]
+
+
+def shared_legs() -> dict[str, Callable[[SparkSession, str], None]]:
+    """Every cross-query SHARED artifact as an explicitly forceable leg,
+    in dependency order (primitives before their consumers, so each leg's
+    timing covers only its own work). bench.py runs these once per sweep
+    and reports their cost SEPARATELY from the per-query times — the
+    per-query numbers then measure engine work given warm shared state,
+    labeled as such, instead of silently excluding the corpus-sized legs
+    (ADVICE round 7, high). With SPARK_GRAFT_NO_SHARED=1 every query
+    recomputes its own legs and this pre-pass is skipped."""
+
+    def _force(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    return {
+        "cells_k": lambda s, d: (_emb_cells_k(s, d), None)[1],
+        "neardup_pairs": lambda s, d: _force(_neardup_pairs_shared(s, d)),
+        "minhash_sigs": lambda s, d: _force(_minhash_sigs_shared(s, d)),
+        "dedup_survivors": lambda s, d: _force(_dedup_survivors_shared(s, d)),
+        "token_counts": lambda s, d: _force(_token_counts_shared(s, d)),
+        "kmeans_centroids_k8": lambda s, d: (
+            _kmeans_centroids_cached(s, d, 8),
+            None,
+        )[1],
+        "kmeans_assign_k8": lambda s, d: _force(_kmeans_assignment(s, d, 8)),
+        "kmeans_assign_kcells": lambda s, d: _force(
+            _kmeans_assignment(s, d, _emb_cells_k(s, d))
+        ),
+        "pq_codebooks": lambda s, d: (_pq_books_cached(s, d), None)[1],
+        "bpe_rules": lambda s, d: (_bpe_rules_cached(s, d), None)[1],
+        "kcenter_centers": lambda s, d: (
+            _shared(
+                _TRAINED_STATE_MEMO,
+                (d, "kcenter", 4),
+                "kcenter_centers",
+                lambda: sim.kcenter_select(
+                    load_table(s, d, "embeddings"), m=4
+                ),
+            ),
+            None,
+        )[1],
+        "zorder_stats": lambda s, d: _force(q_zorder_layout(s, d)),
+        "hilbert_stats": lambda s, d: _force(
+            _hilbert_stats_cached(s, d, 64)
+        ),
+        "schema_evo_stage": lambda s, d: (_schema_evo_staged(s, d), None)[1],
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -53,14 +53,38 @@ def main() -> None:
     )
     force(warm.groupBy("o_orderpriority").agg(_F.sum("o_totalprice")))
 
+    # Shared-leg pre-pass (honesty contract, ADVICE r7-high): several
+    # query families share checkpointed corpus-sized subtrees (near-dup
+    # pair graph, MinHash signatures, k-means assignment, …) — the
+    # production shape where a pipeline materializes the candidate graph
+    # once and runs every metric over it. Benching queries against warm
+    # shares while min()-ing over repeat attempts would otherwise record
+    # cache reads as engine times and silently exclude the shared cost.
+    # So: each shared leg is forced and timed EXPLICITLY here, its cost
+    # is reported separately AND included once in the headline total, and
+    # every query whose attempts consumed a warm leg is labeled in
+    # BENCH_FULL. SPARK_GRAFT_NO_SHARED=1 disables all sharing instead:
+    # every query then pays its own legs and this pre-pass is skipped.
+    no_shared = os.environ.get("SPARK_GRAFT_NO_SHARED", "") == "1"
+    shared_times: dict[str, float] = {}
+    if not no_shared:
+        for leg, thunk in entrymod.shared_legs().items():
+            t0 = time.perf_counter()
+            thunk(spark, sf_dir)
+            shared_times[leg] = round(time.perf_counter() - t0, 4)
+            spark.catalog.clearCache()
+
     # best-of-2 per query: the second run reuses JVM JIT + codegen caches,
     # so the min is the steady-state number (single runs vary ±20% locally).
     # clearCache between runs: operators persist intermediates, and leaked
     # cache entries from earlier queries would distort later measurements.
     times: dict[str, float] = {}
+    shared_warm: dict[str, list[str]] = {}
     import gc
 
     for name, fn in entrymod.queries().items():
+        trace: list = []
+        entrymod._SHARED_TRACE = trace
         best = float("inf")
         for attempt in range(3):
             # two runs for everyone; a third only when the best is still
@@ -73,6 +97,10 @@ def main() -> None:
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
+        entrymod._SHARED_TRACE = None
+        legs = sorted({leg for leg, _ in trace})
+        if legs:
+            shared_warm[name] = legs
         # clearCache drops catalog-cached datasets but NOT localCheckpoint
         # RDD blocks — those release only when the Python DataFrame is
         # garbage-collected and the ContextCleaner runs. Dozens of
@@ -81,7 +109,11 @@ def main() -> None:
         gc.collect()
         times[name] = round(best, 4)
 
-    total = round(sum(times.values()), 4)
+    per_query_total = round(sum(times.values()), 4)
+    shared_total = round(sum(shared_times.values()), 4)
+    # the headline total pays every shared leg exactly ONCE (the amortized
+    # production suite shape) plus every query's steady-state time
+    total = round(per_query_total + shared_total, 4)
 
     # The driver captures only the last 2000 chars of stdout and parses the
     # JSON line from that window (BENCH_r01.json recorded parsed=null when the
@@ -92,6 +124,8 @@ def main() -> None:
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
+        "per_query_sec": per_query_total,
+        "shared_leg_sec": shared_total,
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
     }
@@ -99,7 +133,27 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
         "w",
     ) as fh:
-        json.dump({**payload, "queries": times, "n_queries": len(times)}, fh, indent=1)
+        json.dump(
+            {
+                **payload,
+                "queries": times,
+                "n_queries": len(times),
+                "shared_legs": shared_times,
+                "queries_shared_warm": shared_warm,
+                "no_shared_mode": no_shared,
+                "methodology": (
+                    "value = sum(per-query best-of-N) + each shared leg "
+                    "paid once; per-query times for names in "
+                    "queries_shared_warm measure engine work GIVEN warm "
+                    "shared state (the legs they consume are costed in "
+                    "shared_legs, not in their own entry). Set "
+                    "SPARK_GRAFT_NO_SHARED=1 for fully-cold per-query "
+                    "times with no cross-query sharing."
+                ),
+            },
+            fh,
+            indent=1,
+        )
 
     budget = 1800
     line = json.dumps(payload, separators=(",", ":"))

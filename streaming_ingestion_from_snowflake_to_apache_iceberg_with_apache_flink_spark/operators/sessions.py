@@ -589,17 +589,28 @@ def markov_stationary(events: DataFrame, rounds: int = 8) -> DataFrame:
     pi = {s: 1.0 / len(states) for s in states}
     for _ in range(rounds):
         nxt: dict[str, float] = {}
-        # accumulate in sorted-src order: deterministic float sums
+        # accumulate in sorted-src order: deterministic float sums. A src
+        # state with NO incoming edge drops out of pi after round 1 (the
+        # oracle's pi_r CTE joins on pi_{r-1}.state = p.src, so such a
+        # state contributes nothing and is absent thereafter) — skip it
+        # here too instead of KeyError-ing on pi[s].
         for s in states:
+            if s not in pi:
+                continue
             for d in states:
                 if (s, d) in p:
                     nxt[d] = nxt.get(d, 0.0) + pi[s] * p[(s, d)]
         pi = nxt
-    total = sum(n_out.values())
-    rows = [
-        (s, round(pi.get(s, 0.0), 6), round(n_out[s] / total, 6))
-        for s in states
-    ]
+    # INNER-join semantics, matching the oracle's final `pi8 JOIN emp`:
+    # emit only src states that still carry stationary mass — a state that
+    # only ever starts sessions (no incoming transition) is dropped, not
+    # reported as 0.0. The empirical denominator is the oracle's
+    # `sum(n_src) OVER ()` evaluated AFTER that join, i.e. transitions out
+    # of the SURVIVING states only — both columns then sum to 1 over the
+    # emitted rows.
+    kept = [s for s in states if s in pi]
+    total = sum(n_out[s] for s in kept)
+    rows = [(s, round(pi[s], 6), round(n_out[s] / total, 6)) for s in kept]
     return events.sparkSession.createDataFrame(
         rows, "state string, stationary_share double, empirical_share double"
     )

@@ -60,7 +60,6 @@ def _ship_package(spark: SparkSession) -> None:
         sid = f"py-{id(spark)}"
     if sid in _SHIPPED:
         return
-    _SHIPPED.add(sid)
     import shutil
     import tempfile
 
@@ -78,15 +77,33 @@ def _ship_package(spark: SparkSession) -> None:
             base, "zip", os.path.dirname(pkg_dir), os.path.basename(pkg_dir)
         )
     entry = os.path.join(os.path.dirname(pkg_dir), "__spark_entry__.py")
+    shipped_ok = True
     for p in (zip_path, entry if os.path.exists(entry) else None):
         if p is None:
             continue
         try:
             spark.sparkContext.addPyFile(p)
-        except Exception:
-            # a second addPyFile of the same name in one context can throw
-            # on some deployments; the first successful ship is what matters
-            pass
+        except Exception as exc:
+            # a second addPyFile of the SAME path in one context throws a
+            # benign already-added error on some deployments — that still
+            # counts as shipped; any OTHER failure (transient FS/RPC) must
+            # leave sid un-marked so the next call retries instead of
+            # silently reintroducing the worker ModuleNotFoundError this
+            # function exists to prevent
+            if "same" in str(exc).lower() or "already" in str(exc).lower():
+                continue
+            shipped_ok = False
+            import warnings
+
+            warnings.warn(
+                f"addPyFile({os.path.basename(p)}) failed; will retry on "
+                f"next load_table call: {exc}",
+                stacklevel=2,
+            )
+    if shipped_ok:
+        # mark only AFTER a successful ship — never pre-commit the marker
+        _SHIPPED.add(sid)
+        _SHIPPED.intersection_update({sid})  # evict dead-session markers
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

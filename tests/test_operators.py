@@ -3508,3 +3508,55 @@ def test_graph_family_handles_empty_pair_input(spark):
     # with NULL (undefined) statistics rather than a crash
     assert dd.assortativity(empty).count() == 1
     assert dd.modularity(empty).count() == 1
+
+
+def test_markov_stationary_drops_source_only_state(spark):
+    """A state with NO incoming transition (here 'boot', only ever a
+    session's first event) loses all mass after one power step; the
+    DuckDB oracle's final INNER JOIN drops it from the output, so the
+    Spark side must too — no phantom stationary_share=0.0 row. Pins the
+    inner-join semantics chosen for markov_stationary."""
+    import duckdb
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        duck_markov_stationary_sql,
+        markov_stationary,
+    )
+
+    rows = []
+    eid = 0
+    # 4 users: boot -> (a|b) -> a/b chains; 'boot' never follows anything
+    for uid, seq in enumerate(
+        [
+            ["boot", "a", "b", "a"],
+            ["boot", "b", "a", "a"],
+            ["boot", "a", "a", "b"],
+            ["boot", "b", "b", "a"],
+        ]
+    ):
+        for i, et in enumerate(seq):
+            rows.append((eid, f"2024-01-01 00:{i:02d}:00", uid, et))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        r.state: (r.stationary_share, r.empirical_share)
+        for r in markov_stationary(ev).collect()
+    }
+    assert "boot" not in got  # source-only state dropped, not emitted 0.0
+    assert set(got) == {"a", "b"}
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        __import__("pandas").DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        ).assign(ts=lambda d: __import__("pandas").to_datetime(d.ts)),
+    )
+    want = {
+        r[0]: (float(r[1]), float(r[2]))
+        for r in con.execute(duck_markov_stationary_sql()).fetchall()
+    }
+    assert got == want

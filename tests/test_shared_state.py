@@ -1,0 +1,124 @@
+"""Cross-query shared-state contract (ADVICE round 7): central `_shared`
+gate honors the SPARK_GRAFT_NO_SHARED bypass and the trace hook; session
+rotation evicts dead-session caches; package shipping never pre-commits
+its shipped marker on failure."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
+    parquet as pq,
+)
+
+
+def test_shared_gate_memoizes_and_traces(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_NO_SHARED", raising=False)
+    monkeypatch.setattr(entry, "_SHARED_TRACE", [])
+    memo: dict = {}
+    calls = []
+    out1 = entry._shared(memo, ("k",), "leg", lambda: calls.append(1) or 41)
+    out2 = entry._shared(memo, ("k",), "leg", lambda: calls.append(1) or 42)
+    assert out1 == out2 == 41  # second lookup is a hit, compute ran once
+    assert calls == [1]
+    assert entry._SHARED_TRACE == [("leg", "compute"), ("leg", "hit")]
+
+
+def test_shared_gate_bypass_env(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_NO_SHARED", "1")
+    memo: dict = {}
+    calls = []
+    entry._shared(memo, ("k",), "leg", lambda: calls.append(1) or 1)
+    entry._shared(memo, ("k",), "leg", lambda: calls.append(1) or 2)
+    assert calls == [1, 1]  # recomputed every time
+    assert memo == {}  # and nothing memoized
+
+
+def test_session_scope_evicts_dead_session_entries(monkeypatch):
+    class _SC:
+        applicationId = "app-NEW"
+
+    class _Spark:
+        sparkContext = _SC()
+
+    monkeypatch.setattr(entry, "_LIVE_TAG", "app-OLD")
+    monkeypatch.setattr(
+        entry, "_PAIRS_SHARED", {("app-OLD", "/d", "x"): object()}
+    )
+    monkeypatch.setattr(entry, "_SWEPT", {("app-OLD", "tt")})
+    entry._TRAINED_STATE_MEMO[("app-OLD", "/d", "schema_evo")] = "/tmp/x"
+    entry._TRAINED_STATE_MEMO[("/d", "cells_k")] = 7  # sf-keyed: kept
+    tag = entry._session_scope(_Spark())
+    assert tag == "app-NEW"
+    assert entry._PAIRS_SHARED == {}
+    assert entry._SWEPT == set()
+    assert ("app-OLD", "/d", "schema_evo") not in entry._TRAINED_STATE_MEMO
+    assert entry._TRAINED_STATE_MEMO[("/d", "cells_k")] == 7
+    del entry._TRAINED_STATE_MEMO[("/d", "cells_k")]
+
+
+def test_shared_legs_enumerates_callables():
+    legs = entry.shared_legs()
+    assert set(legs) >= {
+        "neardup_pairs",
+        "minhash_sigs",
+        "dedup_survivors",
+        "token_counts",
+        "kmeans_assign_k8",
+        "pq_codebooks",
+        "bpe_rules",
+        "schema_evo_stage",
+    }
+    assert all(callable(v) for v in legs.values())
+
+
+def test_ship_package_retries_after_failure(monkeypatch):
+    """A transient addPyFile failure must NOT permanently mark the session
+    as shipped (ADVICE round 7, low): the next call retries."""
+    attempts = []
+
+    class _SC:
+        applicationId = "app-ship-test"
+
+        def addPyFile(self, p):
+            attempts.append(p)
+            if len(attempts) <= 2:  # first call: both files fail
+                raise RuntimeError("transient filesystem error")
+
+    class _Spark:
+        sparkContext = _SC()
+
+    monkeypatch.setattr(pq, "_SHIPPED", set())
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pq._ship_package(_Spark())
+    assert "app-ship-test" not in pq._SHIPPED  # failure → not marked
+    n_first = len(attempts)
+    pq._ship_package(_Spark())  # retries and succeeds
+    assert len(attempts) > n_first
+    assert "app-ship-test" in pq._SHIPPED
+    pq._ship_package(_Spark())  # now a no-op
+    assert len(attempts) == n_first + 2
+
+
+def test_ship_package_already_added_counts_as_shipped(monkeypatch):
+    attempts = []
+
+    class _SC:
+        applicationId = "app-ship-dup"
+
+        def addPyFile(self, p):
+            attempts.append(p)
+            raise RuntimeError("File with the same name already exists")
+
+    class _Spark:
+        sparkContext = _SC()
+
+    monkeypatch.setattr(pq, "_SHIPPED", set())
+    pq._ship_package(_Spark())
+    assert "app-ship-dup" in pq._SHIPPED  # benign duplicate → shipped
