@@ -182,6 +182,76 @@ def global_row_number(
     return out, int(n)
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    rank_col: str = "__rank",
+    count_col: str | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact 1-based ``row_number`` WITHIN each group over a total order,
+    computed parallel even when the group key has O(1) cardinality.
+
+    A ``Window.partitionBy(group)`` with 5 distinct groups runs every
+    task-parallel sort at parallelism ≤ 5 regardless of cluster size —
+    correct on 60k rows, a 5-task funnel at 100 TB. This is the grouped
+    twin of :func:`global_row_number`: range-partition by
+    ``(group, order)`` so each physical partition holds a contiguous
+    slice of the group-ordered sequence, rank locally per
+    ``(partition id, group)``, and attach per-(partition, group)
+    exclusive offsets folded on the driver. The offset table is
+    metadata-sized: groups are contiguous across range slices, so it has
+    at most ``P + G`` rows (each of the P partitions opens at most one
+    group mid-slice).
+
+    ``order_cols`` must define a total order within each group (unique
+    tiebreak) for determinism. ``count_col``, when given, attaches each
+    group's total row count — callers selecting the k-th order statistic
+    (median & friends) need it and it is free (same fold).
+    """
+    from pyspark.sql import Window as W
+
+    part = pin_range_partitions(
+        df, [F.col(g) for g in group_cols] + list(order_cols), num_parts
+    )
+    pairs = (
+        part.groupBy(PID, *group_cols)
+        .agg(F.count(F.lit(1)).alias("v"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    rows = []  # (pid, *group key, exclusive offset)
+    for r in sorted(
+        pairs,
+        key=lambda r: (tuple(str(r[g]) for g in group_cols), int(r[PID])),
+    ):
+        gk = tuple(r[g] for g in group_cols)
+        rows.append((int(r[PID]),) + gk + (totals.get(gk, 0),))
+        totals[gk] = totals.get(gk, 0) + int(r["v"])
+    key_schema = part.select(*group_cols).schema
+    off_schema = (
+        f"{PID} int, "
+        + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_schema)
+        + f", {OFF} bigint"
+    )
+    if count_col is not None:
+        off_schema += f", {count_col} bigint"
+        rows = [r + (totals[tuple(r[1:-1])],) for r in rows]
+    off_df = df.sparkSession.createDataFrame(rows, schema=off_schema)
+    rn = (
+        F.row_number().over(
+            W.partitionBy(PID, *group_cols).orderBy(*order_cols)
+        )
+        + F.coalesce(F.col(OFF), F.lit(0))
+    ).cast("bigint")
+    return (
+        part.join(F.broadcast(off_df), [PID, *group_cols], "left")
+        .withColumn(rank_col, rn)
+        .drop(PID, OFF)
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list,

@@ -727,55 +727,161 @@ def unpivot_metrics(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def radix_kth_by_group(
+    df: DataFrame,
+    grp: str,
+    val,
+    k_by_group: dict,
+    max_bits: int,
+    step: int = 13,
+    prefix: dict | None = None,
+) -> dict:
+    """Exact k-th smallest (1-based ``k`` per group) of a NON-NEGATIVE
+    bigint expression, by iterative radix-histogram selection — the
+    classic distributed order-statistic algorithm.
+
+    Each level is one partial-agg scan whose result is bounded by
+    ``groups × 2^step`` rows (VALUE-DOMAIN-sized, never corpus-sized);
+    ``ceil(max_bits/step)`` levels walk from the high bits down to the
+    exact value. No sort, no corpus shuffle, no window — so parallelism
+    never degrades to the group-key cardinality the way a
+    ``Window.partitionBy(group)`` rank does (5 groups → 5 tasks at any
+    cluster size). Driver state per level is the bounded histogram, the
+    same altitude contract as k-means' k×dim centroids (SCALE.md).
+
+    ``prefix``, when given, narrows the walk to candidates already known
+    to satisfy ``val >> max_bits == prefix[group]`` (a caller that fused
+    the first histogram level into another scan passes its chosen bucket
+    here, with ``k_by_group`` already rebased within the bucket).
+
+    Returns ``{group: exact k-th value}`` for every group in
+    ``k_by_group`` with k ≥ 1.
+    """
+    shifts = list(range(max(0, max_bits - step), 0, -step)) + [0]
+    k = {g: int(v) for g, v in k_by_group.items() if int(v) >= 1}
+    if not k:
+        return {}
+    from pyspark.sql import Window
+
+    prev_shift = max_bits
+    for shift in shifts:
+        cur = df
+        if prefix is not None:
+            m = F.create_map(
+                *[x for g, p in prefix.items() for x in (F.lit(g), F.lit(p))]
+            )
+            cur = df.filter(
+                F.shiftright(val, prev_shift) == F.element_at(m, F.col(grp))
+            )
+        km = F.create_map(
+            *[x for g, kk in k.items() for x in (F.lit(g), F.lit(kk))]
+        )
+        # cum-sum bucket selection runs IN SPARK over the histogram (a
+        # value-domain-bounded relation, ≤ 2^step rows per group — the
+        # window never sees the corpus); only ONE row per group crosses
+        # to the driver
+        hist = cur.groupBy(
+            F.col(grp).alias("g"), F.shiftright(val, shift).alias("b")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("g")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        kk = F.element_at(km, F.col("g"))
+        chosen = (
+            hist.select("g", "b", "c", F.sum("c").over(w).alias("cum"))
+            .filter((F.col("cum") >= kk) & (F.col("cum") - F.col("c") < kk))
+            .select("g", "b", (kk - F.col("cum") + F.col("c")).alias("krem"))
+            .collect()
+        )
+        prefix = {r.g: int(r.b) for r in chosen}
+        k = {r.g: int(r.krem) for r in chosen}
+        prev_shift = shift
+    return prefix or {}
+
+
 def median_mad(orders: DataFrame) -> DataFrame:
     """Robust per-group location/spread: exact lower-median of the order
-    total and the median absolute deviation (MAD) around it, by double
-    rank selection — no interpolation, so no FP hazard and an exact
-    oracle (`percentile_disc`-style semantics).
+    total and the median absolute deviation (MAD) around it — both as
+    exact order statistics on the cents grid (`percentile_disc`-style
+    semantics, no interpolation, no FP hazard).
 
-    Scale shape: two windowed rank passes over the same partitioning key
-    (one exchange, the second window reuses the shuffle) plus a broadcast
-    of the per-group medians (one row per group) back onto the rows for
-    the deviation pass. Never a driver collect.
+    Scale shape: the group key (`o_orderpriority`) has 5 distinct values,
+    so a `Window.partitionBy(group)` rank would run every sort at
+    parallelism ≤ 5 regardless of cluster size. Instead both medians come
+    from :func:`radix_kth_by_group` — a handful of fully-parallel
+    partial-agg scans with value-domain-bounded state, never a sort or a
+    corpus-sized shuffle. The deviation pass rewrites ``|x − med|``
+    against the 5 broadcast-literal medians inline; the 5-row result is
+    driver-assembled, metadata-sized.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-    )
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
-    )
-    med = ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
-        "o_orderpriority", F.col("o_totalprice").alias("median_price")
-    )
-    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
-        "o_orderpriority",
-        "o_orderkey",
-        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("d"),
-        "median_price",
-    )
-    wd = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("d").asc(), F.col("o_orderkey").asc()
-    )
-    ranked_d = dev.select(
-        "o_orderpriority",
-        "median_price",
-        "d",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
-    )
-    return (
-        ranked_d.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .select(
-            "o_orderpriority",
-            F.round("median_price", 2).alias("median_price"),
-            F.round("d", 2).alias("mad"),
-            F.col("n").cast("bigint").alias("n_orders"),
+    grp = "o_orderpriority"
+    step = 13
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(F.col(grp), cents.alias("v"))
+    # Fused first pass: per-(group, high-bits) histogram + group stats in
+    # ONE scan — when the value domain fits 2*step bits (any realistic
+    # price grid), this histogram IS radix level 1 and the median needs
+    # just one more exact-value scan. The cum-sum selection runs in Spark
+    # over the bounded histogram; one row per group reaches the driver.
+    hist = base.groupBy(
+        F.col(grp).alias("g"), F.shiftright("v", step).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"), F.max("v").alias("mx"))
+    wg = Window.partitionBy("g")
+    wcum = wg.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_col = F.sum("c").over(wg)
+    k_col = F.floor((n_col + 1) / 2)
+    chosen = (
+        hist.select(
+            "g",
+            "b",
+            "c",
+            F.max("mx").over(wg).alias("mxg"),
+            n_col.alias("n"),
+            k_col.alias("k"),
+            F.sum("c").over(wcum).alias("cum"),
         )
+        .filter((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("c") < F.col("k")))
+        .collect()
+    )
+    if not chosen:
+        return orders.sparkSession.createDataFrame(
+            [],
+            f"{grp} string, median_price double, mad double, n_orders bigint",
+        )
+    n_by_g = {r.g: int(r.n) for r in chosen}
+    k = {r.g: int(r.k) for r in chosen}
+    max_bits = max(int(r.mxg) for r in chosen).bit_length()
+    if max_bits <= 2 * step:
+        # common path: the level-1 bucket per group is already chosen —
+        # one exact-value scan inside the chosen buckets finishes it
+        med = radix_kth_by_group(
+            base,
+            grp,
+            F.col("v"),
+            {r.g: int(r.k) - (int(r.cum) - int(r.c)) for r in chosen},
+            step,
+            step=step,
+            prefix={r.g: int(r.b) for r in chosen},
+        )
+    else:  # arbitrary-magnitude fallback: full radix walk
+        med = radix_kth_by_group(base, grp, F.col("v"), k, max_bits, step=step)
+    med_map = F.create_map(
+        *[x for g, m in med.items() for x in (F.lit(g), F.lit(m))]
+    )
+    dev = base.select(
+        F.col(grp), F.abs(F.col("v") - F.element_at(med_map, F.col(grp))).alias("v")
+    )
+    # |x − med| needs one extra headroom bit over the value domain
+    mad = radix_kth_by_group(dev, grp, F.col("v"), k, max_bits + 1, step=step)
+    rows = [
+        (g, med[g] / 100.0, mad[g] / 100.0, n_by_g[g]) for g in sorted(n_by_g)
+    ]
+    return orders.sparkSession.createDataFrame(
+        rows, f"{grp} string, median_price double, mad double, n_orders bigint"
     )
 
 

