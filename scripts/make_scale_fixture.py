@@ -1,0 +1,90 @@
+"""Synthesize a larger-scale fixture by key-shifted replication of an
+existing testdata directory (default: 10x sf0.1 -> a /tmp 'sf1').
+
+The driver-generated fixtures stop at sf0.1; SCALE.md's measured-scaling
+table needs a point where the corpus legs dominate fixed per-query cost.
+Replication preserves every schema and marginal distribution; keys shift
+by copy so uniqueness invariants hold. Two deliberate perturbations keep
+the PROBLEM size linear in the data (not quadratic):
+
+* documents.text gets a per-copy suffix token for copies >= 1 - exact
+  replicas would turn every doc into a 10-way near-duplicate cluster and
+  blow the pair graph up 45x instead of 10x;
+* everything else replicates verbatim (embeddings may duplicate: k-means
+  / PQ cost is linear in rows regardless).
+
+Usage: python scripts/make_scale_fixture.py [src_dir] [dst_dir] [copies]
+Never writes outside dst_dir (default /tmp/sparkgraft_sf1).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sparkgraft_sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+# (table, key columns to shift, text perturbation?)
+SHIFTS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    # one offset per shifted column family: next power of 10 above the max
+    offs: dict[str, int] = {}
+    for t, keys in SHIFTS.items():
+        for k in keys:
+            m = con.sql(
+                f"SELECT max({k}) FROM '{SRC}/{t}.parquet'"
+            ).fetchone()[0]
+            off = 10 ** len(str(int(m)))
+            offs[k] = max(offs.get(k, 0), off)
+    # foreign keys shift by the REFERENCED key's offset
+    offs["o_custkey"] = offs["c_custkey"]
+    offs["l_orderkey"] = offs["o_orderkey"]
+    offs["l_partkey"] = offs["p_partkey"]
+    offs["l_suppkey"] = offs["s_suppkey"]
+
+    for t, keys in SHIFTS.items():
+        src = f"'{SRC}/{t}.parquet'"
+        if not keys:  # dims: copy verbatim
+            con.sql(f"COPY (SELECT * FROM {src}) TO '{DST}/{t}.parquet'")
+            continue
+        col_names = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()]
+        selects = []
+        for i in range(COPIES):
+            cols = []
+            for name in col_names:
+                if name in keys:
+                    cols.append(f"({name} + {i * offs[name]})::BIGINT AS {name}")
+                elif t == "documents" and name == "text" and i > 0:
+                    cols.append(f"text || ' zq{i}x' AS text")
+                elif t == "documents" and name == "n_chars" and i > 0:
+                    cols.append(f"(n_chars + {len(f' zq{i}x')})::BIGINT AS n_chars")
+                else:
+                    cols.append(name)
+            selects.append(f"SELECT {', '.join(cols)} FROM {src}")
+        union = " UNION ALL ".join(selects)
+        con.sql(f"COPY ({union}) TO '{DST}/{t}.parquet'")
+        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows", flush=True)
+
+
+if __name__ == "__main__":
+    main()
