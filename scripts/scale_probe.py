@@ -76,18 +76,9 @@ def main() -> None:
         }), flush=True)
 
     # shared legs first (they amortize across the battery; their cost is
-    # the corpus-sized leg the queries below consume warm)
-    t0 = time.perf_counter()
-    r0, w0 = shuffle_totals(ui)
+    # the corpus-sized leg the queries below consume warm), one line each
     for leg, thunk in entrymod.shared_legs().items():
-        thunk(spark, sf_dir)
-    r1, w1 = shuffle_totals(ui)
-    print(json.dumps({
-        "name": "_shared_legs", "sf_dir": sf_dir,
-        "wall_sec": round(time.perf_counter() - t0, 2),
-        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
-        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
-    }), flush=True)
+        probe(f"leg:{leg}", lambda t=thunk: t(spark, sf_dir))
 
     q = entrymod.queries()
     for name in names:
