@@ -122,3 +122,54 @@ def test_ship_package_already_added_counts_as_shipped(monkeypatch):
     monkeypatch.setattr(pq, "_SHIPPED", set())
     pq._ship_package(_Spark())
     assert "app-ship-dup" in pq._SHIPPED  # benign duplicate → shipped
+
+
+def test_round8_window_is_exactly_the_never_checked_set():
+    """The round-8 driver-correctness window must be EXACTLY the queries
+    with no CORRECTNESS_r01..r07 row (VERDICT round-7 item #1): 50 unique
+    names, all registered, none previously driver-checked, and first in
+    queries() iteration order so the driver's 50-slot sample hits all of
+    them."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json"))):
+        d = json.load(open(f))
+        qd = d.get("queries", d)
+        checked |= {k for k in qd if k.startswith("q_")}
+    if not checked:  # fresh clone without driver artifacts: nothing to pin
+        return
+    win = entry._ROUND8_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    q = entry.queries()
+    assert list(q)[:50] == win  # dict-unpacking keeps the window first
+    assert not (set(win) & checked), set(win) & checked
+    never = set(q) - checked
+    assert set(win) == never, set(win) ^ never
+
+
+def test_sf_tag_fingerprints_input_data(tmp_path):
+    """_sf_tag must distinguish (a) two directories sharing a basename
+    and (b) the same directory after its data changes — so persistent
+    staging tables never replay-skip onto tables staged from other data
+    (ADVICE round 7, medium)."""
+    import os
+    import time
+
+    a = tmp_path / "x" / "sf0.1"
+    b = tmp_path / "y" / "sf0.1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    (a / "orders.parquet").write_bytes(b"AAAA")
+    (b / "orders.parquet").write_bytes(b"AAAA")
+    ta, tb = entry._sf_tag(str(a)), entry._sf_tag(str(b))
+    assert ta.startswith("sf0_1_") and tb.startswith("sf0_1_")
+    assert ta != tb  # same basename, different path
+    t1 = entry._sf_tag(str(a))
+    assert t1 == ta  # stable while data unchanged
+    time.sleep(0.01)
+    (a / "orders.parquet").write_bytes(b"BBBBBB")  # regenerated fixture
+    assert entry._sf_tag(str(a)) != ta
