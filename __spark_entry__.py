@@ -224,17 +224,32 @@ def _sf_tag(sf_dir: str) -> str:
     return f"{safe}_{h.hexdigest()[:8]}"
 
 
-def _drop_staged(spark: SparkSession, tag: str, prefix: str) -> None:
-    """Once per session: sweep any leftover ``prefix``-named staging
+def _drop_staged(
+    spark: SparkSession,
+    tag: str,
+    prefix: str,
+    live_prefix: str | None = None,
+    live_tag: str | None = None,
+) -> None:
+    """Once per session: sweep (a) any leftover ``prefix``-named staging
     tables an older (pre-persistent-staging) process left in the
-    warehouse. The live persistent tables use distinct prefixes
-    (``q_ttp_``/``q_sdp_``/``q_wapp_``) and are never matched."""
+    warehouse, and (b) when ``live_prefix``/``live_tag`` are given,
+    ``live_prefix`` tables staged under a STALE input fingerprint — a
+    regenerated fixture yields a new ``_sf_tag`` suffix, and without this
+    sweep each regeneration would orphan the previous table set forever
+    (the unbounded-growth class the session eviction also fixes)."""
     key = (_session_tag(spark), tag)
     if key in _SWEPT:
         return
     _SWEPT.add(key)
     for t in spark.catalog.listTables("default"):
         if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
+        elif (
+            live_prefix is not None
+            and t.name.startswith(live_prefix)
+            and (live_tag or "") not in t.name
+        ):
             spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
 
 
@@ -2152,9 +2167,9 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         version_column=ORDERS_KEY,
     )
-    # one-time sweep of legacy uuid-named droppings from earlier rounds
-    _drop_staged(spark, "wap", "q_wap_")
+    # one-time sweep: legacy uuid-named droppings + stale-fingerprint sets
     tag = _sf_tag(sf_dir)
+    _drop_staged(spark, "wap", "q_wap_", live_prefix="q_wapp_v2_", live_tag=tag)
     stg, fin = mk(f"q_wapp_v2_{tag}_stg"), mk(f"q_wapp_v2_{tag}_fin")
     return write_audit_publish(spark, stg, fin, batch, ORDERS_KEY)
 
@@ -2185,10 +2200,12 @@ def _schema_evo_staged(spark: SparkSession, sf_dir: str) -> str:
     q_merge_schema: rewrite only when absent so the bench's second run
     and the oracle read the same files (the writes are idempotent
     overwrites, so the NO_SHARED bypass merely rewrites the same
-    bytes)."""
+    bytes). The staging path folds in the sf tag, matching the memo key —
+    otherwise two fixtures staged through one session would share a path
+    and a memo hit could return files staged from the other corpus."""
     base = (
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        + "/q_schema_evo"
+        + f"/q_schema_evo_{_sf_tag(sf_dir)}"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -3749,9 +3766,11 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2000-01-01").cast("timestamp")
     d = F.col(ORDERS_SORT)
     batches = [orders.filter(d < cut), orders.filter(d >= cut)]
-    # one-time sweep of the legacy uuid-named droppings earlier rounds
-    # left in the warehouse ("q_ttp_" does not match the "q_tt_" prefix)
-    _drop_staged(spark, "tt", "q_tt_")
+    # one-time sweep: legacy uuid-named droppings ("q_ttp_" does not match
+    # the "q_tt_" prefix) + stale-fingerprint table sets
+    _drop_staged(
+        spark, "tt", "q_tt_", live_prefix="q_ttp_v2_", live_tag=_sf_tag(sf_dir)
+    )
     for e, b in enumerate(batches, start=1):
         # a crash mid-epoch leaves the ledger without the epoch; the next
         # invocation replays it idempotently (dynamic-overwrite commits),
@@ -3808,8 +3827,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(ORDERS_SHARD) == "1-URGENT", F.col("o_totalprice") + 1.0
         ).otherwise(F.col("o_totalprice")),
     )
-    # one-time sweep of legacy uuid-named droppings from earlier rounds
-    _drop_staged(spark, "sdiff", "q_sdiff_")
+    # one-time sweep: legacy uuid-named droppings + stale-fingerprint sets
+    _drop_staged(
+        spark, "sdiff", "q_sdiff_", live_prefix="q_sdp_v2_", live_tag=_sf_tag(sf_dir)
+    )
     sink.write_batch(orders.filter(F.col(ORDERS_SORT) < cut), 1)
     sink.write_batch(bump, 2)
     return (

@@ -98,7 +98,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         entrymod._SHARED_TRACE = None
-        legs = sorted({leg for leg, _ in trace})
+        # label only WARM consumption ("hit"): in NO_SHARED mode every
+        # lookup is a "compute" the query itself paid for, and labeling
+        # those as warm would be the exact mislabeling this pass prevents
+        legs = sorted({leg for leg, ev in trace if ev == "hit"})
         if legs:
             shared_warm[name] = legs
         # clearCache drops catalog-cached datasets but NOT localCheckpoint

@@ -245,8 +245,22 @@ def grouped_row_number(
         )
         + F.coalesce(F.col(OFF), F.lit(0))
     ).cast("bigint")
+    # NULL-SAFE join on the group key: a plain equi-join never matches a
+    # NULL group (NULL != NULL), which would zero the offsets of a NULL
+    # group spanning multiple range partitions and restart its rank per
+    # partition — Window.partitionBy semantics group NULLs together.
+    off_ren = off_df.select(
+        F.col(PID).alias("__opid"),
+        *[F.col(g).alias(f"__og_{g}") for g in group_cols],
+        OFF,
+        *([count_col] if count_col is not None else []),
+    )
+    cond = F.col(PID) == F.col("__opid")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{g}"))
     return (
-        part.join(F.broadcast(off_df), [PID, *group_cols], "left")
+        part.join(F.broadcast(off_ren), cond, "left")
+        .drop("__opid", *[f"__og_{g}" for g in group_cols])
         .withColumn(rank_col, rn)
         .drop(PID, OFF)
     )

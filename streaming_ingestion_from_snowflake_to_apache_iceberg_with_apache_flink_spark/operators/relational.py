@@ -795,6 +795,12 @@ def radix_kth_by_group(
             .select("g", "b", (kk - F.col("cum") + F.col("c")).alias("krem"))
             .collect()
         )
+        dropped = set(k) - {r.g for r in chosen}
+        if dropped:  # k exceeds the group's row count: fail loudly, the
+            # docstring promises a value for every requested group
+            raise ValueError(
+                f"k_by_group exceeds available rows for groups {sorted(dropped)}"
+            )
         prefix = {r.g: int(r.b) for r in chosen}
         k = {r.g: int(r.krem) for r in chosen}
         prev_shift = shift

@@ -86,11 +86,18 @@ def _ship_package(spark: SparkSession) -> None:
         except Exception as exc:
             # a second addPyFile of the SAME path in one context throws a
             # benign already-added error on some deployments — that still
-            # counts as shipped; any OTHER failure (transient FS/RPC) must
-            # leave sid un-marked so the next call retries instead of
-            # silently reintroducing the worker ModuleNotFoundError this
-            # function exists to prevent
-            if "same" in str(exc).lower() or "already" in str(exc).lower():
+            # counts as shipped. But "already registered with a DIFFERENT
+            # path/contents" means the context holds someone else's module
+            # under our name — a real failure to ship the current code.
+            # Any other failure (transient FS/RPC) must also leave sid
+            # un-marked so the next call retries instead of silently
+            # reintroducing the worker ModuleNotFoundError this function
+            # exists to prevent.
+            msg = str(exc).lower()
+            benign = (
+                "already" in msg or "same" in msg
+            ) and "different" not in msg
+            if benign:
                 continue
             shipped_ok = False
             import warnings
@@ -101,9 +108,13 @@ def _ship_package(spark: SparkSession) -> None:
                 stacklevel=2,
             )
     if shipped_ok:
-        # mark only AFTER a successful ship — never pre-commit the marker
+        # mark only AFTER a successful ship — never pre-commit the marker.
+        # Bound growth without evicting other LIVE sessions' markers (two
+        # alternating sessions would otherwise re-ship per call): keep the
+        # most recent handful — far more than concurrent live sessions.
         _SHIPPED.add(sid)
-        _SHIPPED.intersection_update({sid})  # evict dead-session markers
+        while len(_SHIPPED) > 16:
+            _SHIPPED.pop()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -173,3 +173,64 @@ def test_sf_tag_fingerprints_input_data(tmp_path):
     time.sleep(0.01)
     (a / "orders.parquet").write_bytes(b"BBBBBB")  # regenerated fixture
     assert entry._sf_tag(str(a)) != ta
+
+
+def test_ship_package_different_contents_is_not_benign(monkeypatch):
+    """'already registered with a different path/contents' means the
+    context holds someone else's module under our name — a REAL failure,
+    not the benign duplicate-add: the session must stay unmarked so the
+    next call retries."""
+    class _SC:
+        applicationId = "app-ship-diff"
+
+        def addPyFile(self, p):
+            raise RuntimeError(
+                "File X was already registered with a different path"
+            )
+
+    class _Spark:
+        sparkContext = _SC()
+
+    import warnings
+
+    monkeypatch.setattr(pq, "_SHIPPED", set())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pq._ship_package(_Spark())
+    assert "app-ship-diff" not in pq._SHIPPED
+
+
+def test_grouped_row_number_null_group_keys(spark):
+    """A NULL group key spanning range partitions must still get one
+    contiguous 1..n rank sequence (null-safe offset join), matching
+    Window.partitionBy semantics where NULLs group together."""
+    from pyspark.sql import functions as F
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    rows = [(None if i % 2 else "g", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = grouped_row_number(
+        df, ["grp"], [F.col("v").asc()], rank_col="rn", count_col="n",
+        num_parts=8,
+    ).collect()
+    null_rn = sorted(r.rn for r in out if r.grp is None)
+    g_rn = sorted(r.rn for r in out if r.grp == "g")
+    assert null_rn == list(range(1, 1001))
+    assert g_rn == list(range(1, 1001))
+    assert all(r.n == 1000 for r in out)
+
+
+def test_radix_kth_raises_on_k_beyond_group(spark):
+    from pyspark.sql import functions as F
+    import pytest
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        radix_kth_by_group,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    with pytest.raises(ValueError, match="exceeds available rows"):
+        radix_kth_by_group(df, "g", F.col("v"), {"a": 3}, 4)
