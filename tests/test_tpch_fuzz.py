@@ -344,3 +344,40 @@ def test_global_ntile_matches_python_reference(spark, vals, k, num_parts):
             want[i] = b
         pos += take
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.integers(min_value=0, max_value=(1 << 20) - 1),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    kth=st.integers(min_value=1, max_value=10),
+)
+def test_radix_kth_matches_sorted_reference(spark, vals, kth):
+    """radix_kth_by_group equals sorted()[k-1] per group for arbitrary
+    non-negative ints and ranks — duplicates, zero values, single-element
+    groups, and k at both ends — across the multi-level walk."""
+    from collections import defaultdict
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        radix_kth_by_group,
+    )
+
+    byg = defaultdict(list)
+    for g, v in vals:
+        byg[g].append(v)
+    # clamp requested rank into each group's valid range, mixing ends
+    k = {g: min(kth, len(vs)) for g, vs in byg.items()}
+    df = spark.createDataFrame(vals, "g string, v long")
+    got = radix_kth_by_group(df, "g", F.col("v"), k, 20, step=7)
+    want = {g: sorted(vs)[k[g] - 1] for g, vs in byg.items()}
+    assert got == want
