@@ -234,3 +234,20 @@ def test_radix_kth_raises_on_k_beyond_group(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
     with pytest.raises(ValueError, match="exceeds available rows"):
         radix_kth_by_group(df, "g", F.col("v"), {"a": 3}, 4)
+
+
+def test_drop_staged_sweeps_stale_fingerprint_tables(spark, monkeypatch):
+    """Tables staged under an OLD input fingerprint are swept when the
+    live_prefix/live_tag sweep runs; the current-tag set survives. Closes
+    the growth path the fingerprinted _sf_tag opened."""
+    spark.sql("CREATE TABLE IF NOT EXISTS default.q_ttp_v2_sf0_1_deadbeef (x INT) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS default.q_ttp_v2_sf0_1_cafef00d (x INT) USING parquet")
+    monkeypatch.setattr(entry, "_SWEPT", set())
+    entry._drop_staged(
+        spark, "tt-test", "q_tt_nonexistent_",
+        live_prefix="q_ttp_v2_", live_tag="sf0_1_cafef00d",
+    )
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert "q_ttp_v2_sf0_1_deadbeef" not in names  # stale fingerprint: swept
+    assert "q_ttp_v2_sf0_1_cafef00d" in names  # live fingerprint: kept
+    spark.sql("DROP TABLE IF EXISTS default.q_ttp_v2_sf0_1_cafef00d")

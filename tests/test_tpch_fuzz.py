@@ -381,3 +381,56 @@ def test_radix_kth_matches_sorted_reference(spark, vals, kth):
     got = radix_kth_by_group(df, "g", F.col("v"), k, 20, step=7)
     want = {g: sorted(vs)[k[g] - 1] for g, vs in byg.items()}
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    walks=st.lists(
+        st.lists(
+            st.sampled_from(["boot", "a", "b", "c"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_markov_stationary_matches_duck_oracle(spark, walks):
+    """markov_stationary equals its unrolled-CTE DuckDB oracle on random
+    per-user event walks — including source-only states (no incoming
+    edge), dst-only terminal states, and single-event users that yield no
+    transitions at all. Pins the INNER-join semantics chosen in round 8."""
+    import duckdb
+    import pandas as pd
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sessions import (
+        duck_markov_stationary_sql,
+        markov_stationary,
+    )
+
+    rows = []
+    eid = 0
+    for uid, seq in enumerate(walks):
+        for i, et in enumerate(seq):
+            rows.append((eid, f"2024-01-01 00:{i:02d}:00", uid, et))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.state: (r.stationary_share, r.empirical_share)
+        for r in markov_stationary(ev).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    con.register("events", pdf)
+    want = {
+        r[0]: (float(r[1]), float(r[2]))
+        for r in con.execute(duck_markov_stationary_sql()).fetchall()
+    }
+    assert got == want
