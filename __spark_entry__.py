@@ -212,7 +212,11 @@ def _sf_tag(sf_dir: str) -> str:
     import hashlib
     import os as _os
 
-    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # Lowercase: Spark lowercases table names in the catalog, so a
+    # mixed-case tag would never match during the stale-staging sweep and
+    # each new session would drop the live fixture's own staging tables
+    # (ADVICE round 8, low).
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1].lower()
     safe = "".join(c if c.isalnum() else "_" for c in base)
     h = hashlib.md5(_os.path.abspath(sf_dir).encode())
     try:
@@ -248,7 +252,9 @@ def _drop_staged(
         elif (
             live_prefix is not None
             and t.name.startswith(live_prefix)
-            and (live_tag or "") not in t.name
+            # catalog names are lowercase — match case-insensitively so a
+            # live tag is never mistaken for stale (ADVICE round 8, low)
+            and (live_tag or "").lower() not in t.name.lower()
         ):
             spark.sql(f"DROP TABLE IF EXISTS default.{t.name}")
 
@@ -2428,9 +2434,15 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class kNN eval battery (similarity.knn_eval): support /
-    predicted / confusion-diagonal counts + precision/recall/F1 over the
-    vec_id % 5 eval slice; F1 by the rational 2·tp/(n_true+n_pred)."""
-    return sim.knn_eval(load_table(spark, sf_dir, "embeddings"), probe_mod=5, k=5)
+    predicted / confusion-diagonal counts + precision/recall/F1 over a
+    FIXED-BUDGET probe set — the 64 hash-smallest ids of the vec_id % 5
+    slice, so the budget BINDS even at sf0.01 (slice = 100 ids) and the
+    hash-order rule is exercised against the oracle. F1 by the rational
+    2·tp/(n_true+n_pred). Library default budget is 2000 (labeled-
+    benchmark-sized); 64 here keeps the test-scale cap active."""
+    return sim.knn_eval(
+        load_table(spark, sf_dir, "embeddings"), probe_mod=5, k=5, budget=64
+    )
 
 
 def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7380,7 +7392,15 @@ def _extension_oracles() -> dict[str, str]:
                     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
                            round({duck_cosine('p.pe', 'c.ce', 64)}, 4) AS sim
                     FROM (SELECT vec_id, emb AS pe FROM e
-                          WHERE vec_id % 5 = 0) p
+                          WHERE vec_id IN (
+                              -- fixed-budget probe set: the 64
+                              -- hash-smallest of the % 5 slice, same
+                              -- overflow-safe hash as knn_eval
+                              SELECT vec_id FROM e WHERE vec_id % 5 = 0
+                              ORDER BY (vec_id % 999999937) * 1000003
+                                       % 999999937, vec_id
+                              LIMIT 64
+                          )) p
                     JOIN (SELECT vec_id, emb AS ce FROM e) c
                       ON c.vec_id <> p.vec_id
                 )

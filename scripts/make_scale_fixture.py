@@ -60,6 +60,11 @@ def main() -> None:
     offs["l_orderkey"] = offs["o_orderkey"]
     offs["l_partkey"] = offs["p_partkey"]
     offs["l_suppkey"] = offs["s_suppkey"]
+    # identity-linked columns must share one offset: embeddings.vec_id is
+    # joined 1:1 onto documents.doc_id (q_cluster_terms etc.); independent
+    # per-column offsets only coincide when both maxes have the same digit
+    # count (ADVICE round 8, low).
+    offs["vec_id"] = offs["doc_id"] = max(offs["vec_id"], offs["doc_id"])
 
     for t, keys in SHIFTS.items():
         src = f"'{SRC}/{t}.parquet'"

@@ -821,6 +821,12 @@ def median_mad(orders: DataFrame) -> DataFrame:
     corpus-sized shuffle. The deviation pass rewrites ``|x − med|``
     against the 5 broadcast-literal medians inline; the 5-row result is
     driver-assembled, metadata-sized.
+
+    ``radix_kth_by_group`` is non-negative-only (its state bound derives
+    the domain width from the max alone), so negative totals are rebased
+    by the observed minimum before the walk and shifted back after — the
+    result is exact either way; the rebase only preserves the
+    groups × 2^step bounded-state contract (ADVICE round 8).
     """
     from pyspark.sql import Window
 
@@ -835,7 +841,11 @@ def median_mad(orders: DataFrame) -> DataFrame:
     # over the bounded histogram; one row per group reaches the driver.
     hist = base.groupBy(
         F.col(grp).alias("g"), F.shiftright("v", step).alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"), F.max("v").alias("mx"))
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("v").alias("mx"),
+        F.min("v").alias("mn"),
+    )
     wg = Window.partitionBy("g")
     wcum = wg.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n_col = F.sum("c").over(wg)
@@ -846,6 +856,7 @@ def median_mad(orders: DataFrame) -> DataFrame:
             "b",
             "c",
             F.max("mx").over(wg).alias("mxg"),
+            F.min("mn").over(wg).alias("mng"),
             n_col.alias("n"),
             k_col.alias("k"),
             F.sum("c").over(wcum).alias("cum"),
@@ -861,7 +872,21 @@ def median_mad(orders: DataFrame) -> DataFrame:
     n_by_g = {r.g: int(r.n) for r in chosen}
     k = {r.g: int(r.k) for r in chosen}
     max_bits = max(int(r.mxg) for r in chosen).bit_length()
-    if max_bits <= 2 * step:
+    mn_all = min(int(r.mng) for r in chosen)
+    if mn_all < 0:
+        # radix_kth_by_group is non-negative-only (its bounded-state
+        # contract derives max_bits from the maximum alone); fold the
+        # minimum in as an offset so negative totals rebase to [0, mx−mn]
+        # and the walk's groups × 2^step state bound holds (ADVICE r8).
+        off = -mn_all
+        shifted = base.select(F.col(grp), (F.col("v") + off).alias("v"))
+        bits = (max(int(r.mxg) for r in chosen) + off).bit_length()
+        med = radix_kth_by_group(shifted, grp, F.col("v"), k, bits, step=step)
+        med = {g: m - off for g, m in med.items()}
+        # |x − med| ≤ mx − mn < 2^bits, so the deviation walk below needs
+        # the rebased width (mx alone underestimates it here)
+        max_bits = bits
+    elif max_bits <= 2 * step:
         # common path: the level-1 bucket per group is already chosen —
         # one exact-value scan inside the chosen buckets finishes it
         med = radix_kth_by_group(

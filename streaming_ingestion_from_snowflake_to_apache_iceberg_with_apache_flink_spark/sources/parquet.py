@@ -41,7 +41,10 @@ _TABLE_MEMO: dict[tuple, tuple] = {}
 #: Spark applicationIds whose Python workers were already shipped the
 #: package (the applicationId — not id(spark) — survives Python object
 #: identity reuse after garbage collection)
-_SHIPPED: set[str] = set()
+# Insertion-ordered (dict) so bounding evicts the OLDEST marker, never
+# the sid just added — set.pop() is arbitrary and could evict the newest,
+# re-shipping the package on every subsequent load_table (ADVICE round 8).
+_SHIPPED: dict[str, None] = {}
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -112,9 +115,9 @@ def _ship_package(spark: SparkSession) -> None:
         # Bound growth without evicting other LIVE sessions' markers (two
         # alternating sessions would otherwise re-ship per call): keep the
         # most recent handful — far more than concurrent live sessions.
-        _SHIPPED.add(sid)
+        _SHIPPED[sid] = None
         while len(_SHIPPED) > 16:
-            _SHIPPED.pop()
+            del _SHIPPED[next(iter(_SHIPPED))]  # FIFO: oldest first
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

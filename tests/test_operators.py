@@ -2406,7 +2406,9 @@ def test_quality_calibration_order_statistic(spark):
 
 def test_knn_eval_count_identities(spark):
     """Σn_true = Σn_pred = |eval slice|; Σtp = overall correct; F1 sits
-    between min and max of precision/recall (harmonic-mean property)."""
+    between min and max of precision/recall (harmonic-mean property).
+    The default budget (2000) doesn't bind on the fixture slice, so the
+    eval set is the full % 5 slice here."""
     emb = load_table(spark, SF, "embeddings")
     rows = sim.knn_eval(emb, probe_mod=5, k=5).collect()
     n_probes = emb.filter(F.col("vec_id") % 5 == 0).count()
@@ -2416,6 +2418,24 @@ def test_knn_eval_count_identities(spark):
         assert r.tp <= min(r.n_true, r.n_pred)
         if r.prec is not None and r.rec is not None and r.tp > 0:
             assert min(r.prec, r.rec) - 1e-6 <= r.f1 <= max(r.prec, r.rec) + 1e-6
+
+
+def test_knn_probe_ids_fixed_budget_hash_rule(spark):
+    """The probe set is the budget hash-smallest ids of the % probe_mod
+    slice — matching a Python reference of the same overflow-safe hash —
+    and is capped at budget even when the slice is far larger (the
+    corpus-proportional collect VERDICT r8 flagged is gone). A binding
+    budget must also keep knn_eval's Σn_true identity at exactly budget."""
+    emb = load_table(spark, SF, "embeddings")
+    slice_ids = [
+        r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 0).collect()
+    ]
+    assert len(slice_ids) > 16
+    want = sorted(slice_ids, key=lambda i: ((i % 999999937) * 1000003 % 999999937, i))[:16]
+    got = sim.knn_probe_ids(emb, probe_mod=5, budget=16)
+    assert got == want
+    rows = sim.knn_eval(emb, probe_mod=5, k=5, budget=16).collect()
+    assert sum(r.n_true for r in rows) == 16
 
 
 def test_rank_fusion_properties(spark):
@@ -3669,3 +3689,38 @@ def test_median_mad_matches_python_reference(spark):
         for r in median_mad(df).collect()
     }
     assert got == {"A": (20.0, 10.0, 3), "B": (2.5, 0.5, 4)}
+
+
+def test_median_mad_negative_values_rebased(spark):
+    """Negative totals must take the min-offset rebase (radix walk is
+    non-negative-only, ADVICE round 8) and still return the exact lower
+    median / MAD; verified against a Python sorted() reference."""
+    import random
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        median_mad,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"P{i % 3}", round(rng.uniform(-5000, 5000), 2)) for i in range(900)
+    ]
+    rows += [("Pneg", -123.45), ("Pneg", -67.89), ("Pneg", -1.00)]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    got = {
+        r.o_orderpriority: (r.median_price, r.mad, r.n_orders)
+        for r in median_mad(df).collect()
+    }
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, v in rows:
+        byg[g].append(round(v * 100))
+    want = {}
+    for g, vs in byg.items():
+        vs.sort()
+        med = vs[(len(vs) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        want[g] = (med / 100.0, mad / 100.0, len(vs))
+    assert got == want

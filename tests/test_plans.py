@@ -1352,6 +1352,24 @@ def test_knn_eval_probe_side_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_knn_eval_probe_literal_is_budget_bounded(spark):
+    """No corpus-derived isin literal (VERDICT round 8): the probe-id
+    list that becomes the IN-list / broadcast side must be capped at
+    `budget` even when the % probe_mod slice is the whole corpus — the
+    plan's literal count is the driver-state bound at 100 TB."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        knn_probe_ids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    ids = knn_probe_ids(emb, probe_mod=1, budget=32)  # slice == corpus
+    assert len(ids) == 32 < n
+    # the TakeOrdered cap is the contract — a corpus-fraction rule like
+    # the old `% 5 collect()` would return n/probe_mod ids here
+    assert len(knn_probe_ids(emb, probe_mod=1, budget=10**9)) == n
+
+
 def test_rank_fusion_take_ordered(spark):
     """The fused top-n plans as TakeOrderedAndProject (orderBy().limit()
     — never a global sort of the fused set)."""

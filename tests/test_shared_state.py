@@ -91,7 +91,7 @@ def test_ship_package_retries_after_failure(monkeypatch):
     class _Spark:
         sparkContext = _SC()
 
-    monkeypatch.setattr(pq, "_SHIPPED", set())
+    monkeypatch.setattr(pq, "_SHIPPED", {})
     import warnings
 
     with warnings.catch_warnings():
@@ -119,9 +119,43 @@ def test_ship_package_already_added_counts_as_shipped(monkeypatch):
     class _Spark:
         sparkContext = _SC()
 
-    monkeypatch.setattr(pq, "_SHIPPED", set())
+    monkeypatch.setattr(pq, "_SHIPPED", {})
     pq._ship_package(_Spark())
     assert "app-ship-dup" in pq._SHIPPED  # benign duplicate → shipped
+
+
+def test_ship_package_eviction_is_fifo_never_the_newest(monkeypatch):
+    """Bounding _SHIPPED must evict the OLDEST marker: arbitrary
+    set.pop() could evict the sid just added, re-shipping the package on
+    every subsequent load_table call (ADVICE round 8, low)."""
+
+    class _SC:
+        applicationId = "app-newest"
+
+        def addPyFile(self, p):
+            pass
+
+    class _Spark:
+        sparkContext = _SC()
+
+    seeded = {f"app-old-{i}": None for i in range(16)}
+    monkeypatch.setattr(pq, "_SHIPPED", dict(seeded))
+    pq._ship_package(_Spark())
+    assert "app-newest" in pq._SHIPPED  # newest survives the bound
+    assert len(pq._SHIPPED) == 16
+    assert "app-old-0" not in pq._SHIPPED  # oldest was the one evicted
+
+
+def test_sf_tag_is_lowercase_for_catalog_match(tmp_path):
+    """Spark lowercases catalog table names; a mixed-case tag would never
+    match in the stale-staging sweep and each session would drop the live
+    fixture's own staging tables (ADVICE round 8, low)."""
+    d = tmp_path / "SF0.1-Mixed"
+    d.mkdir()
+    (d / "orders.parquet").write_bytes(b"AAAA")
+    tag = entry._sf_tag(str(d))
+    assert tag == tag.lower()
+    assert tag.startswith("sf0_1_mixed_")
 
 
 def test_round8_window_is_exactly_the_never_checked_set():
@@ -193,7 +227,7 @@ def test_ship_package_different_contents_is_not_benign(monkeypatch):
 
     import warnings
 
-    monkeypatch.setattr(pq, "_SHIPPED", set())
+    monkeypatch.setattr(pq, "_SHIPPED", {})
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         pq._ship_package(_Spark())
