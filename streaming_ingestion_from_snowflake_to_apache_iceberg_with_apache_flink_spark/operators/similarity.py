@@ -660,13 +660,23 @@ def duck_cluster_balance_sql(k: int | str = 8) -> str:
     )
 
 
-def cells_for(n_vectors: int, cap: int = 64) -> int:
+def cells_for(n_vectors: int, cap: int | None = None) -> int:
     """k ∝ √N cell-count heuristic for the cluster-blocked pair queries
     (SemDeDup / hard-negative mining): with k = ⌊√N⌋ the average cell
     holds ~√N vectors, so the within-cell pair space Σ|cluster|² stays
     ~N^1.5 — self-bounding as the corpus grows, instead of N²/k with a
-    frozen k. Capped (centroids are driver state broadcast as one
-    literal: k·dim ints) and floored at 1.
+    frozen k. Floored at 1.
+
+    ``cap=None`` (the default) lets k track √N at every size — the old
+    frozen default of 64 bound at 20 k vectors and re-opened the
+    quadratic phase (measured: q_semdedup 4.5× wall at the 10× probe,
+    SCALE.md note B / VERDICT round 8). Pass an explicit ``cap`` only to
+    bound the ASSIGNMENT plan: each cell is one argmin expression over
+    literal centroids, so Catalyst plan size grows with k — keep an
+    explicit cap ≲ low thousands there; past that the assignment itself
+    should switch from expression-argmin to a broadcast centroid-TABLE
+    join (k·dim ints stay trivially driver-sized far longer than the
+    expression tree does).
 
     ``math.isqrt`` is exact; the DuckDB twin (:func:`duck_cells_expr`)
     uses ``floor(sqrt(N))`` on a correctly-rounded double — identical for
@@ -675,16 +685,19 @@ def cells_for(n_vectors: int, cap: int = 64) -> int:
     """
     import math
 
-    return max(1, min(int(cap), math.isqrt(max(0, int(n_vectors)))))
+    k = math.isqrt(max(0, int(n_vectors)))
+    if cap is not None:
+        k = min(int(cap), k)
+    return max(1, k)
 
 
-def duck_cells_expr(cap: int = 64) -> str:
+def duck_cells_expr(cap: int | None = None) -> str:
     """Oracle twin of :func:`cells_for` over the ``embeddings`` view, as a
     scalar subquery usable wherever the CTEs take a literal k."""
-    return (
-        f"(SELECT greatest(1, least({cap}, "
-        "CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
-    )
+    inner = "CAST(floor(sqrt(count(*))) AS BIGINT)"
+    if cap is not None:
+        inner = f"least({cap}, {inner})"
+    return f"(SELECT greatest(1, {inner}) FROM embeddings)"
 
 
 def semdedup_pairs(

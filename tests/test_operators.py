@@ -1858,14 +1858,17 @@ def test_cells_for_heuristic(spark):
     assert cells_for(1) == 1
     assert cells_for(500) == 22
     assert cells_for(2000) == 44
-    assert cells_for(10**6) == 64  # capped
+    assert cells_for(20000) == 141  # √N keeps tracking: no frozen cap
+    assert cells_for(10**6) == 1000
+    assert cells_for(10**6, cap=64) == 64  # explicit cap still binds
     assert cells_for(10**6, cap=2048) == 1000
-    for n in (0, 1, 7, 500, 2000, 4095, 4096):
-        got = duckdb.sql(
-            "WITH embeddings AS (SELECT * FROM range(" + str(n) + ")) "
-            "SELECT " + duck_cells_expr()
-        ).fetchone()[0]
-        assert int(got) == cells_for(n), n
+    for n in (0, 1, 7, 500, 2000, 4095, 4096, 20000):
+        for cap in (None, 64):
+            got = duckdb.sql(
+                "WITH embeddings AS (SELECT * FROM range(" + str(n) + ")) "
+                "SELECT " + duck_cells_expr(cap)
+            ).fetchone()[0]
+            assert int(got) == cells_for(n, cap), (n, cap)
 
 
 def test_kmeans_pretrained_centroids_match(spark):
