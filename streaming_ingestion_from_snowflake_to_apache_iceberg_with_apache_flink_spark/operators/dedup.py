@@ -86,6 +86,18 @@ def _posting_pairs(
     ``ordered=False`` emits each pair once with ``doc_a < doc_b``;
     ``ordered=True`` emits both directions (for asymmetric measures).
     Carried columns come out as ``<name>_a`` / ``<name>_b``.
+
+    BUDGET CONTRACT (tested): total pair volume is
+    ≤ |{keys with 2 ≤ df ≤ max_df}| · C(max_df, 2) — keys past the cap
+    emit NOTHING. The 30× probe (SCALE.md note A) measured the shape
+    this buys: candidate volume rises ~quadratically while typical dfs
+    sit below the cap, peaks as the df distribution crosses it, then
+    FALLS once common keys are dropped outright — the cap is a hard
+    ceiling on the quadratic phase, not an asymptotic bound. Trade-off:
+    a fixed ABSOLUTE cap treats ever-more keys as boilerplate as the
+    corpus grows (recall decays gracefully, cost stays bounded);
+    scaling it as a df FRACTION keeps recall but deliberately re-opens
+    the quadratic phase — choose per pipeline, both are one parameter.
     """
     entry = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
     postings = (
@@ -153,6 +165,12 @@ def ngram_jaccard_pairs(
     string — the self-join shuffles a fixed-width bigint key (declared
     semantics: Jaccard over hashed shingles; the oracle computes the same
     h32, so any collision affects both engines identically).
+
+    ``max_shingle_df`` is the candidate-volume budget: pairs are bounded
+    by (#shingles with df ≤ cap) · C(cap, 2), and shingles past the cap
+    contribute nothing (see ``_posting_pairs`` for the measured
+    transition-regime behavior and the absolute-cap vs df-fraction
+    trade-off).
     """
     inv = _hashed_shingles(documents, n).selectExpr(
         "doc_id", "size(shingles) as n_sh", "explode(shingles) as shingle"

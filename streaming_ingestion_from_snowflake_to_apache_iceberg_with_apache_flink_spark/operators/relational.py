@@ -302,21 +302,27 @@ def group_percentiles(lineitem: DataFrame) -> DataFrame:
     DuckDB's independently-computed doubles disagree — rank selection
     sidesteps the whole class.)
 
-    Scale note: the window sort puts each group on one reducer — fine for
-    low-cardinality groups like this; for high-cardinality or skewed
-    groups at 100 TB switch to ``approx_percentile`` (t-digest, mergeable
-    partial state, bounded memory) and a tolerance check instead of a
-    value-exact oracle.
+    Scale shape: ranks come from :func:`ranks.grouped_row_number` — the
+    two-phase parallel rank (range-partition by (group, value), rank
+    locally, add folded per-(partition, group) offsets) — NOT a
+    ``Window.partitionBy(l_returnflag)``, which would sort each of the 4
+    groups on ONE reducer at any cluster size. The group totals ride the
+    same fold (``count_col``), so no second corpus-wide window either.
+    Ties in price may rank in either order between engines, but every
+    percentile PICK is a price value and tied rows share it — the output
+    is deterministic without carrying a tiebreak column. For
+    high-cardinality or skewed groups at 100 TB, ``approx_percentile``
+    (t-digest, mergeable partial state) with a tolerance check remains
+    the documented alternative.
     """
-    from pyspark.sql import Window
+    from .ranks import grouped_row_number
 
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wp = Window.partitionBy("l_returnflag")
-    ranked = lineitem.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+    ranked = grouped_row_number(
+        lineitem.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        [F.col("l_extendedprice")],
+        rank_col="rn",
+        count_col="n",
     )
     def pick(q: float, name: str):
         idx = F.floor((F.col("n") - 1) * F.lit(q)).cast("long") + 1

@@ -1593,6 +1593,37 @@ def test_degenerate_docs_edge_battery(spark):
     assert dd.ngram_jaccard_pairs(docs, max_shingle_df=2).count() == 0
 
 
+def test_posting_pairs_volume_bounded_by_df_cap(spark):
+    """_posting_pairs budget contract (VERDICT r8): on a key-df spectrum
+    engineered to straddle the cap, pair volume is EXACTLY
+    Σ C(df,2) over keys with 2 ≤ df ≤ max_df — so ≤ (#keys ≤ cap)·C(cap,2)
+    — and keys past the cap emit nothing. Three seeded draws fuzz the df
+    mix; the Python reference is recomputed per draw."""
+    import random
+    from math import comb
+
+    cap = 6
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows, nxt = [], 0
+        dfs = {}
+        for key in range(30):
+            df_k = rng.randint(1, 2 * cap)  # straddles the cap
+            dfs[key] = df_k
+            for _ in range(df_k):
+                rows.append((nxt, key))
+                nxt += 1
+        inv = spark.createDataFrame(rows, "doc_id long, key long")
+        got = dd._posting_pairs(inv, "key", cap, carry=[]).count()
+        want = sum(comb(d, 2) for d in dfs.values() if 2 <= d <= cap)
+        assert got == want, (seed, got, want)
+        n_live = sum(1 for d in dfs.values() if 2 <= d <= cap)
+        assert got <= n_live * comb(cap, 2)
+        # both-directions mode doubles exactly
+        both = dd._posting_pairs(inv, "key", cap, carry=[], ordered=True)
+        assert both.count() == 2 * want
+
+
 def test_nearest_join_keeps_duplicate_left_rows(spark):
     """Two left rows identical on EVERY column must each keep their own
     nearest match (ADVICE r3: a window partitioned on left.columns

