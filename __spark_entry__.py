@@ -4526,10 +4526,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_moments": q_stream_moments,
         "q_stream_kmv": q_stream_kmv,
     }
-    missing = [n for n in _ROUND8_WINDOW if n not in q]
+    missing = [n for n in _ROUND9_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND8_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND8_WINDOW}, **q}
+        raise KeyError(f"_ROUND9_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND9_WINDOW}, **q}
+
+
+# The round-9 driver-correctness window (cumulative coverage closed at
+# 298/298 in round 8, so rotation now targets FRESHNESS): the 4 queries
+# whose implementation or oracle changed THIS round and need a new
+# driver row (knn_eval's fixed-budget probe set changed its results;
+# median_mad grew the negative-rebase branch; semdedup/hard_negatives
+# now take √N cells) + the 46 STALEST queries — the r1-vintage set whose
+# latest driver evidence is round 2, predating the shared-leg, staging,
+# and radix rewrites (VERDICT round-8 item #2). Pinned by
+# tests/test_shared_state.py::test_round9_window_changed_plus_stalest.
+_ROUND9_WINDOW = [
+    # changed this round — re-verify in the same round they changed
+    "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
+    # the 46 stalest (latest CORRECTNESS row: round 2)
+    "q_distinct_shards", "q_shard_filter", "q_page_offset",
+    "q_incremental_union", "q_cast_projection", "q_highwater_increment",
+    "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
+    "q_shard_fanout_topn", "q_session_window", "q_join_enrich",
+    "q_salted_join", "q_rollup", "q_cube", "q_window_battery",
+    "q_scalar_battery", "q_lineitem_pricing", "q_shipping_priority",
+    "q_running_total", "q_global_topk", "q_set_ops", "q_tumbling_window",
+    "q_dedup_exact", "q_dedup_corpus", "q_part_type_revenue",
+    "q_token_count", "q_text_stats", "q_token_classes", "q_lang_id",
+    "q_quality_score", "q_doc_fingerprint", "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_simhash_pairs",
+    "q_topk_cosine", "q_neardup_embedding", "q_similarity_lsh",
+    "q_similarity_ivf", "q_asof_join", "q_interval_join", "q_vocab_topk",
+    "q_percentiles", "q_label_centroids", "q_grouping_sets",
+]
 
 
 # The round-8 driver-correctness window: EXACTLY the 50 queries that have
@@ -4537,8 +4567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # union of CORRECTNESS_r01..r07 names vs the 298-query registry, and
 # matching VERDICT.md round-7 item #1 name-for-name). All 50 are locally
 # oracle-green (tests/test_oracle_parity.py); this rotation closes the
-# t2 contract at 298/298 driver-confirmed. Dict unpacking keeps these
-# first so the driver's 50-slot sample hits all of them.
+# t2 contract at 298/298 driver-confirmed. (Historical as of round 9 —
+# queries() now fronts _ROUND9_WINDOW; kept for the r8 pin test.)
 _ROUND8_WINDOW = [
     # text analysis / corpus stats (6)
     "q_pmi_collocations", "q_rake_keyphrases", "q_source_kl",

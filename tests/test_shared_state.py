@@ -179,10 +179,49 @@ def test_round8_window_is_exactly_the_never_checked_set():
     win = entry._ROUND8_WINDOW
     assert len(win) == 50 and len(set(win)) == 50
     q = entry.queries()
-    assert list(q)[:50] == win  # dict-unpacking keeps the window first
+    assert set(win) <= set(q)
     assert not (set(win) & checked), set(win) & checked
     never = set(q) - checked
     assert set(win) == never, set(win) ^ never
+
+
+def test_round9_window_changed_plus_stalest():
+    """Round-9 window contract (VERDICT r8 item #2): with cumulative
+    coverage closed at 298/298, the window is the 4 queries whose
+    implementation/oracle changed in round 9 (re-verified the round they
+    changed, VERDICT item #3) followed by the 46 STALEST queries — those
+    whose most recent CORRECTNESS_r01..r08 row is oldest, ties broken by
+    registry order — and queries() fronts it for the driver's 50-slot
+    sample."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict = {}
+    arts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-8].json")))
+    if not arts:  # fresh clone without driver artifacts: nothing to pin
+        return
+    for f in arts:
+        rnd = int(os.path.basename(f).split("_r0")[1][0])
+        d = json.load(open(f))
+        qd = d.get("queries", d)
+        for k in qd:
+            if k.startswith("q_"):
+                latest[k] = max(latest.get(k, 0), rnd)
+    win = entry._ROUND9_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    q = entry.queries()
+    assert list(q)[:50] == win  # dict-unpacking keeps the window first
+    changed = ["q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives"]
+    assert win[:4] == changed
+    names = list(q)
+    stalest = [
+        n
+        for n in sorted(names, key=lambda n: (latest.get(n, 0), names.index(n)))
+        if n not in changed
+    ][:46]
+    assert win[4:] == stalest, set(win[4:]) ^ set(stalest)
 
 
 def test_sf_tag_fingerprints_input_data(tmp_path):
