@@ -1021,7 +1021,10 @@ def knn_probe_ids(
     the product never overflows int64 for ANY id — deterministic and
     identical in Spark and DuckDB), ties broken by id. Selected with a
     TakeOrdered, so driver state is ≤ budget ids regardless of corpus
-    size — never a corpus-proportional collect (VERDICT round 8)."""
+    size — never a corpus-proportional collect (VERDICT round 8).
+    ``budget`` is also the TakeOrdered allocation bound (an O(budget)
+    priority queue per partition) — keep it labelled-benchmark-sized
+    (10³–10⁵), never a sentinel like 2⁶³."""
     h = (F.col("vec_id") % F.lit(999999937)) * F.lit(1000003) % F.lit(
         999999937
     )

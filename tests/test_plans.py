@@ -1388,8 +1388,10 @@ def test_knn_eval_probe_literal_is_budget_bounded(spark):
     ids = knn_probe_ids(emb, probe_mod=1, budget=32)  # slice == corpus
     assert len(ids) == 32 < n
     # the TakeOrdered cap is the contract — a corpus-fraction rule like
-    # the old `% 5 collect()` would return n/probe_mod ids here
-    assert len(knn_probe_ids(emb, probe_mod=1, budget=10**9)) == n
+    # the old `% 5 collect()` would return n/probe_mod ids here. (budget
+    # == slice size, NOT an absurd constant: TakeOrdered allocates an
+    # O(budget) priority queue, so budget is also the memory bound.)
+    assert len(knn_probe_ids(emb, probe_mod=1, budget=n)) == n
 
 
 def test_rank_fusion_take_ordered(spark):
