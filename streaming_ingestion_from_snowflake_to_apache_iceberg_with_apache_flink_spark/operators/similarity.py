@@ -478,7 +478,21 @@ def _quantized(embeddings: DataFrame) -> DataFrame:
 
 
 def _assign_pass(e: DataFrame, cur: list[tuple[int, list[int]]]) -> DataFrame:
-    """One map-only argmin assignment of quantized rows to centroids.
+    """One map-only argmin assignment of quantized rows to centroids:
+    min distance, ties to the smaller cluster id. Two physically
+    different, bit-identical plans (equality pinned by
+    ``test_assign_pass_arrow_matches_expression``):
+
+    * k ≤ 16 — JVM expression argmin (below): zero Python-worker cost,
+      right for the k=8 clustering family.
+    * k > 16 — Arrow-batched numpy argmin (``_assign_pass_arrow``):
+      the interpreted higher-order-function eval is O(k·dim) PER ROW and
+      dominates once k tracks √N (cells_for); one float64 matmul per
+      Arrow batch does the same integer math exactly (all intermediates
+      are integers < 2²³ ≪ 2⁵³) at BLAS speed. Measured: the
+      `kmeans_assign_kcells` leg drops 13.3 → 3.2 s at the 10× probe
+      (k=141) and 30.2 → 4.3 s at 30× (k=244) — wall is now scan +
+      Arrow transfer, near-flat in k (SCALE.md note B).
 
     argmin via array_min over (dist, cid) structs — lexicographic struct
     ordering = min distance, ties to the smaller cluster id. The
@@ -489,6 +503,16 @@ def _assign_pass(e: DataFrame, cur: list[tuple[int, list[int]]]) -> DataFrame:
     end-to-end than the per-element form at k=8, dim=64 (compile cost is
     per-plan, data-independent and was the dominant term).
     """
+    if len(cur) > 16:
+        return _assign_pass_arrow(e, cur)
+    return _assign_pass_expr(e, cur)
+
+
+def _assign_pass_expr(
+    e: DataFrame, cur: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """The JVM expression argmin (see ``_assign_pass`` for the dispatch
+    doctrine and literal-shape rationale)."""
     cents = F.lit([[int(v) for v in c] for _, c in cur]).cast(
         "array<array<bigint>>"
     )
@@ -512,6 +536,54 @@ def _assign_pass(e: DataFrame, cur: list[tuple[int, list[int]]]) -> DataFrame:
         "q",
         F.col("best.cid").alias("cluster_id"),
         F.col("best.dist").alias("dist"),
+    )
+
+
+def _assign_pass_arrow(
+    e: DataFrame, cur: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Arrow-batched twin of the expression argmin in ``_assign_pass``
+    for large k (see its docstring for the dispatch rule): one
+    ``mapInPandas`` pass computes the full batch × centroid squared-L2
+    matrix as ||x||² + ||c||² − 2·X·Cᵀ in float64 — EXACT, because every
+    operand and every partial sum is an integer (int8-quantized codes:
+    |dist| ≤ dim·254² ≈ 4.1M ≪ 2⁵³), so the BLAS matmul returns the same
+    integers the JVM fold would. Ties go to the smaller cluster id:
+    centroid columns are sorted by cid and ``argmin`` takes the first
+    minimum. Map-only like the expression path — the corpus is scanned,
+    never shuffled; centroids travel as k·dim ints in the serialized
+    closure (driver state, same altitude as the literal).
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(cur)), key=lambda i: int(cur[i][0]))
+    cids = np.array([int(cur[i][0]) for i in order], dtype=np.int64)
+    cmat = np.array(
+        [[int(v) for v in cur[i][1]] for i in order], dtype=np.float64
+    )
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            d = (x * x).sum(axis=1)[:, None] + cnorm[None, :] - 2.0 * (
+                x @ cmat.T
+            )
+            j = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "cluster_id": cids[j].astype("int32"),
+                    "dist": d[np.arange(len(j)), j].astype(np.int64),
+                }
+            )
+
+    return e.select("vec_id", "q").mapInPandas(
+        assign, "vec_id bigint, q array<bigint>, cluster_id int, dist bigint"
     )
 
 
@@ -670,13 +742,11 @@ def cells_for(n_vectors: int, cap: int | None = None) -> int:
     ``cap=None`` (the default) lets k track √N at every size — the old
     frozen default of 64 bound at 20 k vectors and re-opened the
     quadratic phase (measured: q_semdedup 4.5× wall at the 10× probe,
-    SCALE.md note B / VERDICT round 8). Pass an explicit ``cap`` only to
-    bound the ASSIGNMENT plan: each cell is one argmin expression over
-    literal centroids, so Catalyst plan size grows with k — keep an
-    explicit cap ≲ low thousands there; past that the assignment itself
-    should switch from expression-argmin to a broadcast centroid-TABLE
-    join (k·dim ints stay trivially driver-sized far longer than the
-    expression tree does).
+    SCALE.md note B / VERDICT round 8). Assignment cost no longer caps
+    k either: past k = 16 ``_assign_pass`` dispatches to the
+    Arrow-batched matmul argmin (bit-identical, near-flat wall in k —
+    measured in SCALE.md note B), so ``cap`` remains only for callers
+    that must bound driver/closure state (k·dim ints) explicitly.
 
     ``math.isqrt`` is exact; the DuckDB twin (:func:`duck_cells_expr`)
     uses ``floor(sqrt(N))`` on a correctly-rounded double — identical for

@@ -1902,6 +1902,40 @@ def test_cells_for_heuristic(spark):
             assert int(got) == cells_for(n, cap), (n, cap)
 
 
+def test_assign_pass_arrow_matches_expression(spark):
+    """The Arrow/numpy argmin (k > 16 dispatch) must be BIT-IDENTICAL to
+    the JVM expression argmin on the same centroids — same distances
+    (float64 matmul over int8 codes is exact: all intermediates are
+    integers ≪ 2^53) and same smaller-cid tie-breaks. Run both paths
+    explicitly at a k above and below the dispatch threshold, plus a
+    tie fixture."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        _assign_pass_arrow,
+        _assign_pass_expr,
+        _quantized,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = _quantized(emb)
+    for k in (8, 20):
+        cur = kmeans_centroids(emb, k=k, iters=2)
+        exp = {
+            r.vec_id: (r.cluster_id, r.dist)
+            for r in _assign_pass_expr(q, cur).collect()
+        }
+        arw = {
+            r.vec_id: (r.cluster_id, r.dist)
+            for r in _assign_pass_arrow(q, cur).collect()
+        }
+        assert exp == arw, k
+    # tie fixture: two identical centroids under different cids — every
+    # row must pick the smaller cid on both paths
+    dup = [(7, cur[0][1]), (3, cur[0][1])]
+    for df in (_assign_pass_expr(q, dup), _assign_pass_arrow(q, dup)):
+        assert {r.cluster_id for r in df.collect()} == {3}
+
+
 def test_kmeans_pretrained_centroids_match(spark):
     """kmeans_assign(centroids=trained) is bit-identical to the
     train-inside path — the memoized-share contract."""

@@ -732,6 +732,18 @@ def test_kmeans_assignment_is_map_only(spark):
         if ln.strip().startswith("Arguments: hashpartitioning")
     ]
     assert len(hash_args) == 1, hash_args
+    # large-k dispatch (Arrow argmin, round 9) keeps the same contract:
+    # the MapInPandas node is a narrow map — still no extra key shuffle
+    plan20 = formatted_plan(
+        kmeans_embeddings(load_table(spark, SF, "embeddings"), k=20, iters=1)
+    )
+    assert "MapInPandas" in plan20 or "ArrowEvalPython" in plan20
+    hash20 = [
+        ln
+        for ln in plan20.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash20) == 1, hash20
 
 
 def test_substring_dup_never_materializes_pairs(spark):
