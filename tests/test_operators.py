@@ -1936,6 +1936,39 @@ def test_assign_pass_arrow_matches_expression(spark):
         assert {r.cluster_id for r in df.collect()} == {3}
 
 
+def test_assign_pass_arrow_fuzz_random_centroids(spark):
+    """Seeded fuzz of the arrow/expression bit-identity on ADVERSARIAL
+    centroids: random int8-range codes (negative values included),
+    unsorted non-contiguous cids, and deliberately duplicated centroids
+    to force distance ties — the cases trained centroids never hit."""
+    import random
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        _assign_pass_arrow,
+        _assign_pass_expr,
+        _quantized,
+    )
+
+    q = _quantized(load_table(spark, SF, "embeddings"))
+    dim = 64
+    for seed in (5, 6):
+        rng = random.Random(seed)
+        cur = [
+            (rng.randrange(0, 10**6), [rng.randint(-127, 127) for _ in range(dim)])
+            for _ in range(rng.randint(17, 40))
+        ]
+        cur.append((cur[0][0] + 1, cur[0][1]))  # exact-tie duplicate
+        exp = {
+            r.vec_id: (r.cluster_id, r.dist)
+            for r in _assign_pass_expr(q, cur).collect()
+        }
+        arw = {
+            r.vec_id: (r.cluster_id, r.dist)
+            for r in _assign_pass_arrow(q, cur).collect()
+        }
+        assert exp == arw, seed
+
+
 def test_kmeans_pretrained_centroids_match(spark):
     """kmeans_assign(centroids=trained) is bit-identical to the
     train-inside path — the memoized-share contract."""
