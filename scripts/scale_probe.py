@@ -31,6 +31,8 @@ DEFAULT_QUERIES = [
     "q_item_cooccurrence", "q_median_mad", "q_bootstrap_ci",
     "q_referential_audit", "q_dedup_clusters", "q_triangle_count",
     "q_clustering_coef", "q_ivfpq_topk", "q_pq_recall", "q_semdedup",
+    # round-9 scale-shape changes: fixed-budget probes, two-phase rank
+    "q_knn_eval", "q_percentiles",
 ]
 
 
