@@ -638,7 +638,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative window frame (rows unbounded preceding)."""
+    """Cumulative window frame (rows unbounded preceding), computed as a
+    two-phase parallel prefix sum over exact cents
+    (ranks.grouped_running_sum) — no per-group single-reducer frame."""
     return rel.running_revenue(load_table(spark, sf_dir, "orders"))
 
 
@@ -5420,11 +5422,16 @@ def _extension_oracles() -> dict[str, str]:
             LIMIT 10
         """,
         "q_running_total": """
+            -- cents-exact prefix sums (round 9): the Spark side folds
+            -- integer cents two-phase, so the oracle accumulates the
+            -- SAME integers; /100.0 + round(2) are identical IEEE ops
             SELECT o_orderkey, o_orderpriority,
-                   round(sum(o_totalprice) OVER (
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             OVER (
                        PARTITION BY o_orderpriority
                        ORDER BY o_orderdate, o_orderkey
-                       ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+                       ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+                       AS running_revenue
             FROM orders
         """,
         "q_global_topk": """

@@ -266,6 +266,81 @@ def grouped_row_number(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    val_col: str,
+    sum_col: str = "__rsum",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact cumulative SUM of a bigint column WITHIN each group over a
+    total order — the prefix-aggregate twin of :func:`grouped_row_number`
+    (same two-phase shape: range-partition by (group, order), window the
+    running sum locally per (partition id, group), attach the folded
+    per-(partition, group) exclusive SUM offsets). A
+    ``Window.partitionBy(group)`` running total with O(1) group
+    cardinality scans each group on ONE reducer at any cluster size; here
+    every range slice folds its own stretch in parallel and the offset
+    table stays ≤ P + G rows.
+
+    ``val_col`` must be integral (bigint): the driver fold and the window
+    partials add in different orders, which is only value-identical under
+    exact integer addition — the reason callers pass cents, not dollars.
+    ``order_cols`` must define a total order within each group (unique
+    tiebreak) for the running values to be deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    part = pin_range_partitions(
+        df, [F.col(g) for g in group_cols] + list(order_cols), num_parts
+    )
+    pairs = (
+        part.groupBy(PID, *group_cols)
+        .agg(F.sum(val_col).cast("bigint").alias("v"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    rows = []  # (pid, *group key, exclusive sum offset)
+    for r in sorted(
+        pairs,
+        key=lambda r: (tuple(str(r[g]) for g in group_cols), int(r[PID])),
+    ):
+        gk = tuple(r[g] for g in group_cols)
+        rows.append((int(r[PID]),) + gk + (totals.get(gk, 0),))
+        totals[gk] = totals.get(gk, 0) + int(r["v"])
+    key_schema = part.select(*group_cols).schema
+    off_schema = (
+        f"{PID} int, "
+        + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_schema)
+        + f", {OFF} bigint"
+    )
+    off_df = df.sparkSession.createDataFrame(rows, schema=off_schema)
+    rsum = (
+        F.sum(val_col).over(
+            W.partitionBy(PID, *group_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        + F.coalesce(F.col(OFF), F.lit(0))
+    ).cast("bigint")
+    # NULL-SAFE group-key join — same rationale as grouped_row_number
+    off_ren = off_df.select(
+        F.col(PID).alias("__opid"),
+        *[F.col(g).alias(f"__og_{g}") for g in group_cols],
+        OFF,
+    )
+    cond = F.col(PID) == F.col("__opid")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{g}"))
+    return (
+        part.join(F.broadcast(off_ren), cond, "left")
+        .drop("__opid", *[f"__og_{g}" for g in group_cols])
+        .withColumn(sum_col, rsum)
+        .drop(PID, OFF)
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list,

@@ -226,20 +226,39 @@ def shipping_priority(
 
 def running_revenue(orders: DataFrame) -> DataFrame:
     """Cumulative revenue per priority in (orderdate, orderkey) order —
-    the rows-unbounded-preceding window-frame shape. One shuffle on the
-    priority key; the running sum is a sequential frame scan per
-    partition (cents-exact after round(2), so cross-engine stable)."""
-    from pyspark.sql import Window
+    the rows-unbounded-preceding window-frame shape.
 
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Scale shape: the prefix sum comes from
+    :func:`ranks.grouped_running_sum` — the two-phase parallel prefix
+    aggregate — NOT a ``Window.partitionBy(o_orderpriority)`` frame,
+    which would stream each of the 5 priority groups through ONE reducer
+    at any cluster size (the same funnel class `q_percentiles` and
+    `q_median_mad` already abandoned). Accumulation is exact cents
+    bigints (the integral-only contract of the two-phase fold: partials
+    add in a different order than a sequential frame, which only integer
+    addition makes value-identical); the final ``/100`` division and
+    round(2) are the same IEEE ops in both engines over identical
+    integers.
+    """
+    from .ranks import grouped_running_sum
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    summed = grouped_running_sum(
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate"),
+            cents.alias("__c"),
+        ),
+        ["o_orderpriority"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        "__c",
+        sum_col="__rsum",
     )
-    return orders.select(
+    return summed.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        F.round(F.col("__rsum") / 100.0, 2).alias("running_revenue"),
     )
 
 

@@ -601,6 +601,30 @@ def test_group_percentiles_two_phase_rank_not_group_window(spark):
             assert PID in spec, spec
 
 
+def test_running_revenue_two_phase_prefix_not_group_window(spark):
+    """running_revenue's cumulative frame must ride the two-phase prefix
+    sum (ranks.grouped_running_sum): the running-sum window's partition
+    spec includes the physical-partition id — never the bare 5-value
+    priority key streaming each group through one reducer."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        PID,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        running_revenue,
+    )
+
+    plan = formatted_plan(running_revenue(load_table(spark, SF, "orders")))
+    import re
+
+    specs = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan, re.I)
+    ]
+    assert specs, plan[:500]
+    for spec in specs:
+        assert PID in spec, spec
+
+
 def test_median_mad_no_low_cardinality_group_window(spark):
     """median_mad must never sort the corpus under a 5-value group window
     (parallelism ≤ 5 at any cluster size). The radix-histogram selection

@@ -296,6 +296,46 @@ def test_grouped_row_number_null_group_keys(spark):
     assert all(r.n == 1000 for r in out)
 
 
+def test_grouped_running_sum_matches_window_reference(spark):
+    """grouped_running_sum must equal a plain per-group window prefix
+    sum exactly — including a NULL group spanning range partitions
+    (null-safe offset join) and negative values. Integer-only contract:
+    the driver fold and local windows add in different orders."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        grouped_running_sum,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (None if i % 3 == 0 else f"g{i % 3}", i, rng.randint(-500, 500))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, o long, c long")
+    got = {
+        (r.grp, r.o): r["__rsum"]
+        for r in grouped_running_sum(
+            df, ["grp"], [F.col("o").asc()], "c", num_parts=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("o").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.grp, r.o): r.rs
+        for r in df.select(
+            "grp", "o", F.sum("c").over(w).alias("rs")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_radix_kth_raises_on_k_beyond_group(spark):
     from pyspark.sql import functions as F
     import pytest
