@@ -337,31 +337,59 @@ def winsorize_prices(lineitem: DataFrame, pct: int = 99) -> DataFrame:
     onto the rows; output = per-group audit: rows capped, cents sum
     before/after (exact integers).
 
-    Two passes over one shuffle key: the rank window reuses the
-    partitioning, the tiny per-group cap table broadcasts — no second
-    corpus shuffle.
+    Scale shape (round 9): the cap is an ORDER STATISTIC, so it comes
+    from :func:`relational.radix_kth_by_group` — fully-parallel
+    partial-agg scans with value-domain-bounded state — instead of the
+    previous ``Window.partitionBy(l_returnflag)`` rank, which sorted the
+    whole corpus through 4 reducers at any cluster size just to read one
+    row per group. The 4 caps return as driver scalars and re-enter as a
+    broadcast literal map; the audit is then ONE partial-agg pass. Same
+    values: the k-th smallest VALUE is tie-insensitive, so the oracle is
+    unchanged. Negative measures would be rebased by the observed min
+    (same guard as ``median_mad``); prices are non-negative here.
     """
-    from pyspark.sql import Window
+    from .relational import radix_kth_by_group
 
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     base = lineitem.select("l_returnflag", cents.alias("c"))
-    w = Window.partitionBy("l_returnflag").orderBy(F.col("c").asc())
-    ranked = base.select(
-        "l_returnflag",
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    stats = (
+        base.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("c").alias("mx"),
+            F.min("c").alias("mn"),
+        )
+        .collect()
     )
-    caps = ranked.filter(
-        F.col("rn") == F.greatest(F.lit(1), F.floor(F.col("n") * pct / 100))
-    ).select("l_returnflag", F.col("c").alias("cap"))
+    if not stats:
+        return base.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(0).cast("bigint").alias("n_capped"),
+            F.lit(0).cast("bigint").alias("cap_cents"),
+            F.lit(0).cast("bigint").alias("sum_cents"),
+            F.lit(0).cast("bigint").alias("sum_capped_cents"),
+        )
+    k = {r.l_returnflag: max(1, int(r.n) * pct // 100) for r in stats}
+    off = max(0, -min(int(r.mn) for r in stats))  # non-negative rebase
+    val = F.col("c") + off if off else F.col("c")
+    bits = (max(int(r.mx) for r in stats) + off).bit_length()
+    caps = radix_kth_by_group(
+        base.select("l_returnflag", val.alias("c")) if off else base,
+        "l_returnflag",
+        F.col("c"),
+        k,
+        bits,
+    )
+    cap_map = F.create_map(
+        *[x for g, c in caps.items() for x in (F.lit(g), F.lit(int(c) - off))]
+    )
+    cap = F.element_at(cap_map, F.col("l_returnflag"))
     return (
-        base.join(F.broadcast(caps), "l_returnflag")
-        .select(
+        base.select(
             "l_returnflag",
             "c",
-            "cap",
-            F.least(F.col("c"), F.col("cap")).alias("capped"),
+            cap.alias("cap"),
+            F.least(F.col("c"), cap).alias("capped"),
         )
         .groupBy("l_returnflag")
         .agg(

@@ -822,13 +822,20 @@ def test_weighted_sample_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_winsorize_caps_broadcast_one_shuffle_key(spark):
+def test_winsorize_caps_are_radix_literals_no_corpus_window(spark):
+    """Round 9: the per-group caps come from radix_kth_by_group and
+    re-enter as a broadcast literal map — the audit plan has NO join
+    and NO window at all (the old 4-reducer corpus rank is gone); the
+    only exchange is the final partial-agg."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
         winsorize_prices,
     )
 
     df = winsorize_prices(load_table(spark, SF, "lineitem"))
-    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
 
 
 def test_tpch_q6_pushdown_single_scan(spark):
