@@ -434,3 +434,51 @@ def test_markov_stationary_matches_duck_oracle(spark, walks):
         for r in con.execute(duck_markov_stationary_sql()).fetchall()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # group
+            st.integers(min_value=-(10**12), max_value=10**12),           # value
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    num_parts=st.integers(min_value=1, max_value=9),
+)
+def test_grouped_running_sum_matches_python_reference(spark, vals, num_parts):
+    """The two-phase parallel prefix sum equals a sequential Python fold
+    for ANY grouping (including NULL groups and empty input), any value
+    sign, and any range-partition count — the exact-bigint property the
+    window-reference test pins at one seed, held over the input space.
+    The order key is the row index, so the total-order contract holds by
+    construction while groups interleave arbitrarily across partitions."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
+        grouped_running_sum,
+    )
+
+    rows = [(g, i, v) for i, (g, v) in enumerate(vals)]
+    if rows:
+        df = spark.createDataFrame(rows, "grp int, o long, c long")
+    else:
+        df = spark.range(0).selectExpr(
+            "cast(id as int) as grp", "id as o", "id as c"
+        )
+    got = {
+        (r.grp, r.o): r["__rsum"]
+        for r in grouped_running_sum(
+            df, ["grp"], [F.col("o").asc()], "c", num_parts=num_parts
+        ).collect()
+    }
+    want: dict = {}
+    acc: dict = {}
+    for g, i, v in rows:
+        acc[g] = acc.get(g, 0) + v
+        want[(g, i)] = acc[g]
+    assert got == want
