@@ -497,33 +497,29 @@ def quantile_normalize(documents: DataFrame) -> DataFrame:
     every document to that reference value. What remains source-specific
     after this is content, not crawler truncation policy.
 
-    Per-source ranks come from ONE two-phase global rank over the total
-    order (source, n_chars, doc_id) — each range partition holds a
-    contiguous slice of the source-major order, so the per-source rank
-    is the global rank minus the source's first rank + 1 (a broadcast
-    join against the source-dimension min-rank table). NO per-source
-    single-partition window anywhere — the exact hazard
-    ``ranks.global_row_number`` exists to kill. The reference profile is
-    a rank-keyed aggregate (rows = max source size), and the map-back is
-    an equi-join on the rank.
+    Per-source ranks come from ``ranks.grouped_row_number`` — the
+    two-phase parallel per-group rank (range-partition by
+    (source, n_chars, doc_id), rank locally per (partition id, source),
+    attach the folded per-(partition, source) exclusive offsets). NO
+    per-source single-partition window anywhere — the exact hazard the
+    ``ranks`` primitives exist to kill — and no extra corpus pass: the
+    previous formulation derived the same rank from a GLOBAL rank minus
+    a per-source min-rank table, paying one more corpus groupBy + join
+    for an identical result. The reference profile is a rank-keyed
+    aggregate (rows = max source size), and the map-back is an equi-join
+    on the rank.
 
     Exactness: ranks are exact integers; the reference value is an exact
     bigint sum over the sources present at that rank, divided once.
     """
     from . import ranks
 
-    ranked, _ = ranks.global_row_number(
+    in_src = ranks.grouped_row_number(
         documents.select("doc_id", "source", "n_chars"),
-        ["source", "n_chars", "doc_id"],
-        rank_col="__g",
-    )
-    firsts = ranked.groupBy("source").agg(F.min("__g").alias("__r0"))
-    in_src = ranked.join(F.broadcast(firsts), "source").select(
-        "doc_id",
-        "source",
-        "n_chars",
-        (F.col("__g") - F.col("__r0") + 1).cast("bigint").alias("src_rank"),
-    )
+        ["source"],
+        [F.col("n_chars"), F.col("doc_id")],
+        rank_col="src_rank",
+    ).select("doc_id", "source", "n_chars", "src_rank")
     ref = in_src.groupBy("src_rank").agg(
         F.sum("n_chars").alias("__s"), F.count(F.lit(1)).alias("__c")
     )

@@ -579,26 +579,54 @@ def test_unpivot_is_expand_one_exchange(spark):
     assert count_exchanges(df) == 1
 
 
-def test_group_percentiles_two_phase_rank_not_group_window(spark):
-    """group_percentiles ranks via ranks.grouped_row_number (VERDICT r8
-    item 6: the primitive now has a production caller): the plan's window
-    partition spec must include the physical-partition id — never the
-    bare 4-value l_returnflag key, which would sort each group on one
-    reducer at any cluster size."""
-    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.ranks import (
-        PID,
-    )
+def test_group_percentiles_radix_no_corpus_shuffle(spark):
+    """group_percentiles is radix-histogram selection (round 9, second
+    rewrite): all three percentiles ride ONE shared walk of partial-agg
+    scans, so the corpus is never rank-shuffled — the previous two-phase
+    rank paid a corpus-sized range-partition shuffle (measured 53 s /
+    1.05 GB at the 100× probe) to rank every row when only 12 picks are
+    read. Pinned by (a) the result being driver-assembled from bounded
+    selections (no file scan in ITS plan), and (b) the picks equaling a
+    per-group rank-window reference computed in-test."""
+    from pyspark.sql import Window
+
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
         group_percentiles,
     )
 
-    plan = formatted_plan(group_percentiles(load_table(spark, SF, "lineitem")))
-    import re
+    li = load_table(spark, SF, "lineitem")
+    got = group_percentiles(li)
+    # (a) every corpus job already ran inside bounded partial-agg scans;
+    # the returned relation is metadata-sized driver state, not a plan
+    # that re-sorts the corpus under a 4-value group window
+    plan = formatted_plan(got)
+    assert "Location:" not in plan, "result must be driver-assembled"
+    assert "windowspecdefinition" not in plan.lower()
+    # (b) picks match the rank-window reference exactly
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
 
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan, re.I):
-        spec = m.group(1)
-        if "l_extendedprice" in spec:  # the rank window
-            assert PID in spec, spec
+    def pick(q, name):
+        idx = F.floor((F.col("n") - 1) * F.lit(q)).cast("long") + 1
+        return F.max(
+            F.when(F.col("rn") == idx, F.col("l_extendedprice"))
+        ).alias(name)
+
+    want = {
+        r.l_returnflag: (r.p50, r.p95, r.p99, r.n_lines)
+        for r in ranked.groupBy("l_returnflag")
+        .agg(pick(0.5, "p50"), pick(0.95, "p95"), pick(0.99, "p99"),
+             F.max("n").alias("n_lines"))
+        .collect()
+    }
+    assert {
+        r.l_returnflag: (r.p50, r.p95, r.p99, r.n_lines) for r in got.collect()
+    } == want
 
 
 def test_running_revenue_two_phase_prefix_not_group_window(spark):

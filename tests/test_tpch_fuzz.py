@@ -482,3 +482,62 @@ def test_grouped_running_sum_matches_python_reference(spark, vals, num_parts):
         acc[g] = acc.get(g, 0) + v
         want[(g, i)] = acc[g]
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.integers(min_value=0, max_value=(1 << 20) - 1),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    kths=st.lists(
+        st.integers(min_value=1, max_value=12), min_size=1, max_size=4
+    ),
+)
+def test_radix_kths_multi_target_matches_sorted_reference(spark, vals, kths):
+    """radix_kths_by_group returns sorted()[k-1] for EVERY (group, tag)
+    target in one shared walk — multiple ranks per group (duplicates
+    allowed, both ends), arbitrary non-negative values, multi-level
+    descent. Also pins wrapper equivalence: the single-k form must agree
+    with the shared-walk result target-for-target."""
+    from collections import defaultdict
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        radix_kth_by_group,
+        radix_kths_by_group,
+    )
+
+    byg = defaultdict(list)
+    for g, v in vals:
+        byg[g].append(v)
+    targets = {
+        (g, f"t{i}"): min(kk, len(vs))
+        for g, vs in byg.items()
+        for i, kk in enumerate(kths)
+    }
+    df = spark.createDataFrame(vals, "g string, v long")
+    got = radix_kths_by_group(df, "g", F.col("v"), targets, 20, step=7)
+    want = {
+        (g, t): sorted(byg[g])[k - 1] for (g, t), k in targets.items()
+    }
+    assert got == want
+    for i, kk in enumerate(kths):
+        single = radix_kth_by_group(
+            df,
+            "g",
+            F.col("v"),
+            {g: min(kk, len(vs)) for g, vs in byg.items()},
+            20,
+            step=7,
+        )
+        assert single == {
+            g: want[(g, f"t{i}")] for g in byg
+        }
