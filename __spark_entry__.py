@@ -4545,8 +4545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_shared_state.py::test_round9_window_changed_plus_stalest.
 _ROUND9_WINDOW = [
     # changed this round — re-verify in the same round they changed
+    # (q_percentiles/q_quantile_normalize: the shared-radix-walk and
+    # grouped_row_number rewrites; values unchanged, plans new)
     "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
-    # the 46 stalest (latest CORRECTNESS row: round 2)
+    "q_percentiles", "q_quantile_normalize",
+    # the 44 stalest (latest CORRECTNESS row: round 2)
     "q_distinct_shards", "q_shard_filter", "q_page_offset",
     "q_incremental_union", "q_cast_projection", "q_highwater_increment",
     "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
@@ -4560,7 +4563,7 @@ _ROUND9_WINDOW = [
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_simhash_pairs",
     "q_topk_cosine", "q_neardup_embedding", "q_similarity_lsh",
     "q_similarity_ivf", "q_asof_join", "q_interval_join", "q_vocab_topk",
-    "q_percentiles", "q_label_centroids", "q_grouping_sets",
+    "q_label_centroids",
 ]
 
 

@@ -213,15 +213,18 @@ def test_round9_window_changed_plus_stalest():
     assert len(win) == 50 and len(set(win)) == 50
     q = entry.queries()
     assert list(q)[:50] == win  # dict-unpacking keeps the window first
-    changed = ["q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives"]
-    assert win[:4] == changed
+    changed = [
+        "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
+        "q_percentiles", "q_quantile_normalize",
+    ]
+    assert win[: len(changed)] == changed
     names = list(q)
     stalest = [
         n
         for n in sorted(names, key=lambda n: (latest.get(n, 0), names.index(n)))
         if n not in changed
-    ][:46]
-    assert win[4:] == stalest, set(win[4:]) ^ set(stalest)
+    ][: 50 - len(changed)]
+    assert win[len(changed):] == stalest, set(win[len(changed):]) ^ set(stalest)
 
 
 def test_sf_tag_fingerprints_input_data(tmp_path):
