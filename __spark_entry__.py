@@ -4545,11 +4545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_shared_state.py::test_round9_window_changed_plus_stalest.
 _ROUND9_WINDOW = [
     # changed this round — re-verify in the same round they changed
-    # (q_percentiles/q_quantile_normalize: the shared-radix-walk and
-    # grouped_row_number rewrites; values unchanged, plans new)
+    # (q_percentiles/q_quantile_normalize/q_quantile_buckets: the
+    # shared-radix-walk and grouped_row_number rewrites; values unchanged
+    # except q_quantile_buckets' avg, now exact-cents in query AND oracle)
     "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
-    "q_percentiles", "q_quantile_normalize",
-    # the 44 stalest (latest CORRECTNESS row: round 2)
+    "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
+    # the 43 stalest (latest CORRECTNESS row: round 2)
     "q_distinct_shards", "q_shard_filter", "q_page_offset",
     "q_incremental_union", "q_cast_projection", "q_highwater_increment",
     "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
@@ -4563,7 +4564,6 @@ _ROUND9_WINDOW = [
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_simhash_pairs",
     "q_topk_cosine", "q_neardup_embedding", "q_similarity_lsh",
     "q_similarity_ivf", "q_asof_join", "q_interval_join", "q_vocab_topk",
-    "q_label_centroids",
 ]
 
 
@@ -6387,10 +6387,13 @@ def _extension_oracles() -> dict[str, str]:
         WHERE b.c12 >= 5
     """
     out["q_quantile_buckets"] = """
+        -- avg from exact bigint cents divided once: identical integers
+        -- on both engines, instead of order-dependent double summation
         SELECT bucket, count(*) AS n,
                round(min(o_totalprice), 2) AS lo,
                round(max(o_totalprice), 2) AS hi,
-               round(avg(o_totalprice), 4) AS avg_price
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / (100.0 * count(*)), 4) AS avg_price
         FROM (
             SELECT o_totalprice, ntile(10) OVER (
                 ORDER BY o_totalprice, o_orderkey) AS bucket

@@ -633,31 +633,106 @@ def region_revenue(
 def quantile_buckets(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Equal-frequency bucketing (ntile) of orders by total price, with
     per-bucket stats — the discretization step of feature binning /
-    monotone calibration. The sort key carries the order key as a
-    tiebreaker so bucket membership is total-order deterministic and
-    engine-portable.
+    monotone calibration. The oracle stays the plain-window ntile (with
+    the order key as tiebreak); every reported stat is tie-insensitive,
+    so the two derivations agree exactly.
 
-    The bucket id is the shared two-phase PARALLEL ntile
-    (``ranks.global_ntile``: range-partition, per-partition row_number,
-    metadata-sized offsets, exact bucket formula) — no corpus-wide
-    single-partition WindowExec; the plain-window oracle stays the ground
-    truth because the (price, key) order is total.
+    Scale shape (round 9): the output is ``n_buckets`` summary rows, so
+    nothing here needs per-row bucket ids — bucket SIZES are driver
+    arithmetic (the exact ntile formula over n), bucket EDGES (lo/hi)
+    are order statistics at the boundary ranks (ONE shared
+    :func:`radix_kths_by_group` walk, ≤ 2k targets), and bucket SUMS
+    come from exact integer prefix sums at those edges: with boundary
+    value w at rank b, ``prefix(b) = Σ(v < w) + (b − #(v < w))·w`` —
+    one partial-agg scan computes every boundary's ``#(v < w)`` and
+    ``Σ(v < w)`` side by side. Three bounded partial-agg passes total;
+    the previous ``ranks.global_ntile`` version range-shuffled the
+    whole corpus to read 10 rows (the `q_percentiles` lesson,
+    SCALE.md §12 — per-row ranks belong only where per-row output is
+    the point).
+
+    Exactness: prices live on the 2-decimal grid (cents are
+    order-isomorphic and exactly invertible); sums are exact bigint
+    cents divided once, so the oracle computes the same average from
+    the same integers instead of engine-order-dependent double
+    summation. Negative measures would rebase by the observed min (the
+    ``median_mad`` guard); ``ntile`` tie-splitting never leaks into any
+    output because prefix sums over a rank depend only on the multiset
+    of the smallest-b values.
     """
-    from .ranks import global_ntile
-
-    return (
-        global_ntile(
-            orders.select("o_orderkey", "o_totalprice"),
-            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
-            n_buckets,
+    spark = orders.sparkSession
+    step = 13
+    out_schema = "bucket int, n bigint, lo double, hi double, avg_price double"
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(F.lit(0).alias("g"), cents.alias("v"))
+    head = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("v").alias("s"),
+    ).collect()[0]
+    n = int(head.n or 0)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    total = int(head.s)
+    off = -int(head.mn) if int(head.mn) < 0 else 0
+    if off:
+        base = base.select("g", (F.col("v") + off).alias("v"))
+    bits = (int(head.mx) + off).bit_length()
+    size, rem = n // n_buckets, n % n_buckets
+    ends = []  # exact ntile end-ranks; zero-size buckets (n < k) emit no row
+    cum = 0
+    for j in range(1, n_buckets + 1):
+        nx = cum + ((size + 1) if j <= rem else size)
+        if nx == cum:
+            break
+        ends.append(nx)
+        cum = nx
+    ranks = sorted({1, *ends, *(e + 1 for e in ends[:-1])})
+    vals = radix_kths_by_group(
+        base, "g", F.col("v"), {(0, r): r for r in ranks}, bits, step=step
+    )
+    at = {r: int(vals[(0, r)]) - off for r in ranks}  # original cents
+    # one scan: below-boundary count + exact-cents sum per internal edge
+    inner = ends[:-1]
+    aggs = []
+    for j, b in enumerate(inner):
+        w = F.lit(at[b] + off)  # boundary in the (possibly rebased) scan
+        aggs.append(
+            F.sum(F.when(F.col("v") < w, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"c{j}")
         )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        aggs.append(
+            F.sum(F.when(F.col("v") < w, F.col("v")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"s{j}")
         )
+    below = base.agg(*aggs).collect()[0] if inner else None
+    # prefix(b) = Σ of the b smallest ORIGINAL cents — tie-insensitive:
+    # it depends only on the multiset of values strictly below the
+    # boundary plus (b − count_below) copies of the boundary value
+    prefix = {0: 0, ends[-1]: total}
+    for j, b in enumerate(inner):
+        c_lt = int(below[f"c{j}"])
+        s_lt = int(below[f"s{j}"]) - c_lt * off  # un-rebase the sum
+        prefix[b] = s_lt + (b - c_lt) * at[b]
+    rows = []
+    start = 1
+    for j, b in enumerate(ends, start=1):
+        rows.append(
+            (j, b - start + 1, at[start], at[b], prefix[b] - prefix[start - 1])
+        )
+        start = b + 1
+    res = spark.createDataFrame(
+        rows, "bucket int, n bigint, lo_c bigint, hi_c bigint, s bigint"
+    )
+    return res.select(
+        "bucket",
+        "n",
+        F.round(F.col("lo_c") / 100.0, 2).alias("lo"),
+        F.round(F.col("hi_c") / 100.0, 2).alias("hi"),
+        F.round(F.col("s") / (F.lit(100.0) * F.col("n")), 4).alias("avg_price"),
     )
 
 

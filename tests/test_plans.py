@@ -2127,10 +2127,12 @@ def test_sax_and_rake_windows_are_partitioned(spark):
 
 
 def test_quantile_buckets_and_hist_exact_leg_partitioned(spark):
-    """The last two corpus-sized single-partition windows (the
-    quantile_buckets ntile and histogram_quantiles' exact-rank audit leg)
-    now run on the shared two-phase machinery: every window spec in both
-    plans is partitioned by the physical partition id."""
+    """No corpus-sized single-partition window in either quantile path:
+    quantile_buckets (round 9) derives its k summary rows from the shared
+    radix walk + exact prefix sums — its result is driver-assembled with
+    no scan and no window at all — and histogram_quantiles' exact-rank
+    audit leg runs on the two-phase machinery (every window spec
+    partitioned by the physical partition id)."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
         quantile_buckets,
     )
@@ -2138,13 +2140,20 @@ def test_quantile_buckets_and_hist_exact_leg_partitioned(spark):
         histogram_quantiles,
     )
 
-    for df in (
-        quantile_buckets(load_table(spark, SF, "orders")),
-        histogram_quantiles(load_table(spark, SF, "orders")),
-    ):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "ntile(" not in plan
-        for sp in plan.split("windowspecdefinition(")[1:]:
-            assert sp.startswith("__pid") or sp.startswith("bucket"), (
-                f"unpartitioned/corpus window: {sp[:80]}"
-            )
+    qb = quantile_buckets(load_table(spark, SF, "orders"))
+    qb_plan = formatted_plan(qb)
+    assert "Location:" not in qb_plan, "result must be driver-assembled"
+    assert "windowspecdefinition" not in qb_plan.lower()
+    assert "ntile(" not in qb_plan
+
+    plan = (
+        histogram_quantiles(load_table(spark, SF, "orders"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile(" not in plan
+    for sp in plan.split("windowspecdefinition(")[1:]:
+        assert sp.startswith("__pid") or sp.startswith("bucket"), (
+            f"unpartitioned/corpus window: {sp[:80]}"
+        )

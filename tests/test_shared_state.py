@@ -215,7 +215,7 @@ def test_round9_window_changed_plus_stalest():
     assert list(q)[:50] == win  # dict-unpacking keeps the window first
     changed = [
         "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
-        "q_percentiles", "q_quantile_normalize",
+        "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
     ]
     assert win[: len(changed)] == changed
     names = list(q)
