@@ -4545,12 +4545,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_shared_state.py::test_round9_window_changed_plus_stalest.
 _ROUND9_WINDOW = [
     # changed this round — re-verify in the same round they changed
-    # (q_percentiles/q_quantile_normalize/q_quantile_buckets: the
-    # shared-radix-walk and grouped_row_number rewrites; values unchanged
-    # except q_quantile_buckets' avg, now exact-cents in query AND oracle)
+    # (q_percentiles/q_quantile_normalize/q_quantile_buckets/
+    # q_hist_quantiles: the shared-radix-walk and grouped_row_number
+    # rewrites; values unchanged except q_quantile_buckets' avg, now
+    # exact-cents in query AND oracle)
     "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
     "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
-    # the 43 stalest (latest CORRECTNESS row: round 2)
+    "q_hist_quantiles",
+    # the 42 stalest (latest CORRECTNESS row: round 2)
     "q_distinct_shards", "q_shard_filter", "q_page_offset",
     "q_incremental_union", "q_cast_projection", "q_highwater_increment",
     "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
@@ -4563,7 +4565,7 @@ _ROUND9_WINDOW = [
     "q_quality_score", "q_doc_fingerprint", "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_simhash_pairs",
     "q_topk_cosine", "q_neardup_embedding", "q_similarity_lsh",
-    "q_similarity_ivf", "q_asof_join", "q_interval_join", "q_vocab_topk",
+    "q_similarity_ivf", "q_asof_join", "q_interval_join",
 ]
 
 

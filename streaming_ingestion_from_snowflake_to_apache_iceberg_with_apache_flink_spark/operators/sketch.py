@@ -362,27 +362,42 @@ def histogram_quantiles(orders: DataFrame) -> DataFrame:
              * F.lit(int(_HQ_BUCKET_W * 100))),
         )
     )
-    # exact audit leg: the corpus rank is the shared two-phase PARALLEL
-    # row_number (range-partition + per-partition rank + metadata-sized
-    # offsets) — never a single-partition window over the fact table
-    from .ranks import global_row_number
+    # exact audit leg (round 9): the audited values are ORDER STATISTICS
+    # at ranks ceil(p·N/100), so they come from one shared radix-histogram
+    # walk (radix_kths_by_group — bounded partial-agg scans, one row per
+    # percentile to the driver). The previous two-phase corpus rank was
+    # parallel-correct but shuffled the fact table and then range-joined
+    # it (a broadcast-nested-loop over every ranked row × |pcts|) to read
+    # 4 values; the walk reads them with bounded state and no shuffle.
+    # min(price_c | rn ≥ t) over the (price_c, okey) total order IS the
+    # value at rank t, and ⌈p·N/100⌉ is the smallest rn with 100·rn ≥ p·N
+    # — same integer cross-multiplied threshold, tie-insensitive.
+    from .relational import radix_kths_by_group
 
-    ranked, _n = global_row_number(
-        base,
-        [F.col("price_c").asc(), F.col("okey").asc()],
-        rank_col="rn",
-    )
-    exact = (
-        pcts.join(
-            ranked,
-            F.lit(100) * F.col("rn") >= F.col("pct") * F.col("n"),
+    head = base.agg(
+        F.count(F.lit(1)).alias("n"), F.max("price_c").alias("mx")
+    ).collect()[0]
+    n_total = int(head.n or 0)
+    spark = orders.sparkSession
+    if n_total == 0:
+        exact = spark.createDataFrame([], "p2 int, exact_c bigint")
+    else:
+        ks = {
+            (0, p): (p * n_total + 99) // 100 for p in _HQ_PCTS
+        }  # ceil(p·N/100), ≥ 1 for N ≥ 1
+        walked = radix_kths_by_group(
+            base.select(F.lit(0).alias("g"), F.col("price_c")),
+            "g",
+            F.col("price_c"),
+            ks,
+            int(head.mx).bit_length(),
         )
-        .groupBy(F.col("pct").alias("p2"))
-        .agg(F.min("price_c").alias("exact_c"))
-    )
+        exact = spark.createDataFrame(
+            [(p, walked[(0, p)]) for p in _HQ_PCTS], "p2 int, exact_c bigint"
+        )
     bw_c = int(_HQ_BUCKET_W * 100)
     return (
-        est.join(exact, est["pct"] == F.col("p2"))
+        est.join(F.broadcast(exact), est["pct"] == F.col("p2"))
         .select(
             "pct",
             "n",

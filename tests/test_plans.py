@@ -2127,12 +2127,14 @@ def test_sax_and_rake_windows_are_partitioned(spark):
 
 
 def test_quantile_buckets_and_hist_exact_leg_partitioned(spark):
-    """No corpus-sized single-partition window in either quantile path:
-    quantile_buckets (round 9) derives its k summary rows from the shared
-    radix walk + exact prefix sums — its result is driver-assembled with
-    no scan and no window at all — and histogram_quantiles' exact-rank
-    audit leg runs on the two-phase machinery (every window spec
-    partitioned by the physical partition id)."""
+    """No corpus-sized single-partition window in either quantile path
+    (both moved to radix order-statistic selection in round 9):
+    quantile_buckets derives its k summary rows from the shared radix
+    walk + exact prefix sums — its result is driver-assembled with no
+    scan and no window at all — and histogram_quantiles' exact audit
+    values come from the same walk, so the only window left in its plan
+    is the cumulative sum over the 1024-bucket sketch table (bounded
+    value domain), never a corpus rank."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
         quantile_buckets,
     )
