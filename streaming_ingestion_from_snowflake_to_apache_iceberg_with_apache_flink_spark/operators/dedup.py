@@ -921,6 +921,14 @@ def pagerank_pairs(
     try:
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).persist()
         n = deg.count()
+        if n == 0:  # empty pair graph (e.g. every shingle above the df
+            # cap): no nodes to rank — return the empty relation instead
+            # of dividing the uniform prior by zero
+            e.unpersist()
+            deg.unpersist()
+            return spark.createDataFrame(
+                [], "doc_id bigint, norm_rank double"
+            )
         ranks = deg.select(
             F.col("src").alias("doc_id"), F.lit(1.0 / n).alias("rank")
         ).localCheckpoint(eager=True)

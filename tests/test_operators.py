@@ -243,6 +243,22 @@ def test_incremental_dedup_all_statuses(spark):
     assert got[15] == "kept"
 
 
+def test_pagerank_pairs_empty_graph(spark):
+    """An empty pair graph (every shingle above the df cap — the measured
+    regime at the 100× fixture) must yield the empty relation, not a
+    ZeroDivisionError from the uniform prior 1/n (round-9 probe find).
+    The whole graph battery shares this contract; pagerank was the one
+    metric that divided by the node count driver-side."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        pagerank_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = pagerank_pairs(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "norm_rank"]
+
+
 def test_pagerank_pairs_star_vs_chain(spark):
     """On a star graph the hub must outrank every leaf; rank mass is
     conserved (sum of ranks = 1, i.e. sum of norm_rank = N) since an
