@@ -4547,12 +4547,15 @@ _ROUND9_WINDOW = [
     # changed this round — re-verify in the same round they changed
     # (q_percentiles/q_quantile_normalize/q_quantile_buckets/
     # q_hist_quantiles: the shared-radix-walk and grouped_row_number
-    # rewrites; values unchanged except q_quantile_buckets' avg, now
-    # exact-cents in query AND oracle)
+    # rewrites, values unchanged except q_quantile_buckets' avg, now
+    # exact-cents in query AND oracle; q_neyman_allocation/
+    # q_anomaly_zscore/q_did/q_burstiness: degenerate-input NULL guards
+    # in query and oracle, values unchanged at driver SFs)
     "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
     "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
-    "q_hist_quantiles",
-    # the 42 stalest (latest CORRECTNESS row: round 2)
+    "q_hist_quantiles", "q_neyman_allocation", "q_anomaly_zscore",
+    "q_did", "q_burstiness",
+    # the 38 stalest (latest CORRECTNESS row: round 2)
     "q_distinct_shards", "q_shard_filter", "q_page_offset",
     "q_incremental_union", "q_cast_projection", "q_highwater_increment",
     "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
@@ -4564,8 +4567,7 @@ _ROUND9_WINDOW = [
     "q_token_count", "q_text_stats", "q_token_classes", "q_lang_id",
     "q_quality_score", "q_doc_fingerprint", "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_simhash_pairs",
-    "q_topk_cosine", "q_neardup_embedding", "q_similarity_lsh",
-    "q_similarity_ivf", "q_asof_join", "q_interval_join",
+    "q_topk_cosine", "q_neardup_embedding",
 ]
 
 
@@ -5097,9 +5099,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, day_ms, n_events,
                    round((n_events - avg(n_events) OVER w)
-                         / stddev_samp(n_events) OVER w, 6) AS zscore,
+                         / nullif(stddev_samp(n_events) OVER w, 0), 6) AS zscore,
                    (abs(round((n_events - avg(n_events) OVER w)
-                         / stddev_samp(n_events) OVER w, 6)) >= 2.0)
+                         / nullif(stddev_samp(n_events) OVER w, 0), 6)) >= 2.0)
                        AS is_anomaly
             FROM daily
             WINDOW w AS (PARTITION BY event_type)

@@ -633,13 +633,19 @@ def neyman_allocation(
         F.sum("n_chars").cast("bigint").alias("sx"),
         F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
     )
-    # sample stddev: sqrt((Σx² − (Σx)²/n) / (n−1)) — exact rational inside
-    sigma = F.sqrt(
-        (
-            F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx") / F.col("n_h")
-        )
-        / (F.col("n_h") - 1)
+    # sample stddev: sqrt((Σx² − (Σx)²/n) / (n−1)) — exact rational
+    # inside; a singleton stratum has no sample variance, so σ (and its
+    # allocation weight) is NULL rather than an ANSI 0/0 error, mirrored
+    # in the oracle (round-9 micro-fixture finding)
+    sigma = F.when(
+        F.col("n_h") > 1,
+        F.sqrt(
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n_h")
+            )
+            / (F.col("n_h") - 1)
+        ),
     )
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     scored = g.select(
@@ -654,12 +660,16 @@ def neyman_allocation(
         "mean_chars",
         F.round("__sigma", 4).alias("sigma"),
         F.round(
-            F.lit(budget) * F.col("__w") / F.sum("__w").over(w), 4
+            F.lit(budget) * F.col("__w")
+            / F.nullif(F.sum("__w").over(w), F.lit(0.0)),
+            4,
         ).alias("neyman_n"),
         F.round(
             F.lit(budget) * F.col("n_h") / F.sum("n_h").over(w), 4
         ).alias("proportional_n"),
-        F.round(F.col("__w") / F.sum("__w").over(w), 6).alias("weight_share"),
+        F.round(
+            F.col("__w") / F.nullif(F.sum("__w").over(w), F.lit(0.0)), 6
+        ).alias("weight_share"),
     )
     return scored
 
@@ -676,17 +686,20 @@ def duck_neyman_sql(budget: int = 1000, stratum_col: str = "source") -> str:
         ), s AS (
             SELECT stratum, n_h,
                    round(sx / n_h, 4) AS mean_chars,
-                   sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n_h) / (n_h - 1))
-                       AS sigma_raw,
-                   n_h * sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n_h)
-                              / (n_h - 1)) AS w
+                   CASE WHEN n_h > 1 THEN
+                       sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n_h)
+                            / (n_h - 1)) END AS sigma_raw,
+                   CASE WHEN n_h > 1 THEN
+                       n_h * sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n_h)
+                                  / (n_h - 1)) END AS w
             FROM g
         )
         SELECT stratum, n_h, mean_chars,
                round(sigma_raw, 4) AS sigma,
-               round({budget} * w / sum(w) OVER (), 4) AS neyman_n,
+               round({budget} * w / nullif(sum(w) OVER (), 0), 4)
+                   AS neyman_n,
                round({budget} * n_h / sum(n_h) OVER (), 4)
                    AS proportional_n,
-               round(w / sum(w) OVER (), 6) AS weight_share
+               round(w / nullif(sum(w) OVER (), 0), 6) AS weight_share
         FROM s
     """

@@ -84,6 +84,10 @@ def daily_anomaly(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """Volume-anomaly detection: events are counted per (event_type, day),
     then each day's count is scored against its type's across-days mean and
     sample stddev as a z-score; |z| >= ``z_threshold`` flags the day.
+    Degenerate series score NULL, never throw: a single-day type has NULL
+    sample stddev already, and a constant multi-day series (stddev 0)
+    divides by ``nullif(stddev, 0)`` — mirrored in the oracle (round-9
+    micro-fixture finding; ANSI mode turns 0/0 into a hard error).
 
     Scale shape: the expensive pass is the (type, day) count — partial-agg
     friendly, one shuffle. The z-score window runs over the *aggregated*
@@ -103,7 +107,7 @@ def daily_anomaly(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
         "n_events",
         F.round(
             (F.col("n_events") - F.avg("n_events").over(w))
-            / F.stddev_samp("n_events").over(w),
+            / F.nullif(F.stddev_samp("n_events").over(w), F.lit(0.0)),
             6,
         ).alias("zscore"),
     )
@@ -957,8 +961,14 @@ def did_estimator(events: DataFrame, split: str = "2024-01-15") -> DataFrame:
             )
         ]
     )
+    # empty 2×2 cells mean NULL (nullif guard, mirrored in the oracle)
+    # rather than an ANSI divide-by-zero error — micro-fixtures can miss
+    # a (arm, period) cell entirely
     m = {
-        f"m_{t}{p}": f"cast(s_{t}{p} as double) / cast(n_{t}{p} as double) / 100.0"
+        f"m_{t}{p}": (
+            f"cast(s_{t}{p} as double)"
+            f" / nullif(cast(n_{t}{p} as double), 0.0) / 100.0"
+        )
         for t in (0, 1)
         for p in (0, 1)
     }
@@ -992,7 +1002,9 @@ def duck_did_sql(split: str = "2024-01-15") -> str:
                 f"sum(CASE WHEN {cond} THEN cv ELSE 0 END)::BIGINT AS s_{t}{p}"
             )
     m = {
-        f"m_{t}{p}": f"(s_{t}{p}::DOUBLE / n_{t}{p}::DOUBLE / 100.0)"
+        f"m_{t}{p}": (
+            f"(s_{t}{p}::DOUBLE / nullif(n_{t}{p}::DOUBLE, 0) / 100.0)"
+        )
         for t in (0, 1)
         for p in (0, 1)
     }
@@ -1228,7 +1240,10 @@ def burstiness(events: DataFrame) -> DataFrame:
     bursty (provision for the spikes).
 
     Exactness: exact (n, Σc, Σc²) over the (type, day) table; σ and the
-    two ratios are one closed-form double chain each, rounded(4).
+    two ratios are one closed-form double chain each, rounded(4). A type
+    active on a single day has no sample variance — both stats are NULL
+    via ``nullif(n_days − 1, 0)`` on both engines, never an ANSI
+    divide-by-zero (round-9 micro-fixture finding).
     Scale shape: one corpus partial agg to (type, day), one |types|-row
     rollup.
     """
@@ -1248,12 +1263,12 @@ def burstiness(events: DataFrame) -> DataFrame:
         "n_days",
         "sc as n_events",
         """round((cast(scc as double) - cast(sc as double) * sc / n_days)
-                 / (n_days - 1)
+                 / nullif(n_days - 1, 0)
                  / (cast(sc as double) / n_days), 4) as dispersion""",
         """round((sqrt((cast(scc as double) - cast(sc as double) * sc / n_days)
-                      / (n_days - 1)) - cast(sc as double) / n_days)
+                      / nullif(n_days - 1, 0)) - cast(sc as double) / n_days)
                  / (sqrt((cast(scc as double) - cast(sc as double) * sc / n_days)
-                         / (n_days - 1)) + cast(sc as double) / n_days),
+                         / nullif(n_days - 1, 0)) + cast(sc as double) / n_days),
                  4) as burstiness""",
     )
 
@@ -1272,12 +1287,13 @@ def duck_burstiness_sql() -> str:
             FROM daily GROUP BY event_type
         )
         SELECT event_type, n_days, sc AS n_events,
-               round((scc::DOUBLE - sc::DOUBLE * sc / n_days) / (n_days - 1)
+               round((scc::DOUBLE - sc::DOUBLE * sc / n_days)
+                     / nullif(n_days - 1, 0)
                      / (sc::DOUBLE / n_days), 4) AS dispersion,
                round((sqrt((scc::DOUBLE - sc::DOUBLE * sc / n_days)
-                           / (n_days - 1)) - sc::DOUBLE / n_days)
+                           / nullif(n_days - 1, 0)) - sc::DOUBLE / n_days)
                      / (sqrt((scc::DOUBLE - sc::DOUBLE * sc / n_days)
-                             / (n_days - 1)) + sc::DOUBLE / n_days),
+                             / nullif(n_days - 1, 0)) + sc::DOUBLE / n_days),
                      4) AS burstiness
         FROM agg
     """

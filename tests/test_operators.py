@@ -3841,3 +3841,76 @@ def test_median_mad_negative_values_rebased(spark):
         mad = devs[(len(devs) + 1) // 2 - 1]
         want[g] = (med / 100.0, mad / 100.0, len(vs))
     assert got == want
+
+
+def test_degenerate_inputs_null_not_ansi_error(spark):
+    """Round-9 micro-fixture findings: four operators divided by a count
+    or variance that is legally zero on degenerate input (singleton
+    stratum, single-day series, constant series, empty 2×2 cell) and
+    threw under ANSI mode while their oracles produced NaN/inf. Both
+    sides now agree on NULL; each case here runs the Spark operator AND
+    its DuckDB oracle on the same degenerate rows."""
+    import duckdb
+    import pandas as pd
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        duck_neyman_sql,
+        neyman_allocation,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        burstiness,
+        daily_anomaly,
+        did_estimator,
+        duck_burstiness_sql,
+        duck_did_sql,
+    )
+
+    def duck(events_rows=None, docs_rows=None):
+        con = duckdb.connect()
+        if events_rows is not None:
+            pdf = pd.DataFrame(
+                events_rows,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            con.register("events", pdf)
+        if docs_rows is not None:
+            con.register(
+                "documents",
+                pd.DataFrame(docs_rows, columns=["doc_id", "source", "n_chars"]),
+            )
+        return con
+
+    # singleton stratum: sigma/neyman_n/weight_share NULL, not 0/0
+    docs = [(1, "solo", 100), (2, "pair", 10), (3, "pair", 30)]
+    ddf = spark.createDataFrame(docs, "doc_id long, source string, n_chars long")
+    got = {r.stratum: (r.sigma, r.neyman_n, r.weight_share)
+           for r in neyman_allocation(ddf).collect()}
+    want = {r[0]: (r[3], r[4], r[6])
+            for r in duck(docs_rows=docs).execute(duck_neyman_sql()).fetchall()}
+    assert got == want and got["solo"] == (None, None, None)
+
+    # one-day type (no sample variance) next to a regular two-day type
+    ev = [(1, "2024-01-01 00:00:00", 1, "solo", 1.0),
+          (2, "2024-01-01 00:00:00", 1, "multi", 1.0),
+          (3, "2024-01-02 00:00:00", 1, "multi", 1.0)]
+    edf = spark.createDataFrame(
+        ev, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_type: (r.dispersion, r.burstiness)
+           for r in burstiness(edf).collect()}
+    want = {r[0]: (r[3], r[4])
+            for r in duck(events_rows=ev).execute(duck_burstiness_sql()).fetchall()}
+    assert got == want and got["solo"] == (None, None)
+
+    # constant multi-day series: stddev 0 ⇒ zscore NULL (not an error)
+    rows = daily_anomaly(edf).filter(F.col("event_type") == "multi").collect()
+    assert {r.zscore for r in rows} == {None}
+
+    # all four events land pre-split in one arm ⇒ empty 2×2 cells ⇒ NULL
+    # means and NULL did on both engines
+    got = did_estimator(edf).collect()[0]
+    want = duck(events_rows=ev).execute(duck_did_sql()).fetchall()[0]
+    assert (got.ctrl_pre, got.ctrl_post, got.treat_pre, got.treat_post,
+            got.did) == tuple(want[4:9])
+    assert got.did is None

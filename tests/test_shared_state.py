@@ -216,7 +216,8 @@ def test_round9_window_changed_plus_stalest():
     changed = [
         "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
         "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
-        "q_hist_quantiles",
+        "q_hist_quantiles", "q_neyman_allocation", "q_anomaly_zscore",
+        "q_did", "q_burstiness",
     ]
     assert win[: len(changed)] == changed
     names = list(q)
