@@ -4535,39 +4535,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The round-9 driver-correctness window (cumulative coverage closed at
-# 298/298 in round 8, so rotation now targets FRESHNESS): the 4 queries
-# whose implementation or oracle changed THIS round and need a new
-# driver row (knn_eval's fixed-budget probe set changed its results;
-# median_mad grew the negative-rebase branch; semdedup/hard_negatives
-# now take √N cells) + the 46 STALEST queries — the r1-vintage set whose
-# latest driver evidence is round 2, predating the shared-leg, staging,
-# and radix rewrites (VERDICT round-8 item #2). Pinned by
+# 298/298 in round 8, so rotation now targets FRESHNESS): every query
+# whose implementation or ORACLE text changed this round, in change
+# order, + the STALEST queries (r1-vintage, latest driver evidence
+# round 2) filling to 50. Pinned by
 # tests/test_shared_state.py::test_round9_window_changed_plus_stalest.
 _ROUND9_WINDOW = [
-    # changed this round — re-verify in the same round they changed
-    # (q_percentiles/q_quantile_normalize/q_quantile_buckets/
-    # q_hist_quantiles: the shared-radix-walk and grouped_row_number
-    # rewrites, values unchanged except q_quantile_buckets' avg, now
-    # exact-cents in query AND oracle; q_neyman_allocation/
-    # q_anomaly_zscore/q_did/q_burstiness: degenerate-input NULL guards
-    # in query and oracle, values unchanged at driver SFs)
+    # changed this round — re-verify in the same round they changed:
+    # the shared-radix-walk / grouped_row_number rewrites (percentiles,
+    # quantile_normalize, quantile_buckets, hist_quantiles — values
+    # unchanged except quantile_buckets' avg, now exact-cents in query
+    # AND oracle); the degenerate-input NULL guards (neyman, zscore,
+    # did, burstiness); and the zero-vector / empty-cluster hardening
+    # (NULL-safe cosine + standard Lloyd keep-previous empty-cluster
+    # rule, mirrored in duck_kmeans_cte/_duck_pq_chain — every query
+    # whose oracle text changed is re-checked here; values at driver
+    # SFs unchanged)
     "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
     "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
     "q_hist_quantiles", "q_neyman_allocation", "q_anomaly_zscore",
     "q_did", "q_burstiness",
-    # the 38 stalest (latest CORRECTNESS row: round 2)
+    "q_topk_cosine", "q_neardup_embedding", "q_similarity_lsh",
+    "q_similarity_ivf", "q_knn_classify", "q_ann_recall", "q_ndcg",
+    "q_rank_fusion", "q_matryoshka_recall", "q_pq_encode",
+    "q_pq_adc_topk", "q_pq_recall", "q_ivfpq_topk", "q_kmeans",
+    "q_silhouette", "q_cluster_balance", "q_cluster_terms",
+    "q_centroid_drift", "q_pagerank_neardup",
+    # the 19 stalest (latest CORRECTNESS row: round 2)
     "q_distinct_shards", "q_shard_filter", "q_page_offset",
     "q_incremental_union", "q_cast_projection", "q_highwater_increment",
     "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
     "q_shard_fanout_topn", "q_session_window", "q_join_enrich",
     "q_salted_join", "q_rollup", "q_cube", "q_window_battery",
     "q_scalar_battery", "q_lineitem_pricing", "q_shipping_priority",
-    "q_running_total", "q_global_topk", "q_set_ops", "q_tumbling_window",
-    "q_dedup_exact", "q_dedup_corpus", "q_part_type_revenue",
-    "q_token_count", "q_text_stats", "q_token_classes", "q_lang_id",
-    "q_quality_score", "q_doc_fingerprint", "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_simhash_pairs",
-    "q_topk_cosine", "q_neardup_embedding",
 ]
 
 

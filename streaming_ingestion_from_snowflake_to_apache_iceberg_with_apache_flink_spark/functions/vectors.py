@@ -35,8 +35,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """dot / (|a| * |b|) — mirrored exactly in oracle SQL (duck_cosine)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """dot / (|a| * |b|) — mirrored exactly in oracle SQL (duck_cosine).
+    A zero-norm vector (an empty document's embedding) has undefined
+    cosine: NULL via nullif, never an ANSI divide-by-zero — NULL sinks
+    below every real score under the nulls-last ordering both engines
+    default to, and threshold filters drop it (round-9 zero-vector
+    fixture finding)."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 # -- DuckDB oracle fragment (same fold order) -------------------------------
@@ -52,5 +57,6 @@ def duck_dot(a: str, b: str, dim: int) -> str:
 def duck_cosine(a: str, b: str, dim: int) -> str:
     return (
         f"({duck_dot(a, b, dim)} / "
-        f"(sqrt({duck_dot(a, a, dim)}) * sqrt({duck_dot(b, b, dim)})))"
+        f"nullif(sqrt({duck_dot(a, a, dim)})"
+        f" * sqrt({duck_dot(b, b, dim)}), 0))"
     )

@@ -38,8 +38,11 @@ def _sim(a: Column, b: Column) -> Column:
 
 def _sim_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine with norms precomputed once per vector (cuts the per-pair
-    work from 3 array folds to 1; values identical — same FP ops)."""
-    return F.round(dot(a, b) / (na * nb), 4).cast("double")
+    work from 3 array folds to 1; values identical — same FP ops).
+    Zero-norm vectors score NULL (vectors.cosine's contract)."""
+    return F.round(
+        dot(a, b) / F.nullif(na * nb, F.lit(0.0)), 4
+    ).cast("double")
 
 
 def _with_norm(embeddings: DataFrame, id_alias: str, e_alias: str) -> DataFrame:
@@ -635,8 +638,16 @@ def _lloyd(
                 )
                 .collect()
             )
+            # standard Lloyd empty-cluster rule: a centroid that captured
+            # no rows this round keeps its previous position (duplicate
+            # seeds or degenerate corpora make this reachable; dropping
+            # it would leave a gap in the code ids — round-9 zero/dup
+            # fixture finding), mirrored in the oracle CTEs
+            updated = {
+                int(r.cluster_id): [int(s.c) for s in r.cs] for r in cells
+            }
             centroids = sorted(
-                (int(r.cluster_id), [int(s.c) for s in r.cs]) for r in cells
+                (cid, updated.get(cid, cs)) for cid, cs in centroids
             )
         return centroids
     finally:
@@ -844,7 +855,11 @@ def semdedup_pairs(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
             F.round(
-                qdot / F.sqrt((F.col("x.qn2") * F.col("y.qn2")).cast("double")),
+                qdot
+                / F.nullif(
+                    F.sqrt((F.col("x.qn2") * F.col("y.qn2")).cast("double")),
+                    F.lit(0.0),
+                ),
                 4,
             ).alias("qsim"),
         )
@@ -883,7 +898,11 @@ def duck_kmeans_cte(k: int | str = 8) -> str:
             FROM a1, generate_series(1, 64) AS g(i)
             GROUP BY cid, i
         ), c1 AS (
-            SELECT cid, list(cv ORDER BY dim) AS c FROM c1cell GROUP BY cid
+            -- empty clusters keep their previous (seed) centroid, the
+            -- standard Lloyd rule mirrored from _lloyd
+            SELECT c0.cid, coalesce(u.c, c0.c) AS c FROM c0
+            LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS c
+                       FROM c1cell GROUP BY cid) u USING (cid)
         ), d2 AS (
             SELECT q.vec_id, q.q, c.cid, {km_dist} AS dist
             FROM q CROSS JOIN c1 c
@@ -918,12 +937,12 @@ def duck_semdedup_sql(k: int | str = 8, threshold: float = 0.3) -> str:
         + f"""
         SELECT CAST(x.cid AS INT) AS cluster_id,
                x.vec_id AS vec_a, y.vec_id AS vec_b,
-               round({qdot} / sqrt(({qn2.format(s='x')}
-                   * {qn2.format(s='y')})::DOUBLE), 4) AS qsim
+               round({qdot} / nullif(sqrt(({qn2.format(s='x')}
+                   * {qn2.format(s='y')})::DOUBLE), 0), 4) AS qsim
         FROM a2 x JOIN a2 y
           ON x.cid = y.cid AND x.vec_id < y.vec_id
-        WHERE round({qdot} / sqrt(({qn2.format(s='x')}
-                  * {qn2.format(s='y')})::DOUBLE), 4) >= {threshold}
+        WHERE round({qdot} / nullif(sqrt(({qn2.format(s='x')}
+                  * {qn2.format(s='y')})::DOUBLE), 0), 4) >= {threshold}
     """
     )
 
@@ -1325,7 +1344,9 @@ def _duck_pq_chain(m: int = 4, k: int = 16) -> str:
             FROM a1_{j}, generate_series(1, {sub}) AS g(i)
             GROUP BY cid, i
         ), c1_{j} AS (
-            SELECT cid, list(cv ORDER BY dim) AS c FROM c1cell_{j} GROUP BY cid
+            SELECT c0_{j}.cid, coalesce(u.c, c0_{j}.c) AS c FROM c0_{j}
+            LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS c
+                       FROM c1cell_{j} GROUP BY cid) u USING (cid)
         ), d2_{j} AS (
             SELECT q.vec_id, q.q, c.cid, {dist} AS dist
             FROM q{j} q CROSS JOIN c1_{j} c

@@ -3914,3 +3914,66 @@ def test_degenerate_inputs_null_not_ansi_error(spark):
     assert (got.ctrl_pre, got.ctrl_post, got.treat_pre, got.treat_post,
             got.did) == tuple(want[4:9])
     assert got.did is None
+
+
+def test_zero_and_duplicate_vectors_match_oracle(spark):
+    """Round-9 adversarial-fixture findings, pinned at the operator
+    level: a zero-norm embedding (an empty document) must score NULL
+    cosine instead of an ANSI divide-by-zero, and duplicate seed
+    vectors must leave k-means with an EMPTY cluster that keeps its
+    previous centroid (the standard Lloyd rule) on BOTH engines — the
+    old behavior dropped the cluster and broke the PQ books' contiguous
+    code ids. The kmeans/semdedup comparisons run Spark and the
+    unrolled DuckDB CTEs over the same rows, so the keep-previous path
+    itself is value-gated."""
+    import duckdb
+    import pandas as pd
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        duck_kmeans_sql,
+        duck_semdedup_sql,
+        kmeans_embeddings,
+        semdedup_pairs,
+        topk_cosine_bruteforce,
+    )
+
+    dim = 64
+
+    def vec(seed):
+        return [((seed * 31 + i * 7) % 13 - 6) / 7.0 for i in range(dim)]
+
+    rows = [(0, [0.0] * dim, 0), (1, vec(1), 1), (2, vec(1), 1)] + [
+        (i, vec(i), i % 3) for i in range(3, 20)
+    ]
+    edf = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+
+    # zero-norm probe neighbor: NULL sim, ranked below every real score
+    top = topk_cosine_bruteforce(edf, [1], k=len(rows) - 1).collect()
+    sims = {r.neighbor_id: r.sim for r in top}
+    assert sims[0] is None
+    assert sims[2] == 1.0  # the exact duplicate
+    assert max(r.rank for r in top if r.neighbor_id == 0) == len(rows) - 1
+
+    # duplicate seeds 1/2 leave cluster 2 empty: spark == oracle exactly
+    got = sorted(
+        tuple(r) for r in kmeans_embeddings(edf, k=8, iters=2).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(duck_kmeans_sql(8)).fetchall())
+    assert got == want
+    got_p = sorted(
+        (r.vec_a, r.vec_b, r.qsim)
+        for r in semdedup_pairs(edf, k=8, iters=2, threshold=0.3).collect()
+    )
+    want_p = sorted(
+        (r[1], r[2], r[3])
+        for r in con.execute(duck_semdedup_sql(8, 0.3)).fetchall()
+    )
+    assert got_p == want_p

@@ -218,6 +218,12 @@ def test_round9_window_changed_plus_stalest():
         "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
         "q_hist_quantiles", "q_neyman_allocation", "q_anomaly_zscore",
         "q_did", "q_burstiness",
+        "q_topk_cosine", "q_neardup_embedding", "q_similarity_lsh",
+        "q_similarity_ivf", "q_knn_classify", "q_ann_recall", "q_ndcg",
+        "q_rank_fusion", "q_matryoshka_recall", "q_pq_encode",
+        "q_pq_adc_topk", "q_pq_recall", "q_ivfpq_topk", "q_kmeans",
+        "q_silhouette", "q_cluster_balance", "q_cluster_terms",
+        "q_centroid_drift", "q_pagerank_neardup",
     ]
     assert win[: len(changed)] == changed
     names = list(q)
