@@ -4541,16 +4541,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round 2) filling to 50. Pinned by
 # tests/test_shared_state.py::test_round9_window_changed_plus_stalest.
 _ROUND9_WINDOW = [
-    # changed this round — re-verify in the same round they changed:
-    # the shared-radix-walk / grouped_row_number rewrites (percentiles,
-    # quantile_normalize, quantile_buckets, hist_quantiles — values
-    # unchanged except quantile_buckets' avg, now exact-cents in query
-    # AND oracle); the degenerate-input NULL guards (neyman, zscore,
-    # did, burstiness); and the zero-vector / empty-cluster hardening
-    # (NULL-safe cosine + standard Lloyd keep-previous empty-cluster
-    # rule, mirrored in duck_kmeans_cte/_duck_pq_chain — every query
-    # whose oracle text changed is re-checked here; values at driver
-    # SFs unchanged)
+    # changed this round — re-verify in the same round they changed.
+    # Round 9 touched enough oracles (radix rewrites, degenerate-input
+    # NULL guards, NULL-safe cosine + Lloyd keep-previous, the clamped
+    # duck_shingles fragment shared by the whole shingle family) that
+    # the changed set fills the entire 50-slot window; the stalest
+    # rotation resumes next round. Ordered by change risk: impl+oracle
+    # rewrites first, oracle-fragment-only changes last.
     "q_knn_eval", "q_median_mad", "q_semdedup", "q_hard_negatives",
     "q_percentiles", "q_quantile_normalize", "q_quantile_buckets",
     "q_hist_quantiles", "q_neyman_allocation", "q_anomaly_zscore",
@@ -4561,13 +4558,13 @@ _ROUND9_WINDOW = [
     "q_pq_adc_topk", "q_pq_recall", "q_ivfpq_topk", "q_kmeans",
     "q_silhouette", "q_cluster_balance", "q_cluster_terms",
     "q_centroid_drift", "q_pagerank_neardup",
-    # the 19 stalest (latest CORRECTNESS row: round 2)
-    "q_distinct_shards", "q_shard_filter", "q_page_offset",
-    "q_incremental_union", "q_cast_projection", "q_highwater_increment",
-    "q_upsert_merge", "q_overwrite_partition", "q_partitioned_layout",
-    "q_shard_fanout_topn", "q_session_window", "q_join_enrich",
-    "q_salted_join", "q_rollup", "q_cube", "q_window_battery",
-    "q_scalar_battery", "q_lineitem_pricing", "q_shipping_priority",
+    "q_pmi_collocations", "q_filter_funnel", "q_weighted_sample",
+    "q_repetition", "q_doc_fingerprint", "q_dup_substring",
+    "q_ngram_novelty", "q_decontaminate", "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh", "q_dedup_corpus", "q_dedup_containment",
+    "q_dedup_incremental", "q_dedup_keep_best", "q_dedup_clusters",
+    "q_minhash_estimate", "q_lsh_recall", "q_pair_degree",
+    "q_bfs_depth",
 ]
 
 
@@ -5879,9 +5876,13 @@ def _extension_oracles() -> dict[str, str]:
                n_empty_docs
         FROM tot CROSS JOIN lt
     """
+    # clamped list slice, not per-element indexing: Spark's slice +
+    # concat_ws clamps at the array end for docs shorter than the gram
+    # width, while t[i+2] out of bounds is NULL and poisons the gram
+    # (same fix as hashing.duck_shingles, round-9 degenerate-text find)
     rep_grams = (
-        f"list_transform(generate_series(1, greatest(len(t) - 2, 1)), "
-        f"i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])"
+        "list_transform(generate_series(1, greatest(len(t) - 2, 1)), "
+        "i -> array_to_string(t[i : i + 2], ' '))"
     )
     out["q_repetition"] = f"""
         SELECT doc_id,
@@ -8044,6 +8045,7 @@ def _extension_oracles() -> dict[str, str]:
         SELECT doc_id, lang, n_chars,
                round((('0x' || substr(md5('w1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) / n_chars, 6) AS priority
         FROM documents
+        WHERE n_chars > 0
         ORDER BY priority ASC, doc_id ASC LIMIT 100
     """
     out["q_winsorize"] = """

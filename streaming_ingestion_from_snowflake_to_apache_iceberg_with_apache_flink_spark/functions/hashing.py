@@ -149,11 +149,17 @@ def duck_tokens(col: str) -> str:
 
 
 def duck_shingles(tokens_expr: str, n: int) -> str:
-    grams = " || ' ' || ".join(f"({tokens_expr})[i + {d}]" for d in range(n))
+    """Mirror of ``spark_shingles``: Spark's slice+concat_ws CLAMPS at
+    the array end, so a doc with fewer than ``n`` tokens yields one
+    whole-doc shingle. DuckDB list slicing ``t[i : i+n-1]`` clamps the
+    same way; the previous per-element ``t[i+d]`` form went out of
+    bounds there (NULL gram, silently dropped by list_distinct) —
+    divergent for ANY short document, not just empty text (round-9
+    degenerate-text fixture finding)."""
     return (
         f"list_distinct(list_transform("
         f"generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 1)), "
-        f"i -> {grams}))"
+        f"i -> array_to_string(({tokens_expr})[i : i + {n - 1}], ' ')))"
     )
 
 

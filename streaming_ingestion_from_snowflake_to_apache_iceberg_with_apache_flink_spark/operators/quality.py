@@ -177,19 +177,26 @@ FUNNEL_STAGES: tuple[tuple[str, str, str], ...] = (
         "size(filter(split(text, ' '), x -> x != '')) >= 10",
         "len(list_filter(string_split(text, ' '), x -> x != '')) >= 10",
     ),
+    # the two ratio rules nullif their denominators: a zero-word or
+    # zero-char doc already failed an earlier stage, but the cumulative
+    # conjunction still EVALUATES every predicate on every row, and ANSI
+    # turns the 0-denominator into a hard error (round-9 degenerate-text
+    # finding); false AND NULL = false, so the counts are unchanged
     (
         "mean_word_len_in_2_12",
         "length(replace(text, ' ', ''))"
-        " / size(filter(split(text, ' '), x -> x != '')) BETWEEN 2 AND 12",
-        "length(replace(text, ' ', ''))"
-        " / len(list_filter(string_split(text, ' '), x -> x != ''))"
+        " / nullif(size(filter(split(text, ' '), x -> x != '')), 0)"
         " BETWEEN 2 AND 12",
+        "length(replace(text, ' ', ''))"
+        " / nullif(len(list_filter(string_split(text, ' '), x -> x != '')),"
+        " 0) BETWEEN 2 AND 12",
     ),
     (
         "alpha_ratio_ge_06",
-        "length(regexp_replace(text, '[^A-Za-z]', '')) / n_chars >= 0.6",
-        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars"
+        "length(regexp_replace(text, '[^A-Za-z]', '')) / nullif(n_chars, 0)"
         " >= 0.6",
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        " / nullif(n_chars, 0) >= 0.6",
     ),
     (
         "has_stopword",

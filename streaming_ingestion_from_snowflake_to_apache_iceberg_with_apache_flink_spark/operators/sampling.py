@@ -312,13 +312,18 @@ def weighted_priority_sample(
     libm pow/log, which differ across engines — the reason this is not
     textbook Efraimidis-Spirakis; the weighting semantics are declared
     and oracle-mirrored). Top-k is TakeOrderedAndProject: each partition
-    keeps k rows, no global sort.
+    keeps k rows, no global sort. Zero-weight rows (an empty document)
+    have selection probability 0 and are filtered before ranking — the
+    NULL-priority alternative sorts FIRST in Spark and LAST in DuckDB,
+    so the filter is the only portable semantics (round-9
+    degenerate-text finding), mirrored in the oracle.
     """
     pr = F.expr(H.spark_h32(f"concat('{salt}:', cast(doc_id as string))")) / F.col(
         "n_chars"
     )
     return (
-        documents.select(
+        documents.filter(F.col("n_chars") > 0)
+        .select(
             "doc_id",
             "lang",
             "n_chars",

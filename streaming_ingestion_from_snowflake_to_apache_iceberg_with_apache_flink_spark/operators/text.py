@@ -1365,9 +1365,14 @@ def pmi_collocations(
     the vocabulary-sized pair table (never onto the corpus); top-k is
     TakeOrderedAndProject.
     """
+    # a single-token doc has NO adjacent pairs: guard explicitly —
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], which would walk
+    # t[-1]/t[1] out of bounds (round-9 degenerate-text finding); the
+    # oracle's generate_series(1, 0) is already empty
     pairs_expr = (
-        f"transform(sequence(1, greatest(size(t) - 1, 0)),"
-        f" i -> struct(t[i - 1] as x, t[i] as y))"
+        "if(size(t) < 2, array(),"
+        " transform(sequence(1, size(t) - 1),"
+        " i -> struct(t[i - 1] as x, t[i] as y)))"
     )
     occ = (
         documents.selectExpr(f"{_TOKENS} as t")

@@ -3977,3 +3977,80 @@ def test_zero_and_duplicate_vectors_match_oracle(spark):
         for r in con.execute(duck_semdedup_sql(8, 0.3)).fetchall()
     )
     assert got_p == want_p
+
+
+def test_degenerate_text_matches_oracle(spark):
+    """Round-9 degenerate-text findings, pinned operator-vs-oracle on
+    empty / whitespace-only / single-token documents: (a) DuckDB shingle
+    grams must CLAMP like Spark's slice+concat_ws instead of indexing
+    out of bounds (hashing.duck_shingles — divergent for ANY doc shorter
+    than the gram width); (b) pmi's adjacent pairs guard the descending
+    sequence(1, 0) Spark emits for single-token docs; (c) the funnel's
+    ratio rules and the weighted sampler tolerate zero words/chars."""
+    import duckdb
+    import pandas as pd
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
+        hashing as H,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.quality import (
+        duck_filter_funnel_sql,
+        filter_funnel,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = [
+        (0, "", "en", "src0", 0),
+        (1, "    ", "en", "src0", 4),
+        (2, "word", "en", "src0", 4),
+        (3, "alpha beta gamma delta epsilon", "en", "src1", 30),
+        (4, "alpha beta gamma delta epsilon", "en", "src1", 30),
+    ]
+    ddf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+    )
+
+    # (a) shingle parity: clamped whole-doc shingle for short docs,
+    # the '' shingle for empty docs — identical sets per doc
+    got = {
+        r.doc_id: sorted(r.s)
+        for r in ddf.selectExpr(
+            "doc_id",
+            f"{H.spark_shingles(H.spark_tokens('text'), 3)} as s",
+        ).collect()
+    }
+    want = {
+        r[0]: sorted(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {H.duck_shingles(H.duck_tokens('text'), 3)}"
+            " FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[0] == [""] and got[2] == ["word"]
+
+    # (b) single-token and empty docs contribute no adjacent pairs —
+    # no INVALID_ARRAY_INDEX from the descending sequence
+    assert pmi_collocations(ddf, k=10, min_count=1).count() >= 0
+
+    # (c) funnel counts match the oracle with zero-word/char docs in
+    # the corpus; the weighted draw excludes zero-weight docs
+    got_f = sorted(tuple(r) for r in filter_funnel(ddf).collect())
+    want_f = sorted(
+        tuple(r) for r in con.execute(duck_filter_funnel_sql()).fetchall()
+    )
+    assert got_f == want_f
+    drawn = weighted_priority_sample(ddf, k=10).collect()
+    assert {r.doc_id for r in drawn} == {1, 2, 3, 4}  # only weight-0 doc 0 out
