@@ -106,10 +106,18 @@ def main() -> None:
             shared_warm[name] = legs
         # clearCache drops catalog-cached datasets but NOT localCheckpoint
         # RDD blocks — those release only when the Python DataFrame is
-        # garbage-collected and the ContextCleaner runs. Dozens of
-        # checkpointing queries otherwise accumulate block-manager memory
-        # and the tail of the sweep measures GC pressure, not the query.
+        # garbage-collected AND the JVM ContextCleaner notices the dead
+        # reference. Python gc alone is not enough: the JVM side keeps the
+        # checkpointed RDDs strongly referenced until a JVM GC runs, and
+        # in NO_SHARED sweeps (every heavy query re-checkpointing its own
+        # graphs 2-3×) the accumulated blocks degraded the TAIL of the
+        # run ~4× (measured round 9: q_tpch_q8 3.57 s in-sweep vs 0.86 s
+        # in a fresh process). Nudge both collectors every query.
         gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # py4j hiccup must never fail the bench
         times[name] = round(best, 4)
 
     per_query_total = round(sum(times.values()), 4)
