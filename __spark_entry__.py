@@ -4564,7 +4564,7 @@ _ROUND9_WINDOW = [
     "q_dedup_minhash_lsh", "q_dedup_corpus", "q_dedup_containment",
     "q_dedup_incremental", "q_dedup_keep_best", "q_dedup_clusters",
     "q_minhash_estimate", "q_lsh_recall", "q_pair_degree",
-    "q_bfs_depth",
+    "q_ab_ztest",
 ]
 
 
@@ -6870,12 +6870,14 @@ def _extension_oracles() -> dict[str, str]:
         )
         SELECT event_type, n1 AS n,
                round(sx1 / n1 / 100.0, 4) AS mean_value,
-               round(sx2 / n2 / 100.0, 4) AS mean_rest,
-               round((sx1 / n1 / 100.0 - sx2 / n2 / 100.0)
+               round(sx2 / nullif(n2::DOUBLE, 0) / 100.0, 4) AS mean_rest,
+               round((sx1 / n1 / 100.0
+                      - sx2 / nullif(n2::DOUBLE, 0) / 100.0)
                      / sqrt((sxx1 - sx1::DOUBLE * sx1 / n1::DOUBLE)
                                 / nullif((n1 - 1)::DOUBLE, 0.0) / 10000.0 / n1
                             + (sxx2 - sx2::DOUBLE * sx2 / n2::DOUBLE)
-                                / nullif((n2 - 1)::DOUBLE, 0.0) / 10000.0 / n2),
+                                / nullif((n2 - 1)::DOUBLE, 0.0) / 10000.0
+                                / nullif(n2::DOUBLE, 0)),
                      4) + 0.0 AS z_score
         FROM j
     """

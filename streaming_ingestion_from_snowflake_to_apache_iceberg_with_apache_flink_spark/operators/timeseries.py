@@ -428,7 +428,13 @@ def ab_ztest(events: DataFrame) -> DataFrame:
     )
 
     def _mean(s, n):
-        return F.col(s) / F.col(n) / F.lit(100.0)
+        # n2 is 0 when a single event type owns the whole stream — the
+        # complement's mean (and z) is NULL, never an ANSI 0/0 error
+        # (round-9 degenerate-events finding), mirrored in the oracle
+        return (
+            F.col(s) / F.nullif(F.col(n).cast("double"), F.lit(0.0))
+            / F.lit(100.0)
+        )
 
     def _var(sxx, sx, n):
         # sample variance in value units: cents² → /1e4. Σx enters the
@@ -447,7 +453,8 @@ def ab_ztest(events: DataFrame) -> DataFrame:
 
     z = (_mean("sx1", "n1") - _mean("sx2", "n2")) / F.sqrt(
         _var("sxx1", "sx1", "n1") / F.col("n1")
-        + _var("sxx2", "sx2", "n2") / F.col("n2")
+        + _var("sxx2", "sx2", "n2")
+        / F.nullif(F.col("n2").cast("double"), F.lit(0.0))
     )
     return j.select(
         "event_type",

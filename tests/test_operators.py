@@ -3915,6 +3915,17 @@ def test_degenerate_inputs_null_not_ansi_error(spark):
             got.did) == tuple(want[4:9])
     assert got.did is None
 
+    # a single event type owns the whole stream ⇒ its complement is
+    # empty (n2 = 0) ⇒ mean_rest and z are NULL, never an ANSI error
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
+        ab_ztest,
+    )
+
+    mono = edf.withColumn("event_type", F.lit("only"))
+    rows = ab_ztest(mono).collect()
+    assert len(rows) == 1
+    assert rows[0].mean_rest is None and rows[0].z_score is None
+
 
 def test_zero_and_duplicate_vectors_match_oracle(spark):
     """Round-9 adversarial-fixture findings, pinned at the operator
