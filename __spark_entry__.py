@@ -160,6 +160,50 @@ def _shared(memo: dict, key: tuple, leg: str, compute: Callable[[], object]):
 _PAIRS_SHARED: dict[tuple, "DataFrame"] = {}
 
 
+def release_transient_checkpoints(spark: SparkSession) -> int:
+    """Deterministically drop every persistent RDD that is NOT a live
+    memoized shared leg, returning how many were released.
+
+    localCheckpoint blocks otherwise release only when the JVM Dataset
+    is garbage-collected AND the ContextCleaner notices — in a cold
+    (``SPARK_GRAFT_NO_SHARED=1``) sweep every heavy query re-checkpoints
+    its own pair graphs 2–3×, and the accumulated blocks degraded the
+    TAIL of a 298-query run ~4× until a per-query ``System.gc()`` nudge
+    was added (round 9). This is the deterministic replacement (VERDICT
+    r9 item #5): the shared-state layer knows exactly which checkpoints
+    it owns (``_PAIRS_SHARED`` values — the only memo holding
+    DataFrames), so everything else in ``getPersistentRDDs`` is a dead
+    per-query transient and can be unpersisted NOW instead of at GC
+    time. Call ONLY at a quiescent point (no job in flight): reading an
+    unpersisted localCheckpoint fails rather than recomputes, which is
+    also why live legs are id-protected, not pattern-matched.
+    """
+    protected = set()
+    for df in _PAIRS_SHARED.values():
+        try:
+            # a checkpointed Dataset's analyzed plan IS the LogicalRDD
+            # holding the persistent RDD
+            protected.add(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:  # non-checkpoint value: nothing to protect
+            pass
+    released = 0
+    try:
+        it = (
+            spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        )
+        stale = []
+        while it.hasNext():
+            e = it.next()
+            if e.getKey() not in protected:
+                stale.append(e.getValue())
+        for jrdd in stale:
+            jrdd.unpersist(False)
+            released += 1
+    except Exception:  # py4j hiccup must never fail the caller
+        pass
+    return released
+
+
 def _neardup_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-Jaccard near-dup pair graph, computed ONCE per (session,
     corpus) and localCheckpoint-pinned for the whole graph battery (CC,
@@ -4528,18 +4572,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_moments": q_stream_moments,
         "q_stream_kmv": q_stream_kmv,
     }
-    missing = [n for n in _ROUND9_WINDOW if n not in q]
+    missing = [n for n in _ROUND10_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND9_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND9_WINDOW}, **q}
+        raise KeyError(f"_ROUND10_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND10_WINDOW}, **q}
 
 
-# The round-9 driver-correctness window (cumulative coverage closed at
-# 298/298 in round 8, so rotation now targets FRESHNESS): every query
-# whose implementation or ORACLE text changed this round, in change
-# order, + the STALEST queries (r1-vintage, latest driver evidence
-# round 2) filling to 50. Pinned by
-# tests/test_shared_state.py::test_round9_window_changed_plus_stalest.
+#: Queries whose implementation changed in round 10 — re-verified by the
+#: driver the same round they changed (standing rule, VERDICT r8 item #2).
+#: Round 10 rewrote median_mad's common path (3-job composite-key
+#: histogram selection replacing the 5-job radix chain).
+_ROUND10_CHANGED = ["q_median_mad"]
+
+# The round-10 driver-correctness window: the round's changed queries
+# first, then the STALEST queries — those whose latest driver
+# CORRECTNESS row is oldest (41 names last driver-checked in round 2,
+# then round-3 vintage in name order), filling to 50. The stalest
+# portion is MACHINE-DERIVED from the CORRECTNESS_r0*.json artifacts
+# and re-derived by the pin test
+# tests/test_shared_state.py::test_round10_window_stalest_machine_checked
+# (ADVICE round 9, medium: window membership must be verified against
+# artifacts, not vibes).
+_ROUND10_WINDOW = _ROUND10_CHANGED + [
+    "q_asof_join", "q_cast_projection", "q_corpus_curation",
+    "q_cube", "q_dedup_exact", "q_dedup_simhash", "q_dedup_simhash_pairs",
+    "q_distinct_shards", "q_global_topk", "q_grouping_sets", "q_hash_sample",
+    "q_hash_split", "q_highwater_increment", "q_incremental_union", "q_interval_join",
+    "q_join_enrich", "q_label_centroids", "q_lang_id", "q_lineitem_pricing",
+    "q_overwrite_partition", "q_page_offset", "q_part_type_revenue", "q_partitioned_layout",
+    "q_quality_score", "q_rollup", "q_running_total", "q_salted_join",
+    "q_scalar_battery", "q_sentiment", "q_session_window", "q_set_ops",
+    "q_shard_fanout_topn", "q_shard_filter", "q_shipping_priority", "q_text_stats",
+    "q_token_classes", "q_token_count", "q_tumbling_window", "q_upsert_merge",
+    "q_vocab_topk", "q_window_battery", "q_activity_streaks", "q_array_battery",
+    "q_avro_contract", "q_bigram_lm", "q_bigram_topk", "q_bpe_pair_merge",
+    "q_cast_deadletter", "q_cdc_diff",
+]
+
+
+# The round-9 driver-correctness window (historical as of round 10 —
+# queries() now fronts _ROUND10_WINDOW; kept for the r9 pin test): every
+# query whose implementation or ORACLE text changed in round 9, in
+# change order. The round touched enough shared fragments that the
+# changed set filled all 50 slots; the stalest rotation resumed in
+# round 10.
 _ROUND9_WINDOW = [
     # changed this round — re-verify in the same round they changed.
     # Round 9 touched enough oracles (radix rewrites, degenerate-input

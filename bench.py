@@ -80,6 +80,7 @@ def main() -> None:
     # cache entries from earlier queries would distort later measurements.
     times: dict[str, float] = {}
     shared_warm: dict[str, list[str]] = {}
+    gc_nudge = os.environ.get("SPARK_GRAFT_GC_NUDGE", "") == "1"
     import gc
 
     for name, fn in entrymod.queries().items():
@@ -105,19 +106,20 @@ def main() -> None:
         if legs:
             shared_warm[name] = legs
         # clearCache drops catalog-cached datasets but NOT localCheckpoint
-        # RDD blocks — those release only when the Python DataFrame is
-        # garbage-collected AND the JVM ContextCleaner notices the dead
-        # reference. Python gc alone is not enough: the JVM side keeps the
-        # checkpointed RDDs strongly referenced until a JVM GC runs, and
-        # in NO_SHARED sweeps (every heavy query re-checkpointing its own
-        # graphs 2-3×) the accumulated blocks degraded the TAIL of the
-        # run ~4× (measured round 9: q_tpch_q8 3.57 s in-sweep vs 0.86 s
-        # in a fresh process). Nudge both collectors every query.
+        # RDD blocks. Round 9 diagnosed the leak (accumulated blocks
+        # degraded a cold sweep's TAIL ~4×: q_tpch_q8 3.57 s in-sweep vs
+        # 0.86 s fresh) and nudged System.gc() per query; round 10
+        # replaces the nudge with DETERMINISTIC release: the shared-state
+        # layer unpersists every persistent RDD it does not own as a live
+        # memoized leg (VERDICT r9 item #5). The gc nudge stays available
+        # behind SPARK_GRAFT_GC_NUDGE=1 as a fallback only.
         gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass  # py4j hiccup must never fail the bench
+        entrymod.release_transient_checkpoints(spark)
+        if gc_nudge:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # py4j hiccup must never fail the bench
         times[name] = round(best, 4)
 
     per_query_total = round(sum(times.values()), 4)
@@ -131,12 +133,18 @@ def main() -> None:
     # full per-query dict overflowed it). Emit a line guaranteed to fit: keep
     # the slowest queries in the printed dict, drop the fastest ones first,
     # and record the complete breakdown in BENCH_FULL.json alongside.
+    # harness_rev pairs like-for-like sweeps across rounds (ADVICE r9):
+    # 1 = best-of-N, shared legs uncosted (r6-7); 2 = shared legs costed
+    # once (r8); 2.1 = + per-query System.gc() nudge (r9); 3 = +
+    # deterministic transient-checkpoint release, gc nudge opt-in (r10).
+    harness_rev = 3.1 if gc_nudge else 3
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "per_query_sec": per_query_total,
         "shared_leg_sec": shared_total,
+        "harness_rev": harness_rev,
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
     }
@@ -152,6 +160,11 @@ def main() -> None:
                 "shared_legs": shared_times,
                 "queries_shared_warm": shared_warm,
                 "no_shared_mode": no_shared,
+                "harness": {
+                    "rev": harness_rev,
+                    "gc_nudge": gc_nudge,
+                    "deterministic_checkpoint_release": True,
+                },
                 "methodology": (
                     "value = sum(per-query best-of-N) + each shared leg "
                     "paid once; per-query times for names in "

@@ -346,6 +346,14 @@ def group_percentiles(lineitem: DataFrame) -> DataFrame:
     needed. For streaming/mergeable settings at 100 TB,
     ``approx_percentile`` (t-digest) with a tolerance check remains the
     documented alternative.
+
+    Eager contract (ADVICE round 9): this function RUNS Spark jobs at
+    call time — histogram selection collects bounded driver-side state
+    and the result is a driver-assembled local relation frozen at the
+    moment of the call. It is an executor, not a lazy plan builder:
+    call it AFTER inputs are final, re-CALL it (not re-action the
+    returned DataFrame) to recompute, and expect radix domain errors at
+    call time rather than action time.
     """
     from pyspark.sql import Window
 
@@ -659,6 +667,14 @@ def quantile_buckets(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     ``median_mad`` guard); ``ntile`` tie-splitting never leaks into any
     output because prefix sums over a rank depend only on the multiset
     of the smallest-b values.
+
+    Eager contract (ADVICE round 9): this function RUNS Spark jobs at
+    call time — histogram selection collects bounded driver-side state
+    and the result is a driver-assembled local relation frozen at the
+    moment of the call. It is an executor, not a lazy plan builder:
+    call it AFTER inputs are final, re-CALL it (not re-action the
+    returned DataFrame) to recompute, and expect radix domain errors at
+    call time rather than action time.
     """
     spark = orders.sparkSession
     step = 13
@@ -1070,17 +1086,39 @@ def median_mad(orders: DataFrame) -> DataFrame:
     Scale shape: the group key (`o_orderpriority`) has 5 distinct values,
     so a `Window.partitionBy(group)` rank would run every sort at
     parallelism ≤ 5 regardless of cluster size. Instead both medians come
-    from :func:`radix_kth_by_group` — a handful of fully-parallel
-    partial-agg scans with value-domain-bounded state, never a sort or a
-    corpus-sized shuffle. The deviation pass rewrites ``|x − med|``
-    against the 5 broadcast-literal medians inline; the 5-row result is
-    driver-assembled, metadata-sized.
+    from histogram selection — fully-parallel partial-agg scans with
+    value-domain-bounded state, never a sort or a corpus-sized shuffle.
+    The common path (value width < 2^26 cents — any realistic price grid)
+    is THREE jobs total:
 
-    ``radix_kth_by_group`` is non-negative-only (its state bound derives
-    the domain width from the max alone), so negative totals are rebased
-    by the observed minimum before the walk and shifted back after — the
-    result is exact either way; the rebase only preserves the
-    groups × 2^step bounded-state contract (ADVICE round 8).
+    1. the fused level-1 histogram (``v >> 13`` buckets + group stats,
+       in-Spark cum-sum selection, one chosen row per group crosses);
+    2. ONE full scan whose composite group key carries BOTH remaining
+       histograms at once — the exact-value histogram inside the chosen
+       median bucket AND a coarse deviation histogram around the bucket
+       CENTER ``c`` (the true median is unknown during the scan, but
+       ``dev_c = |v − c|`` differs from ``dev = |v − med|`` by at most
+       ``δ = |med − c|``, which is known exactly once this scan returns);
+    3. one range scan of ``dev ∈ [B·2^s − δ, (B+1)·2^s − 1 + δ]`` around
+       the coarse bucket ``B`` that the blurred histogram selected — the
+       slack makes the containment a theorem, not a heuristic: for any
+       threshold t, ``count(dev ≤ t)`` is sandwiched between
+       ``count(dev_c ≤ t ∓ δ)``, so the true k-th deviation cannot leave
+       the widened range. Rows below the range fold into one sentinel
+       bucket so k rebases exactly.
+
+    Bucket selection for jobs 2–3 runs driver-side over collected
+    histograms: every collect is bounded by ``groups × 2^14`` rows
+    (value-domain-sized, corpus-INDEPENDENT — at 100× the data the same
+    ≤ 2^13 buckets just hold bigger counts). That bound grows with group
+    cardinality, which is this operator's documented low-cardinality
+    contract; the high-cardinality generalization is
+    :func:`radix_kths_by_group`, whose in-Spark selection ships one row
+    per target. Domains wider than 2^26 cents fall back to the full
+    radix walk (rebased by the observed minimum when negative, since
+    :func:`radix_kth_by_group` is non-negative-only, ADVICE round 8);
+    the common path handles negatives natively — arithmetic shiftright
+    floors negative buckets and ``|v − med|`` is sign-free.
     """
     from pyspark.sql import Window
 
@@ -1125,43 +1163,123 @@ def median_mad(orders: DataFrame) -> DataFrame:
         )
     n_by_g = {r.g: int(r.n) for r in chosen}
     k = {r.g: int(r.k) for r in chosen}
-    max_bits = max(int(r.mxg) for r in chosen).bit_length()
+    mx_all = max(int(r.mxg) for r in chosen)
     mn_all = min(int(r.mng) for r in chosen)
-    if mn_all < 0:
-        # radix_kth_by_group is non-negative-only (its bounded-state
-        # contract derives max_bits from the maximum alone); fold the
-        # minimum in as an offset so negative totals rebase to [0, mx−mn]
-        # and the walk's groups × 2^step state bound holds (ADVICE r8).
-        off = -mn_all
-        shifted = base.select(F.col(grp), (F.col("v") + off).alias("v"))
-        bits = (max(int(r.mxg) for r in chosen) + off).bit_length()
-        med = radix_kth_by_group(shifted, grp, F.col("v"), k, bits, step=step)
-        med = {g: m - off for g, m in med.items()}
-        # |x − med| ≤ mx − mn < 2^bits, so the deviation walk below needs
-        # the rebased width (mx alone underestimates it here)
-        max_bits = bits
-    elif max_bits <= 2 * step:
-        # common path: the level-1 bucket per group is already chosen —
-        # one exact-value scan inside the chosen buckets finishes it
-        med = radix_kth_by_group(
-            base,
-            grp,
-            F.col("v"),
-            {r.g: int(r.k) - (int(r.cum) - int(r.c)) for r in chosen},
-            step,
-            step=step,
-            prefix={r.g: int(r.b) for r in chosen},
+    width_bits = (mx_all - mn_all).bit_length()
+    if width_bits <= 2 * step:
+        # Common 3-job path (docstring): job 2 = one scan, composite key
+        # (g, in-bucket exact value | NULL, coarse |v − c| bucket) — the
+        # (ev, db) pair is a function of v, so distinct keys stay ≤
+        # 2^step per side per group, corpus-independent.
+        from collections import defaultdict
+
+        s = max(width_bits - step, 0)  # dev < 2^width_bits ⇒ ≤ 2^step buckets
+        bmap = F.create_map(
+            *[x for r in chosen for x in (F.lit(r.g), F.lit(int(r.b)))]
         )
-    else:  # arbitrary-magnitude fallback: full radix walk
-        med = radix_kth_by_group(base, grp, F.col("v"), k, max_bits, step=step)
-    med_map = F.create_map(
-        *[x for g, m in med.items() for x in (F.lit(g), F.lit(m))]
-    )
-    dev = base.select(
-        F.col(grp), F.abs(F.col("v") - F.element_at(med_map, F.col(grp))).alias("v")
-    )
-    # |x − med| needs one extra headroom bit over the value domain
-    mad = radix_kth_by_group(dev, grp, F.col("v"), k, max_bits + 1, step=step)
+        c_by_g = {r.g: (int(r.b) << step) + (1 << (step - 1)) for r in chosen}
+        cmap = F.create_map(
+            *[x for g, c in c_by_g.items() for x in (F.lit(g), F.lit(c))]
+        )
+        h2 = (
+            base.groupBy(
+                F.col(grp).alias("g"),
+                F.when(
+                    F.shiftright("v", step) == F.element_at(bmap, F.col(grp)),
+                    F.col("v"),
+                ).alias("ev"),
+                F.shiftright(
+                    F.abs(F.col("v") - F.element_at(cmap, F.col(grp))), s
+                ).alias("db"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        exact: dict = defaultdict(lambda: defaultdict(int))
+        coarse: dict = defaultdict(lambda: defaultdict(int))
+        for r in h2:
+            coarse[r.g][int(r.db)] += int(r.c)
+            if r.ev is not None:
+                exact[r.g][int(r.ev)] += int(r.c)
+        k_in = {r.g: int(r.k) - (int(r.cum) - int(r.c)) for r in chosen}
+        med = {}
+        for g, kk in k_in.items():
+            cum = 0
+            for v in sorted(exact[g]):
+                cum += exact[g][v]
+                if cum >= kk:
+                    med[g] = v
+                    break
+        # Coarse bucket of the k-th deviation, then the δ-widened range
+        # that provably contains the true k-th of |v − med|.
+        lo, hi = {}, {}
+        for g, kk in k.items():
+            delta = abs(med[g] - c_by_g[g])
+            cum = 0
+            for b in sorted(coarse[g]):
+                cum += coarse[g][b]
+                if cum >= kk:
+                    lo[g] = max((b << s) - delta, 0)
+                    hi[g] = ((b + 1) << s) - 1 + delta
+                    break
+        med_map = F.create_map(
+            *[x for g, m in med.items() for x in (F.lit(g), F.lit(m))]
+        )
+        lo_map = F.create_map(
+            *[x for g, v in lo.items() for x in (F.lit(g), F.lit(v))]
+        )
+        hi_map = F.create_map(
+            *[x for g, v in hi.items() for x in (F.lit(g), F.lit(v))]
+        )
+        devc = F.abs(F.col("v") - F.element_at(med_map, F.col(grp)))
+        keyc = F.when(devc < F.element_at(lo_map, F.col(grp)), F.lit(-1)).when(
+            devc <= F.element_at(hi_map, F.col(grp)), devc
+        )
+        h3 = (
+            base.select(F.col(grp).alias("g"), keyc.alias("dv"))
+            .filter(F.col("dv").isNotNull())
+            .groupBy("g", "dv")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        inrange: dict = defaultdict(lambda: defaultdict(int))
+        for r in h3:
+            inrange[r.g][int(r.dv)] += int(r.c)
+        mad = {}
+        for g, kk in k.items():
+            below = inrange[g].pop(-1, 0)
+            cum = 0
+            for v in sorted(inrange[g]):
+                cum += inrange[g][v]
+                if cum >= kk - below:
+                    mad[g] = v
+                    break
+        missing = set(k) - set(mad)
+        if missing:  # containment is a theorem; absence means a bug
+            raise ValueError(f"MAD range missed its k-th for {sorted(missing)}")
+    else:
+        # Arbitrary-magnitude fallback: full radix walks. The walk is
+        # non-negative-only (its bounded-state contract derives the
+        # domain width from the max alone), so negative totals rebase by
+        # the observed minimum first (ADVICE round 8).
+        off = -mn_all if mn_all < 0 else 0
+        walk_base = (
+            base.select(F.col(grp), (F.col("v") + off).alias("v"))
+            if off
+            else base
+        )
+        bits = (mx_all + off).bit_length()
+        med = radix_kth_by_group(walk_base, grp, F.col("v"), k, bits, step=step)
+        med = {g: m - off for g, m in med.items()}
+        med_map = F.create_map(
+            *[x for g, m in med.items() for x in (F.lit(g), F.lit(m))]
+        )
+        dev = base.select(
+            F.col(grp),
+            F.abs(F.col("v") - F.element_at(med_map, F.col(grp))).alias("v"),
+        )
+        # |x − med| needs one extra headroom bit over the value domain
+        mad = radix_kth_by_group(dev, grp, F.col("v"), k, bits + 1, step=step)
     rows = [
         (g, med[g] / 100.0, mad[g] / 100.0, n_by_g[g]) for g in sorted(n_by_g)
     ]

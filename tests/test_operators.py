@@ -1640,6 +1640,78 @@ def test_posting_pairs_volume_bounded_by_df_cap(spark):
         assert both.count() == 2 * want
 
 
+def test_item_cooccurrence_basket_cap_bound(spark):
+    """item_cooccurrence budget contract (VERDICT r9 item #4), mirroring
+    the _posting_pairs bound test: on baskets engineered to straddle
+    ``max_basket``, total pair volume (Σ n_common with min_common=1) is
+    EXACTLY Σ C(b, 2) over kept customers with b ≤ max_basket — the
+    suite's largest 100× shuffle is bounded by (#kept)·C(cap, 2) — and
+    over-cap baskets are dropped WHOLE: they contribute neither pairs
+    nor cosine margins. Three seeded draws fuzz the basket mix; the
+    Python reference (pairs AND margins) is recomputed per draw."""
+    import random
+    from collections import defaultdict
+    from math import comb, sqrt
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        item_cooccurrence,
+    )
+
+    cap = 5
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        orders_rows, li_rows = [], []
+        kept_baskets = {}
+        okey = 0
+        for cust in range(20):
+            b = rng.randint(1, 2 * cap)  # straddles the cap
+            parts = rng.sample(range(30), b)
+            # split the basket across 1-2 orders + duplicate some lines
+            # to exercise the DISTINCT (customer-part matrix is binary)
+            for chunk in (parts[: b // 2], parts[b // 2 :]):
+                if not chunk:
+                    continue
+                orders_rows.append((okey, cust))
+                for p in chunk:
+                    li_rows.append((okey, p))
+                    if rng.random() < 0.3:
+                        li_rows.append((okey, p))  # dup line, same part
+                okey += 1
+            if b <= cap:
+                kept_baskets[cust] = sorted(parts)
+        orders = spark.createDataFrame(
+            orders_rows, "o_orderkey long, o_custkey long"
+        )
+        lineitem = spark.createDataFrame(
+            li_rows, "l_orderkey long, l_partkey long"
+        )
+        got = {
+            (r.part_a, r.part_b): (r.n_common, r.cosine)
+            for r in item_cooccurrence(
+                orders, lineitem, k=10_000, min_common=1, max_basket=cap
+            ).collect()
+        }
+        # Python reference over KEPT baskets only
+        n_ab: dict = defaultdict(int)
+        n_i: dict = defaultdict(int)
+        for parts in kept_baskets.values():
+            for p in parts:
+                n_i[p] += 1
+            for i, a in enumerate(parts):
+                for b2 in parts[i + 1 :]:
+                    n_ab[(min(a, b2), max(a, b2))] += 1
+        want = {
+            p: (n, round(n / sqrt(n_i[p[0]] * n_i[p[1]]), 4))
+            for p, n in n_ab.items()
+        }
+        assert got == want, (seed, len(got), len(want))
+        # the volume bound itself: Σ n_common == Σ C(b,2) over kept,
+        # hence ≤ #kept · C(cap, 2)
+        vol = sum(n for n, _ in got.values())
+        assert vol == sum(comb(len(p), 2) for p in kept_baskets.values())
+        assert vol <= len(kept_baskets) * comb(cap, 2)
+
+
 def test_nearest_join_keeps_duplicate_left_rows(spark):
     """Two left rows identical on EVERY column must each keep their own
     nearest match (ADVICE r3: a window partitioned on left.columns
@@ -3823,6 +3895,53 @@ def test_median_mad_negative_values_rebased(spark):
         (f"P{i % 3}", round(rng.uniform(-5000, 5000), 2)) for i in range(900)
     ]
     rows += [("Pneg", -123.45), ("Pneg", -67.89), ("Pneg", -1.00)]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    got = {
+        r.o_orderpriority: (r.median_price, r.mad, r.n_orders)
+        for r in median_mad(df).collect()
+    }
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, v in rows:
+        byg[g].append(round(v * 100))
+    want = {}
+    for g, vs in byg.items():
+        vs.sort()
+        med = vs[(len(vs) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        want[g] = (med / 100.0, mad / 100.0, len(vs))
+    assert got == want
+
+
+def test_median_mad_delta_containment_property(spark):
+    """The 3-job common path picks the MAD's coarse bucket from a
+    histogram of |v − c| (c = median-bucket CENTER, not the median), then
+    widens the range by the exactly-known δ = |med − c|. The containment
+    is a theorem — count(dev ≤ t) is sandwiched by count(dev_c ≤ t ∓ δ) —
+    and this pins it on adversarial shapes: values straddling bucket
+    boundaries, a median at the bucket edge (maximal δ), ties, negative
+    domains, and 1–2-row groups. Any containment miss raises the
+    operator's loud ValueError instead of returning a wrong MAD."""
+    import random
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        median_mad,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    # bucket-edge cluster: values packed around multiples of 2^13 cents
+    # (81.92) so med lands at a bucket edge and δ ≈ 2^12
+    for i in range(201):
+        rows.append(("edge", round((81.92 * (i % 7)) + (i % 3) * 0.01, 2)))
+    # heavy ties: one value dominating, MAD = 0
+    rows += [("ties", 42.00)] * 150 + [("ties", 99.99)] * 10
+    # negative-through-zero domain (common path handles sign natively)
+    rows += [("neg", round(rng.uniform(-400, 400), 2)) for _ in range(301)]
+    # degenerate tiny groups
+    rows += [("one", -7.77), ("two", 1.25), ("two", 1.26)]
     df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
     got = {
         r.o_orderpriority: (r.median_price, r.mad, r.n_orders)

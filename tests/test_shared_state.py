@@ -185,22 +185,54 @@ def test_round8_window_is_exactly_the_never_checked_set():
     assert set(win) == never, set(win) ^ never
 
 
-def test_round9_window_changed_plus_stalest():
-    """Round-9 window contract (VERDICT r8 items #2/#3): every window
-    slot re-verifies a query whose implementation or ORACLE text changed
-    this round — the round touched enough shared fragments (radix
-    rewrites, degenerate-input NULL guards, NULL-safe cosine + Lloyd
-    keep-previous, the clamped duck_shingles gram) that changed queries
-    fill all 50 slots and the stalest rotation resumes next round. The
-    pin: the window is exactly the declared changed list, every name is
-    registered, queries() fronts it for the driver's 50-slot sample,
-    and every window entry HAS a changed fingerprint this round (the
-    list is maintained by the oracle-diff sweep, not vibes)."""
+def test_round9_window_shape():
+    """Historical round-9 window (queries() now fronts the round-10
+    window): 50 unique registered names. Shape-only — round 9's changed
+    set was builder-attested, not artifact-derived; the artifact-driven
+    membership check resumed with the round-10 stalest rotation below
+    (ADVICE round 9, medium)."""
     win = entry._ROUND9_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    assert set(win) <= set(entry.queries())
+
+
+def test_round10_window_stalest_machine_checked():
+    """Round-10 window contract (VERDICT r9 item #2 + ADVICE r9 medium):
+    the window is the round's changed queries first, then EXACTLY the
+    stalest queries — ordered by (latest driver CORRECTNESS round, name)
+    — filling to 50. The stalest portion is re-derived HERE from the
+    CORRECTNESS_r0*.json artifacts, so window membership cannot silently
+    drift from what the artifacts say needs re-verification; queries()
+    must front the window for the driver's 50-slot sample."""
+    import glob
+    import json
+    import os
+
+    win = entry._ROUND10_WINDOW
     assert len(win) == 50 and len(set(win)) == 50
     q = entry.queries()
     assert list(q)[:50] == win  # dict-unpacking keeps the window first
     assert set(win) <= set(q)
+    changed = entry._ROUND10_CHANGED
+    assert win[: len(changed)] == changed
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict = {}
+    arts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json")))
+    if not arts:  # fresh clone without driver artifacts: nothing to pin
+        return
+    for f in arts:
+        rnd = int(f.rsplit("_r", 1)[1][:2])
+        d = json.load(open(f))
+        qd = d.get("queries", d)
+        for name in qd:
+            if name.startswith("q_"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    order = sorted((r, n) for n, r in latest.items() if n not in set(changed))
+    stalest = [n for _, n in order[: 50 - len(changed)]]
+    assert win[len(changed):] == stalest, (
+        "window's stalest portion drifted from the artifact-derived set"
+    )
 
 
 def test_sf_tag_fingerprints_input_data(tmp_path):
@@ -225,6 +257,35 @@ def test_sf_tag_fingerprints_input_data(tmp_path):
     time.sleep(0.01)
     (a / "orders.parquet").write_bytes(b"BBBBBB")  # regenerated fixture
     assert entry._sf_tag(str(a)) != ta
+
+
+def test_release_transient_checkpoints_protects_live_legs(spark, monkeypatch):
+    """Deterministic checkpoint release (VERDICT r9 item #5): persistent
+    RDDs NOT owned by a live memoized shared leg are unpersisted
+    immediately; the leg's own blocks survive and stay readable. This is
+    what lets a long-lived session (and the cold bench sweep) drop dead
+    localCheckpoint blocks without waiting for a JVM GC."""
+    from pyspark.sql import functions as F
+
+    leg = spark.range(50_000).select("id").localCheckpoint(eager=True)
+    transient = (
+        spark.range(50_000)
+        .select((F.col("id") * 3).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    monkeypatch.setitem(
+        entry._PAIRS_SHARED, ("test-session", "test-dir", "test-leg"), leg
+    )
+    released = entry.release_transient_checkpoints(spark)
+    assert released >= 1
+    live_ids = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    leg_id = leg._jdf.queryExecution().analyzed().rdd().id()
+    tr_id = transient._jdf.queryExecution().analyzed().rdd().id()
+    assert leg_id in live_ids, "live shared leg must keep its blocks"
+    assert tr_id not in live_ids, "transient checkpoint must be dropped"
+    assert leg.count() == 50_000  # still readable after the sweep
 
 
 def test_ship_package_different_contents_is_not_benign(monkeypatch):
