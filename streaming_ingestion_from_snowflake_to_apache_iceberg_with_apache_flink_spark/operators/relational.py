@@ -1077,6 +1077,107 @@ def radix_kth_by_group(
     return {g: v for (g, _t), v in res.items()}
 
 
+def fused_kth_by_group(
+    df: DataFrame, grp: str, val, k_expr, step: int = 13
+) -> tuple[dict, dict]:
+    """Exact per-group k-th smallest of a bigint expression in TWO jobs
+    for any value domain narrower than ``2^(2·step)`` (the realistic
+    price/cents grids): job 1 is one scan building the per-(group,
+    ``val >> step``) histogram fused with group min/max — in-Spark
+    cum-sum selection over that bounded histogram picks the k-th's
+    bucket, one row per group crossing to the driver; job 2 scans only
+    the chosen buckets, histograms exact values, and the pick happens
+    driver-side over ≤ groups × 2^step rows (value-domain-bounded,
+    corpus-INDEPENDENT — the documented low-cardinality-group contract,
+    same as ``median_mad``; high-cardinality callers belong on
+    :func:`radix_kths_by_group`, whose in-Spark selection ships one row
+    per target).
+
+    ``k_expr`` maps the group-count Column to the 1-based k Column
+    (e.g. ``lambda n: F.floor((n + 1) / 2)`` for the lower median,
+    ``lambda n: F.greatest(F.lit(1), F.floor(n * 99 / 100))`` for p99)
+    so the selection runs in-plan. Negative values ride the fast path
+    natively (arithmetic shiftright floors negative buckets in order);
+    wider domains fall back to a full :func:`radix_kth_by_group` walk on
+    min-rebased values. Returns ``({group: k-th value}, {group: n})``.
+
+    Eager contract: RUNS Spark jobs at call time and returns driver
+    scalars (see the ``group_percentiles`` note).
+    """
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    base = df.select(F.col(grp).alias("g"), val.alias("v"))
+    hist = base.groupBy("g", F.shiftright("v", step).alias("b")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("v").alias("mx"),
+        F.min("v").alias("mn"),
+    )
+    wg = Window.partitionBy("g")
+    wcum = wg.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_col = F.sum("c").over(wg)
+    k_col = k_expr(n_col)
+    chosen = (
+        hist.select(
+            "g",
+            "b",
+            "c",
+            F.max("mx").over(wg).alias("mxg"),
+            F.min("mn").over(wg).alias("mng"),
+            n_col.alias("n"),
+            k_col.alias("k"),
+            F.sum("c").over(wcum).alias("cum"),
+        )
+        .filter(
+            (F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("c") < F.col("k"))
+        )
+        .collect()
+    )
+    if not chosen:
+        return {}, {}
+    n_by_g = {r.g: int(r.n) for r in chosen}
+    mx_all = max(int(r.mxg) for r in chosen)
+    mn_all = min(int(r.mng) for r in chosen)
+    if (mx_all - mn_all).bit_length() > 2 * step:
+        # wide-domain fallback: full non-negative walk on rebased values
+        off = -mn_all if mn_all < 0 else 0
+        walk = (
+            base.select("g", (F.col("v") + off).alias("v")) if off else base
+        )
+        kth = radix_kth_by_group(
+            walk,
+            "g",
+            F.col("v"),
+            {r.g: int(r.k) for r in chosen},
+            (mx_all + off).bit_length(),
+            step=step,
+        )
+        return {g: v - off for g, v in kth.items()}, n_by_g
+    bmap = F.create_map(
+        *[x for r in chosen for x in (F.lit(r.g), F.lit(int(r.b)))]
+    )
+    h2 = (
+        base.filter(F.shiftright("v", step) == F.element_at(bmap, F.col("g")))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    exact: dict = defaultdict(lambda: defaultdict(int))
+    for r in h2:
+        exact[r.g][int(r.v)] += int(r.c)
+    kth = {}
+    for r in chosen:
+        kk = int(r.k) - (int(r.cum) - int(r.c))
+        cum = 0
+        for v in sorted(exact[r.g]):
+            cum += exact[r.g][v]
+            if cum >= kk:
+                kth[r.g] = v
+                break
+    return kth, n_by_g
+
+
 def median_mad(orders: DataFrame) -> DataFrame:
     """Robust per-group location/spread: exact lower-median of the order
     total and the median absolute deviation (MAD) around it — both as

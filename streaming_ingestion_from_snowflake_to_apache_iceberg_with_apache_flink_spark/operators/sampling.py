@@ -342,31 +342,31 @@ def winsorize_prices(lineitem: DataFrame, pct: int = 99) -> DataFrame:
     onto the rows; output = per-group audit: rows capped, cents sum
     before/after (exact integers).
 
-    Scale shape (round 9): the cap is an ORDER STATISTIC, so it comes
-    from :func:`relational.radix_kth_by_group` — fully-parallel
-    partial-agg scans with value-domain-bounded state — instead of the
-    previous ``Window.partitionBy(l_returnflag)`` rank, which sorted the
-    whole corpus through 4 reducers at any cluster size just to read one
-    row per group. The 4 caps return as driver scalars and re-enter as a
-    broadcast literal map; the audit is then ONE partial-agg pass. Same
-    values: the k-th smallest VALUE is tie-insensitive, so the oracle is
-    unchanged. Negative measures would be rebased by the observed min
-    (same guard as ``median_mad``); prices are non-negative here.
+    Scale shape (round 10, second pass): the cap is an ORDER STATISTIC,
+    so it comes from :func:`relational.fused_kth_by_group` — job 1 fuses
+    the group stats INTO radix level 1 (one scan, in-Spark bucket
+    selection), job 2 is one exact-value scan inside the chosen buckets
+    with the pick driver-side over ≤ groups × 2^13 rows; the audit is
+    then ONE partial-agg pass, 3 fully-parallel jobs total. The round-9
+    version spent 4 jobs (separate stats scan + a 2-level in-Spark
+    walk); before that, a ``Window.partitionBy(l_returnflag)`` rank
+    sorted the whole corpus through 4 reducers at any cluster size just
+    to read one row per group. Same values: the k-th smallest VALUE is
+    tie-insensitive, so the oracle is unchanged. Negative measures ride
+    the fast path natively; wide domains fall back to the full walk
+    inside the helper.
     """
-    from .relational import radix_kth_by_group
+    from .relational import fused_kth_by_group
 
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     base = lineitem.select("l_returnflag", cents.alias("c"))
-    stats = (
-        base.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("c").alias("mx"),
-            F.min("c").alias("mn"),
-        )
-        .collect()
+    caps, _n = fused_kth_by_group(
+        base,
+        "l_returnflag",
+        F.col("c"),
+        lambda n: F.greatest(F.lit(1).cast("bigint"), F.floor(n * pct / 100)),
     )
-    if not stats:
+    if not caps:
         return base.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(0).cast("bigint").alias("n_capped"),
@@ -374,19 +374,8 @@ def winsorize_prices(lineitem: DataFrame, pct: int = 99) -> DataFrame:
             F.lit(0).cast("bigint").alias("sum_cents"),
             F.lit(0).cast("bigint").alias("sum_capped_cents"),
         )
-    k = {r.l_returnflag: max(1, int(r.n) * pct // 100) for r in stats}
-    off = max(0, -min(int(r.mn) for r in stats))  # non-negative rebase
-    val = F.col("c") + off if off else F.col("c")
-    bits = (max(int(r.mx) for r in stats) + off).bit_length()
-    caps = radix_kth_by_group(
-        base.select("l_returnflag", val.alias("c")) if off else base,
-        "l_returnflag",
-        F.col("c"),
-        k,
-        bits,
-    )
     cap_map = F.create_map(
-        *[x for g, c in caps.items() for x in (F.lit(g), F.lit(int(c) - off))]
+        *[x for g, c in caps.items() for x in (F.lit(g), F.lit(int(c)))]
     )
     cap = F.element_at(cap_map, F.col("l_returnflag"))
     return (

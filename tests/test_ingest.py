@@ -421,7 +421,17 @@ def test_iceberg_commit_sequence_recorded(spark):
 
 
 @pytest.mark.skipif(
-    True, reason="no Iceberg jars in this sandbox; runs on a real cluster"
+    True,
+    reason="no Iceberg jars in this sandbox (package installation is "
+    "disallowed). To run on a real cluster: start the session with "
+    "--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:1.5.2 "
+    "(or the matching Spark/Scala build), plus "
+    "spark.sql.extensions=org.apache.iceberg.spark.extensions."
+    "IcebergSparkSessionExtensions and a catalog, e.g. "
+    "spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog with "
+    "type=hadoop and warehouse=<path>; then drop this skipif. The "
+    "jar-free recording stub above pins the same create→MERGE→tag "
+    "sequence this test executes for real",
 )
 def test_iceberg_write_batch_executes(spark, staging, tmp_path):
     """On an Iceberg-enabled session the same write_batch path must commit

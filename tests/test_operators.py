@@ -3915,6 +3915,58 @@ def test_median_mad_negative_values_rebased(spark):
     assert got == want
 
 
+def test_fused_kth_by_group_matches_sorted_reference(spark):
+    """fused_kth_by_group (round 10): exact per-group k-th on the 2-job
+    fast path — negative domains, ties, singleton groups, and two k
+    shapes (lower median, p99) — plus the wide-domain walk fallback,
+    all against a Python sorted() reference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.relational import (
+        fused_kth_by_group,
+    )
+
+    rng = random.Random(31)
+    rows = [(f"g{i % 4}", rng.randint(-90_000, 90_000)) for i in range(1200)]
+    rows += [("tied", 500)] * 60 + [("one", -42)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, v in rows:
+        byg[g].append(v)
+    for name, k_expr, k_py in (
+        ("median", lambda n: F.floor((n + 1) / 2), lambda n: (n + 1) // 2),
+        (
+            "p99",
+            lambda n: F.greatest(
+                F.lit(1).cast("bigint"), F.floor(n * 99 / 100)
+            ),
+            lambda n: max(1, n * 99 // 100),
+        ),
+    ):
+        kth, n_by_g = fused_kth_by_group(df, "g", F.col("v"), k_expr)
+        assert n_by_g == {g: len(vs) for g, vs in byg.items()}, name
+        want = {g: sorted(vs)[k_py(len(vs)) - 1] for g, vs in byg.items()}
+        assert kth == want, name
+    # wide-domain fallback: values past 2^26 force the full radix walk
+    wide = spark.createDataFrame(
+        [("w", v) for v in (-(1 << 30), 0, 7, 1 << 35, (1 << 35) + 3)],
+        "g string, v long",
+    )
+    kth, n = fused_kth_by_group(wide, "g", F.col("v"), lambda c: F.floor((c + 1) / 2))
+    assert kth == {"w": 7} and n == {"w": 5}
+    # empty input: loud empty result, not a crash
+    assert fused_kth_by_group(
+        spark.createDataFrame([], "g string, v long"),
+        "g",
+        F.col("v"),
+        lambda c: F.floor((c + 1) / 2),
+    ) == ({}, {})
+
+
 def test_median_mad_delta_containment_property(spark):
     """The 3-job common path picks the MAD's coarse bucket from a
     histogram of |v − c| (c = median-bucket CENTER, not the median), then
