@@ -14,7 +14,11 @@ the PROBLEM size linear in the data (not quadratic):
   / PQ cost is linear in rows regardless).
 
 Usage: python scripts/make_scale_fixture.py [src_dir] [dst_dir] [copies]
-Never writes outside dst_dir (default /tmp/sparkgraft_sf1).
+       [tables]
+Never writes outside dst_dir (default /tmp/sparkgraft_sf1). ``tables``
+(comma-separated, default all) restricts the build — e.g.
+``orders,lineitem`` for the 1000× order-statistics probe, where the
+text/embedding tables would dominate build time without being read.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sparkgraft_sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 # (table, key columns to shift, text perturbation?)
 SHIFTS = {
@@ -46,6 +51,12 @@ SHIFTS = {
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # stream COPY instead of materializing: with insertion order pinned,
+    # the 1000× cross-join build buffered the whole fact table in memory
+    # (~55 GB RSS before being killed); row order is irrelevant to every
+    # consumer (all queries declare their own ordering)
+    con.sql("SET preserve_insertion_order=false")
+    con.sql("SET memory_limit='24GB'")
     # one offset per shifted column family: next power of 10 above the max
     offs: dict[str, int] = {}
     for t, keys in SHIFTS.items():
@@ -67,26 +78,55 @@ def main() -> None:
     offs["vec_id"] = offs["doc_id"] = max(offs["vec_id"], offs["doc_id"])
 
     for t, keys in SHIFTS.items():
+        if ONLY is not None and t not in ONLY:
+            continue
         src = f"'{SRC}/{t}.parquet'"
         if not keys:  # dims: copy verbatim
             con.sql(f"COPY (SELECT * FROM {src}) TO '{DST}/{t}.parquet'")
             continue
         col_names = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()]
-        selects = []
-        for i in range(COPIES):
+        if COPIES > 20:
+            # cross-join form: a UNION ALL of 1000 SELECTs is a monster
+            # to plan; one lateral range drive scales to any copy count
             cols = []
             for name in col_names:
                 if name in keys:
-                    cols.append(f"({name} + {i * offs[name]})::BIGINT AS {name}")
-                elif t == "documents" and name == "text" and i > 0:
-                    cols.append(f"text || ' zq{i}x' AS text")
-                elif t == "documents" and name == "n_chars" and i > 0:
-                    cols.append(f"(n_chars + {len(f' zq{i}x')})::BIGINT AS n_chars")
+                    cols.append(
+                        f"({name} + cp.i * {offs[name]})::BIGINT AS {name}"
+                    )
+                elif t == "documents" and name == "text":
+                    cols.append(
+                        "CASE WHEN cp.i = 0 THEN text ELSE text || ' zq' "
+                        "|| cp.i::VARCHAR || 'x' END AS text"
+                    )
+                elif t == "documents" and name == "n_chars":
+                    cols.append(
+                        "CASE WHEN cp.i = 0 THEN n_chars ELSE (n_chars + 4 "
+                        "+ length(cp.i::VARCHAR))::BIGINT END AS n_chars"
+                    )
                 else:
                     cols.append(name)
-            selects.append(f"SELECT {', '.join(cols)} FROM {src}")
-        union = " UNION ALL ".join(selects)
-        con.sql(f"COPY ({union}) TO '{DST}/{t}.parquet'")
+            con.sql(
+                f"COPY (SELECT {', '.join(cols)} FROM {src}, "
+                f"(SELECT range::BIGINT AS i FROM range({COPIES})) cp) "
+                f"TO '{DST}/{t}.parquet'"
+            )
+        else:
+            selects = []
+            for i in range(COPIES):
+                cols = []
+                for name in col_names:
+                    if name in keys:
+                        cols.append(f"({name} + {i * offs[name]})::BIGINT AS {name}")
+                    elif t == "documents" and name == "text" and i > 0:
+                        cols.append(f"text || ' zq{i}x' AS text")
+                    elif t == "documents" and name == "n_chars" and i > 0:
+                        cols.append(f"(n_chars + {len(f' zq{i}x')})::BIGINT AS n_chars")
+                    else:
+                        cols.append(name)
+                selects.append(f"SELECT {', '.join(cols)} FROM {src}")
+            union = " UNION ALL ".join(selects)
+            con.sql(f"COPY ({union}) TO '{DST}/{t}.parquet'")
         n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows", flush=True)
 

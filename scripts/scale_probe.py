@@ -78,9 +78,14 @@ def main() -> None:
         }), flush=True)
 
     # shared legs first (they amortize across the battery; their cost is
-    # the corpus-sized leg the queries below consume warm), one line each
-    for leg, thunk in entrymod.shared_legs().items():
-        probe(f"leg:{leg}", lambda t=thunk: t(spark, sf_dir))
+    # the corpus-sized leg the queries below consume warm), one line each.
+    # SPARK_GRAFT_NO_SHARED=1 skips them (bench-consistent semantics:
+    # each probed query then pays its own legs) — also the switch for
+    # partial fixtures (e.g. the 1000× orders+lineitem build) where leg
+    # inputs don't exist.
+    if os.environ.get("SPARK_GRAFT_NO_SHARED", "") != "1":
+        for leg, thunk in entrymod.shared_legs().items():
+            probe(f"leg:{leg}", lambda t=thunk: t(spark, sf_dir))
 
     q = entrymod.queries()
     for name in names:
