@@ -4581,9 +4581,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: Queries whose implementation changed in round 10 — re-verified by the
 #: driver the same round they changed (standing rule, VERDICT r8 item #2).
 #: Round 10 rewrote median_mad's common path (3-job composite-key
-#: histogram selection replacing the 5-job radix chain) and moved
-#: winsorize_prices onto relational.fused_kth_by_group (4 jobs → 3).
-_ROUND10_CHANGED = ["q_median_mad", "q_winsorize"]
+#: histogram selection replacing the 5-job radix chain), moved
+#: winsorize_prices onto relational.fused_kth_by_group (4 jobs → 3), and
+#: replaced fuzzy_name_pairs' quadratic nation-block candidates with the
+#: FastSS deletion-neighborhood join (same output pair set).
+_ROUND10_CHANGED = ["q_median_mad", "q_winsorize", "q_fuzzy_join"]
 
 # The round-10 driver-correctness window: the round's changed queries
 # first, then the STALEST queries — those whose latest driver
@@ -4607,7 +4609,6 @@ _ROUND10_WINDOW = _ROUND10_CHANGED + [
     "q_token_classes", "q_token_count", "q_tumbling_window", "q_upsert_merge",
     "q_vocab_topk", "q_window_battery", "q_activity_streaks", "q_array_battery",
     "q_avro_contract", "q_bigram_lm", "q_bigram_topk", "q_bpe_pair_merge",
-    "q_cast_deadletter",
 ]
 
 

@@ -1356,6 +1356,69 @@ def test_fuzzy_blocking_loses_no_true_pair(spark):
     assert (1, 6) not in got
 
 
+def test_fuzzy_deletion_neighborhood_complete(spark):
+    """FastSS candidate completeness (round 10): the deletion-variant
+    equi-join must find EVERY within-nation pair at edit distance ≤ 2 —
+    substitutions, insertions, deletions, mixed — including pairs
+    straddling the 64-char routing boundary between the deletion join
+    and the long-name blocked join. Verified against a brute-force
+    all-pairs Levenshtein reference on a randomized typo corpus."""
+    import random
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    rng = random.Random(19)
+    alphabet = "abcdefgh"
+    rows, key = [], 0
+
+    def mutate(s: str, ops: int) -> str:
+        for _ in range(ops):
+            p = rng.randrange(max(len(s), 1))
+            kind = rng.choice("sid")
+            if kind == "s" and s:
+                s = s[:p] + rng.choice(alphabet) + s[p + 1 :]
+            elif kind == "i":
+                s = s[:p] + rng.choice(alphabet) + s[p:]
+            elif s:
+                s = s[:p] + s[p + 1 :]
+        return s
+
+    for base_len in (1, 2, 5, 18, 63, 64, 65, 70):
+        base = "".join(rng.choice(alphabet) for _ in range(base_len))
+        for ops in (0, 1, 2, 3):
+            rows.append((key, mutate(base, ops), base_len % 3))
+            key += 1
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int"
+    )
+    got = {
+        (r.cust_a, r.cust_b): r.edit_dist
+        for r in fuzzy_name_pairs(df, max_edit=2).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i, (ka, na, ga) in enumerate(rows):
+        for kb, nb, gb in rows[i + 1 :]:
+            if ga == gb:
+                d = lev(na, nb)
+                if d <= 2:
+                    want[(min(ka, kb), max(ka, kb))] = d
+    assert got == want, (set(want) - set(got), set(got) - set(want))
+
+
 def test_fuzzy_length_band_is_sound():
     """Property: levenshtein(a,b) >= |len(a)-len(b)| for random strings —
     the inequality the blocking relies on."""
