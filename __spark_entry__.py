@@ -177,6 +177,20 @@ def release_transient_checkpoints(spark: SparkSession) -> int:
     time. Call ONLY at a quiescent point (no job in flight): reading an
     unpersisted localCheckpoint fails rather than recomputes, which is
     also why live legs are id-protected, not pattern-matched.
+
+    OWNERSHIP CAVEAT: only ``_PAIRS_SHARED`` legs are protected — a
+    caller that persisted ITS OWN DataFrames in the same session and
+    then calls this will lose those blocks (and a localCheckpoint among
+    them would fail hard on next read, not recompute).  This is a
+    bench/engine-owned-session tool by contract; nothing outside the
+    bench harness calls it, and nothing else should.
+
+    FAIL CLOSED (ADVICE r10): if any live shared leg's RDD id cannot be
+    extracted (py4j hiccup mid-bench), the sweep is SKIPPED entirely
+    (returns 0) rather than run with an incomplete protected set —
+    unpersisting a live leg's localCheckpoint would surface later as an
+    obscure block-not-found crash on the next warm-leg query, which is
+    strictly worse than one round of leaked transients.
     """
     protected = set()
     for df in _PAIRS_SHARED.values():
@@ -184,8 +198,9 @@ def release_transient_checkpoints(spark: SparkSession) -> int:
             # a checkpointed Dataset's analyzed plan IS the LogicalRDD
             # holding the persistent RDD
             protected.add(df._jdf.queryExecution().analyzed().rdd().id())
-        except Exception:  # non-checkpoint value: nothing to protect
-            pass
+        except Exception:
+            # cannot prove this leg safe -> cannot prove the sweep safe
+            return 0
     released = 0
     try:
         it = (
@@ -315,14 +330,21 @@ def _emb_cells_k(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _kmeans_centroids_cached(
-    spark: SparkSession, sf_dir: str, k: int, iters: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    iters: int = 2,
+    train_budget: int | None = None,
 ) -> list:
     return _shared(  # type: ignore[return-value]
         _TRAINED_STATE_MEMO,
-        (sf_dir, k, iters),
+        (sf_dir, k, iters, train_budget),
         f"kmeans_centroids_k{k}",
         lambda: sim.kmeans_centroids(
-            load_table(spark, sf_dir, "embeddings"), k=k, iters=iters
+            load_table(spark, sf_dir, "embeddings"),
+            k=k,
+            iters=iters,
+            train_budget=train_budget,
         ),
     )
 
@@ -360,7 +382,11 @@ def _pq_books_cached(
 
 
 def _kmeans_assignment(
-    spark: SparkSession, sf_dir: str, k: int, iters: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    iters: int = 2,
+    train_budget: int | None = None,
 ) -> DataFrame:
     """The shared final assignment: one argmin pass over memoized
     centroids, CHECKPOINTED once per session — rebuilding the plan per
@@ -371,13 +397,15 @@ def _kmeans_assignment(
     share contract as _PAIRS_SHARED) pays both once."""
     return _shared(
         _PAIRS_SHARED,
-        (_session_scope(spark), sf_dir, k, iters, "assign_df"),
+        (_session_scope(spark), sf_dir, k, iters, train_budget, "assign_df"),
         f"kmeans_assign_k{k}",
         lambda: sim.kmeans_assign(
             load_table(spark, sf_dir, "embeddings"),
             k=k,
             iters=iters,
-            centroids=_kmeans_centroids_cached(spark, sf_dir, k, iters),
+            centroids=_kmeans_centroids_cached(
+                spark, sf_dir, k, iters, train_budget
+            ),
         ).localCheckpoint(eager=True),
     )
 
@@ -3060,12 +3088,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ|cluster|² stays self-bounding as the corpus grows; the clustering
     itself is the memoized shared assignment (one training run serves
     the whole q_kmeans/q_semdedup/q_hard_negatives/q_cluster_terms
-    family)."""
+    family).  Round 11 (SCALE.md §13 action item): the √N cells are
+    SAMPLE-TRAINED on the max(256, 16·k) hash-smallest vec_ids — Lloyd
+    training drops from N^1.5 to linear FLOPs while the assignment pass
+    and the within-cell pair audit stay full-corpus and exact."""
     k = _emb_cells_k(spark, sf_dir)
+    b = sim.train_budget_for(k)
     return sim.semdedup_pairs(
         load_table(spark, sf_dir, "embeddings"),
         k=k,
-        assignment=_kmeans_assignment(spark, sf_dir, k),
+        assignment=_kmeans_assignment(spark, sf_dir, k, train_budget=b),
     )
 
 
@@ -3146,12 +3178,15 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster pairs with cosine in [0.1, 0.6) — the k-means cell as
     candidate generator (LSH buckets would miss the mid-similarity band),
     bounded pair space, exact integer similarity. k = cells_for(N) and
-    the memoized shared clustering, same as q_semdedup."""
+    the memoized shared SAMPLE-TRAINED clustering, same as q_semdedup
+    (round 11: max(256, 16·k) hash-smallest training rows — linear
+    training FLOPs, full-corpus assignment)."""
     k = _emb_cells_k(spark, sf_dir)
+    b = sim.train_budget_for(k)
     return sim.hard_negative_pairs(
         load_table(spark, sf_dir, "embeddings"),
         k=k,
-        assignment=_kmeans_assignment(spark, sf_dir, k),
+        assignment=_kmeans_assignment(spark, sf_dir, k, train_budget=b),
     )
 
 
@@ -3183,13 +3218,18 @@ def q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/joins.stream_static_join_run): event stream ⋈ broadcast
     static customer dim, per-(segment, type) rollup — the
     slowly-changing-dimension join shape with zero stream state; oracle
-    is the plain batch join."""
+    is the plain batch join.  The complete-mode agg state is
+    |segments|×|types| rows, so the state-store count is sized to the
+    source like every sibling runner (round-10 verdict item #1: this was
+    the lone runner without the knob and the lone >2× bench entry)."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
         stream_static_join_run,
     )
 
     customer = load_table(spark, sf_dir, "customer")  # pins confs too
-    return stream_static_join_run(spark, sf_dir, customer)
+    return stream_static_join_run(
+        spark, sf_dir, customer, state_partitions=_state_parts(spark, sf_dir)
+    )
 
 
 def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4572,10 +4612,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_moments": q_stream_moments,
         "q_stream_kmv": q_stream_kmv,
     }
-    missing = [n for n in _ROUND10_WINDOW if n not in q]
+    missing = [n for n in _ROUND11_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND10_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND10_WINDOW}, **q}
+        raise KeyError(f"_ROUND11_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND11_WINDOW}, **q}
+
+
+#: Queries whose implementation changed in round 11 — re-verified by the
+#: driver the same round they changed (standing rule, VERDICT r8 item #2).
+#: Round 11 sized q_stream_static's complete-mode agg state stores
+#: (VERDICT r10 item #1 — plan shape only, values unchanged),
+#: sample-trained the √N k-means cells behind q_semdedup /
+#: q_hard_negatives (VERDICT r10 item #2 — oracles now carry the sampled
+#: training CTEs), and moved winsorize's rank k onto exact decimal
+#: arithmetic (ADVICE r10 — same values at every reachable group size).
+_ROUND11_CHANGED = [
+    "q_stream_static", "q_semdedup", "q_hard_negatives", "q_winsorize",
+]
+
+# The round-11 driver-correctness window: the round's changed queries
+# first, then the STALEST queries — those whose latest driver
+# CORRECTNESS row is oldest (the full 32-name round-3 vintage, then
+# round-4 vintage in name order), filling to 50. Machine-derived from
+# the CORRECTNESS_r*.json artifacts and re-derived by the pin test
+# tests/test_shared_state.py::test_round11_window_stalest_machine_checked.
+_ROUND11_WINDOW = _ROUND11_CHANGED + [
+    "q_cast_deadletter", "q_cdc_diff", "q_chunk_documents", "q_corr_stats",
+    "q_countmin_topk", "q_date_battery", "q_distinct_aggs", "q_distinct_sketch",
+    "q_event_funnel", "q_event_paths", "q_histogram", "q_interleave_sources",
+    "q_json_extract", "q_media_features", "q_normalize_text", "q_order_coverage",
+    "q_pii_redact", "q_pivot", "q_quantize_embeddings", "q_region_revenue",
+    "q_retention", "q_scd2", "q_shard_assign", "q_sliding_window",
+    "q_stratified_sample", "q_string_battery", "q_temperature_sample", "q_tfidf_topk",
+    "q_trailing_window", "q_ts_similarity", "q_unigram_lm", "q_window_dedup",
+    "q_audio_chunks", "q_bucketed_join", "q_cep_patterns", "q_cogroup",
+    "q_csv_source", "q_dq_checks", "q_frame_sample", "q_jsonl_source",
+    "q_media_resize", "q_merge_delete", "q_mode_per_key", "q_nearest_join",
+    "q_orc_source", "q_pandas_agg",
+]
 
 
 #: Queries whose implementation changed in round 10 — re-verified by the
@@ -4595,7 +4669,8 @@ _ROUND10_CHANGED = ["q_median_mad", "q_winsorize", "q_fuzzy_join"]
 # and re-derived by the pin test
 # tests/test_shared_state.py::test_round10_window_stalest_machine_checked
 # (ADVICE round 9, medium: window membership must be verified against
-# artifacts, not vibes).
+# artifacts, not vibes). (Historical as of round 11 — queries() now
+# fronts _ROUND11_WINDOW; kept for the r10 pin test.)
 _ROUND10_WINDOW = _ROUND10_CHANGED + [
     "q_asof_join", "q_cast_projection", "q_corpus_curation",
     "q_cube", "q_dedup_exact", "q_dedup_simhash", "q_dedup_simhash_pairs",
@@ -4859,7 +4934,12 @@ def shared_legs() -> dict[str, Callable[[SparkSession, str], None]]:
         )[1],
         "kmeans_assign_k8": lambda s, d: _force(_kmeans_assignment(s, d, 8)),
         "kmeans_assign_kcells": lambda s, d: _force(
-            _kmeans_assignment(s, d, _emb_cells_k(s, d))
+            _kmeans_assignment(
+                s,
+                d,
+                _emb_cells_k(s, d),
+                train_budget=sim.train_budget_for(_emb_cells_k(s, d)),
+            )
         ),
         "pq_codebooks": lambda s, d: (_pq_books_cached(s, d), None)[1],
         "bpe_rules": lambda s, d: (_bpe_rules_cached(s, d), None)[1],
@@ -8228,7 +8308,10 @@ def _extension_oracles() -> dict[str, str]:
     out["q_centroid_drift"] = sim.duck_centroid_drift_sql(k=8)
     out["q_pca_power"] = sim.duck_power_iteration_sql(iters=2)
     out["q_pca_variance"] = sim.duck_pca_variance_sql(iters=2)
-    out["q_hard_negatives"] = sim.duck_hard_negative_sql(k=sim.duck_cells_expr())
+    out["q_hard_negatives"] = sim.duck_hard_negative_sql(
+        k=sim.duck_cells_expr(),
+        sample_budget=sim.duck_train_budget_expr(sim.duck_cells_expr()),
+    )
     out["q_user_set_ops"] = """
         WITH c AS (SELECT DISTINCT user_id FROM events
                    WHERE event_type = 'click'),
@@ -8248,7 +8331,9 @@ def _extension_oracles() -> dict[str, str]:
         FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)
     """
     out["q_semdedup"] = sim.duck_semdedup_sql(
-        k=sim.duck_cells_expr(), threshold=0.3
+        k=sim.duck_cells_expr(),
+        threshold=0.3,
+        sample_budget=sim.duck_train_budget_expr(sim.duck_cells_expr()),
     )
     out["q_higher_order"] = f"""
         SELECT doc_id,

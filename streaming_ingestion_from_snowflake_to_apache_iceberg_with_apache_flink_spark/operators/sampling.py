@@ -364,7 +364,14 @@ def winsorize_prices(lineitem: DataFrame, pct: int = 99) -> DataFrame:
         base,
         "l_returnflag",
         F.col("c"),
-        lambda n: F.greatest(F.lit(1).cast("bigint"), F.floor(n * pct / 100)),
+        # Integer k: Spark '/' is DOUBLE division, whose ulp exceeds the
+        # 0.01 gap to an integer boundary once n*pct ≳ 2^46 — keep the
+        # rank exact at any group size by dividing in DECIMAL (exact for
+        # any bigint n) and flooring (ADVICE round 10).
+        lambda n: F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((n * pct).cast("decimal(38,0)") / 100).cast("bigint"),
+        ),
     )
     if not caps:
         return base.groupBy("l_returnflag").agg(

@@ -590,8 +590,29 @@ def _assign_pass_arrow(
     )
 
 
+def train_budget_for(k: int, per_cell: int = 16, floor: int = 256) -> int:
+    """Training-sample size for SAMPLE-TRAINED k-means cells:
+    ``max(floor, per_cell·k)`` rows — enough points per centroid to place
+    the cells, decoupled from the corpus size.  With the √N cell count of
+    :func:`cells_for` this turns Lloyd training from N·√N FLOPs per pass
+    into per_cell·N (linear): at the SCALE.md §13 1000× probe the cold
+    ``q_semdedup`` run was ~90 % training at 2 M vectors × k=1414 — the
+    one honest superlinearity in the family, and the reason blocking
+    cells (like PQ codebooks, like every production IVF index) are
+    trained on a sample while ASSIGNMENT stays full-corpus."""
+    return max(int(floor), int(per_cell) * int(k))
+
+
+def duck_train_budget_expr(k_expr: "int | str") -> str:
+    """Oracle twin of :func:`train_budget_for` for a literal or SQL k."""
+    return f"greatest(256, 16 * ({k_expr}))"
+
+
 def kmeans_centroids(
-    embeddings: DataFrame, k: int = 8, iters: int = 2
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    train_budget: int | None = None,
 ) -> list[tuple[int, list[int]]]:
     """TRAIN Lloyd's k-means over int8-quantized embeddings and return the
     final centroids — k×dim integers of pure driver state, the natural
@@ -608,21 +629,53 @@ def kmeans_centroids(
     is a map-only argmin, the update is one partial-agg groupBy of
     (cluster, dim) cells). Per round the driver holds k·dim ints —
     independent of corpus size.
+
+    ``train_budget`` switches to SAMPLE-TRAINED cells (round 11, the
+    SCALE.md §13 action item): Lloyd runs over the ``train_budget``
+    hash-smallest vec_ids — hash = md5 of the decimal id string (exact
+    and byte-identical in Spark and DuckDB; NOT the
+    :func:`knn_probe_ids` modular hash, which is order-PRESERVING below
+    id ≈ 10⁹ and would degrade to a prefix sample), ties by id, selected
+    with a distributed TakeOrdered (O(budget) per-partition queue
+    state) — and seeds become the k lowest vec_ids WITHIN the sample.
+    Training cost drops from iters·N·k·dim to iters·budget·k·dim while
+    the consumer's final assignment pass stays full-corpus and exact;
+    with budget = per_cell·k and k = √N that is LINEAR in N instead of
+    N^1.5 (at the SCALE.md 1000× probe the cold q_semdedup run was
+    ~90 % training).  Still a deterministic function of (dataset, k,
+    iters, budget), so the sampled path gets an exact oracle too
+    (:func:`duck_kmeans_cte` with ``sample_budget``).
     """
-    return _lloyd(_quantized(embeddings), k, iters)
+    e = _quantized(embeddings)
+    if train_budget is not None:
+        h = F.md5(F.col("vec_id").cast("string").cast("binary"))
+        sample = e.orderBy(h.asc(), F.col("vec_id").asc()).limit(
+            int(train_budget)
+        )
+        return _lloyd(sample, k, iters, rank_seeds=True)
+    return _lloyd(e, k, iters)
 
 
 def _lloyd(
-    codes: DataFrame, k: int, iters: int
+    codes: DataFrame, k: int, iters: int, rank_seeds: bool = False
 ) -> list[tuple[int, list[int]]]:
     """Lloyd's iteration over an integer-code table (vec_id, q) — the
     kernel behind :func:`kmeans_centroids` (full-vector clustering) and
     :func:`pq_codebooks` (per-subspace clustering): seeds are the k
     lowest vec_ids' codes, updates are exact floor-avg integers, driver
-    state is k·|q| ints per round."""
+    state is k·|q| ints per round.
+
+    ``rank_seeds`` seeds from the k LOWEST vec_ids PRESENT (distributed
+    TakeOrdered) instead of ``vec_id < k`` — required by the sampled
+    training path whose input no longer holds ids 0..k−1; identical on
+    any contiguous-id corpus, but kept opt-in so every full-corpus
+    oracle stays bit-for-bit untouched."""
     e = codes.persist()
     try:
-        seeds = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        if rank_seeds:
+            seeds = e.orderBy("vec_id").limit(int(k)).collect()
+        else:
+            seeds = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         centroids: list[tuple[int, list[int]]] = [
             (int(r.vec_id), list(r.q)) for r in seeds
         ]
@@ -659,6 +712,7 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 2,
     centroids: list[tuple[int, list[int]]] | None = None,
+    train_budget: int | None = None,
 ) -> DataFrame:
     """Final k-means assignment (vec_id, q, cluster_id, dist) — see
     :func:`kmeans_centroids` for the training loop and exactness story.
@@ -671,7 +725,7 @@ def kmeans_assign(
     cur = (
         centroids
         if centroids is not None
-        else kmeans_centroids(embeddings, k, iters)
+        else kmeans_centroids(embeddings, k, iters, train_budget=train_budget)
     )
     return _assign_pass(_quantized(embeddings), cur)
 
@@ -788,6 +842,7 @@ def semdedup_pairs(
     threshold: float = 0.3,
     dim: int | None = None,
     assignment: DataFrame | None = None,
+    train_budget: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. '23): semantic near-duplicate pairs found
     WITHIN k-means clusters — the clustering bounds the pair space to
@@ -827,7 +882,7 @@ def semdedup_pairs(
         F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v),
     ).otherwise(F.raise_error(F.lit(f"semdedup_pairs: embedding width != {dim}")))
     base = assignment if assignment is not None else kmeans_assign(
-        embeddings, k, iters
+        embeddings, k, iters, train_budget=train_budget
     )
     a = (
         base
@@ -867,11 +922,19 @@ def semdedup_pairs(
     )
 
 
-def duck_kmeans_cte(k: int | str = 8) -> str:
+def duck_kmeans_cte(k: int | str = 8, sample_budget: int | str | None = None) -> str:
     """Shared oracle CTE chain for the 2-round integer k-means: ends at
     ``a2`` = (vec_id, q, cid, dist), the final assignment. ``k`` may be a
     literal int or a SQL scalar expression (e.g. :func:`duck_cells_expr`
-    for the k ∝ √N heuristic)."""
+    for the k ∝ √N heuristic).
+
+    ``sample_budget`` mirrors the sample-trained path of
+    :func:`kmeans_centroids`: the training CTEs (seeds, round-1 assign,
+    centroid update) run over the ``sample_budget`` md5-smallest
+    vec_ids (md5 of the decimal id string, ties by id — byte-identical
+    across engines) and the seeds are the k lowest vec_ids within the
+    sample; the FINAL assignment ``a2`` stays full-corpus, exactly like
+    the engine."""
     km_q = (
         "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
         " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
@@ -880,14 +943,30 @@ def duck_kmeans_cte(k: int | str = 8) -> str:
         "list_sum(list_transform(generate_series(1, 64),"
         " i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i])))"
     )
-    return f"""
-        WITH q AS (
-            SELECT vec_id, {km_q} AS q FROM embeddings
-        ), c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {k}),
+    if sample_budget is not None:
+        train_src = f"""s AS (
+            SELECT vec_id, q FROM q
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT ({sample_budget})
+        ), c0 AS (
+            SELECT vec_id AS cid, q AS c FROM s ORDER BY vec_id LIMIT ({k})
+        ),
+        d1 AS (
+            SELECT q.vec_id, q.q, c.cid, {km_dist} AS dist
+            FROM s q CROSS JOIN c0 c
+        )"""
+    else:
+        train_src = f"""c0 AS (
+            SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {k}
+        ),
         d1 AS (
             SELECT q.vec_id, q.q, c.cid, {km_dist} AS dist
             FROM q CROSS JOIN c0 c
-        ), a1 AS (
+        )"""
+    return f"""
+        WITH q AS (
+            SELECT vec_id, {km_q} AS q FROM embeddings
+        ), {train_src}, a1 AS (
             SELECT vec_id, q, cid, dist FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn
@@ -926,14 +1005,18 @@ def duck_kmeans_sql(k: int | str = 8) -> str:
     )
 
 
-def duck_semdedup_sql(k: int | str = 8, threshold: float = 0.3) -> str:
+def duck_semdedup_sql(
+    k: int | str = 8,
+    threshold: float = 0.3,
+    sample_budget: int | str | None = None,
+) -> str:
     qdot = (
         "list_sum(list_transform(generate_series(1, 64),"
         " i -> x.q[i] * y.q[i]))"
     )
     qn2 = "list_sum(list_transform({s}.q, v -> v * v))"
     return (
-        duck_kmeans_cte(k)
+        duck_kmeans_cte(k, sample_budget)
         + f"""
         SELECT CAST(x.cid AS INT) AS cluster_id,
                x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -1073,6 +1156,7 @@ def hard_negative_pairs(
     lo: float = 0.1,
     hi: float = 0.6,
     assignment: DataFrame | None = None,
+    train_budget: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: within-cluster pairs
     whose cosine lands in ``[lo, hi)`` — similar enough to be confusable
@@ -1089,16 +1173,27 @@ def hard_negative_pairs(
     ceiling filter on top, so every exactness property carries over.
     """
     return semdedup_pairs(
-        embeddings, k, iters, threshold=lo, assignment=assignment
+        embeddings,
+        k,
+        iters,
+        threshold=lo,
+        assignment=assignment,
+        train_budget=train_budget,
     ).filter(F.col("qsim") < hi)
 
 
 def duck_hard_negative_sql(
-    k: int | str = 8, lo: float = 0.1, hi: float = 0.6
+    k: int | str = 8,
+    lo: float = 0.1,
+    hi: float = 0.6,
+    sample_budget: int | str | None = None,
 ) -> str:
     """Oracle twin of :func:`hard_negative_pairs`: the semdedup oracle
     with the band ceiling applied outside."""
-    return f"SELECT * FROM ({duck_semdedup_sql(k, lo)}) WHERE qsim < {hi}"
+    return (
+        f"SELECT * FROM ({duck_semdedup_sql(k, lo, sample_budget)})"
+        f" WHERE qsim < {hi}"
+    )
 
 
 def knn_probe_ids(

@@ -170,6 +170,7 @@ def stream_static_join_run(
     path_glob_filter: str = "events.parquet",
     query_name: str = "stream_static_mem",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Stream-static enrichment through the ACTUAL runtime: the event file
     stream inner-joins a static dimension (re-resolved every micro-batch —
@@ -181,6 +182,14 @@ def stream_static_join_run(
     is why this is THE join shape for slowly-changing dimension enrichment
     at 100 TB/day: dimension updates are picked up at the next batch
     without restarting the query.
+
+    ``state_partitions`` sizes the complete-mode aggregation's state
+    stores (``session.stream_state_partitions``): the agg state here is
+    |segments|×|event_types| rows — tiny — so running it at the session's
+    batch-sized shuffle-partition count pays dozens of state-store
+    open/commit cycles per micro-batch for state that fits in one.  Every
+    sibling runner threads this knob; this one was the lone holdout and
+    the only >2× bench entry in round 10 for exactly that reason.
     """
     stream = _file_stream(spark, source_dir, path_glob_filter)
     dim = static_customer.select(
@@ -197,7 +206,9 @@ def stream_static_join_run(
     )
     from . import drain_to_memory
 
-    return drain_to_memory(spark, agg, query_name, "complete", timeout_sec)
+    return drain_to_memory(
+        spark, agg, query_name, "complete", timeout_sec, state_partitions
+    )
 
 
 def stream_interval_outer_join_run(

@@ -4224,6 +4224,61 @@ def test_zero_and_duplicate_vectors_match_oracle(spark):
     assert got_p == want_p
 
 
+def test_sample_trained_kmeans_matches_oracle_and_engages(spark):
+    """Round-11 sample-trained cells (VERDICT r10 item #2): with
+    ``train_budget`` set, Lloyd trains on the md5-smallest vec_ids and
+    seeds from the k lowest ids WITHIN the sample — value-checked
+    against the sampled oracle CTEs, and pinned to actually DIFFER from
+    full-corpus training on this fixture (so the sampled path can never
+    silently degrade into the full scan it replaces)."""
+    import duckdb
+    import pandas as pd
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        duck_semdedup_sql,
+        kmeans_centroids,
+        semdedup_pairs,
+        train_budget_for,
+    )
+
+    dim = 64
+
+    def vec(seed):
+        return [((seed * 37 + i * 11) % 17 - 8) / 9.0 for i in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    edf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+    full = kmeans_centroids(edf, k=4, iters=2)
+    sampled = kmeans_centroids(edf, k=4, iters=2, train_budget=12)
+    assert full != sampled, "budget < N must change the trained cells"
+
+    got = sorted(
+        (r.vec_a, r.vec_b, r.qsim)
+        for r in semdedup_pairs(
+            edf, k=4, iters=2, threshold=0.1, train_budget=12
+        ).collect()
+    )
+    want = sorted(
+        (r[1], r[2], r[3])
+        for r in con.execute(
+            duck_semdedup_sql(4, 0.1, sample_budget=12)
+        ).fetchall()
+    )
+    assert got == want
+
+    # the budget policy itself: floor and per-cell scaling
+    assert train_budget_for(4) == 256
+    assert train_budget_for(100) == 1600
+
+
 def test_degenerate_text_matches_oracle(spark):
     """Round-9 degenerate-text findings, pinned operator-vs-oracle on
     empty / whitespace-only / single-token documents: (a) DuckDB shingle

@@ -196,43 +196,72 @@ def test_round9_window_shape():
     assert set(win) <= set(entry.queries())
 
 
-def test_round10_window_stalest_machine_checked():
-    """Round-10 window contract (VERDICT r9 item #2 + ADVICE r9 medium):
-    the window is the round's changed queries first, then EXACTLY the
-    stalest queries — ordered by (latest driver CORRECTNESS round, name)
-    — filling to 50. The stalest portion is re-derived HERE from the
-    CORRECTNESS_r0*.json artifacts, so window membership cannot silently
-    drift from what the artifacts say needs re-verification; queries()
-    must front the window for the driver's 50-slot sample."""
+def _latest_driver_round(repo: str, before_round: int) -> dict:
+    """Latest driver-CORRECTNESS round per query, from the artifacts of
+    rounds < ``before_round`` — a window fixed at round N is derived from
+    the evidence that existed BEFORE round N ran.  Globs every
+    CORRECTNESS_r*.json and parses the round with a regex (ADVICE r10:
+    the old `_r0[1-9]` glob + `[:2]` slice silently dropped two-digit
+    rounds like r10)."""
     import glob
     import json
     import os
+    import re
 
-    win = entry._ROUND10_WINDOW
-    assert len(win) == 50 and len(set(win)) == 50
-    q = entry.queries()
-    assert list(q)[:50] == win  # dict-unpacking keeps the window first
-    assert set(win) <= set(q)
-    changed = entry._ROUND10_CHANGED
-    assert win[: len(changed)] == changed
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict = {}
-    arts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json")))
-    if not arts:  # fresh clone without driver artifacts: nothing to pin
-        return
-    for f in arts:
-        rnd = int(f.rsplit("_r", 1)[1][:2])
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd >= before_round:
+            continue
         d = json.load(open(f))
         qd = d.get("queries", d)
         for name in qd:
             if name.startswith("q_"):
                 latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _assert_window_stalest(win, changed, latest):
+    assert len(win) == 50 and len(set(win)) == 50
+    assert set(win) <= set(entry.queries())
+    assert win[: len(changed)] == changed
     order = sorted((r, n) for n, r in latest.items() if n not in set(changed))
     stalest = [n for _, n in order[: 50 - len(changed)]]
     assert win[len(changed):] == stalest, (
         "window's stalest portion drifted from the artifact-derived set"
     )
+
+
+def test_round10_window_stalest_machine_checked():
+    """Historical round-10 window contract (VERDICT r9 item #2 + ADVICE
+    r9 medium; queries() now fronts the round-11 window): the round's
+    changed queries first, then EXACTLY the stalest — derived from the
+    driver evidence that existed before round 10 (rounds 1–9)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = _latest_driver_round(repo, before_round=10)
+    if not latest:  # fresh clone without driver artifacts: nothing to pin
+        return
+    _assert_window_stalest(
+        entry._ROUND10_WINDOW, entry._ROUND10_CHANGED, latest
+    )
+
+
+def test_round11_window_stalest_machine_checked():
+    """Round-11 window contract (VERDICT r10 item #3): changed queries
+    first, then EXACTLY the stalest by (latest driver CORRECTNESS round
+    over rounds 1–10, name), filling to 50; queries() must front the
+    window for the driver's 50-slot sample."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = _latest_driver_round(repo, before_round=11)
+    if not latest:  # fresh clone without driver artifacts: nothing to pin
+        return
+    win = entry._ROUND11_WINDOW
+    assert list(entry.queries())[:50] == win  # dict-unpacking fronts it
+    _assert_window_stalest(win, entry._ROUND11_CHANGED, latest)
 
 
 def test_sf_tag_fingerprints_input_data(tmp_path):
@@ -286,6 +315,31 @@ def test_release_transient_checkpoints_protects_live_legs(spark, monkeypatch):
     assert leg_id in live_ids, "live shared leg must keep its blocks"
     assert tr_id not in live_ids, "transient checkpoint must be dropped"
     assert leg.count() == 50_000  # still readable after the sweep
+
+
+def test_release_transient_checkpoints_fails_closed(spark, monkeypatch):
+    """ADVICE r10: if ANY live shared leg's RDD id cannot be extracted,
+    the sweep must be SKIPPED (return 0) rather than run with an
+    incomplete protected set — unpersisting a live localCheckpoint fails
+    hard on next read instead of recomputing."""
+    from pyspark.sql import functions as F
+
+    transient = (
+        spark.range(10_000)
+        .select((F.col("id") * 7).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    # a leg whose id extraction throws (stands in for a py4j hiccup)
+    monkeypatch.setitem(
+        entry._PAIRS_SHARED, ("s", "d", "broken-leg"), object()
+    )
+    assert entry.release_transient_checkpoints(spark) == 0
+    live_ids = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    tr_id = transient._jdf.queryExecution().analyzed().rdd().id()
+    assert tr_id in live_ids, "fail-closed sweep must not unpersist anything"
+    transient.unpersist()
 
 
 def test_ship_package_different_contents_is_not_benign(monkeypatch):
