@@ -637,7 +637,9 @@ def kmeans_centroids(
     :func:`knn_probe_ids` modular hash, which is order-PRESERVING below
     id ≈ 10⁹ and would degrade to a prefix sample), ties by id, selected
     with a distributed TakeOrdered (O(budget) per-partition queue
-    state) — and seeds become the k lowest vec_ids WITHIN the sample.
+    state) — and seeds become the k DISTINCT codes in the sample with
+    the lowest owning vec_ids (duplicate seeds would collapse into
+    permanently-empty clusters; see :func:`_lloyd`).
     Training cost drops from iters·N·k·dim to iters·budget·k·dim while
     the consumer's final assignment pass stays full-corpus and exact;
     with budget = per_cell·k and k = √N that is LINEAR in N instead of
@@ -665,15 +667,28 @@ def _lloyd(
     lowest vec_ids' codes, updates are exact floor-avg integers, driver
     state is k·|q| ints per round.
 
-    ``rank_seeds`` seeds from the k LOWEST vec_ids PRESENT (distributed
-    TakeOrdered) instead of ``vec_id < k`` — required by the sampled
-    training path whose input no longer holds ids 0..k−1; identical on
-    any contiguous-id corpus, but kept opt-in so every full-corpus
-    oracle stays bit-for-bit untouched."""
+    ``rank_seeds`` seeds from the k DISTINCT codes present, each keyed
+    by its lowest vec_id, in vec_id order (a budget-sized groupBy + a
+    distributed TakeOrdered) instead of ``vec_id < k`` — required by the
+    sampled training path whose input no longer holds ids 0..k−1.
+    Distinctness matters on real corpora: near-dup-heavy data (the very
+    thing these cells block for) makes duplicate codes COMMON in any
+    sample, and duplicate seeds collapse into permanently-empty clusters
+    that skew the survivors — measured at the 1000× probe: plain
+    lowest-id seeding drew 209 duplicate seeds, occupied cells fell
+    1414 → 1205, and the within-cell pair space grew 1.5× (4.3e9 vs
+    2.8e9 candidates). Kept opt-in so every full-corpus oracle stays
+    bit-for-bit untouched."""
     e = codes.persist()
     try:
         if rank_seeds:
-            seeds = e.orderBy("vec_id").limit(int(k)).collect()
+            seeds = (
+                e.groupBy("q")
+                .agg(F.min("vec_id").alias("vec_id"))
+                .orderBy("vec_id")
+                .limit(int(k))
+                .collect()
+            )
         else:
             seeds = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
         centroids: list[tuple[int, list[int]]] = [
@@ -862,64 +877,108 @@ def semdedup_pairs(
     """
     if dim is None:
         # one-row probe, not an assumption: hardcoding the width would turn
-        # any other embedding dimension into silent NULL q{i} columns
+        # any other embedding dimension into silently-wrong dot products
         first = embeddings.select(F.size("embedding").alias("d")).head()
         if first is None:
             raise ValueError("semdedup_pairs: empty embeddings input")
         dim = int(first["d"])
-    # Flatten the code array into per-dimension columns BEFORE the pair
-    # join: array higher-order functions (zip_with/aggregate) are
-    # interpreted per row in Spark, so a dim-element fold over every
-    # candidate pair was the dominant cost (~4 s of the query at sf0.1).
-    # As flat columns the dot product is one dim-term arithmetic expression
-    # inside whole-stage codegen — same exact integers, far cheaper per
-    # pair, and the join carries fixed-width longs instead of array blobs.
-    # The width guard lives inside the load-bearing qn2 expression (a
-    # dropped assert column would be pruned away by Catalyst): any row
-    # whose vector width disagrees with dim raises instead of NULLing.
-    qn2 = F.when(
-        F.size("q") == dim,
-        F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v),
-    ).otherwise(F.raise_error(F.lit(f"semdedup_pairs: embedding width != {dim}")))
     base = assignment if assignment is not None else kmeans_assign(
         embeddings, k, iters, train_budget=train_budget
     )
-    a = (
-        base
-        .select(
-            "vec_id",
-            "cluster_id",
-            qn2.alias("qn2"),
-            *[F.col("q")[i].alias(f"q{i}") for i in range(dim)],
-        )
-        .persist()
+    # Within-cell pairs via a per-cell Arrow/BLAS kernel (round 11).
+    # History: the first form folded zip_with per candidate pair
+    # (interpreted, ~4 s of the sf0.1 query); the second flattened the
+    # codes into dim columns so the dot product codegen'd — but every
+    # candidate pair then materializes ~2·(dim+3) longs of join row,
+    # and the 1000× probe measured the pair JOIN, not training, as the
+    # dominant wall (890 s for 3.4e9 candidates ≈ 3.5 TB of row
+    # traffic). Per cell, the same arithmetic is ONE blocked float64
+    # matmul: |q| ≤ 127 and dim = 64 keep every product and partial sum
+    # an exact integer < 2^53, so BLAS float64 results are bit-equal to
+    # the codegen'd bigint dots, and the IEEE sqrt/divide that follow
+    # are the identical correctly-rounded ops. The kernel pre-filters
+    # with 5e-5+1e-12 slack under the threshold (the most HALF_UP
+    # rounding can lift a value), then the EXACT filter runs in Spark
+    # on F.round — the same rounding code path the join form used, so
+    # oracle values are unchanged. Scale shape: one shuffle of the
+    # narrow (vec_id, cluster_id, q) corpus to cells, O(block·|cell|)
+    # kernel memory, output only the surviving pairs — candidate pairs
+    # never exist as rows at all.
+    sub = base.select("vec_id", "cluster_id", "q")
+    kernel = _cell_pair_kernel(float(threshold), int(dim))
+    pairs = sub.groupBy("cluster_id").applyInPandas(
+        kernel, "cluster_id int, vec_a bigint, vec_b bigint, sim double"
     )
-    x, y = a.alias("x"), a.alias("y")
-    qdot = None
-    for i in range(dim):
-        term = F.col(f"x.q{i}") * F.col(f"y.q{i}")
-        qdot = term if qdot is None else qdot + term
-    return (
-        x.join(
-            y,
-            (F.col("x.cluster_id") == F.col("y.cluster_id"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.cluster_id").alias("cluster_id"),
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            F.round(
-                qdot
-                / F.nullif(
-                    F.sqrt((F.col("x.qn2") * F.col("y.qn2")).cast("double")),
-                    F.lit(0.0),
-                ),
-                4,
-            ).alias("qsim"),
-        )
-        .filter(F.col("qsim") >= threshold)
+    return pairs.select(
+        "cluster_id",
+        "vec_a",
+        "vec_b",
+        F.round(F.col("sim"), 4).alias("qsim"),
+    ).filter(F.col("qsim") >= threshold)
+
+
+def _cell_pair_kernel(threshold: float, dim: int):
+    """applyInPandas kernel for :func:`semdedup_pairs`: one cell's rows
+    in, its ≥-threshold cosine pairs out.  Blocked gram matmul (2048
+    rows per block) bounds kernel memory; rows sort by vec_id so the
+    upper triangle IS the ``vec_a < vec_b`` contract; zero-norm vectors
+    pair with nothing (the join form's NULL qsim).  A row whose code
+    width disagrees with ``dim`` raises — the width guard the flattened
+    form kept inside its qn2 expression."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "cluster_id": pd.Series(dtype="int32"),
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "sim": pd.Series(dtype="float64"),
+        }
     )
+    pre = threshold - 5e-5 - 1e-12
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if any(len(v) != dim for v in pdf["q"]):
+            raise ValueError(f"semdedup_pairs: embedding width != {dim}")
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cid = int(pdf["cluster_id"].iloc[0])
+        q = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+        n2 = np.einsum("ij,ij->i", q, q)  # exact ints < 2^53
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        block = 2048
+        col = np.arange(n)[None, :]
+        for s in range(0, n, block):
+            g = q[s : s + block] @ q.T
+            denom = np.sqrt(np.outer(n2[s : s + block], n2))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = g / denom
+            row = (s + np.arange(g.shape[0]))[:, None]
+            mask = (col > row) & (denom > 0.0) & (sim >= pre)
+            r, c = np.nonzero(mask)
+            if len(r):
+                out_a.append(ids[s + r])
+                out_b.append(ids[c])
+                out_s.append(sim[r, c])
+        if not out_a:
+            return empty
+        va = np.concatenate(out_a)
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(va), cid, dtype=np.int32),
+                "vec_a": va,
+                "vec_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return kernel
 
 
 def duck_kmeans_cte(k: int | str = 8, sample_budget: int | str | None = None) -> str:
@@ -932,9 +991,9 @@ def duck_kmeans_cte(k: int | str = 8, sample_budget: int | str | None = None) ->
     :func:`kmeans_centroids`: the training CTEs (seeds, round-1 assign,
     centroid update) run over the ``sample_budget`` md5-smallest
     vec_ids (md5 of the decimal id string, ties by id — byte-identical
-    across engines) and the seeds are the k lowest vec_ids within the
-    sample; the FINAL assignment ``a2`` stays full-corpus, exactly like
-    the engine."""
+    across engines) and the seeds are the k DISTINCT codes with the
+    lowest owning vec_ids within the sample; the FINAL assignment
+    ``a2`` stays full-corpus, exactly like the engine."""
     km_q = (
         "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
         " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
@@ -949,7 +1008,10 @@ def duck_kmeans_cte(k: int | str = 8, sample_budget: int | str | None = None) ->
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
             LIMIT ({sample_budget})
         ), c0 AS (
-            SELECT vec_id AS cid, q AS c FROM s ORDER BY vec_id LIMIT ({k})
+            -- k DISTINCT codes, each keyed by its lowest vec_id: dup
+            -- seeds would collapse into permanently-empty clusters
+            SELECT min(vec_id) AS cid, q AS c FROM s
+            GROUP BY q ORDER BY cid LIMIT ({k})
         ),
         d1 AS (
             SELECT q.vec_id, q.q, c.cid, {km_dist} AS dist

@@ -4227,10 +4227,13 @@ def test_zero_and_duplicate_vectors_match_oracle(spark):
 def test_sample_trained_kmeans_matches_oracle_and_engages(spark):
     """Round-11 sample-trained cells (VERDICT r10 item #2): with
     ``train_budget`` set, Lloyd trains on the md5-smallest vec_ids and
-    seeds from the k lowest ids WITHIN the sample — value-checked
-    against the sampled oracle CTEs, and pinned to actually DIFFER from
-    full-corpus training on this fixture (so the sampled path can never
-    silently degrade into the full scan it replaces)."""
+    seeds from the k DISTINCT codes with the lowest owning ids WITHIN
+    the sample — value-checked against the sampled oracle CTEs, and
+    pinned to actually DIFFER from full-corpus training on this fixture
+    (so the sampled path can never silently degrade into the full scan
+    it replaces). Duplicate vectors are planted so the distinct-seed
+    rule is exercised: duplicate seeds would collapse into permanently-
+    empty clusters (the 1000×-probe skew finding)."""
     import duckdb
     import pandas as pd
 
@@ -4246,7 +4249,9 @@ def test_sample_trained_kmeans_matches_oracle_and_engages(spark):
     def vec(seed):
         return [((seed * 37 + i * 11) % 17 - 8) / 9.0 for i in range(dim)]
 
-    rows = [(i, vec(i)) for i in range(40)]
+    # every vector duplicated once (i, i+40 share a code): any sample
+    # of 12 very likely holds duplicate codes, exercising distinct-seed
+    rows = [(i, vec(i % 40)) for i in range(80)]
     edf = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in rows],
         "vec_id long, embedding array<float>",
@@ -4259,6 +4264,8 @@ def test_sample_trained_kmeans_matches_oracle_and_engages(spark):
     full = kmeans_centroids(edf, k=4, iters=2)
     sampled = kmeans_centroids(edf, k=4, iters=2, train_budget=12)
     assert full != sampled, "budget < N must change the trained cells"
+    scents = [tuple(c) for _, c in sampled]
+    assert len(set(scents)) == len(scents), "sampled seeds must be distinct"
 
     got = sorted(
         (r.vec_a, r.vec_b, r.qsim)
