@@ -917,7 +917,7 @@ def semdedup_pairs(
     ).filter(F.col("qsim") >= threshold)
 
 
-def _cell_pair_kernel(threshold: float, dim: int):
+def _cell_pair_kernel(threshold: float, dim: int, block: int = 2048):
     """applyInPandas kernel for :func:`semdedup_pairs`: one cell's rows
     in, its ≥-threshold cosine pairs out.  Blocked gram matmul (2048
     rows per block) bounds kernel memory; rows sort by vec_id so the
@@ -952,7 +952,6 @@ def _cell_pair_kernel(threshold: float, dim: int):
         out_a: list = []
         out_b: list = []
         out_s: list = []
-        block = 2048
         col = np.arange(n)[None, :]
         for s in range(0, n, block):
             g = q[s : s + block] @ q.T

@@ -4286,6 +4286,71 @@ def test_sample_trained_kmeans_matches_oracle_and_engages(spark):
     assert train_budget_for(100) == 1600
 
 
+def test_cell_pair_kernel_matches_naive_reference():
+    """Property test for the round-11 per-cell BLAS kernel
+    (similarity._cell_pair_kernel): on adversarial cells — zero vectors,
+    exact duplicates, negative codes, sizes straddling the block
+    boundary — the blocked-matmul output must equal a naive O(n²)
+    float64 double loop using the identical IEEE op order (int dot as
+    exact float64 sum, sqrt of the exact norm product, one divide).
+    block=3 forces multi-block paths that the default 2048 never hits
+    at test scale."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        _cell_pair_kernel,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.lists(
+            st.lists(
+                st.integers(min_value=-127, max_value=127),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=0,
+            max_size=11,
+        ),
+        dup=st.booleans(),
+        zero=st.booleans(),
+        thr=st.sampled_from([-1.0, 0.0, 0.3, 0.99, 1.0]),
+    )
+    def check(data, dup, zero, thr):
+        vecs = list(data)
+        if dup and vecs:
+            vecs.append(list(vecs[0]))  # exact duplicate pair
+        if zero:
+            vecs.append([0, 0, 0, 0])  # zero-norm vector
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(len(vecs), dtype=np.int64),
+                "cluster_id": np.zeros(len(vecs), dtype=np.int32),
+                "q": [np.array(v, dtype=np.int64) for v in vecs],
+            }
+        )
+        got = _cell_pair_kernel(thr, 4, block=3)(pdf)
+        pre = thr - 5e-5 - 1e-12
+        want = []
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                qi = np.array(vecs[i], dtype=np.float64)
+                qj = np.array(vecs[j], dtype=np.float64)
+                den = np.sqrt(float(qi @ qi) * float(qj @ qj))
+                if den > 0.0:
+                    s = float(qi @ qj) / den
+                    if s >= pre:
+                        want.append((i, j, s))
+        assert sorted(zip(got["vec_a"], got["vec_b"], got["sim"])) == sorted(
+            want
+        )
+
+    check()
+
+
 def test_degenerate_text_matches_oracle(spark):
     """Round-9 degenerate-text findings, pinned operator-vs-oracle on
     empty / whitespace-only / single-token documents: (a) DuckDB shingle
