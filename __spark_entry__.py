@@ -4623,9 +4623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: Round 11 sized q_stream_static's complete-mode agg state stores
 #: (VERDICT r10 item #1 — plan shape only, values unchanged),
 #: sample-trained the √N k-means cells behind q_semdedup /
-#: q_hard_negatives (VERDICT r10 item #2 — oracles now carry the sampled
-#: training CTEs), and moved winsorize's rank k onto exact decimal
-#: arithmetic (ADVICE r10 — same values at every reachable group size).
+#: q_hard_negatives with distinct-code seeding AND moved their pair
+#: audit onto the per-cell blocked-BLAS applyInPandas kernel (VERDICT
+#: r10 item #2 — oracles now carry the sampled training CTEs; the
+#: kernel keeps the exact rounding in Spark so values match), and moved
+#: winsorize's rank k onto exact decimal arithmetic (ADVICE r10 — same
+#: values at every reachable group size).
 _ROUND11_CHANGED = [
     "q_stream_static", "q_semdedup", "q_hard_negatives", "q_winsorize",
 ]
