@@ -4633,6 +4633,13 @@ _ROUND11_CHANGED = [
     "q_stream_static", "q_semdedup", "q_hard_negatives", "q_winsorize",
 ]
 
+#: Names bench.py must keep in its stdout line even when trimming to the
+#: driver's 2000-char capture window — the round's changed queries, so
+#: every re-baselined query gets a driver-recorded row the round it
+#: changes (a query that got FAST enough to fall under the slowest-N
+#: cutoff would otherwise land without one).
+BENCH_ALWAYS_REPORT = tuple(_ROUND11_CHANGED)
+
 # The round-11 driver-correctness window: the round's changed queries
 # first, then the STALEST queries — those whose latest driver
 # CORRECTNESS row is oldest (the full 32-name round-3 vintage, then

@@ -182,7 +182,17 @@ def main() -> None:
     budget = 1800
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget:
-        by_time = sorted(times, key=times.get, reverse=True)
+        # Never drop the round's changed queries: the driver's stdout
+        # line is what BENCH_r{N} records, and a re-baselined query
+        # that got FAST enough to fall under the slowest-N cutoff would
+        # otherwise land without the driver row its budget is judged on
+        # (round 11: q_semdedup 1.26 -> 0.69 s dropped below the line).
+        protected = set(getattr(entrymod, "BENCH_ALWAYS_REPORT", ()))
+        by_time = sorted(
+            (k for k in times if k not in protected),
+            key=times.get,
+            reverse=True,
+        )
         while len(line) > budget and by_time:
             dropped = by_time.pop()
             del payload["queries"][dropped]
