@@ -12,6 +12,7 @@ DuckDB twin. Conventions for oracle parity (FIXTURES.md §3):
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -187,10 +188,14 @@ def release_transient_checkpoints(spark: SparkSession) -> int:
 
     FAIL CLOSED (ADVICE r10): if any live shared leg's RDD id cannot be
     extracted (py4j hiccup mid-bench), the sweep is SKIPPED entirely
-    (returns 0) rather than run with an incomplete protected set —
-    unpersisting a live leg's localCheckpoint would surface later as an
-    obscure block-not-found crash on the next warm-leg query, which is
-    strictly worse than one round of leaked transients.
+    rather than run with an incomplete protected set — unpersisting a
+    live leg's localCheckpoint would surface later as an obscure
+    block-not-found crash on the next warm-leg query, which is strictly
+    worse than one round of leaked transients.  A skipped sweep returns
+    the sentinel ``-1`` and emits a stderr warning (ADVICE r11: 0 was
+    indistinguishable from 'nothing to release', so a round that
+    silently skipped every sweep would reaccumulate the leak with no
+    signal; bench.py counts the sentinels into BENCH_FULL).
     """
     protected = set()
     for df in _PAIRS_SHARED.values():
@@ -200,7 +205,12 @@ def release_transient_checkpoints(spark: SparkSession) -> int:
             protected.add(df._jdf.queryExecution().analyzed().rdd().id())
         except Exception:
             # cannot prove this leg safe -> cannot prove the sweep safe
-            return 0
+            print(
+                "release_transient_checkpoints: SKIPPED (live leg id "
+                "unprovable) — transients leak this round",
+                file=sys.stderr,
+            )
+            return -1
     released = 0
     try:
         it = (
@@ -4612,10 +4622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_moments": q_stream_moments,
         "q_stream_kmv": q_stream_kmv,
     }
-    missing = [n for n in _ROUND11_WINDOW if n not in q]
+    missing = [n for n in _ROUND12_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND11_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND11_WINDOW}, **q}
+        raise KeyError(f"_ROUND12_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND12_WINDOW}, **q}
 
 
 #: Queries whose implementation changed in round 11 — re-verified by the
@@ -4633,12 +4643,48 @@ _ROUND11_CHANGED = [
     "q_stream_static", "q_semdedup", "q_hard_negatives", "q_winsorize",
 ]
 
+#: Queries whose implementation changed in round 12 — re-verified by the
+#: driver the same round they changed (standing rule, VERDICT r8 item
+#: #2). Round 12 moved the semdedup pair kernel's width guard ahead of
+#: its n<2 early return and derived the oracle training-budget
+#: expression from shared constants (both ADVICE r11 — value-neutral by
+#: construction, re-verified anyway because the kernel byte-code
+#: changed).
+_ROUND12_CHANGED = [
+    "q_semdedup", "q_hard_negatives",
+]
+
 #: Names bench.py must keep in its stdout line even when trimming to the
-#: driver's 2000-char capture window — the round's changed queries, so
-#: every re-baselined query gets a driver-recorded row the round it
-#: changes (a query that got FAST enough to fall under the slowest-N
-#: cutoff would otherwise land without one).
-BENCH_ALWAYS_REPORT = tuple(_ROUND11_CHANGED)
+#: driver's 2000-char capture window — the round's changed queries plus
+#: this round's watch list (VERDICT r11: q_winsorize must show its
+#: post-decimal-fix band; the two >2× weak rows and the slowest
+#: streaming row need driver-recorded r12 numbers to adjudicate
+#: box-noise vs structural), so every watched query gets a driver row
+#: even if it falls under the slowest-N cutoff.
+BENCH_ALWAYS_REPORT = tuple(_ROUND12_CHANGED) + (
+    "q_winsorize", "q_stream_session", "q_python_source",
+    "q_python_stream_source",
+)
+
+# The round-12 driver-correctness window: changed queries first, then
+# the STALEST (the full 34-name round-4 vintage, then round-5 vintage in
+# name order), filling to 50. Machine-derived from CORRECTNESS_r*.json
+# (rounds 1-11) and re-derived by the pin test
+# tests/test_shared_state.py::test_round12_window_stalest_machine_checked.
+_ROUND12_WINDOW = _ROUND12_CHANGED + [
+    "q_pandas_norm", "q_pandas_scale", "q_python_source", "q_sliding_distinct",
+    "q_sql_frontend", "q_stateful_offsets", "q_stream_dedup", "q_stream_ingest",
+    "q_stream_join", "q_stream_session", "q_stream_window", "q_time_travel",
+    "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22", "q_tpch_q4", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_udtf_runs",
+    "q_variant", "q_zorder_layout", "q_autocorr", "q_benford",
+    "q_bloom_join", "q_bm25_topk", "q_bpe_apply", "q_bpe_train",
+    "q_calendar_fill", "q_clustering_coef", "q_column_profile", "q_compaction_plan",
+    "q_cooccurrence_lift", "q_cusum", "q_dataset_card", "q_dist_drift",
+]
 
 # The round-11 driver-correctness window: the round's changed queries
 # first, then the STALEST queries — those whose latest driver
@@ -4646,6 +4692,8 @@ BENCH_ALWAYS_REPORT = tuple(_ROUND11_CHANGED)
 # round-4 vintage in name order), filling to 50. Machine-derived from
 # the CORRECTNESS_r*.json artifacts and re-derived by the pin test
 # tests/test_shared_state.py::test_round11_window_stalest_machine_checked.
+# (Historical as of round 12 — queries() now fronts _ROUND12_WINDOW;
+# kept for the r11 pin test.)
 _ROUND11_WINDOW = _ROUND11_CHANGED + [
     "q_cast_deadletter", "q_cdc_diff", "q_chunk_documents", "q_corr_stats",
     "q_countmin_topk", "q_date_battery", "q_distinct_aggs", "q_distinct_sketch",

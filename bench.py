@@ -18,6 +18,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+    streaming as _streaming,
+)
 from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
     get_spark,
 )
@@ -80,12 +83,19 @@ def main() -> None:
     # cache entries from earlier queries would distort later measurements.
     times: dict[str, float] = {}
     shared_warm: dict[str, list[str]] = {}
+    # VERDICT r11 item #1: per-drain runtime counters (micro-batches,
+    # state-store commits) recorded per query so an inflated streaming
+    # row is adjudicable from artifacts — same counts + bigger wall =
+    # box noise; different counts = structural.
+    stream_drains: dict[str, dict] = {}
+    sweep_skips = 0
     gc_nudge = os.environ.get("SPARK_GRAFT_GC_NUDGE", "") == "1"
     import gc
 
     for name, fn in entrymod.queries().items():
         trace: list = []
         entrymod._SHARED_TRACE = trace
+        _streaming.DRAIN_TELEMETRY.clear()
         best = float("inf")
         for attempt in range(3):
             # two runs for everyone; a third only when the best is still
@@ -113,8 +123,15 @@ def main() -> None:
         # layer unpersists every persistent RDD it does not own as a live
         # memoized leg (VERDICT r9 item #5). The gc nudge stays available
         # behind SPARK_GRAFT_GC_NUDGE=1 as a fallback only.
+        if _streaming.DRAIN_TELEMETRY:
+            # the LAST attempt's drains (the dict is overwritten per
+            # drain, and the best-of-N attempts run identical plans)
+            stream_drains[name] = {
+                k: dict(v) for k, v in _streaming.DRAIN_TELEMETRY.items()
+            }
         gc.collect()
-        entrymod.release_transient_checkpoints(spark)
+        if entrymod.release_transient_checkpoints(spark) == -1:
+            sweep_skips += 1  # ADVICE r11: a skipped sweep must be visible
         if gc_nudge:
             try:
                 spark.sparkContext._jvm.System.gc()
@@ -148,6 +165,10 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
     }
+    if sweep_skips:
+        # observable in the driver-captured line, omitted when zero so
+        # the happy path pays no budget for it
+        payload["checkpoint_sweep_skips"] = sweep_skips
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
         "w",
@@ -159,11 +180,13 @@ def main() -> None:
                 "n_queries": len(times),
                 "shared_legs": shared_times,
                 "queries_shared_warm": shared_warm,
+                "stream_drains": stream_drains,
                 "no_shared_mode": no_shared,
                 "harness": {
                     "rev": harness_rev,
                     "gc_nudge": gc_nudge,
                     "deterministic_checkpoint_release": True,
+                    "checkpoint_sweep_skips": sweep_skips,
                 },
                 "methodology": (
                     "value = sum(per-query best-of-N) + each shared leg "
@@ -198,6 +221,20 @@ def main() -> None:
             del payload["queries"][dropped]
             payload["queries_omitted"] = len(times) - len(payload["queries"])
             line = json.dumps(payload, separators=(",", ":"))
+        # ADVICE r11: if the protected entries alone blow the budget, an
+        # over-long line would be truncated by the driver's 2000-char
+        # capture window into INVALID JSON — strictly worse than dropping
+        # a protected row. Fall back to dropping protected entries too,
+        # fastest first (BENCH_FULL.json always keeps the complete dict).
+        if len(line) > budget:
+            by_time = sorted(payload["queries"], key=times.get, reverse=True)
+            while len(line) > budget and by_time:
+                dropped = by_time.pop()
+                del payload["queries"][dropped]
+                payload["queries_omitted"] = len(times) - len(
+                    payload["queries"]
+                )
+                line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -10,8 +10,17 @@ the PROBLEM size linear in the data (not quadratic):
 * documents.text gets a per-copy suffix token for copies >= 1 - exact
   replicas would turn every doc into a 10-way near-duplicate cluster and
   blow the pair graph up 45x instead of 10x;
-* everything else replicates verbatim (embeddings may duplicate: k-means
-  / PQ cost is linear in rows regardless).
+* embeddings.embedding gets a per-copy deterministic Rademacher sign
+  pattern for copies >= 1 (dim d of copy i flips sign iff
+  hash(i*131+d) is odd) — VERDICT r11 item #5: verbatim replicas made
+  every vector a copies-way EXACT duplicate, so at 10000x the TRUE
+  semdedup output was ~1e11 pairs (a fixture artifact, not a workload).
+  Sign flips keep the norm and |coordinate| marginals exact, keep
+  WITHIN-copy cosines identical to the originals (cos(s.x, s.y) =
+  cos(x, y)), and decorrelate CROSS-copy pairs (cos(s.x, x) is a
+  Rademacher average concentrated near 0) — so the true pair count
+  scales ~linearly in copies, like the perturbed text does;
+* everything else replicates verbatim.
 
 Usage: python scripts/make_scale_fixture.py [src_dir] [dst_dir] [copies]
        [tables]
@@ -104,6 +113,13 @@ def main() -> None:
                         "CASE WHEN cp.i = 0 THEN n_chars ELSE (n_chars + 4 "
                         "+ length(cp.i::VARCHAR))::BIGINT END AS n_chars"
                     )
+                elif t == "embeddings" and name == "embedding":
+                    cols.append(
+                        "CASE WHEN cp.i = 0 THEN embedding ELSE "
+                        "list_transform(embedding, (x, d) -> (x * (CASE "
+                        "WHEN hash(cp.i * 131 + d) % 2 = 0 THEN 1 ELSE -1 "
+                        "END))::FLOAT)::FLOAT[] END AS embedding"
+                    )
                 else:
                     cols.append(name)
             con.sql(
@@ -122,6 +138,12 @@ def main() -> None:
                         cols.append(f"text || ' zq{i}x' AS text")
                     elif t == "documents" and name == "n_chars" and i > 0:
                         cols.append(f"(n_chars + {len(f' zq{i}x')})::BIGINT AS n_chars")
+                    elif t == "embeddings" and name == "embedding" and i > 0:
+                        cols.append(
+                            "list_transform(embedding, (x, d) -> (x * "
+                            f"(CASE WHEN hash({i} * 131 + d) % 2 = 0 THEN "
+                            "1 ELSE -1 END))::FLOAT)::FLOAT[] AS embedding"
+                        )
                     else:
                         cols.append(name)
                 selects.append(f"SELECT {', '.join(cols)} FROM {src}")

@@ -590,7 +590,18 @@ def _assign_pass_arrow(
     )
 
 
-def train_budget_for(k: int, per_cell: int = 16, floor: int = 256) -> int:
+#: sample-trained k-means budget constants — the SINGLE source both the
+#: engine default (:func:`train_budget_for`) and the oracle expression
+#: (:func:`duck_train_budget_expr`) derive from (ADVICE r11: the oracle
+#: previously hardcoded greatest(256, 16*k), so changing one default
+#: would silently diverge the two)
+TRAIN_PER_CELL = 16
+TRAIN_FLOOR = 256
+
+
+def train_budget_for(
+    k: int, per_cell: int = TRAIN_PER_CELL, floor: int = TRAIN_FLOOR
+) -> int:
     """Training-sample size for SAMPLE-TRAINED k-means cells:
     ``max(floor, per_cell·k)`` rows — enough points per centroid to place
     the cells, decoupled from the corpus size.  With the √N cell count of
@@ -604,8 +615,10 @@ def train_budget_for(k: int, per_cell: int = 16, floor: int = 256) -> int:
 
 
 def duck_train_budget_expr(k_expr: "int | str") -> str:
-    """Oracle twin of :func:`train_budget_for` for a literal or SQL k."""
-    return f"greatest(256, 16 * ({k_expr}))"
+    """Oracle twin of :func:`train_budget_for` for a literal or SQL k —
+    built from the same ``TRAIN_FLOOR``/``TRAIN_PER_CELL`` constants so
+    engine and oracle budgets cannot diverge."""
+    return f"greatest({TRAIN_FLOOR}, {TRAIN_PER_CELL} * ({k_expr}))"
 
 
 def kmeans_centroids(
@@ -939,11 +952,14 @@ def _cell_pair_kernel(threshold: float, dim: int, block: int = 2048):
     pre = threshold - 5e-5 - 1e-12
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # width guard FIRST (ADVICE r11): the old qn2 expression raised
+        # on every mismatched row, so a wrong-width row in a singleton
+        # cell must still raise, not slip past the n < 2 early return
+        if any(len(v) != dim for v in pdf["q"]):
+            raise ValueError(f"semdedup_pairs: embedding width != {dim}")
         n = len(pdf)
         if n < 2:
             return empty
-        if any(len(v) != dim for v in pdf["q"]):
-            raise ValueError(f"semdedup_pairs: embedding width != {dim}")
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         cid = int(pdf["cluster_id"].iloc[0])

@@ -42,6 +42,43 @@ def scoped_state_partitions(spark, n: int | None):
         yield
 
 
+#: Per-drain runtime telemetry, keyed by memory-sink query name and
+#: overwritten on each drain: micro-batch count, input rows, and the
+#: state-store commit shape of the LAST drain through
+#: :func:`drain_to_memory`.  VERDICT r11 item #1: when a streaming
+#: bench row inflates, structural-vs-box-noise must be decidable from
+#: the artifacts alone — a noise round shows the SAME batch/commit
+#: counts with a bigger wall, a structural change shows different
+#: counts.  bench.py snapshots this dict into
+#: ``BENCH_FULL.json::stream_drains`` after every query.
+DRAIN_TELEMETRY: dict[str, dict] = {}
+
+
+def _harvest_progress(query) -> dict:
+    """Summarize ``StreamingQuery.recentProgress`` into the count shape
+    above.  ``state_store_instances`` is per-operator-per-partition (the
+    number of store COMMITS each micro-batch performs); ``commit_ms`` /
+    ``state_rows`` come from the engine's own progress metrics, so zero
+    extra instrumentation runs inside the stream."""
+    prog = list(query.recentProgress)
+    ops = [op for p in prog for op in (p.get("stateOperators") or [])]
+    return {
+        "micro_batches": len(prog),
+        "input_rows": int(sum(p.get("numInputRows") or 0 for p in prog)),
+        "state_operators": max(
+            (len(p.get("stateOperators") or []) for p in prog), default=0
+        ),
+        "state_store_instances": max(
+            (int(op.get("numStateStoreInstances") or 0) for op in ops),
+            default=0,
+        ),
+        "state_commit_ms": int(sum(op.get("commitTimeMs") or 0 for op in ops)),
+        "state_rows": max(
+            (int(op.get("numRowsTotal") or 0) for op in ops), default=0
+        ),
+    }
+
+
 def drain_to_memory(
     spark,
     df,
@@ -53,7 +90,7 @@ def drain_to_memory(
 ):
     """The shared AvailableNow-drain tail of every runtime query: start
     the stream into a memory sink under the scoped confs, wait for the
-    drain, return the sink table."""
+    drain, record its progress telemetry, return the sink table."""
     confs = dict(extra_confs or {})
     if state_partitions is not None:
         confs[_PARTS_KEY] = state_partitions
@@ -72,4 +109,8 @@ def drain_to_memory(
             raise TimeoutError(
                 f"stream {query_name!r} did not drain within {timeout_sec}s"
             )
+        try:
+            DRAIN_TELEMETRY[query_name] = _harvest_progress(q)
+        except Exception:
+            pass  # telemetry must never fail a drain
     return spark.table(query_name)

@@ -4351,6 +4351,52 @@ def test_cell_pair_kernel_matches_naive_reference():
     check()
 
 
+def test_cell_pair_kernel_width_guard_on_singleton_cell():
+    """ADVICE r11: the width contract must be enforced on EVERY row —
+    a wrong-width vector in a singleton cell (n < 2) used to slip past
+    the early return that the pair math never touches."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        _cell_pair_kernel,
+    )
+
+    bad = pd.DataFrame(
+        {
+            "vec_id": np.array([7], dtype=np.int64),
+            "cluster_id": np.array([0], dtype=np.int32),
+            "q": [np.array([1, 2, 3], dtype=np.int64)],  # dim says 4
+        }
+    )
+    with pytest.raises(ValueError, match="width"):
+        _cell_pair_kernel(0.5, 4)(bad)
+    # and a well-formed singleton still returns the empty frame
+    ok = bad.assign(q=[np.array([1, 2, 3, 4], dtype=np.int64)])
+    assert len(_cell_pair_kernel(0.5, 4)(ok)) == 0
+
+
+def test_duck_train_budget_expr_matches_engine_budget():
+    """ADVICE r11: the oracle budget expression and the engine default
+    must be the same function of k — both now derive from
+    TRAIN_PER_CELL/TRAIN_FLOOR, pinned here across a k sweep via DuckDB
+    evaluation of the generated SQL."""
+    import duckdb
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        duck_train_budget_expr,
+        train_budget_for,
+    )
+
+    con = duckdb.connect()
+    for k in (1, 4, 15, 16, 17, 100, 1414, 5000):
+        (got,) = con.execute(
+            f"SELECT {duck_train_budget_expr(k)}"
+        ).fetchone()
+        assert got == train_budget_for(k), k
+
+
 def test_degenerate_text_matches_oracle(spark):
     """Round-9 degenerate-text findings, pinned operator-vs-oracle on
     empty / whitespace-only / single-token documents: (a) DuckDB shingle

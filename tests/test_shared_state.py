@@ -249,19 +249,37 @@ def test_round10_window_stalest_machine_checked():
 
 
 def test_round11_window_stalest_machine_checked():
-    """Round-11 window contract (VERDICT r10 item #3): changed queries
-    first, then EXACTLY the stalest by (latest driver CORRECTNESS round
-    over rounds 1–10, name), filling to 50; queries() must front the
-    window for the driver's 50-slot sample."""
+    """Historical round-11 window contract (VERDICT r10 item #3;
+    queries() now fronts the round-12 window): changed queries first,
+    then EXACTLY the stalest by (latest driver CORRECTNESS round over
+    rounds 1–10, name), filling to 50."""
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest = _latest_driver_round(repo, before_round=11)
     if not latest:  # fresh clone without driver artifacts: nothing to pin
         return
-    win = entry._ROUND11_WINDOW
+    _assert_window_stalest(
+        entry._ROUND11_WINDOW, entry._ROUND11_CHANGED, latest
+    )
+
+
+def test_round12_window_stalest_machine_checked():
+    """Round-12 window contract (VERDICT r11 item #3): changed queries
+    first, then EXACTLY the stalest by (latest driver CORRECTNESS round
+    over rounds 1–11, name), filling to 50; queries() must front the
+    window for the driver's 50-slot sample.  This rotation retires the
+    r04 vintage entirely — afterwards no query's newest driver evidence
+    is older than r05."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = _latest_driver_round(repo, before_round=12)
+    if not latest:  # fresh clone without driver artifacts: nothing to pin
+        return
+    win = entry._ROUND12_WINDOW
     assert list(entry.queries())[:50] == win  # dict-unpacking fronts it
-    _assert_window_stalest(win, entry._ROUND11_CHANGED, latest)
+    _assert_window_stalest(win, entry._ROUND12_CHANGED, latest)
 
 
 def test_sf_tag_fingerprints_input_data(tmp_path):
@@ -319,9 +337,11 @@ def test_release_transient_checkpoints_protects_live_legs(spark, monkeypatch):
 
 def test_release_transient_checkpoints_fails_closed(spark, monkeypatch):
     """ADVICE r10: if ANY live shared leg's RDD id cannot be extracted,
-    the sweep must be SKIPPED (return 0) rather than run with an
-    incomplete protected set — unpersisting a live localCheckpoint fails
-    hard on next read instead of recomputing."""
+    the sweep must be SKIPPED rather than run with an incomplete
+    protected set — unpersisting a live localCheckpoint fails hard on
+    next read instead of recomputing.  ADVICE r11: the skip returns the
+    sentinel -1 (0 would be indistinguishable from 'nothing to
+    release'), which bench.py counts into BENCH_FULL."""
     from pyspark.sql import functions as F
 
     transient = (
@@ -333,7 +353,7 @@ def test_release_transient_checkpoints_fails_closed(spark, monkeypatch):
     monkeypatch.setitem(
         entry._PAIRS_SHARED, ("s", "d", "broken-leg"), object()
     )
-    assert entry.release_transient_checkpoints(spark) == 0
+    assert entry.release_transient_checkpoints(spark) == -1
     live_ids = {
         i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     }
@@ -458,3 +478,68 @@ def test_drop_staged_sweeps_stale_fingerprint_tables(spark, monkeypatch):
     assert "q_ttp_v2_sf0_1_deadbeef" not in names  # stale fingerprint: swept
     assert "q_ttp_v2_sf0_1_cafef00d" in names  # live fingerprint: kept
     spark.sql("DROP TABLE IF EXISTS default.q_ttp_v2_sf0_1_cafef00d")
+
+
+def test_scale_fixture_perturbs_embeddings_and_text(tmp_path):
+    """VERDICT r11 item #5: the scale fixture must not replicate
+    embeddings verbatim — copies get a per-copy Rademacher sign pattern
+    that (a) preserves each vector's norm exactly, (b) preserves
+    WITHIN-copy cosines exactly (the per-copy pair structure mirrors the
+    original corpus), and (c) decorrelates a vector from its own
+    replicas (no fixture-made exact-duplicate clusters).  Runs the real
+    script at 3 copies over sf0.001; both branches (UNION-ALL and the
+    lateral range drive used past 20 copies) share the hash(i*131+d)
+    pattern, so pinning one pins the expression."""
+    import math
+    import os
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = str(tmp_path / "sfx")
+    subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(repo, "scripts", "make_scale_fixture.py"),
+            "/root/testdata/sf0.001",
+            dst,
+            "3",
+            "embeddings,documents",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{dst}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    n = len(rows) // 3
+    orig = dict(rows[:n])
+    off = rows[n][0]
+    copy1 = {v - off: e for v, e in rows[n : 2 * n]}
+    assert set(orig) == set(copy1)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ids = sorted(orig)[:20]
+    for v in ids:
+        a, b = orig[v], copy1[v]
+        assert [abs(x) for x in a] == [abs(x) for x in b]  # norm + |coords|
+        na = math.sqrt(dot(a, a))
+        if na:  # (c) a replica is NOT its own near-duplicate
+            assert abs(dot(a, b)) / dot(a, a) < 0.9
+    for i in range(5):  # (b) within-copy cosines preserved exactly
+        for j in range(i + 1, 5):
+            assert dot(orig[ids[i]], orig[ids[j]]) == pytest.approx(
+                dot(copy1[ids[i]], copy1[ids[j]]), rel=1e-9
+            )
+    # the documents perturbation still holds alongside
+    assert con.sql(
+        f"SELECT count(*) FROM '{dst}/documents.parquet' WHERE"
+        " text LIKE '% zq1x'"
+    ).fetchone()[0] == n

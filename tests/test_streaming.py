@@ -655,3 +655,44 @@ def test_stream_kmv_restart_recovers_state(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_drain_telemetry_records_batch_and_state_counts(spark, tmp_path):
+    """VERDICT r11 item #1: every drain_to_memory drain must leave a
+    telemetry row (micro-batches, state-store commit shape) in
+    streaming.DRAIN_TELEMETRY so bench.py can emit per-query drain
+    counters into BENCH_FULL — the artifact that makes an inflated
+    streaming bench row adjudicable as box-noise vs structural."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+        streaming as S,
+    )
+
+    events = load_table(spark, SF, "events").select("event_id", "ts")
+    path = str(tmp_path / "tele_src")
+    events.coalesce(1).write.parquet(path + "/f0")
+    events.limit(10).coalesce(1).write.parquet(path + "/f1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    agg = (
+        with_watermark(stream, "ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    S.DRAIN_TELEMETRY.pop("tele_mem", None)
+    S.drain_to_memory(
+        spark, agg, "tele_mem", "append", state_partitions=4
+    )
+    t = S.DRAIN_TELEMETRY["tele_mem"]
+    # two files, maxFilesPerTrigger=1 => at least 2 micro-batches; the
+    # windowed agg is a stateful operator committing one store per
+    # state partition; every input row is counted
+    assert t["micro_batches"] >= 2
+    assert t["input_rows"] == events.count() + 10
+    assert t["state_operators"] >= 1
+    assert t["state_store_instances"] == 4
+    assert t["state_rows"] >= 1
+    assert t["state_commit_ms"] >= 0
