@@ -68,6 +68,13 @@ def main() -> None:
     # every query whose attempts consumed a warm leg is labeled in
     # BENCH_FULL. SPARK_GRAFT_NO_SHARED=1 disables all sharing instead:
     # every query then pays its own legs and this pre-pass is skipped.
+    # SPARK_GRAFT_ONLY="q_a,q_b" restricts the sweep to named queries —
+    # the adjudication path for single-family re-measurement (VERDICT
+    # r11 item #1: idle-box re-runs of the streaming/connector family)
+    # without paying the other ~290 queries' wall time.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s
+    }
     no_shared = os.environ.get("SPARK_GRAFT_NO_SHARED", "") == "1"
     shared_times: dict[str, float] = {}
     if not no_shared:
@@ -92,7 +99,10 @@ def main() -> None:
     gc_nudge = os.environ.get("SPARK_GRAFT_GC_NUDGE", "") == "1"
     import gc
 
+    load_start = os.getloadavg()[0]
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         trace: list = []
         entrymod._SHARED_TRACE = trace
         _streaming.DRAIN_TELEMETRY.clear()
@@ -187,6 +197,13 @@ def main() -> None:
                     "gc_nudge": gc_nudge,
                     "deterministic_checkpoint_release": True,
                     "checkpoint_sweep_skips": sweep_skips,
+                    # box state at sweep start/end: the documented
+                    # 2-3x leg-inflation mode is loadavg >~ 0.5 from a
+                    # still-draining prior job, so every recorded run
+                    # carries the evidence to adjudicate itself
+                    "loadavg_start": round(load_start, 2),
+                    "loadavg_end": round(os.getloadavg()[0], 2),
+                    "only": sorted(only) if only else None,
                 },
                 "methodology": (
                     "value = sum(per-query best-of-N) + each shared leg "

@@ -63,7 +63,13 @@ def main() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    force(spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(5000))
+    # warm up on whatever table the (possibly partial) fixture has —
+    # embeddings-only builds have no orders.parquet
+    import glob as _glob
+
+    warm = sorted(_glob.glob(os.path.join(sf_dir, "*.parquet")))
+    if warm:
+        force(spark.read.parquet(warm[0]).limit(5000))
 
     def probe(name, fn):
         r0, w0 = shuffle_totals(ui)
