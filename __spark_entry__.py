@@ -380,13 +380,19 @@ def _pq_books_cached(
     spark: SparkSession, sf_dir: str, m: int = 4, k: int = 16
 ) -> list:
     """Memoized PQ codebooks (m·k·(dim/m) driver ints, deterministic per
-    corpus+m+k) — same rationale as the k-means centroid memo."""
+    corpus+m+k) — same rationale as the k-means centroid memo.  Round 12:
+    SAMPLE-TRAINED on the max(256, 16·k) md5-smallest ids (the r11
+    semdedup-cells pattern applied to PQ — SCALE.md §16 measured
+    full-corpus Lloyd as ~80 % of the 10 000× q_pq_encode wall); every
+    consumer's encode/ADC pass stays full-corpus, and the oracles carry
+    the same budget through ``sample_budget``."""
+    b = sim.train_budget_for(k)
     return _shared(  # type: ignore[return-value]
         _TRAINED_STATE_MEMO,
-        (sf_dir, "pq_books", m, k),
+        (sf_dir, "pq_books", m, k, b),
         "pq_codebooks",
         lambda: sim.pq_codebooks(
-            load_table(spark, sf_dir, "embeddings"), m=m, k=k
+            load_table(spark, sf_dir, "embeddings"), m=m, k=k, train_budget=b
         ),
     )
 
@@ -2090,7 +2096,8 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (similarity.pq_codebooks + pq_encode): four
     16-dim subspace codebooks (k=16, shared Lloyd's kernel, memoized
-    driver state) encode every vector to 4 codes + exact integer
+    driver state; round 12: SAMPLE-TRAINED on the 256 md5-smallest ids —
+    SCALE.md §16) encode every vector to 4 codes + exact integer
     quantization error — the IVF-PQ compression stage of billion-vector
     ANN."""
     return sim.pq_encode(
@@ -4645,13 +4652,17 @@ _ROUND11_CHANGED = [
 
 #: Queries whose implementation changed in round 12 — re-verified by the
 #: driver the same round they changed (standing rule, VERDICT r8 item
-#: #2). Round 12 moved the semdedup pair kernel's width guard ahead of
-#: its n<2 early return and derived the oracle training-budget
+#: #2). Round 12 (a) moved the semdedup pair kernel's width guard ahead
+#: of its n<2 early return and derived the oracle training-budget
 #: expression from shared constants (both ADVICE r11 — value-neutral by
 #: construction, re-verified anyway because the kernel byte-code
-#: changed).
+#: changed), and (b) SAMPLE-TRAINED the PQ codebooks (the r11
+#: semdedup-cells pattern applied to PQ, with ADC tables re-keyed by
+#: code id for the non-contiguous sampled seeds) — oracle VALUES change
+#: for the whole PQ family, whose four queries re-verify this round.
 _ROUND12_CHANGED = [
     "q_semdedup", "q_hard_negatives",
+    "q_pq_encode", "q_pq_adc_topk", "q_pq_recall", "q_ivfpq_topk",
 ]
 
 #: Names bench.py must keep in its stdout line even when trimming to the
@@ -4683,7 +4694,6 @@ _ROUND12_WINDOW = _ROUND12_CHANGED + [
     "q_variant", "q_zorder_layout", "q_autocorr", "q_benford",
     "q_bloom_join", "q_bm25_topk", "q_bpe_apply", "q_bpe_train",
     "q_calendar_fill", "q_clustering_coef", "q_column_profile", "q_compaction_plan",
-    "q_cooccurrence_lift", "q_cusum", "q_dataset_card", "q_dist_drift",
 ]
 
 # The round-11 driver-correctness window: the round's changed queries
@@ -7161,10 +7171,19 @@ def _extension_oracles() -> dict[str, str]:
         FROM cm WHERE cum >= keep_target
         GROUP BY lang, n_docs, keep_target
     """
-    out["q_pq_encode"] = sim.duck_pq_sql(m=4, k=16)
-    out["q_pq_adc_topk"] = sim.duck_pq_adc_sql(m=4, k=16, probe_id=0, topk=10)
-    out["q_pq_recall"] = sim.duck_pq_recall_sql(m=4, k=16, probe_id=0, topk=10)
-    out["q_ivfpq_topk"] = sim.duck_ivfpq_sql(m=4, k=16, probe_id=0, topk=10)
+    # sample_budget mirrors _pq_books_cached's train_budget — both sides
+    # derive from train_budget_for(16) so engine and oracle cannot diverge
+    _pq_b = sim.train_budget_for(16)
+    out["q_pq_encode"] = sim.duck_pq_sql(m=4, k=16, sample_budget=_pq_b)
+    out["q_pq_adc_topk"] = sim.duck_pq_adc_sql(
+        m=4, k=16, probe_id=0, topk=10, sample_budget=_pq_b
+    )
+    out["q_pq_recall"] = sim.duck_pq_recall_sql(
+        m=4, k=16, probe_id=0, topk=10, sample_budget=_pq_b
+    )
+    out["q_ivfpq_topk"] = sim.duck_ivfpq_sql(
+        m=4, k=16, probe_id=0, topk=10, sample_budget=_pq_b
+    )
     out["q_attribution"] = """
         WITH conv AS (
             SELECT user_id AS cu, event_id AS conv_id, ts AS cts

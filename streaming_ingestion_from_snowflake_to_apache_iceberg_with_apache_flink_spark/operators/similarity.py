@@ -1404,7 +1404,11 @@ def rank_fusion(
 
 
 def pq_codebooks(
-    embeddings: DataFrame, m: int = 4, k: int = 16, iters: int = 2
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    train_budget: int | None = None,
 ) -> list[list[tuple[int, list[int]]]]:
     """TRAIN product-quantization codebooks: split the int8-quantized
     vector into ``m`` contiguous subspaces and run the shared Lloyd's
@@ -1417,17 +1421,44 @@ def pq_codebooks(
     the full-vector centroids). Seeds per subspace are the k lowest
     vec_ids' slices, so training is a deterministic function of
     (dataset, m, k, iters).
+
+    ``train_budget`` switches to SAMPLE-TRAINED codebooks — the round-11
+    semdedup-cells pattern (:func:`kmeans_centroids`) applied to PQ,
+    which production PQ indexes do universally: Lloyd runs over the
+    ``train_budget`` md5-smallest vec_ids (one distributed TakeOrdered
+    over the corpus, checkpointed so the m subspace trainings and their
+    per-iter actions reread budget-sized blocks instead of re-deriving
+    the sample from a full scan each time) with distinct-code seeding
+    per subspace (duplicate sliced codes are COMMON in low-dim
+    subspaces; duplicate seeds collapse into permanently-empty
+    clusters — see :func:`_lloyd`).  Training cost drops from
+    iters·m·N·k·(dim/m) to iters·m·budget·k·(dim/m) — at the SCALE.md
+    §16 10 000× probe full-corpus training was ~80 % of q_pq_encode's
+    738 s wall — while every consumer's ENCODE pass stays full-corpus
+    and exact.  Still a deterministic function of (dataset, m, k,
+    iters, budget): the sampled oracle is ``_duck_pq_chain`` with the
+    same ``sample_budget``.
     """
     e = _quantized(embeddings)
     dim = 64
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     sub = dim // m
+    rank_seeds = False
+    if train_budget is not None:
+        h = F.md5(F.col("vec_id").cast("string").cast("binary"))
+        e = (
+            e.orderBy(h.asc(), F.col("vec_id").asc())
+            .limit(int(train_budget))
+            .localCheckpoint(eager=True)
+        )
+        rank_seeds = True
     return [
         _lloyd(
             e.select("vec_id", F.slice("q", j * sub + 1, sub).alias("q")),
             k,
             iters,
+            rank_seeds=rank_seeds,
         )
         for j in range(m)
     ]
@@ -1451,6 +1482,21 @@ def pq_encode(
     e = _quantized(embeddings)
     m = len(books)
     sub = 64 // m
+    if m * max((len(b) for b in books), default=0) > 16:
+        # Arrow-matmul twin for the hot encode: the interpreted
+        # higher-order argmin is O(m·k·sub) PER ROW — the same doctrine
+        # as _assign_pass's k>16 dispatch, with m·k the total centroid
+        # count evaluated per row. Bit-equality pinned by
+        # test_pq_encode_arrow_matches_expression.
+        return _pq_encode_arrow(e, books, sub)
+    return _pq_encode_expr(e, books, sub)
+
+
+def _pq_encode_expr(
+    e: DataFrame, books: list[list[tuple[int, list[int]]]], sub: int
+) -> DataFrame:
+    """The JVM expression argmin encode (see :func:`pq_encode` for the
+    dispatch doctrine)."""
     cols = [F.col("vec_id")]
     errs = []
     for j, book in enumerate(books):
@@ -1482,11 +1528,66 @@ def pq_encode(
     return e.select(*cols, total.alias("err"))
 
 
-def _duck_pq_chain(m: int = 4, k: int = 16) -> str:
+def _pq_encode_arrow(
+    e: DataFrame, books: list[list[tuple[int, list[int]]]], sub: int
+) -> DataFrame:
+    """Arrow-batched twin of :func:`pq_encode`'s expression argmin — one
+    ``mapInPandas`` pass computes every subspace's batch × centroid
+    squared-L2 matrix as ||x||² + ||c||² − 2·X·Cᵀ in float64. EXACT for
+    int8 codes: every operand and partial sum is an integer (per
+    subspace |dist| ≤ sub·254² ≪ 2⁵³), so BLAS returns the same integers
+    the JVM fold would. Ties go to the smaller code id (columns sorted
+    by cid, ``argmin`` takes the first minimum — the struct-ordering
+    rule of the expression path). Map-only like the expression path:
+    codebooks travel as m·k·sub ints in the serialized closure."""
+    import numpy as np
+    import pandas as pd
+
+    prepped = []
+    for book in books:
+        order = sorted(range(len(book)), key=lambda i: int(book[i][0]))
+        cids = np.array([int(book[i][0]) for i in order], dtype=np.int64)
+        cmat = np.array(
+            [[int(v) for v in book[i][1]] for i in order], dtype=np.float64
+        )
+        prepped.append((cids, cmat, (cmat * cmat).sum(axis=1)))
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"]}
+            err = np.zeros(len(pdf), dtype=np.int64)
+            for j, (cids, cmat, cnorm) in enumerate(prepped):
+                xj = x[:, j * sub : (j + 1) * sub]
+                d = (xj * xj).sum(axis=1)[:, None] + cnorm[None, :] - 2.0 * (
+                    xj @ cmat.T
+                )
+                a = d.argmin(axis=1)
+                out[f"code_{j}"] = cids[a].astype("int32")
+                err += d[np.arange(len(a)), a].astype(np.int64)
+            out["err"] = err
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, " + ", ".join(
+        f"code_{j} int" for j in range(len(books))
+    ) + ", err bigint"
+    return e.select("vec_id", "q").mapInPandas(encode, schema)
+
+
+def _duck_pq_chain(
+    m: int = 4, k: int = 16, sample_budget: int | str | None = None
+) -> str:
     """Shared PQ oracle CTE chain: per subspace ``j`` the same 2-round
     integer Lloyd's progression as :func:`duck_kmeans_cte` on the sliced
     codes, ending at ``a2_j`` (vec_id, cid, dist) and the trained
-    centroid list ``c1_j``."""
+    centroid list ``c1_j``.  ``sample_budget`` mirrors the
+    sample-trained path of :func:`pq_codebooks`: ONE md5-smallest
+    sample of the full codes feeds every subspace's training CTEs
+    (seeds = the k DISTINCT sliced codes with the lowest owning
+    vec_ids, round-1 assignment and the centroid update over the
+    sample) while each final assignment ``a2_j`` stays full-corpus."""
     sub = 64 // m
     km_q = (
         "list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127,"
@@ -1497,16 +1598,39 @@ def _duck_pq_chain(m: int = 4, k: int = 16) -> str:
         " i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i])))"
     )
     parts = [f"WITH full_q AS (SELECT vec_id, {km_q} AS fq FROM embeddings)"]
+    if sample_budget is not None:
+        parts.append(
+            f""", s_full AS (
+            SELECT vec_id, fq FROM full_q
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT ({sample_budget})
+        )"""
+        )
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
-        parts.append(
-            f""", q{j} AS (
-            SELECT vec_id, fq[{lo}:{hi}] AS q FROM full_q
-        ), c0_{j} AS (SELECT vec_id AS cid, q AS c FROM q{j} WHERE vec_id < {k}),
+        if sample_budget is not None:
+            train = f""", s{j} AS (
+            SELECT vec_id, fq[{lo}:{hi}] AS q FROM s_full
+        ), c0_{j} AS (
+            SELECT min(vec_id) AS cid, q AS c FROM s{j}
+            GROUP BY q ORDER BY cid LIMIT ({k})
+        ),
+        d1_{j} AS (
+            SELECT q.vec_id, q.q, c.cid, {dist} AS dist
+            FROM s{j} q CROSS JOIN c0_{j} c
+        )"""
+        else:
+            train = f""", c0_{j} AS (
+            SELECT vec_id AS cid, q AS c FROM q{j} WHERE vec_id < {k}
+        ),
         d1_{j} AS (
             SELECT q.vec_id, q.q, c.cid, {dist} AS dist
             FROM q{j} q CROSS JOIN c0_{j} c
-        ), a1_{j} AS (
+        )"""
+        parts.append(
+            f""", q{j} AS (
+            SELECT vec_id, fq[{lo}:{hi}] AS q FROM full_q
+        ){train}, a1_{j} AS (
             SELECT vec_id, q, cid, dist FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM d1_{j}
@@ -1532,27 +1656,33 @@ def _duck_pq_chain(m: int = 4, k: int = 16) -> str:
     return "".join(parts)
 
 
-def duck_pq_sql(m: int = 4, k: int = 16) -> str:
+def duck_pq_sql(
+    m: int = 4, k: int = 16, sample_budget: int | str | None = None
+) -> str:
     """Oracle twin of pq_codebooks + pq_encode: one row per vector with
     its m codes and total quantization error."""
     codes = ", ".join(f"CAST(a2_{j}.cid AS INT) AS code_{j}" for j in range(m))
     err = " + ".join(f"a2_{j}.dist" for j in range(m))
     joins = " ".join(f"JOIN a2_{j} USING (vec_id)" for j in range(1, m))
-    return _duck_pq_chain(m, k) + f"""
+    return _duck_pq_chain(m, k, sample_budget) + f"""
         SELECT vec_id, {codes}, ({err})::BIGINT AS err
         FROM a2_0 {joins}
     """
 
 
 def duck_pq_adc_sql(
-    m: int = 4, k: int = 16, probe_id: int = 0, topk: int = 10
+    m: int = 4,
+    k: int = 16,
+    probe_id: int = 0,
+    topk: int = 10,
+    sample_budget: int | str | None = None,
 ) -> str:
     """Oracle twin of :func:`pq_adc_topk`: per subspace, the probe's
     sliced code meets the trained centroid list ``c1_j`` to form the
     distance table; each vector's ADC is the sum of its codes' table
     entries; top-k by (adc, vec_id)."""
     sub = 64 // m
-    chain = [_duck_pq_chain(m, k)]
+    chain = [_duck_pq_chain(m, k, sample_budget)]
     chain.append(
         f", probe AS (SELECT fq FROM full_q WHERE vec_id = {probe_id})"
     )
@@ -1669,7 +1799,11 @@ def pq_recall(
 
 
 def duck_pq_recall_sql(
-    m: int = 4, k: int = 16, probe_id: int = 0, topk: int = 10
+    m: int = 4,
+    k: int = 16,
+    probe_id: int = 0,
+    topk: int = 10,
+    sample_budget: int | str | None = None,
 ) -> str:
     """Oracle twin of :func:`pq_recall`: the ADC list (shared chain) vs
     the exact int8-L2 bottom-k, overlap counted."""
@@ -1678,7 +1812,7 @@ def duck_pq_recall_sql(
         " least(127, floor(x * 127 + 0.5))) AS BIGINT))"
     )
     return f"""
-        WITH adc AS ({duck_pq_adc_sql(m, k, probe_id, topk)}),
+        WITH adc AS ({duck_pq_adc_sql(m, k, probe_id, topk, sample_budget)}),
         eq AS (SELECT vec_id, {km_q} AS q FROM embeddings),
         ep AS (SELECT q FROM eq WHERE vec_id = {probe_id}),
         ex AS (
@@ -1711,17 +1845,15 @@ def _adc_tables(
     sub = 64 // m
     adc = None
     for j, book in enumerate(books):
-        cids = [cid for cid, _ in sorted(book)]
-        if cids != list(range(len(book))):
-            raise ValueError(f"subspace {j}: non-contiguous code ids {cids}")
         pj = probe_q[j * sub : (j + 1) * sub]
-        table = [
-            sum((a - b) * (a - b) for a, b in zip(pj, c))
-            for _, c in sorted(book)
-        ]
-        t = F.element_at(
-            F.lit(table).cast("array<bigint>"), F.col(f"code_{j}") + 1
-        )
+        # keyed by code id, not position: sample-trained codebooks
+        # (rank_seeds) carry arbitrary owning-vec_id code ids, so the
+        # k-entry table is a map literal instead of a positional array
+        pairs = []
+        for cid, c in sorted(book):
+            d = sum((a - b) * (a - b) for a, b in zip(pj, c))
+            pairs += [F.lit(int(cid)), F.lit(int(d)).cast("bigint")]
+        t = F.element_at(F.create_map(*pairs), F.col(f"code_{j}"))
         adc = t if adc is None else adc + t
     return adc
 
@@ -1765,16 +1897,32 @@ def ivfpq_topk(
             "csim"
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("seed_id").asc()
+    # Per-vec argmax as a PARTIAL-AGGREGABLE min-struct instead of a
+    # row_number window (round 12): the window SORTED all
+    # |corpus|×n_cells scored rows inside per-vec partitions; the agg
+    # combines map-side to one struct per vec, removing the sort from
+    # the exchange (measured at the SCALE.md §16 20 M-vector probe:
+    # q_ivfpq_topk wall 518 → 265 s with the Arrow encode, exchange
+    # bytes unchanged — the sort, not the bytes, was the cost).
+    # Ordering is identical: min over (−csim, seed_id) = max csim, ties
+    # to the smaller seed; a NULL csim (zero-norm degenerate) coalesces
+    # to −∞ — picked only when every seed ties there, smallest seed wins,
+    # exactly the window's desc-nulls-last rank 1.
+    key = F.struct(
+        (-F.coalesce(F.col("csim"), F.lit(float("-inf")))).alias("nc"),
+        F.col("seed_id").alias("sid"),
     )
-    ranked = scored.withColumn("crn", F.row_number().over(w))
-    assign = ranked.filter(F.col("crn") == 1).select(
-        "vec_id", F.col("seed_id").alias("cell")
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.min(key).alias("best"))
+        .select("vec_id", F.col("best.sid").alias("cell"))
     )
-    probe_cells = ranked.filter(
-        (F.col("vec_id") == probe_id) & (F.col("crn") <= n_probe_cells)
-    ).select(F.col("seed_id").alias("cell"))
+    probe_cells = (
+        scored.filter(F.col("vec_id") == probe_id)
+        .orderBy(F.col("csim").desc_nulls_last(), F.col("seed_id").asc())
+        .limit(n_probe_cells)
+        .select(F.col("seed_id").alias("cell"))
+    )
     probe = (
         _quantized(embeddings).filter(F.col("vec_id") == probe_id).collect()
     )
@@ -1805,12 +1953,13 @@ def duck_ivfpq_sql(
     topk: int = 10,
     n_cells: int = 16,
     n_probe_cells: int = 2,
+    sample_budget: int | str | None = None,
 ) -> str:
     """Oracle twin of :func:`ivfpq_topk`: IVF seed-cosine assignment CTE
     (same shape as the q_similarity_ivf oracle) + the shared PQ chain +
     probe distance tables, joined and bottom-k ranked."""
     sub = 64 // m
-    chain = [_duck_pq_chain(m, k)]
+    chain = [_duck_pq_chain(m, k, sample_budget)]
     chain.append(
         f""", ec AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings

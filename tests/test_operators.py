@@ -2995,6 +2995,68 @@ def test_pq_codebooks_are_deterministic_driver_state(spark):
         assert all(len(c) == 16 for _, c in book)
 
 
+def test_sample_trained_pq_codebooks_match_manual_sample(spark):
+    """Round 12 (the r11 semdedup-cells pattern applied to PQ): with
+    ``train_budget`` set, pq_codebooks must train each subspace's Lloyd
+    on exactly the budget md5-smallest vec_ids with distinct-code
+    seeding — pinned by recomputing the sample by hand and running the
+    full-corpus trainer on a DataFrame restricted to it.  Also asserts
+    the budget ENGAGES (sampled books differ from full-corpus books on
+    this fixture) and that ADC scoring accepts the non-contiguous code
+    ids the sampled seeds produce."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    budget = 24
+    sampled = sim.pq_codebooks(emb, m=4, k=4, train_budget=budget)
+
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    want_ids = sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:budget]
+    manual = sim.pq_codebooks(
+        emb.filter(F.col("vec_id").isin(want_ids)),
+        m=4,
+        k=4,
+        train_budget=budget,  # same rank-seeded path over the same rows
+    )
+    assert sampled == manual
+
+    full = sim.pq_codebooks(emb, m=4, k=4)
+    assert sampled != full  # the budget actually engaged
+
+    # non-contiguous code ids flow through ADC scoring (map-keyed tables)
+    cids = [cid for cid, _ in sampled[0]]
+    assert cids != list(range(len(cids)))
+    top = sim.pq_adc_topk(emb, sampled, probe_id=0, k=5).collect()
+    assert len(top) == 5
+
+
+def test_pq_encode_arrow_matches_expression(spark):
+    """Round 12: the Arrow-matmul encode twin must be BIT-EQUAL to the
+    JVM expression argmin on identical codebooks — same codes (ties to
+    the smaller cid) and same exact integer err — including
+    sample-trained books with non-contiguous code ids."""
+    emb = load_table(spark, SF, "embeddings")
+    e = sim._quantized(emb)
+    for books in (
+        sim.pq_codebooks(emb, m=4, k=16),
+        sim.pq_codebooks(emb, m=4, k=16, train_budget=32),
+    ):
+        sub = 64 // len(books)
+        a = {
+            r.vec_id: tuple(r)
+            for r in sim._pq_encode_arrow(e, books, sub).collect()
+        }
+        x = {
+            r.vec_id: tuple(r)
+            for r in sim._pq_encode_expr(e, books, sub).collect()
+        }
+        assert a == x
+
+
 def test_pq_adc_matches_bruteforce_table_sum(spark):
     """Each returned ADC distance equals the Python-side sum of the
     probe's subspace distance tables over that vector's codes, and the
