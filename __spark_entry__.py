@@ -2674,20 +2674,27 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _state_parts(spark: SparkSession, sf_dir: str, factor: int = 1) -> int:
+def _state_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int = 1,
+    source: str = "events.parquet",
+) -> int:
     """Streaming state partitions sized to the source volume
     (session.stream_state_partitions): the events fixture is MBs here, so
     a handful of state-store instances beats the batch-sized default by
     3-4x in fixed per-instance overhead; at 100 TB/day the same formula
     lands in the thousands. ``factor`` scales for sources staged larger
-    than the base file (e.g. the doubled dedup input)."""
+    than the base file (e.g. the doubled dedup input); ``source`` names
+    the staged file the stream actually reads (round 12: the
+    document-fed streams size off documents.parquet, not events)."""
     import os
 
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
         stream_state_partitions,
     )
 
-    size = os.path.getsize(os.path.join(sf_dir, "events.parquet")) * factor
+    size = os.path.getsize(os.path.join(sf_dir, source)) * factor
     return stream_state_partitions(size, spark.sparkContext.defaultParallelism)
 
 
@@ -3257,6 +3264,9 @@ def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow. On a single-batch drain each shard emits exactly one
     progress row with offset = its row count — oracle is the per-shard
     count."""
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        drain_to_memory,
+    )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming.joins import (
         _file_stream,
     )
@@ -3267,17 +3277,17 @@ def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders")  # pins session confs
     stream = _file_stream(spark, sf_dir, "orders.parquet")
     prog = track_offsets(stream, ORDERS_SHARD)
-    q = (
-        prog.writeStream.format("memory")
-        .queryName("q_stateful_offsets_mem")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # round 12: the hand-rolled writeStream here predated drain_to_memory
+    # and inherited the batch-sized state-store count (32 instances for
+    # |shards| state keys); the shared drain tail sizes the stores to the
+    # staged source and records telemetry like every sibling runner
+    return drain_to_memory(
+        spark,
+        prog,
+        "q_stateful_offsets_mem",
+        "update",
+        state_partitions=_state_parts(spark, sf_dir, source="orders.parquet"),
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_stateful_offsets did not drain within 300s")
-    return spark.table("q_stateful_offsets_mem")
 
 
 def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3316,8 +3326,17 @@ def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is split-invariance-tested; at |bands| state keys the built-in agg
     # was measured ~4x faster, so the entry runs the Catalyst form)
     mins = feed.groupBy("band_key").agg(F.min("doc_id").alias("min_doc"))
+    # state = |bands|·one long, so size the state stores to the staged
+    # source like every sibling runner (round 12: this drain inherited
+    # the batch-sized 32-instance default — telemetry showed ~8 s of
+    # summed per-instance commit rent for ~19k state rows; the sized
+    # count cuts it to the 2-instance sibling shape, guide §2)
     sink = drain_to_memory(
-        spark, mins, "q_stream_lsh_mem", "update"
+        spark,
+        mins,
+        "q_stream_lsh_mem",
+        "update",
+        state_partitions=_state_parts(spark, sf_dir, source="documents.parquet"),
     )
     band_min = sink.groupBy("band_key").agg(
         F.min("min_doc").alias("band_min")
@@ -3363,7 +3382,11 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", f"explode(array_distinct({tok})) as token"
     ).selectExpr("lang", HH.spark_h32("token") + " as h")
     sink = drain_to_memory(
-        spark, stream_kmv(feed), "q_stream_kmv_mem", "update"
+        spark,
+        stream_kmv(feed),
+        "q_stream_kmv_mem",
+        "update",
+        state_partitions=_state_parts(spark, sf_dir, source="documents.parquet"),
     )
     final = sink.groupBy("lang").agg(
         F.max("ku").cast("int").alias("k_used"),
@@ -3406,7 +3429,11 @@ def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("cv"),
     )
     sink = drain_to_memory(
-        spark, stream_moments(feed), "q_stream_moments_mem", "update"
+        spark,
+        stream_moments(feed),
+        "q_stream_moments_mem",
+        "update",
+        state_partitions=_state_parts(spark, sf_dir),
     )
     final = sink.groupBy("event_type").agg(
         F.max("n").alias("n"),
@@ -3449,7 +3476,11 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").alias("del"),
     )
     sink = drain_to_memory(
-        spark, apply_cdc_stream(feed), "q_stream_cdc_mem", "update"
+        spark,
+        apply_cdc_stream(feed),
+        "q_stream_cdc_mem",
+        "update",
+        state_partitions=_state_parts(spark, sf_dir),
     )
     final = sink.groupBy("user_id").agg(
         F.max_by(
@@ -4660,9 +4691,29 @@ _ROUND11_CHANGED = [
 #: semdedup-cells pattern applied to PQ, with ADC tables re-keyed by
 #: code id for the non-contiguous sampled seeds) — oracle VALUES change
 #: for the whole PQ family, whose four queries re-verify this round.
+#: The optimization pass then added (values identical, plans changed —
+#: OPTIMIZATION_r12.md carries the before/after evidence):
+#: five runtime drains now size their state stores to the staged source
+#: (q_stream_cdc/_lsh_dedup/_moments/_kmv + q_stateful_offsets, the
+#: q_stream_static fix generalized); six operators whose
+#: persist()/pre-action-unpersist() pair cached nothing now
+#: localCheckpoint their shared intermediate (q_item_cooccurrence,
+#: q_dau_mau, q_pmi_collocations, q_rake_keyphrases, q_sketch_intersect,
+#: q_assortativity); q_dedup_incremental carries the side tag through
+#: the shingle scan instead of re-joining it; q_split_leakage evaluates
+#: the hash-split label as an expression instead of joining it onto the
+#: exploded gram relation; q_knn_eval / q_ann_recall checkpoint their
+#: budget-bounded scored relation so the metric rollups stop re-running
+#: the brute-force pass.
 _ROUND12_CHANGED = [
     "q_semdedup", "q_hard_negatives",
     "q_pq_encode", "q_pq_adc_topk", "q_pq_recall", "q_ivfpq_topk",
+    "q_stream_cdc", "q_stream_lsh_dedup", "q_stream_moments",
+    "q_stream_kmv", "q_stateful_offsets",
+    "q_item_cooccurrence", "q_dau_mau", "q_pmi_collocations",
+    "q_rake_keyphrases", "q_sketch_intersect", "q_assortativity",
+    "q_dedup_incremental", "q_split_leakage",
+    "q_knn_eval", "q_ann_recall",
 ]
 
 #: Names bench.py must keep in its stdout line even when trimming to the
@@ -4684,16 +4735,13 @@ BENCH_ALWAYS_REPORT = tuple(_ROUND12_CHANGED) + (
 # tests/test_shared_state.py::test_round12_window_stalest_machine_checked.
 _ROUND12_WINDOW = _ROUND12_CHANGED + [
     "q_pandas_norm", "q_pandas_scale", "q_python_source", "q_sliding_distinct",
-    "q_sql_frontend", "q_stateful_offsets", "q_stream_dedup", "q_stream_ingest",
-    "q_stream_join", "q_stream_session", "q_stream_window", "q_time_travel",
-    "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q2", "q_tpch_q20",
-    "q_tpch_q21", "q_tpch_q22", "q_tpch_q4", "q_tpch_q6",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_udtf_runs",
-    "q_variant", "q_zorder_layout", "q_autocorr", "q_benford",
-    "q_bloom_join", "q_bm25_topk", "q_bpe_apply", "q_bpe_train",
-    "q_calendar_fill", "q_clustering_coef", "q_column_profile", "q_compaction_plan",
+    "q_sql_frontend", "q_stream_dedup", "q_stream_ingest", "q_stream_join",
+    "q_stream_session", "q_stream_window", "q_time_travel", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8",
 ]
 
 # The round-11 driver-correctness window: the round's changed queries

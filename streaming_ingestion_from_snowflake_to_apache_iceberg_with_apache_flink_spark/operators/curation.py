@@ -172,7 +172,11 @@ def split_leakage(documents: DataFrame, n: int = 8) -> DataFrame:
     grams = _hashed_shingles(documents, n).selectExpr(
         "doc_id", "explode(shingles) as g"
     )
-    lg = grams.join(labeled, "doc_id")
+    # split is a pure hash expression of doc_id — evaluate it on the
+    # gram rows instead of joining the label relation onto the exploded
+    # corpus (round 12, guide §2.4: that join shuffled every gram row to
+    # attach a label computable in-place; same labels by construction)
+    lg = hash_split(grams, "doc_id")
     train_g = lg.filter(F.col("split") == "train").select("g").distinct()
     leaked = (
         lg.filter(F.col("split") != "train")

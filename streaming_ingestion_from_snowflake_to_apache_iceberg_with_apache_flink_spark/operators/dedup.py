@@ -129,18 +129,29 @@ def _posting_pairs(
     return pairs.selectExpr(both).select("p.*")
 
 
-def _hashed_shingles(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingles: array<bigint>) — the shared shingle-hash scan.
+def _hashed_shingles(
+    documents: DataFrame, n: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *carry, shingles: array<bigint>) — the shared
+    shingle-hash scan.
 
     The token split is hoisted into its own projection so the n-gram slice
     lambda reads a materialized token array; inlined, Catalyst re-evaluates
     the regex split once per shingle position (multi-use aliases do not
-    collapse, so the hoist survives optimization)."""
+    collapse, so the hoist survives optimization).
+
+    ``carry`` threads extra metadata columns through the scan so callers
+    never re-join them onto the shingle relation by doc_id — that join
+    shuffles the corpus-sized shingle arrays a second time for a
+    few-bytes tag (round 12, guide §2.3)."""
     sh = H.spark_shingles("toks", n)
+    cols = ["doc_id", *carry]
     return (
         spread(documents)
-        .selectExpr("doc_id", f"{_TOKENS} as toks")
-        .selectExpr("doc_id", f"transform({sh}, s -> {H.spark_h32('s')}) as shingles")
+        .selectExpr(*cols, f"{_TOKENS} as toks")
+        .selectExpr(
+            *cols, f"transform({sh}, s -> {H.spark_h32('s')}) as shingles"
+        )
     )
 
 
@@ -214,7 +225,13 @@ def incremental_dedup(
     semantics, mirrored by the oracle) and only cross-side pairs are
     scored. Requires globally unique doc_ids across both inputs.
     """
-    nh = new_docs.select("doc_id", F.md5(F.col("text")).alias("__h"))
+    # (doc_id, md5) is consumed by three legs (corpus semi-join, batch
+    # min, batch-dup join); checkpoint the narrow hash relation so the
+    # batch text is scanned and hashed ONCE (round 12, guide §8: decide
+    # with small rows) instead of once per leg.
+    nh = new_docs.select(
+        "doc_id", F.md5(F.col("text")).alias("__h")
+    ).localCheckpoint(eager=True)
     ch = corpus.select(F.md5(F.col("text")).alias("__h")).distinct()
     in_corpus = nh.join(ch, "__h", "left_semi").select("doc_id")
     batch_min = nh.groupBy("__h").agg(F.min("doc_id").alias("__min"))
@@ -227,9 +244,10 @@ def incremental_dedup(
     tagged = corpus.select("doc_id", "text").withColumn(
         "side", F.lit(0)
     ).unionByName(new_docs.select("doc_id", "text").withColumn("side", F.lit(1)))
-    inv = _hashed_shingles(tagged.drop("side"), n).join(
-        tagged.select("doc_id", "side"), "doc_id"
-    ).selectExpr(
+    # side rides through the shingle scan (carry=) instead of being
+    # re-joined by doc_id — the old join shuffled the corpus-sized
+    # shingle arrays once more to attach a one-byte tag (round 12)
+    inv = _hashed_shingles(tagged, n, carry=("side",)).selectExpr(
         "doc_id", "side", "size(shingles) as n_sh", "explode(shingles) as shingle"
     )
     pairs = _posting_pairs(
@@ -1733,7 +1751,11 @@ def assortativity(
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .persist()
+        # Materialized ONCE (round 12): persist()+pre-action unpersist()
+        # cached nothing, so the degree agg and both edge-tagging joins
+        # re-exploded the pair graph. The bench's release sweep reclaims
+        # the blocks.
+        .localCheckpoint(eager=True)
     )
     deg = bidir.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
@@ -1763,7 +1785,6 @@ def assortativity(
                    * (cast(m as double) * syy - cast(sy as double) * sy)),
             6) as assortativity""",
     )
-    bidir.unpersist()
     return out
 
 

@@ -385,9 +385,13 @@ def ann_recall(
     audit costs two index runs plus a trivial join regardless of corpus
     size.
     """
+    # k·|probes| rows whose lineage is the full brute-force pass —
+    # materialize once so the hit semi-join and the per-probe base count
+    # don't each re-score the corpus (round 12, guide §8; the bench's
+    # release sweep reclaims the blocks)
     exact = topk_cosine_bruteforce(embeddings, probe_ids, k).select(
         "probe_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=True)
     approx = ivf_topk_cosine(
         embeddings, probe_ids, k, n_cells, n_probe_cells
     ).select("probe_id", "neighbor_id")
@@ -1327,9 +1331,15 @@ def knn_eval(
     then |classes| rows.
     """
     probe_ids = knn_probe_ids(embeddings, probe_mod, budget)
+    # ≤ budget rows, but its lineage is the full brute-force scoring
+    # pass — materialize once so the true-label and pred-label rollups
+    # don't each re-score the corpus (round 12: the plan showed the
+    # whole knn_classify subtree TWICE, 8 parquet scans total; guide
+    # §8: decide with small rows). The bench's release sweep reclaims
+    # the blocks.
     pred = knn_classify(embeddings, probe_ids, k).select(
         "true_label", "pred_label"
-    )
+    ).localCheckpoint(eager=True)
     tr = pred.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum(

@@ -581,12 +581,17 @@ def kmv_intersection(documents: DataFrame, k: int = 128) -> DataFrame:
     is precisely the point of the sketch.
     """
     tok = H.spark_tokens("text")
+    # Materialized ONCE (round 12): persist()+pre-action unpersist()
+    # cached nothing, so the sketch build and the exact-overlap leg each
+    # re-tokenized + re-distinct'ed the corpus (and the pair join re-ran
+    # the sketch window twice). localCheckpoint runs each stage once;
+    # the bench's release sweep reclaims the blocks.
     pairs = (
         spread(documents)
         .selectExpr("lang", f"explode(array_distinct({tok})) as token")
         .selectExpr("lang", H.spark_h32("token") + " as h")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
@@ -594,7 +599,7 @@ def kmv_intersection(documents: DataFrame, k: int = 128) -> DataFrame:
     sk = (
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     kth = sk.groupBy("lang").agg(F.max("h").alias("kth"))
     a, b = [
@@ -636,8 +641,6 @@ def kmv_intersection(documents: DataFrame, k: int = 128) -> DataFrame:
             "cast(coalesce(n_exact, 0) as bigint) as n_exact",
         )
     )
-    pairs.unpersist()
-    sk.unpersist()
     return out
 
 

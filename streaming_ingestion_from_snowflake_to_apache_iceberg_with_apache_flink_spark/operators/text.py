@@ -1374,11 +1374,15 @@ def pmi_collocations(
         " transform(sequence(1, size(t) - 1),"
         " i -> struct(t[i - 1] as x, t[i] as y)))"
     )
+    # Materialized ONCE (round 12): persist()+pre-action unpersist()
+    # cached nothing, so pair_counts / uni / total each re-tokenized the
+    # corpus. localCheckpoint runs the token pass once; the bench's
+    # release sweep reclaims the blocks.
     occ = (
         documents.selectExpr(f"{_TOKENS} as t")
         .selectExpr(f"explode({pairs_expr}) as p")
         .select("p.x", "p.y")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     pair_counts = (
         occ.groupBy("x", "y")
@@ -1414,11 +1418,9 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
-    out = scored.orderBy(
+    return scored.orderBy(
         F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc()
     ).limit(k)
-    occ.unpersist()
-    return out
 
 
 def duck_pmi_sql(k: int = 50, min_count: int = 5) -> str:
@@ -1499,7 +1501,11 @@ def rake_keyphrases(
             F.count(F.lit(1)).alias("n_words"),
         )
         .filter(F.col("n_words") <= max_words)
-        .persist()
+        # Materialized ONCE (round 12): persist()+pre-action unpersist()
+        # cached nothing, so the word-score and phrase-score branches
+        # each re-ran the posexplode + window segmentation. The bench's
+        # release sweep reclaims the blocks.
+        .localCheckpoint(eager=True)
     )
     words = phrases.select(
         F.explode(F.split("phrase", " ")).alias("word"), "n_words"
@@ -1534,7 +1540,6 @@ def rake_keyphrases(
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(k)
     )
-    phrases.unpersist()
     return out
 
 

@@ -1104,6 +1104,11 @@ def dau_mau(events: DataFrame) -> DataFrame:
     bounded by the 30-row day calendar per user-day — all work is
     |users|·|days|-bounded, never event-bounded.
     """
+    # Materialized ONCE (round 12): the old persist()/unpersist() pair
+    # released the cache before the lazy result ever ran, so all three
+    # consumers (dau, the day calendar, the mau range join) re-ran the
+    # corpus-sized distinct. localCheckpoint truncates lineage; the
+    # bench's release sweep reclaims the blocks.
     ud = (
         events.select(
             "user_id",
@@ -1112,7 +1117,7 @@ def dau_mau(events: DataFrame) -> DataFrame:
             ).alias("day"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dau = ud.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
@@ -1134,7 +1139,6 @@ def dau_mau(events: DataFrame) -> DataFrame:
         "mau",
         F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
     )
-    ud.unpersist()
     return out
 
 

@@ -696,3 +696,54 @@ def test_drain_telemetry_records_batch_and_state_counts(spark, tmp_path):
     assert t["state_store_instances"] == 4
     assert t["state_rows"] >= 1
     assert t["state_commit_ms"] >= 0
+
+
+def test_runtime_drains_thread_sized_state_partitions(spark):
+    """Round 12 (optimization guide §2 — the q_stream_static lesson,
+    generalized): EVERY drain_to_memory runtime query must size its state
+    stores to the staged source via _state_parts, never inherit the
+    batch shuffle default. The four drains fixed this round
+    (q_stream_moments / q_stream_cdc / q_stream_kmv / q_stream_lsh_dedup)
+    ran 32 state-store instances for ≤19k state rows — 5-8 s of summed
+    per-instance commit rent per drain; telemetry must now show the sized
+    count."""
+    import __spark_entry__ as entrymod
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+        streaming as S,
+    )
+
+    batch_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cases = {
+        "q_stream_moments_mem": (
+            entrymod.q_stream_moments,
+            entrymod._state_parts(spark, SF),
+        ),
+        "q_stream_cdc_mem": (
+            entrymod.q_stream_cdc,
+            entrymod._state_parts(spark, SF),
+        ),
+        "q_stream_kmv_mem": (
+            entrymod.q_stream_kmv,
+            entrymod._state_parts(spark, SF, source="documents.parquet"),
+        ),
+        "q_stream_lsh_mem": (
+            entrymod.q_stream_lsh_dedup,
+            entrymod._state_parts(spark, SF, source="documents.parquet"),
+        ),
+        "q_stateful_offsets_mem": (
+            entrymod.q_stateful_offsets,
+            entrymod._state_parts(spark, SF, source="orders.parquet"),
+        ),
+    }
+    for name, (fn, expected) in cases.items():
+        assert expected != batch_default, (
+            "fixture too large for the pin to discriminate: sized count "
+            "collides with the batch default"
+        )
+        S.DRAIN_TELEMETRY.pop(name, None)
+        fn(spark, SF)  # building the frame runs the drain
+        t = S.DRAIN_TELEMETRY[name]
+        assert t["state_store_instances"] == expected, (
+            f"{name}: state stores {t['state_store_instances']} != sized "
+            f"count {expected} — drain inherited the batch default?"
+        )
