@@ -2679,6 +2679,7 @@ def _state_parts(
     sf_dir: str,
     factor: int = 1,
     source: str = "events.parquet",
+    python_stateful: bool = False,
 ) -> int:
     """Streaming state partitions sized to the source volume
     (session.stream_state_partitions): the events fixture is MBs here, so
@@ -2687,7 +2688,19 @@ def _state_parts(
     lands in the thousands. ``factor`` scales for sources staged larger
     than the base file (e.g. the doubled dedup input); ``source`` names
     the staged file the stream actually reads (round 12: the
-    document-fed streams size off documents.parquet, not events)."""
+    document-fed streams size off documents.parquet, not events).
+
+    ``python_stateful`` floors the count at a quarter of the cores: for
+    ``applyInPandasWithState`` stages the state-partition count is ALSO
+    the Python compute parallelism (every input row crosses the Arrow
+    boundary in those partitions), so the state-sized minimum of 2
+    serializes the whole feed through two workers. Measured locally
+    (q_stream_cdc, 100k rows, 32 cores): 2 parts = 4.4-9.4 s, 8 parts =
+    2.8-3.1 s, 32 parts = 3.2-3.5 s (per-instance commit rent back) —
+    cores/4 is the sweet spot; at scale the state-sized term dominates
+    anyway. Built-in JVM-state aggs keep the pure state sizing: their
+    map-side partial aggregation runs at source parallelism regardless,
+    so only the tiny final merge lands on the state partitions."""
     import os
 
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
@@ -2695,7 +2708,11 @@ def _state_parts(
     )
 
     size = os.path.getsize(os.path.join(sf_dir, source)) * factor
-    return stream_state_partitions(size, spark.sparkContext.defaultParallelism)
+    cores = spark.sparkContext.defaultParallelism
+    n = stream_state_partitions(size, cores)
+    if python_stateful:
+        n = max(n, max(2, cores // 4))
+    return n
 
 
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3286,7 +3303,9 @@ def q_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         prog,
         "q_stateful_offsets_mem",
         "update",
-        state_partitions=_state_parts(spark, sf_dir, source="orders.parquet"),
+        state_partitions=_state_parts(
+            spark, sf_dir, source="orders.parquet", python_stateful=True
+        ),
     )
 
 
@@ -3480,7 +3499,7 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_cdc_stream(feed),
         "q_stream_cdc_mem",
         "update",
-        state_partitions=_state_parts(spark, sf_dir),
+        state_partitions=_state_parts(spark, sf_dir, python_stateful=True),
     )
     final = sink.groupBy("user_id").agg(
         F.max_by(

@@ -720,7 +720,7 @@ def test_runtime_drains_thread_sized_state_partitions(spark):
         ),
         "q_stream_cdc_mem": (
             entrymod.q_stream_cdc,
-            entrymod._state_parts(spark, SF),
+            entrymod._state_parts(spark, SF, python_stateful=True),
         ),
         "q_stream_kmv_mem": (
             entrymod.q_stream_kmv,
@@ -732,7 +732,9 @@ def test_runtime_drains_thread_sized_state_partitions(spark):
         ),
         "q_stateful_offsets_mem": (
             entrymod.q_stateful_offsets,
-            entrymod._state_parts(spark, SF, source="orders.parquet"),
+            entrymod._state_parts(
+                spark, SF, source="orders.parquet", python_stateful=True
+            ),
         ),
     }
     for name, (fn, expected) in cases.items():
