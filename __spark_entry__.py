@@ -2698,9 +2698,13 @@ def _state_parts(
     (q_stream_cdc, 100k rows, 32 cores): 2 parts = 4.4-9.4 s, 8 parts =
     2.8-3.1 s, 32 parts = 3.2-3.5 s (per-instance commit rent back) —
     cores/4 is the sweet spot; at scale the state-sized term dominates
-    anyway. Built-in JVM-state aggs keep the pure state sizing: their
-    map-side partial aggregation runs at source parallelism regardless,
-    so only the tiny final merge lands on the state partitions."""
+    anyway. Built-in JVM-state aggs keep the pure state sizing (map-side
+    partial aggregation runs at source parallelism; only the tiny merge
+    lands on the state partitions), and so do the two pandas folds whose
+    key has ~5 values (kmv, moments): their Python parallelism is
+    key-capped at min(parts, 5) either way and the per-key fold is one
+    vectorized reduction, so an idle-box sweep showed them
+    partition-insensitive — the floor would only add commit rent."""
     import os
 
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.session import (
