@@ -1600,7 +1600,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped so repeated runs leave no warehouse litter."""
     import os
     import shutil
-    import tempfile
     import uuid
 
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.config import (
@@ -1615,8 +1614,14 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_ingest,
     )
 
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        scratch_dir,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="sgq_stream_")
+    # base holds only the stream checkpoint — transient scratch, so it
+    # lives on the fast tier (streaming.scratch_root rationale)
+    base = scratch_dir("sgq_stream_")
     table = f"q_stream_{uuid.uuid4().hex[:8]}"
     try:
         cfg = PipelineConfig(
@@ -3824,10 +3829,14 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain relation — the offset ledger provably covered every row exactly
     once."""
     import os
+    import shutil
     import uuid
 
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.sources import (
         pysource,
+    )
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.streaming import (
+        scratch_dir,
     )
 
     load_table(spark, sf_dir, "orders")  # pins session confs (UTC, ns)
@@ -3840,19 +3849,25 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("sort_column", ORDERS_SORT)
         .load()
     )
-    q = (
-        _orders_out(s)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # False = timeout: a partial drain must fail loudly, not hash-compare
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"stream {name} did not drain within 300s")
-    return spark.table(name).localCheckpoint(eager=True)
+    ckpt = scratch_dir(f"drain_{name}_")
+    try:
+        q = (
+            _orders_out(s)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # False = timeout: a partial drain must fail loudly, not
+        # hash-compare
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"stream {name} did not drain within 300s")
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:

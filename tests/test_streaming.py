@@ -749,3 +749,40 @@ def test_runtime_drains_thread_sized_state_partitions(spark):
             f"{name}: state stores {t['state_store_instances']} != sized "
             f"count {expected} — drain inherited the batch default?"
         )
+
+
+def test_scratch_root_env_override(monkeypatch):
+    """SPARK_GRAFT_STREAM_SCRATCH wins; otherwise the fast ephemeral
+    mount (or the system temp dir) is chosen — never a missing path."""
+    import os
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+        streaming as S,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", "/tmp/custom_scratch")
+    assert S.scratch_root() == "/tmp/custom_scratch"
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH")
+    root = S.scratch_root()
+    assert os.path.isdir(root) and os.access(root, os.W_OK)
+
+
+def test_drain_checkpoint_is_scratched_and_cleaned(spark, monkeypatch, tmp_path):
+    """drain_to_memory puts its transient checkpoint under scratch_root
+    and removes it after the drain — tmpfs space is RAM, so a leaked
+    checkpoint dir is a real leak, not cosmetic."""
+    import os
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+        streaming as S,
+    )
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", str(scratch))
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_stream_moments(spark, SF)
+    assert df.count() > 0  # the drain ran
+    leftovers = [p for p in os.listdir(scratch) if p.startswith("drain_")]
+    assert leftovers == [], f"checkpoint scratch leaked: {leftovers}"
