@@ -1453,6 +1453,40 @@ def duck_pmi_sql(k: int = 50, min_count: int = 5) -> str:
     """
 
 
+def _rake_phrases(documents: DataFrame, max_words: int) -> DataFrame:
+    """(doc_id, seg, phrase, n_words) candidate-phrase relation: token
+    runs between stopword boundaries, segmented by a PER-DOC window
+    (partitioned by doc_id — never a corpus-wide single-partition
+    WindowExec; the plan contract is pinned in tests/test_plans.py).
+    Split out of ``rake_keyphrases`` so the window shape stays
+    assertable after the caller checkpoints this relation."""
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = documents.selectExpr(
+        "doc_id", f"posexplode({_TOKENS}) as (pos, token)"
+    ).withColumn("is_stop", F.expr(f"token in ({stops})"))
+    seg = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn(
+            "seg", F.sum(F.col("is_stop").cast("int")).over(seg)
+        )
+        .filter(~F.col("is_stop"))
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+    )
+
+
 def rake_keyphrases(
     documents: DataFrame, k: int = 25, max_words: int = 3
 ) -> DataFrame:
@@ -1475,38 +1509,11 @@ def rake_keyphrases(
     phrase-occurrence rows; the word-score join keys on the word. Top-k
     is TakeOrderedAndProject.
     """
-    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    from pyspark.sql import Window
-
-    toks = documents.selectExpr(
-        "doc_id", f"posexplode({_TOKENS}) as (pos, token)"
-    ).withColumn("is_stop", F.expr(f"token in ({stops})"))
-    seg = Window.partitionBy("doc_id").orderBy("pos")
-    phrases = (
-        toks.withColumn(
-            "seg", F.sum(F.col("is_stop").cast("int")).over(seg)
-        )
-        .filter(~F.col("is_stop"))
-        .groupBy("doc_id", "seg")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "token"))
-                    ),
-                    lambda s: s["token"],
-                ),
-                " ",
-            ).alias("phrase"),
-            F.count(F.lit(1)).alias("n_words"),
-        )
-        .filter(F.col("n_words") <= max_words)
-        # Materialized ONCE (round 12): persist()+pre-action unpersist()
-        # cached nothing, so the word-score and phrase-score branches
-        # each re-ran the posexplode + window segmentation. The bench's
-        # release sweep reclaims the blocks.
-        .localCheckpoint(eager=True)
-    )
+    # Materialized ONCE (round 12): persist()+pre-action unpersist()
+    # cached nothing, so the word-score and phrase-score branches
+    # each re-ran the posexplode + window segmentation. The bench's
+    # release sweep reclaims the blocks.
+    phrases = _rake_phrases(documents, max_words).localCheckpoint(eager=True)
     words = phrases.select(
         F.explode(F.split("phrase", " ")).alias("word"), "n_words"
     )

@@ -1435,14 +1435,34 @@ def test_quality_calibration_window_on_histogram_only(spark):
 def test_knn_eval_probe_side_broadcast(spark):
     """The brute-force scoring join broadcasts the probe/neighbor side
     into the corpus scan (BroadcastNestedLoopJoin is the INTENDED plan
-    for the θ-join; the corpus is streamed, never shuffled)."""
+    for the θ-join; the corpus is streamed, never shuffled). Since round
+    12 the scoring pass is localCheckpointed inside knn_eval — the
+    true-label and pred-label rollups read the ≤budget-row checkpoint
+    instead of each re-running the scoring subtree (the before plan had
+    it twice, 8 parquet scans) — so the θ-join plan is asserted on the
+    scoring stage itself and knn_eval's returned plan must contain no
+    corpus scan at all."""
+    import re
+
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.similarity import (
+        knn_classify,
         knn_eval,
+        knn_probe_ids,
     )
 
-    plan = formatted_plan(knn_eval(load_table(spark, SF, "embeddings")))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    emb = load_table(spark, SF, "embeddings")
+    scoring = formatted_plan(knn_classify(emb, knn_probe_ids(emb, 5, 64), k=5))
+    assert "BroadcastNestedLoopJoin" in scoring
+    assert "CartesianProduct" not in scoring
+
+    plan = formatted_plan(knn_eval(emb))
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Scan parquet", ln.strip())
+    ]
+    assert scans == [], scans  # rollups read the checkpoint, not the corpus
+    assert "BroadcastNestedLoopJoin" not in plan  # scoring ran exactly once
 
 
 def test_knn_eval_probe_literal_is_budget_bounded(spark):
@@ -2109,21 +2129,31 @@ def test_sax_and_rake_windows_are_partitioned(spark):
     segmentation) must window by the entity key — no corpus-wide
     single-partition WindowExec."""
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.text import (
+        _rake_phrases,
         rake_keyphrases,
     )
     from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.operators.timeseries import (
         sax_motifs,
     )
 
+    # RAKE's segmentation window is asserted on the pre-checkpoint phrase
+    # relation: since round 12 rake_keyphrases localCheckpoints it (the
+    # word-score and phrase-score branches used to re-run the posexplode +
+    # window segmentation), so the returned plan reads the checkpoint and
+    # the window no longer appears there.
     for df, key in (
         (sax_motifs(load_table(spark, SF, "events")), "user_id"),
-        (rake_keyphrases(load_table(spark, SF, "documents")), "doc_id"),
+        (_rake_phrases(load_table(spark, SF, "documents"), 3), "doc_id"),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         specs = plan.split("windowspecdefinition(")[1:]
         assert specs, "expected window specs"
         for sp in specs:
             assert sp.startswith(key), f"unpartitioned window: {sp[:60]}"
+
+    rake_plan = formatted_plan(rake_keyphrases(load_table(spark, SF, "documents")))
+    assert "Scan parquet" not in rake_plan  # branches read the checkpoint
+    assert "windowspecdefinition" not in rake_plan  # segmentation ran once
 
 
 def test_quantile_buckets_and_hist_exact_leg_partitioned(spark):
