@@ -52,6 +52,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # BLAS thread caps for EXECUTOR processes on a real cluster (separate
+    # JVMs that do not inherit this process's env). Local mode inherits
+    # the same values via the package-import-time env pin in __init__.py
+    # — see the rationale there. Values come from that pin, so the two
+    # paths can never disagree; SPARK_GRAFT_BLAS_THREADS overrides both.
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        if os.environ.get(var):
+            b = b.config(f"spark.executorEnv.{var}", os.environ[var])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -543,3 +543,30 @@ def test_scale_fixture_perturbs_embeddings_and_text(tmp_path):
         f"SELECT count(*) FROM '{dst}/documents.parquet' WHERE"
         " text LIKE '% zq1x'"
     ).fetchone()[0] == n
+
+
+def test_blas_thread_pin_propagates(spark):
+    """Round-12 BLAS pin: importing the package caps worker BLAS thread
+    pools (numpy's bundled OpenBLAS defaults to ncpu threads PER WORKER
+    — local[32] ran ~1024 runnable threads and the matmul kernels
+    degraded up to 5x). Three contracts: the env caps are set in this
+    process (the local-mode inheritance root for JVM -> worker daemon
+    -> workers), get_spark forwards them to spark.executorEnv.* for
+    real clusters, and a worker-side probe observes the cap."""
+    import os
+
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        assert os.environ.get(var), f"{var} not pinned at package import"
+        assert spark.conf.get(f"spark.executorEnv.{var}") == os.environ[var]
+
+    # worker-side: the env the kernel processes actually see
+    seen = (
+        spark.range(1)
+        .rdd.map(
+            lambda _: __import__("os").environ.get(
+                "OPENBLAS_NUM_THREADS", "MISSING"
+            )
+        )
+        .collect()
+    )
+    assert seen == [os.environ["OPENBLAS_NUM_THREADS"]]
