@@ -30,6 +30,21 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(total, steal) jiffies from /proc/stat, or None off-Linux.
+    Loadavg misses hypervisor CPU capping entirely (the guest reads
+    idle-with-runnable while the host withholds cycles), and capped
+    windows are the documented 2-4x sweep-inflation mode — so every
+    recorded sweep carries its own steal fraction (round 12)."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        vals = [int(v) for v in fields[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -100,6 +115,7 @@ def main() -> None:
     import gc
 
     load_start = os.getloadavg()[0]
+    steal_start = _cpu_ticks()
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
@@ -203,6 +219,19 @@ def main() -> None:
                     # carries the evidence to adjudicate itself
                     "loadavg_start": round(load_start, 2),
                     "loadavg_end": round(os.getloadavg()[0], 2),
+                    # % of the sweep's CPU time stolen by the hypervisor
+                    # (loadavg cannot see capping; >~2% sustained is the
+                    # degraded-box mode — see OPTIMIZATION_r12.md)
+                    "cpu_steal_pct": (
+                        round(
+                            100.0
+                            * (steal_end[1] - steal_start[1])
+                            / max(1, steal_end[0] - steal_start[0]),
+                            2,
+                        )
+                        if steal_start and (steal_end := _cpu_ticks())
+                        else None
+                    ),
                     "only": sorted(only) if only else None,
                 },
                 "methodology": (
