@@ -40,7 +40,10 @@ def _cpu_ticks() -> tuple[int, int] | None:
         with open("/proc/stat") as fh:
             fields = fh.readline().split()
         vals = [int(v) for v in fields[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
+        # denominator = user..steal only: the kernel already folds guest/
+        # guest_nice into user/nice, so including them double-counts guest
+        # time and deflates the steal fraction (ADVICE r12)
+        return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
     except Exception:
         return None
 

@@ -4,6 +4,7 @@ aggregations, custom keyed state."""
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 from contextlib import contextmanager
@@ -32,17 +33,55 @@ def scratch_root() -> str:
     re-run from the source parquet, exactly as before."""
     env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if env:
+        # mkdtemp raises FileNotFoundError on a missing dir — a cluster
+        # pointing this at a not-yet-created NVMe path should get the
+        # dir, not a crash (ADVICE r12)
+        os.makedirs(env, exist_ok=True)
         return env
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         return "/dev/shm"
     return tempfile.gettempdir()
 
 
+def _sweep_stale_scratch(root: str) -> None:
+    """Reclaim scratch dirs leaked by a SIGKILLed owner: every dir here
+    is named ``sg<pid>_…`` by :func:`scratch_dir`, so a dir whose owner
+    PID is gone is garbage by construction (the default root is tmpfs —
+    leaked checkpoint files are RAM until reboot; ADVICE r12 / VERDICT
+    r12 item #4).  A dir whose owner is alive is never touched, so
+    concurrent sessions are safe."""
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        m = _SCRATCH_RE.match(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # 0 = existence probe, no signal delivered
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except OSError:
+            continue  # EPERM etc.: owner exists, leave it
+
+
+_SCRATCH_RE = re.compile(r"^sg(\d+)_")
+
+
 def scratch_dir(prefix: str) -> str:
-    """A fresh transient checkpoint dir under :func:`scratch_root`.
+    """A fresh transient checkpoint dir under :func:`scratch_root`,
+    PID-tagged so a later session can tell live scratch from leaks.
     Callers own cleanup (``shutil.rmtree(..., ignore_errors=True)`` in a
-    ``finally`` — tmpfs space is RAM, so leaks are not free)."""
-    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+    ``finally`` — tmpfs space is RAM, so leaks are not free); dirs whose
+    owner died without the ``finally`` are reclaimed here on the next
+    session's first drain."""
+    root = scratch_root()
+    _sweep_stale_scratch(root)
+    return tempfile.mkdtemp(prefix=f"sg{os.getpid()}_{prefix}", dir=root)
 
 
 @contextmanager

@@ -784,5 +784,41 @@ def test_drain_checkpoint_is_scratched_and_cleaned(spark, monkeypatch, tmp_path)
 
     df = entrymod.q_stream_moments(spark, SF)
     assert df.count() > 0  # the drain ran
-    leftovers = [p for p in os.listdir(scratch) if p.startswith("drain_")]
+    leftovers = os.listdir(scratch)
     assert leftovers == [], f"checkpoint scratch leaked: {leftovers}"
+
+
+def test_stale_scratch_reclaimed_next_session(monkeypatch, tmp_path):
+    """A drain SIGKILLed between mkdtemp and its ``finally`` leaks a
+    RAM-backed dir (the default root is tmpfs); the next session's first
+    scratch_dir() must reclaim it — and must NOT touch dirs whose owner
+    PID is alive (VERDICT r12 item #4 / ADVICE r12)."""
+    import os
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+        streaming as S,
+    )
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", str(scratch))
+    # a dead owner: PIDs are recycled upward, so a just-reaped child's
+    # PID is guaranteed stale
+    child = os.fork()
+    if child == 0:
+        os._exit(0)
+    os.waitpid(child, 0)
+    dead = scratch / f"sg{child}_drain_killed_"
+    dead.mkdir()
+    (dead / "offsets").write_text("leak")
+    alive = scratch / "sg1_drain_other_session_"  # PID 1 is always alive
+    alive.mkdir()
+    mine = S.scratch_dir("drain_probe_")
+    try:
+        assert not dead.exists(), "stale scratch of a dead PID survived"
+        assert alive.exists(), "live foreign scratch was swept"
+        assert os.path.basename(mine).startswith(f"sg{os.getpid()}_")
+    finally:
+        import shutil
+
+        shutil.rmtree(mine, ignore_errors=True)
