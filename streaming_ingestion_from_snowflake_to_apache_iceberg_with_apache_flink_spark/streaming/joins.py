@@ -158,8 +158,22 @@ def stream_interval_join_run(
     )
     from . import drain_to_memory
 
+    # INNER join: every result row emits in the data batch that matched
+    # it; the trailing no-data micro-batch only EVICTS state (it cannot
+    # emit for an inner join), so on a bounded AvailableNow drain it is
+    # a full batch cycle (~0.7 s warm: offset log + replan + one commit
+    # per store instance) spent producing zero rows — skip it.  The
+    # LEFT OUTER twin below MUST keep it: its null rows emit exactly
+    # there.  (Round 13, guide §1.3/§2.6; value-identical, re-verified
+    # against the oracle.)
     return drain_to_memory(
-        spark, joined, query_name, "append", timeout_sec, state_partitions
+        spark,
+        joined,
+        query_name,
+        "append",
+        timeout_sec,
+        state_partitions,
+        extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
     )
 
 

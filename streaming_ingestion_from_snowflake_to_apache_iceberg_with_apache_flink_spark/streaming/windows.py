@@ -292,11 +292,14 @@ def stream_dedup_run(
     )
     from . import drain_to_memory
 
-    extra = (
-        {"spark.sql.streaming.stateStore.providerClass": state_backend}
-        if state_backend
-        else None
-    )
+    # dropDuplicatesWithinWatermark EMITS each first-seen row in its own
+    # data batch; the watermark only evicts key state, so the trailing
+    # no-data micro-batch of an AvailableNow drain produces zero rows at
+    # the cost of a full batch cycle (~0.25 s warm) — skip it (round 13,
+    # guide §1.3; value-identical, re-verified against the oracle).
+    extra = {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+    if state_backend:
+        extra["spark.sql.streaming.stateStore.providerClass"] = state_backend
     return drain_to_memory(
         spark,
         deduped,

@@ -822,3 +822,39 @@ def test_stale_scratch_reclaimed_next_session(monkeypatch, tmp_path):
         import shutil
 
         shutil.rmtree(mine, ignore_errors=True)
+
+
+def test_evict_only_drains_skip_the_no_data_batch(spark):
+    """Round 13 (guide §1.3/§2.6): the trailing no-data micro-batch of
+    an AvailableNow drain can only EMIT rows for operators that produce
+    output on watermark advance (outer joins, append-mode windowed
+    aggs).  For the inner interval join and dropDuplicatesWithinWatermark
+    it is pure state eviction — a full batch cycle producing zero rows —
+    so those two drains disable it; telemetry must show exactly ONE
+    micro-batch with the full input, and the outer-join twin (whose null
+    rows emit exactly in that batch) must keep BOTH."""
+    import __spark_entry__ as entrymod
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark import (
+        streaming as S,
+    )
+
+    S.DRAIN_TELEMETRY.pop("stream_interval_mem", None)
+    entrymod.q_stream_join(spark, SF)
+    t = S.DRAIN_TELEMETRY["stream_interval_mem"]
+    assert t["micro_batches"] == 1, "inner join ran its evict-only batch"
+    # both sides fully drained in that single batch
+    n_events = load_table(spark, SF, "events").count()
+    assert t["input_rows"] == 2 * n_events
+
+    S.DRAIN_TELEMETRY.pop("stream_dedup_mem", None)
+    entrymod.q_stream_dedup(spark, SF)
+    t = S.DRAIN_TELEMETRY["stream_dedup_mem"]
+    assert t["micro_batches"] == 1, "dedup ran its evict-only batch"
+
+    S.DRAIN_TELEMETRY.pop("stream_outer_mem", None)
+    entrymod.q_stream_outer_join(spark, SF)
+    t = S.DRAIN_TELEMETRY["stream_outer_mem"]
+    assert t["micro_batches"] >= 2, (
+        "outer join MUST keep the no-data batch: its watermark-certified "
+        "null rows emit there"
+    )
