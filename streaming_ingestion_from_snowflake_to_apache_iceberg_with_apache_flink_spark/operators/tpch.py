@@ -642,6 +642,8 @@ def excess_shippers(
     ``l_partkey`` key; ``2·sq > total`` keeps the half-threshold in
     integers; the qualifying supplier set is a distinct broadcast back
     onto the supplier dim."""
+    from pyspark.sql import Window as W
+
     pt = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
     li = (
         lineitem.filter(
@@ -650,16 +652,15 @@ def excess_shippers(
         .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
         .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty"))
     )
-    per_pair = (
-        li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("qty").alias("sq"))
-        .persist()  # feeds both the per-part total and the join back
-    )
-    per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("sq").alias("total_qty")
-    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("sq"))
+    # the per-part total as a WINDOW over per_pair instead of a second
+    # groupBy + self-join: one exchange of the pair relation by l_partkey
+    # replaces (per-part agg exchange + SortMergeJoin sorts on both
+    # sides + the persist the join-back needed) — round 13, guide §2.4;
+    # integer sums, so the threshold compare is bit-identical
+    total = F.sum("sq").over(W.partitionBy("l_partkey"))
     qualifying = (
-        per_pair.join(per_part, F.col("l_partkey") == F.col("pk"))
+        per_pair.withColumn("total_qty", total)
         .filter(F.lit(2) * F.col("sq") > F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
