@@ -572,6 +572,9 @@ def _assign_pass_arrow(
     cnorm = (cmat * cmat).sum(axis=1)
 
     def assign(batches):
+        from ..functions.blas import ensure_blas_pinned
+
+        ensure_blas_pinned()  # worker-side cap; env pin may not have reached a foreign-session worker (ADVICE r12)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -956,6 +959,9 @@ def _cell_pair_kernel(threshold: float, dim: int, block: int = 2048):
     pre = threshold - 5e-5 - 1e-12
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from ..functions.blas import ensure_blas_pinned
+
+        ensure_blas_pinned()  # worker-side cap (ADVICE r12); no-op after the first call
         # width guard FIRST (ADVICE r11): the old qn2 expression raised
         # on every mismatched row, so a wrong-width row in a singleton
         # cell must still raise, not slip past the n < 2 early return
@@ -1563,6 +1569,9 @@ def _pq_encode_arrow(
         prepped.append((cids, cmat, (cmat * cmat).sum(axis=1)))
 
     def encode(batches):
+        from ..functions.blas import ensure_blas_pinned
+
+        ensure_blas_pinned()  # worker-side cap; see _assign_pass_arrow
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -2486,7 +2495,13 @@ def ndcg_audit(
     approx = lsh_topk_cosine(embeddings, probe_ids, k).select(
         "probe_id", "neighbor_id", F.col("rank").alias("pos")
     )
-    graded = approx.join(exact, ["probe_id", "neighbor_id"], "left").select(
+    # both sides are k·|probes| rows, but their lineage is windowed corpus
+    # scans whose size ESTIMATES are way past the auto-broadcast threshold
+    # — without the hint the planner sort-merge-joins two ~25-row
+    # relations through two Exchanges (round 13 plan audit; guide §3.1)
+    graded = approx.join(
+        F.broadcast(exact), ["probe_id", "neighbor_id"], "left"
+    ).select(
         "probe_id",
         "pos",
         F.coalesce(

@@ -265,21 +265,37 @@ def test_round11_window_stalest_machine_checked():
 
 
 def test_round12_window_stalest_machine_checked():
-    """Round-12 window contract (VERDICT r11 item #3): changed queries
-    first, then EXACTLY the stalest by (latest driver CORRECTNESS round
-    over rounds 1–11, name), filling to 50; queries() must front the
-    window for the driver's 50-slot sample.  This rotation retires the
-    r04 vintage entirely — afterwards no query's newest driver evidence
-    is older than r05."""
+    """Historical round-12 window contract (VERDICT r11 item #3;
+    queries() now fronts the round-13 window): changed queries first,
+    then EXACTLY the stalest by (latest driver CORRECTNESS round over
+    rounds 1–11, name), filling to 50."""
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest = _latest_driver_round(repo, before_round=12)
     if not latest:  # fresh clone without driver artifacts: nothing to pin
         return
-    win = entry._ROUND12_WINDOW
+    _assert_window_stalest(
+        entry._ROUND12_WINDOW, entry._ROUND12_CHANGED, latest
+    )
+
+
+def test_round13_window_stalest_machine_checked():
+    """Round-13 window contract (VERDICT r12 item #8): changed queries
+    first, then EXACTLY the stalest by (latest driver CORRECTNESS round
+    over rounds 1–12, name), filling to 50; queries() must front the
+    window for the driver's 50-slot sample.  This rotation retires the
+    r04 vintage (its last 4 names) — afterwards no query's newest driver
+    evidence is older than r05."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = _latest_driver_round(repo, before_round=13)
+    if not latest:  # fresh clone without driver artifacts: nothing to pin
+        return
+    win = entry._ROUND13_WINDOW
     assert list(entry.queries())[:50] == win  # dict-unpacking fronts it
-    _assert_window_stalest(win, entry._ROUND12_CHANGED, latest)
+    _assert_window_stalest(win, entry._ROUND13_CHANGED, latest)
 
 
 def test_sf_tag_fingerprints_input_data(tmp_path):
@@ -570,3 +586,53 @@ def test_blas_thread_pin_propagates(spark):
         .collect()
     )
     assert seen == [os.environ["OPENBLAS_NUM_THREADS"]]
+
+
+def test_blas_runtime_cap_closes_foreign_session_hole(monkeypatch):
+    """ADVICE r12: the env pin only reaches workers forked AFTER the
+    package import; under a foreign SparkSession the JVM (and its worker
+    daemon) may predate it, leaving OpenBLAS at ncpu threads. The
+    worker-side fallback must cap the ALREADY-LOADED BLAS at runtime
+    through its own C entry point when no env pin reached the process."""
+    import ctypes
+    import glob
+    import os
+
+    import numpy
+
+    from streaming_ingestion_from_snowflake_to_apache_iceberg_with_apache_flink_spark.functions import (
+        blas,
+    )
+
+    libs = glob.glob(
+        os.path.abspath(
+            os.path.join(
+                os.path.dirname(numpy.__file__), "..", "numpy.libs",
+                "libopenblas*.so*",
+            )
+        )
+    )
+    if not libs:  # exotic BLAS build: the fallback is best-effort by design
+        return
+    lib = ctypes.CDLL(libs[0])
+    get = getattr(lib, "openblas_get_num_threads64_", None) or getattr(
+        lib, "openblas_get_num_threads", None
+    )
+    st = getattr(lib, "openblas_set_num_threads64_", None) or getattr(
+        lib, "openblas_set_num_threads", None
+    )
+    if get is None or st is None:
+        return
+    before = get()
+    try:
+        st(4)  # simulate the unpinned foreign-session worker state
+        monkeypatch.delenv("OPENBLAS_NUM_THREADS", raising=False)
+        monkeypatch.setattr(blas, "_DONE", False)
+        blas.ensure_blas_pinned()
+        assert get() == 1, "runtime cap did not reach the loaded OpenBLAS"
+        # and it is once-per-process: a second call is a no-op guard
+        st(4)
+        blas.ensure_blas_pinned()
+        assert get() == 4
+    finally:
+        st(before)
