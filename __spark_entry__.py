@@ -4698,10 +4698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_moments": q_stream_moments,
         "q_stream_kmv": q_stream_kmv,
     }
-    missing = [n for n in _ROUND12_WINDOW if n not in q]
+    missing = [n for n in _ROUND13_WINDOW if n not in q]
     if missing:  # a renamed/dropped query must fail loudly, not shrink the window
-        raise KeyError(f"_ROUND12_WINDOW names not in queries(): {missing}")
-    return {**{k: q[k] for k in _ROUND12_WINDOW}, **q}
+        raise KeyError(f"_ROUND13_WINDOW names not in queries(): {missing}")
+    return {**{k: q[k] for k in _ROUND13_WINDOW}, **q}
 
 
 #: Queries whose implementation changed in round 11 — re-verified by the
@@ -4754,23 +4754,68 @@ _ROUND12_CHANGED = [
     "q_knn_eval", "q_ann_recall",
 ]
 
+#: Queries whose implementation changed in round 13 (optimization round
+#: 2 of 2) — re-verified by the driver the same round they changed
+#: (standing rule, VERDICT r8 item #2). All value-identical by
+#: construction; oracle SQL untouched this round (VERDICT r12 item #9):
+#: q_ndcg broadcasts the k·|probes|-row exact side of its final join
+#: (2 SortMergeJoins → 0); q_media_resize's mapInPandas kernel is
+#: columnar instead of a Series-per-row pdf.apply (75× less Python per
+#: batch, bytes identical); q_stream_join / q_stream_dedup skip the
+#: trailing NO-DATA micro-batch (evict-only for an inner join /
+#: dropDuplicatesWithinWatermark — zero output rows, one full batch
+#: cycle; telemetry: 2 → 1 micro-batches, same input/state rows);
+#: q_tpch_q20 computes the per-part total as a window over the pair agg
+#: instead of a second groupBy + self-join (SMJ 2 → 0, persist gone);
+#: q_item_cooccurrence derives the basket-size cut as a count window on
+#: the same pass (the sizes branch re-ran the scan→join→distinct
+#: pipeline before the checkpoint); the PQ/semdedup six re-verify
+#: because their Arrow kernels' bytecode changed (worker-side BLAS cap,
+#: ADVICE r12 — a no-op wherever the env pin already reached the
+#: worker).
+_ROUND13_CHANGED = [
+    "q_ndcg", "q_media_resize", "q_stream_join", "q_stream_dedup",
+    "q_tpch_q20", "q_item_cooccurrence",
+    "q_semdedup", "q_hard_negatives", "q_pq_encode", "q_pq_adc_topk",
+    "q_pq_recall", "q_ivfpq_topk",
+]
+
 #: Names bench.py must keep in its stdout line even when trimming to the
 #: driver's 2000-char capture window — the round's changed queries plus
-#: this round's watch list (VERDICT r11: q_winsorize must show its
-#: post-decimal-fix band; the two >2× weak rows and the slowest
-#: streaming row need driver-recorded r12 numbers to adjudicate
-#: box-noise vs structural), so every watched query gets a driver row
-#: even if it falls under the slowest-N cutoff.
-BENCH_ALWAYS_REPORT = tuple(_ROUND12_CHANGED) + (
-    "q_winsorize", "q_stream_session", "q_python_source",
-    "q_python_stream_source",
+#: the watch list (VERDICT r12 item #2: q_stream_moments /
+#: q_stream_lsh_dedup must show their post-sizing band on a driver row;
+#: q_ndcg is changed this round and covered there), so every watched
+#: query gets a driver row even if it falls under the slowest-N cutoff.
+BENCH_ALWAYS_REPORT = tuple(_ROUND13_CHANGED) + (
+    "q_stream_moments", "q_stream_lsh_dedup", "q_winsorize",
+    "q_stream_session", "q_python_source", "q_python_stream_source",
 )
+
+# The round-13 driver-correctness window: changed queries first, then
+# the STALEST (the remaining 4-name round-4 vintage, then round-5
+# vintage in name order), filling to 50. Machine-derived from
+# CORRECTNESS_r*.json (rounds 1-12) and re-derived by the pin test
+# tests/test_shared_state.py::test_round13_window_stalest_machine_checked.
+_ROUND13_WINDOW = _ROUND13_CHANGED + [
+    "q_tpch_q9", "q_udtf_runs", "q_variant", "q_zorder_layout",
+    "q_autocorr", "q_benford", "q_bloom_join", "q_bm25_topk",
+    "q_bpe_apply", "q_bpe_train", "q_calendar_fill", "q_clustering_coef",
+    "q_column_profile", "q_compaction_plan", "q_cooccurrence_lift", "q_cusum",
+    "q_dataset_card", "q_dist_drift", "q_dow_profile", "q_group_concat",
+    "q_hapax_docs", "q_higher_order", "q_key_skew", "q_log2_histogram",
+    "q_map_battery", "q_minmax_by", "q_null_battery", "q_outer_join",
+    "q_partial_merge", "q_pca_power", "q_python_stream_source", "q_sketch_merge",
+    "q_skyline", "q_source_overlap", "q_stream_outer_join", "q_threshold_curve",
+    "q_triangle_count", "q_unpivot",
+]
 
 # The round-12 driver-correctness window: changed queries first, then
 # the STALEST (the full 34-name round-4 vintage, then round-5 vintage in
 # name order), filling to 50. Machine-derived from CORRECTNESS_r*.json
 # (rounds 1-11) and re-derived by the pin test
 # tests/test_shared_state.py::test_round12_window_stalest_machine_checked.
+# (Historical as of round 13 — queries() now fronts _ROUND13_WINDOW;
+# kept for the r12 pin test.)
 _ROUND12_WINDOW = _ROUND12_CHANGED + [
     "q_pandas_norm", "q_pandas_scale", "q_python_source", "q_sliding_distinct",
     "q_sql_frontend", "q_stream_dedup", "q_stream_ingest", "q_stream_join",

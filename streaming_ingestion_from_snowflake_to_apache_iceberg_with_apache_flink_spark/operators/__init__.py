@@ -1,3 +1,18 @@
+"""Operator inventory (SURVEY.md §2): pure DataFrame functions.
+
+Materialization contract (ADVICE r12): operators that reuse a shared
+intermediate materialize it with ``localCheckpoint(eager=True)`` — so
+*building* the returned DataFrame runs jobs, and the checkpoint's RDD
+blocks stay on the executors until released.  Consumers that call such
+operators repeatedly in a long-lived session own the reclamation:
+``__spark_entry__.release_transient_checkpoints(spark)`` unpersists
+every checkpoint block not owned by a live memoized shared leg (the
+bench and oracle harnesses call it after every query).  Do NOT
+unpersist the blocks while a returned DataFrame is still to be
+consumed — a checkpointed plan reads its blocks; it cannot recompute
+them (that truncated lineage is the point of the checkpoint).
+"""
+
 from . import curation, dedup, multimodal, similarity, temporal, text
 from .merge import merge_upsert, overwrite_partition
 from .pagination import highwater_increment, page, pages_union, ranked

@@ -2085,7 +2085,8 @@ def item_cooccurrence(
         )
         .distinct()
     )
-    sizes = baskets.groupBy("cust").agg(F.count(F.lit(1)).alias("bsz"))
+    from pyspark.sql import Window as W
+
     # Materialize the capped basket relation ONCE (round 12, guide §2.4):
     # the old persist()/unpersist() pair released the cache before the
     # query ever ran (unpersist is eager, the query lazy), so the
@@ -2094,9 +2095,21 @@ def item_cooccurrence(
     # truncates lineage so both self-join sides and both margin branches
     # read the materialized narrow rows; the bench's deterministic
     # release sweep reclaims the blocks after the query.
-    kept = baskets.join(
-        sizes.filter(F.col("bsz") <= max_basket).select("cust"), "cust"
-    ).localCheckpoint(eager=True)
+    #
+    # Round 13: the basket-size cut is a COUNT WINDOW on the same rows,
+    # not a groupBy+join-back — the old sizes branch re-derived the whole
+    # scan→join→distinct pipeline a second time before the checkpoint
+    # (4 parquet scans for a two-table query). Bonus: the window's
+    # exchange leaves the checkpointed rows HASH-PARTITIONED BY cust, so
+    # the customer-keyed self-join below reuses that partitioning and
+    # shuffles NOTHING (plans/r13: 4→2 scans, self-join exchanges gone;
+    # guide §2.4 "share one exchange").
+    kept = (
+        baskets.withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("cust")))
+        .filter(F.col("bsz") <= max_basket)
+        .drop("bsz")
+        .localCheckpoint(eager=True)
+    )
     n_i = kept.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
     # customer-keyed self-join of the cached basket relation: both sides
     # shuffle on cust once; a map-side array-pair explosion was measured
